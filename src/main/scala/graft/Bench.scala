@@ -1,23 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line (driver contract). Each query is forced end-to-end
+  * through the `noop` sink so the full plan executes (count() alone can be
+  * satisfied from partial plans / statistics).
+  */
 object Bench {
+  /** Headline subset: one per operator family that matters at scale. */
+  val headline: Seq[String] = Seq(
+    "q01_agg", "q02_join_broadcast", "q03_join_multi", "q06_filter_pushdown",
+    "q07_window_topn", "q09_topk", "q14_time_window", "q15_sessionize",
+    "q16_json")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    // One untimed warm-up pass amortizes codegen/classload so the timed
+    // numbers reflect steady-state executor throughput.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).write.format("noop")
+        .mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,495 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Tables
+import graft.util.OracleSafe._
+
+/** Relational operator suite over the driver's TPC-H-style tables.
+  *
+  * The reference (`/root/reference/aprs2influxdb/__main__.py`) has **no**
+  * relational operators — SURVEY.md §2.4-2.7 marks joins / aggregations /
+  * windows / sorts / set-ops *(absent)* and requires the engine to supply
+  * them via Spark built-ins so it is a strict superset. Every query here is
+  * a declarative DataFrame plan (Catalyst handles pushdown, join strategy,
+  * partial aggregation, AQE) with a DuckDB oracle twin in [[oracle]].
+  *
+  * All floating aggregates use the OracleSafe scaled-long arithmetic —
+  * exact, codegen-friendly, and deterministic under any partitioning.
+  * Scale notes (100 TB readiness) are on each query.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // SQL twins of the OracleSafe helpers (DuckDB SUM(BIGINT) is exact HUGEINT).
+  private def sq(x: String) = s"CAST(FLOOR($x*10000 + 0.5) AS BIGINT)"
+  private def SqlDsum(x: String) = s"CAST(SUM(${sq(x)}) AS DOUBLE)/10000.0"
+  private def SqlDavg(x: String) = s"CAST(SUM(${sq(x)}) AS DOUBLE)/10000.0/COUNT($x)"
+  private def SqlRevenue(p: String, d: String) =
+    s"CAST(SUM(${sq(p)}*(10000 - ${sq(d)})) AS DOUBLE)/100000000.0"
+  private def SqlProdSum(p: String, d: String) =
+    s"CAST(SUM(${sq(p)}*${sq(d)}) AS DOUBLE)/100000000.0"
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style scan + hash aggregate. Partial (map-side) aggregation
+    * collapses 100 TB of lineitem to O(groups) before the single shuffle;
+    * the shipdate filter and 7-column projection push into the parquet scan. */
+  def q01Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        revenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Fact-to-dim join: part is tiny relative to lineitem, so it is
+    * explicitly broadcast — at scale this is a map-side hash join with no
+    * shuffle of the 100 TB fact side. */
+  def q02JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part").filter($"p_size" < 20)
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        revenue($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** Multi-way star join (TPC-H Q5 shape): two big tables shuffle-join on
+    * their keys; nation/region are broadcast. Revenue per customer nation. */
+  def q03JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders").filter(
+      $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+      $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(revenue($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** Left-semi join (EXISTS): orders with at least one big-quantity item.
+    * Semi join never materializes the right payload — only the key set
+    * travels; Catalyst can pick broadcast/shuffled-hash by stats. */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "lineitem").filter($"l_quantity" > 45)
+      .select($"l_orderkey")
+    t(s, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** Left-anti join (NOT EXISTS): customers with no pending order. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+      .select($"o_custkey")
+    t(s, dir, "customer")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6: pure scan-filter-agg. All three predicates and the 2-column
+    * projection must reach the parquet reader (PushedFilters/ReadSchema) —
+    * at 100 TB this is the difference between reading 2 columns of a few
+    * row groups and reading everything. */
+  def q06FilterPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.02 && $"l_discount" <= 0.08 &&
+        $"l_quantity" < 25)
+      .agg(prodSum($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Ranking window: top-3 orders per customer. One shuffle on the
+    * partition key; rank + filter stays inside whole-stage codegen. */
+  def q07WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** Running-total analytic window (rows-frame cumulative sum) per
+    * supplier, restricted to a key range so the output stays bounded. */
+  def q08WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter($"l_suppkey" <= 10)
+      .withColumn("running_qty",
+        sum(slong($"l_quantity")).over(w).cast("double") / lit(10000.0))
+      .select($"l_suppkey", tsStr($"l_shipdate").as("ship_ts"),
+        $"l_orderkey", $"l_linenumber", $"running_qty")
+      .orderBy($"l_suppkey", $"ship_ts", $"l_orderkey", $"l_linenumber")
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    * heaps + driver merge of k rows, never a full sort of 100 TB. */
+  def q09TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** Set operations: INTERSECT / EXCEPT over customer key sets (both
+    * plan as aggregate/semi-anti joins — no driver-side sets). */
+  def q10SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+    val open = ord.filter($"o_orderstatus" === "O").select($"o_custkey").distinct()
+    val done = ord.filter($"o_orderstatus" === "F").select($"o_custkey").distinct()
+    val both = open.intersect(done).withColumn("op", lit("both"))
+    val openOnly = open.except(done).withColumn("op", lit("open_only"))
+    both.union(openOnly)
+      .select($"op", $"o_custkey")
+      .orderBy($"op", $"o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Exact distinct aggregation (expands to a two-phase agg). */
+  def q11Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey").as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** ROLLUP hierarchy totals (grouping-sets expansion in one pass). */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** CUBE over two order dimensions. */
+  def q13Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Tumbling time window over the event stream table (batch view of the
+    * streaming windowed agg — same `window()` builtin works under
+    * readStream; SURVEY §2.9). */
+  def q14TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select(tsStr($"window.start").as("wstart"), $"event_type", $"n", $"sum_value")
+      .orderBy($"wstart", $"event_type")
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * sum — the batch twin of `session_window()`. One shuffle on user_id. */
+  def q15Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Semi-structured JSON extraction from the props payload column —
+    * mirrors the reference's sparse-dict field probing (SURVEY §1.1) in
+    * relational form. */
+  def q16Json(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("bucket", $"k" % 10)
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** As-of (backward) join expressed as an ignore-nulls last_value window:
+    * each purchase is joined to the user's most recent strictly-prior
+    * click. Single shuffle on the key — the classic distributed as-of plan
+    * (vs an O(n²) range join). */
+  def q17AsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("last_click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true)
+          .over(byUser))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"last_click_id")
+      .orderBy($"event_id")
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Pivot (wide aggregation): per-user event-type counts. Pivot values
+    * are declared statically so no extra distinct-collect job runs. */
+  def q18Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Approximate distinct (HLL++) — no DuckDB oracle (different sketch
+    * impls give different estimates); the driver records a rows-only check. */
+  def q19ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (q01Agg _),
+    "q02_join_broadcast" -> (q02JoinBroadcast _),
+    "q03_join_multi" -> (q03JoinMulti _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_anti_join" -> (q05AntiJoin _),
+    "q06_filter_pushdown" -> (q06FilterPushdown _),
+    "q07_window_topn" -> (q07WindowTopN _),
+    "q08_window_running" -> (q08WindowRunning _),
+    "q09_topk" -> (q09TopK _),
+    "q10_setops" -> (q10SetOps _),
+    "q11_distinct" -> (q11Distinct _),
+    "q12_rollup" -> (q12Rollup _),
+    "q13_cube" -> (q13Cube _),
+    "q14_time_window" -> (q14TimeWindow _),
+    "q15_sessionize" -> (q15Sessionize _),
+    "q16_json" -> (q16Json _),
+    "q17_asof" -> (q17AsOf _),
+    "q18_pivot" -> (q18Pivot _),
+    "q19_approx_distinct" -> (q19ApproxDistinct _),
+  )
+
+  /** DuckDB twins. Scaled-long exact arithmetic mirrors OracleSafe; every
+    * query carries a total deterministic ORDER BY; timestamps leave as
+    * strings. */
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${SqlDsum("l_quantity")} AS sum_qty,
+        |  ${SqlDsum("l_extendedprice")} AS sum_base_price,
+        |  ${SqlRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+        |  ${SqlDavg("l_quantity")} AS avg_qty,
+        |  ${SqlDavg("l_discount")} AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_broadcast" ->
+      s"""SELECT p_brand,
+        |  ${SqlRevenue("l_extendedprice", "l_discount")} AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 20
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q03_join_multi" ->
+      s"""SELECT r_name, n_name,
+        |  ${SqlRevenue("l_extendedprice", "l_discount")} AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q05_anti_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  ${SqlDsum("c_acctbal")} AS sum_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q06_filter_pushdown" ->
+      s"""SELECT
+        |  ${SqlProdSum("l_extendedprice", "l_discount")} AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.08
+        |  AND l_quantity < 25""".stripMargin,
+    "q07_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q08_window_running" ->
+      s"""SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+        |  l_orderkey, l_linenumber,
+        |  CAST(SUM(${sq("l_quantity")}) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/10000.0 AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, ship_ts, l_orderkey, l_linenumber""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q10_setops" ->
+      """SELECT 'both' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') a
+        |UNION ALL
+        |SELECT 'open_only' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') b
+        |ORDER BY op, o_custkey""".stripMargin,
+    "q11_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q12_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${SqlDsum("l_quantity")} AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  ${SqlDsum("o_totalprice")} AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q14_time_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, COUNT(*) AS n,
+        |  ${SqlDsum("value")} AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY wstart, event_type""".stripMargin,
+    "q15_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN prev_us IS NULL
+        |               OR epoch_us(ts) - prev_us > 1800 * 1000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT user_id, ts,
+        |              LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |                ORDER BY ts ASC, event_id ASC) AS prev_us
+        |            FROM events) x) y
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q16_json" ->
+      s"""SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS bucket,
+        |  COUNT(*) AS n,
+        |  ${SqlDsum("value")} AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+    "q17_asof" ->
+      """SELECT event_id, user_id, last_click_id
+        |FROM (SELECT event_id, user_id, event_type,
+        |        LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+        |      FROM events) x
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q18_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+  )
+}

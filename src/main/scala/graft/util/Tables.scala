@@ -1,0 +1,29 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated test tables (TESTDATA.md layout:
+  * `<dir>/<name>.parquet`, one file per table).
+  *
+  * At 100 TB these reads become distributed parquet scans; everything
+  * downstream must rely on Catalyst pushing filters/projections into the
+  * scan rather than materializing full tables.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in every session
+    // builder here). Truncate ns→us like DuckDB's epoch_us does and restore
+    // a proper TimestampType column.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}
