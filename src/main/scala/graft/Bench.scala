@@ -12,7 +12,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_agg", "q02_join_broadcast", "q03_join_multi", "q06_filter_pushdown",
     "q07_window_topn", "q09_topk", "q14_time_window", "q15_sessionize",
-    "q16_json")
+    "q16_json", "q30_tokens", "q34_exact_dedup", "q36_minhash_lsh",
+    "q38_ann_brute")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Deduplication family over `documents`: exact (hash-groupBy), n-gram
+  * Jaccard, MinHash+LSH (shingle→minhash→band→bucket-join), SimHash.
+  *
+  * Scale design: shingling and minhash signatures are computed **map-side
+  * with array higher-order functions** (zero shuffles until the band
+  * bucket join); candidate generation shuffles only (band, bucket-key)
+  * pairs, never full documents; verification joins shingle sets back by
+  * doc id. The md5-based hash family is engine-portable, so even the LSH
+  * pipeline is DuckDB-oracle-checked end to end.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** doc_id + distinct word-3-gram shingle set (docs with ≥3 tokens). */
+  def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= 3)
+      .withColumn("sh", array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2), element_at(toks, i+3)))")))
+      .select($"doc_id", $"sh")
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Exact dedup under re-ingestion: the corpus unioned with a shifted
+    * copy of itself collapses back to one row per content hash (keep
+    * min doc_id). Hash-groupBy — one shuffle on the 128-bit key. */
+  def q34ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id", $"lang", $"text")
+    val reingest = d.withColumn("doc_id", $"doc_id" + 1000000L)
+    val all = d.union(reingest)
+      .withColumn("h", md5($"text".cast("binary")))
+    all.groupBy($"h")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"),
+        min($"lang").as("lang"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_unique"), sum($"n_copies").as("n_rows"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the standard
+    * shared-shingle candidate join: explode distinct shingles, equi-join
+    * on shingle, count shared per pair, verify |A∩B|/|A∪B|. */
+  def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = shingled(s, dir).withColumn("n", size($"sh").cast("long"))
+    val e = d.select($"doc_id", $"n", explode($"sh").as("s"))
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("shared"),
+        first($"a.n").as("na"), first($"b.n").as("nb"))
+      .withColumn("jaccard",
+        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= 0.5)
+    pairs.select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
+      .orderBy($"i", $"j")
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** MinHash+LSH near-dup pairs: 16 md5-family minhashes per doc computed
+    * map-side, 4 bands × 4 rows, bucket-join on band keys, exact-Jaccard
+    * verification of candidates. Same output schema as q35; LSH may miss
+    * borderline pairs (theory: P ≈ 1-(1-J⁴)⁴) — identically in both
+    * engines, so the oracle still matches exactly. */
+  /** Kirsch-Mitzenmacher double hashing: one md5 per shingle, split into
+    * two 48-bit halves, sig_i = min over shingles of (h1 + i·h2) mod p.
+    * Computed on EXPLODED shingles so the hashing is whole-stage-codegen'd
+    * (array higher-order functions are interpreted in Spark) and the 16
+    * signature mins are plain partial aggregates in one groupBy. */
+  val MinHashP = 281474976710597L // prime < 2^48; i·h2 ≤ 15·2^48 — no overflow
+
+  def q36MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = shingled(s, dir).withColumn("n", size($"sh").cast("long"))
+    val hashed = d.select($"doc_id", explode($"sh").as("s"))
+      .withColumn("m", md5($"s".cast("binary")))
+      .withColumn("h1", expr("cast(conv(substring(m, 1, 12), 16, 10) as long)"))
+      .withColumn("h2", expr("cast(conv(substring(m, 13, 12), 16, 10) as long)"))
+    val sigAggs = (0 until 16).map(i =>
+      min(expr(s"(h1 + $i * h2) % $MinHashP")).as(s"s$i"))
+    val sig = hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // band key b = md5("s_{4b},s_{4b+1},s_{4b+2},s_{4b+3}")
+    val bandStructs = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"cast(s${b * 4 + r} as string)").mkString(", ")
+      s"struct($b as band, md5(cast(concat_ws(',', $parts) as binary)) as bkey)"
+    }.mkString(", ")
+    val banded = sig.select($"doc_id", explode(expr(s"array($bandStructs)")).as("x"))
+      .select($"doc_id", $"x.band".as("band"), $"x.bkey".as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
+    val verified = cand
+      .join(d.select($"doc_id".as("i"), $"sh".as("sha"), $"n".as("na")), "i")
+      .join(d.select($"doc_id".as("j"), $"sh".as("shb"), $"n".as("nb")), "j")
+      .withColumn("shared", size(array_intersect($"sha", $"shb")).cast("long"))
+      .withColumn("jaccard",
+        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= 0.5)
+    verified.select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
+      .orderBy($"i", $"j")
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** SimHash near-dup pairs (no SQL oracle — 64-bit bit-twiddling; the
+    * driver records a rows-only check and DedupSpec cross-checks against
+    * the Jaccard pairs). 60-bit simhash over the *shingle* set (unigram
+    * simhash cannot separate same-vocabulary documents); near = hamming
+    * ≤ 10; candidates via 4×15-bit band join (exact for hamming ≤ 3,
+    * high-probability beyond). */
+  def q37SimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = shingled(s, dir)
+    // per-shingle 60-bit hash = first 15 hex chars of md5, as long
+    val withSim = d.withColumn("hashes", expr(
+        "transform(sh, t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as long))"))
+      // simhash bit b = majority vote of token-hash bits
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 59), cast(0 as long), (acc, b) -> acc + " +
+          "if(size(filter(hashes, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(hashes), shiftleft(cast(1 as long), b), cast(0 as long)))"))
+      .select($"doc_id", $"simhash")
+    val banded = withSim.select($"doc_id", $"simhash",
+      explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b*15) & 32767 as bkey))")).as("bd"))
+      .select($"doc_id", $"simhash", $"bd.band", $"bd.bkey")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+        $"a.simhash".as("ha"), $"b.simhash".as("hb")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter($"hamming" <= 10)
+      .select($"i", $"j", $"hamming")
+      .orderBy($"i", $"j")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_exact_dedup" -> (q34ExactDedup _),
+    "q35_ngram_jaccard" -> (q35NgramJaccard _),
+    "q36_minhash_lsh" -> (q36MinHashLsh _),
+    "q37_simhash" -> (q37SimHash _),
+  )
+
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') t FROM documents),
+      |d AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(len(t)-2),
+      |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) sh
+      |      FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q34_exact_dedup" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, lang, md5(text) h FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, md5(text) FROM documents),
+        |per_hash AS (
+        |  SELECT h, min(doc_id) canonical_id, COUNT(*) n_copies, min(lang) lang
+        |  FROM all_rows GROUP BY h)
+        |SELECT lang, COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_rows
+        |FROM per_hash GROUP BY lang ORDER BY lang""".stripMargin,
+    "q35_ngram_jaccard" ->
+      s"""$shingleCte,
+        |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) n, unnest(sh) s FROM d),
+        |p AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) shared,
+        |        any_value(a.n) na, any_value(b.n) nb
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT i, j, CAST(shared AS BIGINT) AS shared, na, nb,
+        |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+        |FROM p
+        |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+    "q36_minhash_lsh" -> {
+      val hexInt = (off: Int) =>
+        s"list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(m, CAST(ii AS INTEGER)+$off, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      val sigCols = (0 until 16)
+        .map(i => s"min((h1 + $i * h2) % $MinHashP) s$i").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""$shingleCte,
+        |e AS (SELECT doc_id, md5(unnest(sh)) m FROM d),
+        |h AS (SELECT doc_id, ${hexInt(1)} h1, ${hexInt(13)} h2 FROM e),
+        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+        |bands AS ($bandRows),
+        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
+        |         FROM bands a JOIN bands b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.i, c.j,
+        |        CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) shared,
+        |        CAST(len(da.sh) AS BIGINT) na, CAST(len(db.sh) AS BIGINT) nb
+        |      FROM cand c
+        |      JOIN d da ON da.doc_id = c.i
+        |      JOIN d db ON db.doc_id = c.j)
+        |SELECT i, j, shared, na, nb,
+        |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+        |FROM v
+        |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        |ORDER BY i, j""".stripMargin
+    },
+  )
+}

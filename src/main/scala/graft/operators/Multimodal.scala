@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata +
+  * decode/feature-extract/frame-sample stages, as a 100 TB training-data
+  * pipeline would run them.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly marked deterministic stub ([[DecoderStub]]); everything
+  * Spark-side — schema, binary column handling, partition-wise batch
+  * decode via mapPartitions, frame explosion, metadata pushdown — is real
+  * and oracle-tested. Payloads are derived from `documents.text` bytes
+  * (the driver's table; no synthetic inputs).
+  */
+object Multimodal {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** documents → opaque binary payload + typed metadata, as a real
+    * multimodal table would look (payload is the text's UTF-8 bytes). */
+  def assets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("payload", $"text".cast("binary"))
+      .withColumn("n_bytes", octet_length($"payload").cast("long"))
+      .withColumn("mime", lit("application/octet-stream"))
+      .withColumn("n_frames",
+        least(greatest(expr("n_bytes div 100"), lit(1L)), lit(8L)))
+      .select($"doc_id", $"payload", $"n_bytes", $"mime", $"n_frames")
+  }
+
+  // ---------------------------------------------------------------- q40
+  /** Frame sampling: explode each asset into per-frame rows with a
+    * deterministic per-frame content hash — the shape of a video/audio
+    * frame-extraction stage (metadata travels, payload stays opaque). */
+  def q40FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .filter($"doc_id" < 50)
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .withColumn("frame_hash",
+        md5(concat($"payload", lit(":".getBytes("UTF-8")), $"frame_idx".cast("string").cast("binary"))))
+      .select($"doc_id", $"n_bytes", $"n_frames", $"frame_idx", $"frame_hash")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_frame_sample" -> (q40FrameSample _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // equal-length unnests in one SELECT are zipped positionally in DuckDB
+    "q40_frame_sample" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, n_bytes, n_frames,
+        |    unnest(range(n_frames)) AS frame_idx,
+        |    md5(text || ':' || CAST(unnest(range(n_frames)) AS VARCHAR)) AS frame_hash
+        |  FROM (SELECT doc_id, text,
+        |          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |          least(greatest(CAST(octet_length(encode(text)) AS BIGINT) // 100, 1), 8) AS n_frames
+        |        FROM documents WHERE doc_id < 50) a) b
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+
+  // ------------------------------------------------------------ decode
+  /** STUBBED decode: real image/audio libs are absent in this container.
+    * Produces deterministic fake features so the distributed plumbing
+    * (partition-wise batching, schema, memory shape) is fully testable;
+    * swap `decodeOne` for a real codec (JPEG → pixels, PCM → samples) in
+    * production. */
+  object DecoderStub {
+    val featureDim = 8
+    /** >>> STUB <<< — replace with a real decoder. Derives featureDim
+      * floats from the payload bytes deterministically. */
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Partition-wise batch decode: one decoder instance per partition (the
+    * pattern a heavyweight codec needs), constant memory per batch. */
+  def decodeFeatures(s: SparkSession, assetsDf: DataFrame): DataFrame = {
+    val rdd = assetsDf.select("doc_id", "payload").rdd.mapPartitions { it =>
+      // per-partition decoder init would go here (native lib handles etc.)
+      it.map { r =>
+        Row(r.getLong(0), DecoderStub.decodeOne(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }
+    s.createDataFrame(rdd, decodedSchema)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+import graft.util.OracleSafe._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting family a large-scale
+  * training-data pipeline needs. All map-side per-document computation
+  * (one shuffle for the final group-by only): at 100 TB these run as pure
+  * scan→project→partial-agg pipelines.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+  private val stopEs = Seq("el", "la", "de", "que", "y")
+  private val stopDe = Seq("der", "die", "und", "ist", "das")
+  private val stopFr = Seq("le", "les", "des", "et", "un")
+
+  private def hitCount(toksCol: String, words: Seq[String]) = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    expr(s"CAST(size(filter($toksCol, t -> t IN ($lst))) AS BIGINT)")
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** Token counting per language: whitespace tokens + a BPE-ish regex
+    * tokenizer (letters / digits / single punctuation). */
+  def q30Tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("tok_ws", size(split(trim($"text"), "\\s+")).cast("long"))
+      .withColumn("tok_re",
+        regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok_ws").as("sum_tok_ws"),
+        sum($"tok_re").as("sum_tok_re"),
+        davg($"n_chars".cast("double")).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Per-document quality scoring: token count, punctuation ratio,
+    * stopword ratio — pure rational arithmetic (no libm) so the oracle
+    * matches bit-for-bit. */
+  def q31Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" < 200)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_punct",
+        (length($"text") - length(regexp_replace($"text", "[.,!?;:]", ""))).cast("long"))
+      .withColumn("n_stop", hitCount("toks", stopEn))
+      .withColumn("punct_ratio", $"n_punct".cast("double") / length($"text"))
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("quality",
+        $"stop_ratio" * 0.5 + (lit(1.0) - $"punct_ratio") * 0.5)
+      .select($"doc_id", $"n_tokens", $"n_punct", $"n_stop",
+        $"punct_ratio", $"stop_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** N-gram-heuristic language ID: stopword-hit votes per language with a
+    * deterministic tie-break, confusion-matrix output. */
+  def q32LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("s_en", hitCount("toks", stopEn))
+      .withColumn("s_es", hitCount("toks", stopEs))
+      .withColumn("s_de", hitCount("toks", stopDe))
+      .withColumn("s_fr", hitCount("toks", stopFr))
+      .withColumn("pred",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr", "es")
+          .when($"s_de" >= $"s_fr", "de")
+          .otherwise("fr"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred")
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** Document fingerprinting: content hash + 64-bit prefix fingerprint of
+    * the normalized text (md5 — portable across engines). */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" < 100)
+      .withColumn("content_md5", md5($"text".cast("binary")))
+      .withColumn("fp64", substring(md5(lower(trim($"text")).cast("binary")), 1, 16))
+      .select($"doc_id", $"content_md5", $"fp64")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_tokens" -> (q30Tokens _),
+    "q31_quality" -> (q31Quality _),
+    "q32_langid" -> (q32LangId _),
+    "q33_fingerprint" -> (q33Fingerprint _),
+  )
+
+  private def sqlHits(words: Seq[String]) = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($lst))) AS BIGINT)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q30_tokens" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tok_ws,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_tok_re,
+        |  ${SqlDavgPub("CAST(n_chars AS DOUBLE)")} AS avg_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q31_quality" ->
+      s"""SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  ${sqlHits(stopEn)} AS n_stop,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(${sqlHits(stopEn)} AS DOUBLE) / len(string_split(lower(text), ' ')) AS stop_ratio,
+        |  (CAST(${sqlHits(stopEn)} AS DOUBLE) / len(string_split(lower(text), ' '))) * 0.5
+        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.5 AS quality
+        |FROM documents
+        |WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+    "q32_langid" ->
+      s"""SELECT lang, CASE
+        |    WHEN ${sqlHits(stopEn)} >= ${sqlHits(stopEs)} AND ${sqlHits(stopEn)} >= ${sqlHits(stopDe)} AND ${sqlHits(stopEn)} >= ${sqlHits(stopFr)} THEN 'en'
+        |    WHEN ${sqlHits(stopEs)} >= ${sqlHits(stopDe)} AND ${sqlHits(stopEs)} >= ${sqlHits(stopFr)} THEN 'es'
+        |    WHEN ${sqlHits(stopDe)} >= ${sqlHits(stopFr)} THEN 'de'
+        |    ELSE 'fr' END AS pred, COUNT(*) AS n
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY lang, pred""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  substring(md5(lower(trim(text))), 1, 16) AS fp64
+        |FROM documents
+        |WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+  )
+
+  /** public twin of Relational's private SqlDavg */
+  private def SqlDavgPub(x: String) =
+    s"CAST(SUM(CAST(FLOOR($x*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0/COUNT($x)"
+}
