@@ -1,0 +1,119 @@
+package graft.app
+
+import java.io.OutputStreamWriter
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sinks.InfluxLineSink
+import graft.sources.AprsIsSource
+import graft.streaming.TelemetryProcessor
+
+/** Engine configuration — mirrors the reference's 9 CLI options
+  * (__main__.py:15-27) with the same defaults. */
+case class AppConfig(
+    dbhost: String = "localhost", dbport: Int = 8086,
+    dbuser: String = "root", dbpassword: String = "root",
+    dbname: String = "mydb",
+    host: String = "rotate.aprs.net", port: Int = 10152,
+    callsign: String = "nocall", interval: Int = 15,
+    checkpointDir: String = "/tmp/graft-checkpoint",
+    debug: Boolean = false)
+
+object AppConfig {
+  def parse(args: Array[String]): AppConfig =
+    args.sliding(2, 2).foldLeft(AppConfig()) {
+      case (c, Array("--dbhost", v)) => c.copy(dbhost = v)
+      case (c, Array("--dbport", v)) => c.copy(dbport = v.toInt)
+      case (c, Array("--dbuser", v)) => c.copy(dbuser = v)
+      case (c, Array("--dbpassword", v)) => c.copy(dbpassword = v)
+      case (c, Array("--dbname", v)) => c.copy(dbname = v)
+      case (c, Array("--host", v)) => c.copy(host = v)
+      case (c, Array("--port", v)) => c.copy(port = v.toInt)
+      case (c, Array("--callsign", v)) => c.copy(callsign = v)
+      case (c, Array("--interval", v)) => c.copy(interval = v.toInt)
+      case (c, Array("--checkpoint", v)) => c.copy(checkpointDir = v)
+      case (c, Array("--debug")) => c.copy(debug = true)
+      case (c, _) => c
+    }
+}
+
+/** Daemon wiring (SURVEY §3.1): query A = aprsis source → calibration
+  * state → line protocol → InfluxDB; query B = heartbeat. Both run until
+  * termination, like the reference's consumer + heartbeat threads
+  * (__main__.py:1199-1206) — except restart-safe via checkpointing. */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cfg = AppConfig.parse(args)
+    // spark-submit injects spark.master on a cluster; standalone runs
+    // (dev/e2e) fall back to all local cores
+    val builder = if (sys.props.contains("spark.master"))
+      SparkSession.builder() else SparkSession.builder().master("local[*]")
+    val spark = builder
+      .appName("aprs2influxdbspark")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (cfg.debug) "DEBUG" else "WARN")
+
+    val ingest = buildIngestQuery(spark, cfg)
+    val heartbeat = Heartbeat.start(spark, cfg)
+    spark.streams.awaitAnyTermination()
+    ingest.stop(); heartbeat.stop()
+  }
+
+  /** aprsis → keyed calibration → line protocol → InfluxDB. */
+  def buildIngestQuery(spark: SparkSession, cfg: AppConfig): StreamingQuery = {
+    val packets: DataFrame = spark.readStream
+      .format("graft.sources.AprsIsDataSource")
+      .option("host", cfg.host).option("port", cfg.port)
+      .option("callsign", cfg.callsign)
+      .load()
+    val lines = TelemetryProcessor.toLines(packets, "_seq")
+      .filter(col("line").isNotNull)
+      .select(col("line"))
+    InfluxLineSink.start(lines,
+      s"http://${cfg.dbhost}:${cfg.dbport}", cfg.dbname,
+      cfg.checkpointDir + "/ingest")
+  }
+}
+
+/** The upstream keep-alive packet every `interval` minutes
+  * (__main__.py:1101-1121): `CALL>APRS,TCPIP*:>aprs2influxdb heartbeat
+  * <unixtime>`. Its own tiny streaming query over the rate source, its own
+  * socket (SURVEY §7.5 design decision — no shared connection). */
+object Heartbeat {
+  def start(spark: SparkSession, cfg: AppConfig): StreamingQuery = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+    rate.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"${cfg.interval * 60} seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) send(cfg)
+      }
+      .start()
+  }
+
+  private[app] def send(cfg: AppConfig): Unit = {
+    val line = s"${cfg.callsign}>APRS,TCPIP*:>aprs2influxdb heartbeat " +
+      s"${System.currentTimeMillis() / 1000}"
+    try {
+      val socket = new Socket(cfg.host, cfg.port)
+      try {
+        val out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8)
+        out.write(s"user ${cfg.callsign} pass " +
+          s"${AprsIsSource.passcode(cfg.callsign)} vers aprs2influxdbspark 0.1.0\r\n")
+        out.write(line + "\r\n")
+        out.flush()
+      } finally socket.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[heartbeat] send failed: ${e.getMessage}")
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, ServerSocket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.InfluxLineSink
+import graft.sources.AprsIsSource
+import graft.streaming.TelemetryProcessor
+import org.apache.spark.sql.functions._
+
+/** End-to-end source + sink tests against local stub endpoints:
+  * a fake APRS-IS server (socket, login handshake, frames, one forced
+  * disconnect to prove reconnect) and a fake InfluxDB HTTP endpoint
+  * capturing write bodies. */
+class SourceSinkSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  test("passcode matches the public APRS-IS checksum") {
+    // 0x73e2 XOR-folded over "NOCALL": (((0x73e2 ^ 0x4E00 ^ 0x4F)
+    //   ^ 0x4300 ^ 0x41) ^ 0x4C00 ^ 0x4C) & 0x7fff = 12960
+    assert(AprsIsSource.passcode("nocall") == 12960)
+    assert(AprsIsSource.passcode("N0CALL-9") == AprsIsSource.passcode("n0call"))
+  }
+
+  test("aprsis source: login handshake, frames → parsed rows, reconnect") {
+    val frames1 = Seq(
+      "# aprsc 2.1.4 test server",
+      "N0CALL>APRS,WIDE1-1:!4903.50N/07201.75W-batch one",
+      "KB1LQD>APRS::KB1LQD   :EQNS.0,2,1,0,1,0,0,1,0,0,1,0,0,1,0")
+    val frames2 = Seq(
+      "KB1LQD>APRS:T#005,100,200,255,073,123,01101001", // format telemetry → dropped downstream
+      "DIGI-1>BEACON:second connection frame")
+    val logins = new ConcurrentLinkedQueue[String]()
+    val served = new CountDownLatch(2) // two connections = reconnect proven
+
+    val server = new ServerSocket(0)
+    val serverThread = new Thread {
+      override def run(): Unit = {
+        for (batch <- Seq(frames1, frames2)) {
+          val s = server.accept()
+          val in = new BufferedReader(new InputStreamReader(s.getInputStream))
+          logins.add(in.readLine()) // login line
+          val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.UTF_8)
+          batch.foreach { f => out.write(f + "\r\n") }
+          out.flush()
+          served.countDown()
+          Thread.sleep(300)
+          s.close() // force reconnect after first batch
+        }
+      }
+    }
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val stream = spark.readStream
+      .format("graft.sources.AprsIsDataSource")
+      .option("host", "127.0.0.1").option("port", server.getLocalPort)
+      .option("callsign", "nocall").option("reconnectMs", "100")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("aprs_src")
+      .outputMode("append").start()
+    try {
+      assert(served.await(20, TimeUnit.SECONDS), "both connections served")
+      val deadline = System.currentTimeMillis() + 20000
+      def rows() = spark.table("aprs_src")
+      while (rows().count() < 4 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      val got = rows().select("format", "from", "_seq").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(
+        ("uncompressed", "N0CALL"), ("telemetry-message", "KB1LQD"),
+        ("telemetry", "KB1LQD"), ("beacon", "DIGI-1")))
+      val login = logins.poll()
+      assert(login == s"user nocall pass ${AprsIsSource.passcode("nocall")} vers aprs2influxdbspark 0.1.0")
+      // end-to-end: source rows → calibration → line protocol
+      // (telemetry-message and unknown "telemetry" emit nothing)
+      val lines = TelemetryProcessor.toLines(rows(), "_seq")
+        .filter($"line".isNotNull).select($"line").as[String].collect()
+      assert(lines.length == 2)
+      assert(lines.exists(_.startsWith("packet,format=uncompressed ")))
+      assert(lines.exists(_.startsWith("packet,format=beacon ")))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("aprs_src")
+      server.close()
+    }
+  }
+
+  test("influx sink: newline-batched POST bodies to /write?db=") {
+    val bodies = new ConcurrentLinkedQueue[String]()
+    val http = HttpServer.create(new InetSocketAddress(0), 0)
+    http.createContext("/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        bodies.add(ex.getRequestURI.toString + "|" + body)
+        ex.sendResponseHeaders(204, -1)
+        ex.close()
+      }
+    })
+    http.start()
+    try {
+      val df = Seq("packet,format=beacon from=\"A\"",
+        "packet,format=beacon from=\"B\"",
+        "packet,format=beacon from=\"C\"").toDF("line")
+      InfluxLineSink.writeBatch(df.coalesce(1),
+        s"http://127.0.0.1:${http.getAddress.getPort}", "mydb", linesPerPost = 2)
+      assert(bodies.size == 2) // 3 lines, 2 per post
+      val all = bodies.toArray.map(_.toString).sorted
+      assert(all.forall(_.startsWith("/write?db=mydb|")))
+      assert(all.mkString("\n").contains("from=\"A\""))
+    } finally http.stop(0)
+  }
+}

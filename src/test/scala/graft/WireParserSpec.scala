@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.parse.AprsWireParser
+
+/** Unit tests for the aprslib-replacement wire parser, with expectations
+  * hand-derived from the public APRS 1.01 spec (including the spec's own
+  * compressed-position and Mic-E worked examples). */
+class WireParserSpec extends AnyFunSuite {
+
+  private def p(raw: String): Row = AprsWireParser.parse(raw).get
+  private def get[T](r: Row, k: String): T =
+    r.getAs[T](r.schema.fieldIndex(k))
+
+  test("envelope: from/to/via/path/raw") {
+    val r = p("N0CALL>APRS,WIDE1-1,WIDE2-2:!4903.50N/07201.75W-hi")
+    assert(get[String](r, "from") == "N0CALL")
+    assert(get[String](r, "to") == "APRS")
+    assert(get[Seq[String]](r, "path") == Seq("WIDE1-1", "WIDE2-2"))
+    assert(get[String](r, "via") == "WIDE2-2")
+    assert(get[String](r, "raw").startsWith("N0CALL>"))
+  }
+
+  test("uncompressed position + symbol + comment") {
+    val r = p("N0CALL>APRS:!4903.50N/07201.75W-Test comment")
+    assert(get[String](r, "format") == "uncompressed")
+    assert(math.abs(get[Double](r, "latitude") - 49.058333) < 1e-6)
+    assert(math.abs(get[Double](r, "longitude") - -72.029167) < 1e-6)
+    assert(get[Int](r, "posambiguity") == 0)
+    assert(get[String](r, "symbol_table") == "/")
+    assert(get[String](r, "symbol") == "-")
+    assert(get[String](r, "comment") == "Test comment")
+    assert(get[Boolean](r, "messagecapable") == false)
+  }
+
+  test("= marker sets messagecapable; CSE/SPD extension") {
+    val r = p("N0CALL>APRS:=4903.50N/07201.75W>088/036Hello")
+    assert(get[Boolean](r, "messagecapable") == true)
+    assert(get[Int](r, "course") == 88)
+    assert(math.abs(get[Double](r, "speed") - 36 * 1.852) < 1e-6)
+    assert(get[String](r, "comment") == "Hello")
+  }
+
+  test("PHG + altitude in comment") {
+    val r = p("N0CALL>APRS:!4903.50N/07201.75W-PHG5132/A=001000rest")
+    assert(get[String](r, "phg") == "5132")
+    assert(math.abs(get[Double](r, "altitude") - 304.8) < 1e-6)
+    assert(get[String](r, "comment") == "rest")
+  }
+
+  test("position ambiguity from spaces") {
+    val r = p("N0CALL>APRS:!4903.5 N/07201.7 W-")
+    assert(get[Int](r, "posambiguity") == 1)
+    assert(math.abs(get[Double](r, "latitude") - (49 + 3.50 / 60)) < 1e-6)
+  }
+
+  test("timestamped position keeps raw_timestamp") {
+    val r = p("N0CALL>APRS:@092345z4903.50N/07201.75W-")
+    assert(get[String](r, "raw_timestamp") == "092345z")
+    assert(get[Boolean](r, "messagecapable") == true)
+  }
+
+  test("compressed position (APRS101 worked example)") {
+    val r = p("W1AW>APRS:!/5L!!<*e7>7P[comment")
+    assert(get[String](r, "format") == "compressed")
+    assert(math.abs(get[Double](r, "latitude") - 49.5) < 1e-4)
+    assert(math.abs(get[Double](r, "longitude") - -72.75) < 1e-4)
+    assert(get[String](r, "symbol") == ">")
+  }
+
+  test("mic-e (APRS101 worked example)") {
+    val r = p("N0CALL>S32UVT:`(_fn\"Oj/]test")
+    assert(get[String](r, "format") == "mic-e")
+    assert(math.abs(get[Double](r, "latitude") - (33 + 25.64 / 60)) < 1e-6)
+    assert(math.abs(get[Double](r, "longitude") - -(112 + 7.74 / 60)) < 1e-6)
+    assert(get[Int](r, "course") == 251)
+    assert(math.abs(get[Double](r, "speed") - 20 * 1.852) < 1e-6)
+    assert(get[String](r, "symbol") == "j")
+    assert(get[String](r, "symbol_table") == "/")
+  }
+
+  test("status with timestamp") {
+    val r = p("KB1LQD>APRS,TCPIP*:>092345zNet tonight")
+    assert(get[String](r, "format") == "status")
+    assert(get[String](r, "raw_timestamp") == "092345z")
+    assert(get[String](r, "status") == "Net tonight")
+  }
+
+  test("message with msgNo") {
+    val r = p("A1CALL>APRS::KB1LQD   :hello there{12")
+    assert(get[String](r, "format") == "message")
+    assert(get[String](r, "addresse") == "KB1LQD")
+    assert(get[String](r, "message_text") == "hello there")
+    assert(get[Long](r, "msgNo") == 12L)
+  }
+
+  test("ack message") {
+    val r = p("A1CALL>APRS::KB1LQD   :ack12")
+    assert(get[String](r, "response") == "ack")
+    assert(get[Long](r, "msgNo") == 12L)
+  }
+
+  test("bulletin") {
+    val r = p("K9ABC>APRS::BLN3     :Net tonight 8pm")
+    assert(get[String](r, "format") == "bulletin")
+    assert(get[Long](r, "bid") == 3L)
+    assert(get[String](r, "message_text") == "Net tonight 8pm")
+  }
+
+  test("telemetry-message EQNS") {
+    val r = p("KB1LQD>APRS::KB1LQD   :EQNS.0,5.2,3,0,0.1,0,0,1,0,0,1,0,0,1,0")
+    assert(get[String](r, "format") == "telemetry-message")
+    val eq = get[Seq[Seq[Double]]](r, "tEQNS")
+    assert(eq.size == 5 && eq.head == Seq(0.0, 5.2, 3.0))
+  }
+
+  test("raw telemetry T# parses (and is a dropped format downstream)") {
+    val r = p("KB1LQD>APRS:T#005,199,000,255,073,123,01101001")
+    assert(get[String](r, "format") == "telemetry")
+    val t = get[Row](r, "telemetry")
+    assert(t.getLong(0) == 5L)
+    assert(t.getAs[Seq[Double]](2) == Seq(199.0, 0.0, 255.0, 73.0, 123.0))
+  }
+
+  test("object with position") {
+    val r = p("K1XYZ>APRS:;REPEATER *092345z4903.50N/07201.75W-147.09MHz")
+    assert(get[String](r, "format") == "object")
+    assert(get[String](r, "object_name") == "REPEATER ")
+    assert(get[Boolean](r, "alive") == true)
+    assert(math.abs(get[Double](r, "latitude") - 49.058333) < 1e-6)
+  }
+
+  test("positionless weather") {
+    val r = p("CW0003>APRS:_10090233c220s004g005t077r000p000P000h50b09900")
+    assert(get[String](r, "format") == "wx")
+    assert(get[String](r, "wx_raw_timestamp") == "10090233")
+    val w = get[Row](r, "weather")
+    val keys = graft.model.AprsSchema.weatherKeys
+    def wv(k: String) = w.getAs[Double](keys.indexOf(k))
+    assert(wv("wind_direction") == 220.0)
+    assert(math.abs(wv("temperature") - 25.0) < 1e-6) // 77F = 25C
+    assert(wv("humidity") == 50.0)
+    assert(math.abs(wv("pressure") - 990.0) < 1e-6)
+  }
+
+  test("beacon fallback") {
+    val r = p("DIGI-1>BEACON:Mt Beacon digi")
+    assert(get[String](r, "format") == "beacon")
+    assert(get[String](r, "text") == "Mt Beacon digi")
+  }
+
+  test("garbage is dropped, not thrown") {
+    assert(AprsWireParser.parse("").isEmpty)
+    assert(AprsWireParser.parse("no envelope here").isEmpty)
+    assert(AprsWireParser.parse(">:").isEmpty)
+    assert(AprsWireParser.parse("A>B:").isEmpty)
+    assert(AprsWireParser.parse("A>B:!499").isEmpty) // truncated position → drop
+  }
+}
