@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextOps, Dedup, Similarity, Multimodal}
+import graft.operators.{Relational, TextOps, Dedup, Similarity, Multimodal, AprsAnalog, CustomFns}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++ AprsAnalog.queries ++
+      CustomFns.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Multimodal.oracle
+      Similarity.oracle ++ Multimodal.oracle ++ AprsAnalog.oracle ++
+      CustomFns.oracle
 }
