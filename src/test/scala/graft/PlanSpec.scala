@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+
+import graft.operators._
+import graft.model.AprsSchema
+import graft.transform.AprsLineProtocol
+
+/** Physical-plan audits: the shapes that decide 100 TB viability.
+  * A query that silently loses its pushdown/broadcast/top-k plan is a
+  * regression even while it stays correct — these tests pin the plans. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    castToImpl(SparkEntry.queries(name)(spark, dir)).queryExecution
+      .executedPlan.toString
+
+  test("q06: filters and projection push into the parquet scan") {
+    val p = plan("q06_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    // only the 4 referenced columns are read, not all 11
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"), p.take(400))
+  }
+
+  test("q02/q03: dimension joins broadcast; no shuffle of the dim side") {
+    assert(plan("q02_join_broadcast").contains("BroadcastHashJoin"))
+    val p3 = plan("q03_join_multi")
+    assert(p3.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2, p3)
+  }
+
+  test("q04/q05: semi/anti joins plan as semi/anti, not inner+distinct") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("q09: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial+final hash aggregate") {
+    val p = plan("q01_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+  }
+
+  test("q38: query side broadcasts (no shuffle of the corpus)") {
+    val p = plan("q38_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("stateless line-protocol transform is one codegen stage, no exchange") {
+    val df = spark.read.schema(AprsSchema.schema)
+      .json("/root/repo/src/test/resources/aprs_fixtures.jsonl")
+    val p = castToImpl(AprsLineProtocol.lines(df)).queryExecution
+      .executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert(p.contains("*(1) Filter") || p.contains("*(1) Project"), p.take(300))
+    assert(!p.contains("Exchange"), p.take(300))
+  }
+
+  test("no accidental cartesian products anywhere") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}
