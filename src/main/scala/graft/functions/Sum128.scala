@@ -55,8 +55,13 @@ case class Sum128(child: Expression)
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    val (nhi0, nlo) = add128(hi.left, lo.left, lo.right)
-    Seq(add(nhi0, hi.right), nlo, Or(seen.left, seen.right))
+    // merge is unsigned-low + carry into high — NO sign extension here:
+    // lo.right is the other buffer's unsigned low word, not a signed addend
+    val newLo = add(lo.left, lo.right)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(lo.left, lo.right),
+        BitwiseAnd(BitwiseOr(lo.left, lo.right), BitwiseNot(newLo))), Literal(63))
+    Seq(add(add(hi.left, hi.right), carry), newLo, Or(seen.left, seen.right))
   }
 
   private val TwoTo64 = 1.8446744073709552E19

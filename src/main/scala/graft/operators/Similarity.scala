@@ -116,9 +116,77 @@ object Similarity {
       .orderBy($"qid")
   }
 
+  // ---------------------------------------------------------------- q43
+  /** Embedding-cosine near-duplicate detection (the dedup family's vector
+    * variant): all pairs with cosine ≥ 0.45 — fixed-point-exact like q38,
+    * so the full pairwise pipeline is oracle-checked. At scale the
+    * all-pairs stage is replaced by the q39 bucketing; threshold + exact
+    * arithmetic stay identical. */
+  def q43EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scaled(s, dir)
+    val a = base.select($"vec_id".as("i"), $"e".as("ea"), $"nrm".as("na"))
+    val b = base.select($"vec_id".as("j"), $"e".as("eb"), $"nrm".as("nb"))
+    a.join(b, $"i" < $"j")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+      .withColumn("cosine", $"dot".cast("double") / ($"na" * $"nb"))
+      .filter($"cosine" >= 0.45)
+      .select($"i", $"j", $"cosine")
+      .orderBy($"i", $"j")
+  }
+
+  // ---------------------------------------------------------------- q44
+  /** IVF-style ANN: corpus assigned to nearest of 16 deterministic
+    * centroids (the first 16 vectors — a stand-in for k-means at this
+    * scale); each query probes only its own cell. Self-reported recall@5
+    * like q39. Rows-only check (the IVF assignment is Spark-side). */
+  def q44AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = scaled(s, dir)
+    val cents = base.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cn"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"csim".desc, $"cid".asc)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("cdot", expr(
+        "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+      .withColumn("csim", $"cdot".cast("double") / ($"nrm" * $"cn"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"e", $"nrm", $"cid".as("cell"))
+    val q = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"cell".as("qcell"))
+    def topk(joined: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+      joined.withColumn("dot", expr(
+          "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+        .withColumn("sim", col("dot").cast("double") / (col("qn") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("nid"))
+    }
+    val exact = topk(assigned.join(broadcast(q), $"vec_id" =!= $"qid"))
+    val annCand = assigned.join(broadcast(q),
+      $"vec_id" =!= $"qid" && $"cell" === $"qcell")
+    val ann = topk(annCand)
+    val nCand = annCand.groupBy($"qid").agg(count(lit(1)).as("n_candidates"))
+    val hits = exact.as("x").join(ann.as("a"), Seq("qid", "nid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    q.select($"qid").join(nCand, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / 5.0)
+      .select($"qid", $"n_candidates", $"n_hit", $"recall")
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ann_brute" -> (q38AnnBrute _),
     "q39_ann_lsh_recall" -> (q39AnnLshRecall _),
+    "q43_embedding_dedup" -> (q43EmbeddingDedup _),
+    "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
   )
 
   private val scaledCte =
@@ -143,5 +211,16 @@ object Similarity {
         |      FROM p)
         |SELECT qid, nid, CAST(rk AS BIGINT) AS rk, sim FROM r
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q43_embedding_dedup" ->
+      s"""$scaledCte
+        |SELECT a.vec_id i, b.vec_id j,
+        |  list_inner_product(list_transform(a.e, x -> CAST(x AS DOUBLE)),
+        |                     list_transform(b.e, x -> CAST(x AS DOUBLE)))
+        |    / (a.nrm * b.nrm) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(list_transform(a.e, x -> CAST(x AS DOUBLE)),
+        |                         list_transform(b.e, x -> CAST(x AS DOUBLE)))
+        |    / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY i, j""".stripMargin,
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Sum128, RollingMinHash, RollingMinHashExpr}
+import graft.operators.Multimodal
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Units for the custom aggregate/expressions beyond what the oracle
+  * queries cover — especially Sum128 beyond the long range, which no
+  * oracle query can reach at test scale. */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  test("Sum128 sums past Long.MaxValue exactly (int128 carry path)") {
+    // 2000 × (Long.MaxValue/1000) ≈ 2×2^63 — overflows a long accumulator
+    val big = Long.MaxValue / 1000
+    val df = Seq.fill(2000)(big).toDF("x").repartition(7)
+    val got = df.agg(Sum128(col("x")).as("s")).collect()(0).getDouble(0)
+    val expected = (BigInt(big) * 2000).toDouble
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("Sum128 matches plain sum in-range, handles negatives and nulls") {
+    val df = Seq[java.lang.Long](5L, -3L, null, 1000000L, -999999L)
+      .toDF("x").repartition(3)
+    val got = df.agg(Sum128(col("x")).as("s")).collect()(0).getDouble(0)
+    assert(got == 3.0) // 5 - 3 + 1000000 - 999999
+    val empty = spark.range(0).select(col("id").as("x"))
+    assert(empty.agg(Sum128(col("x"))).collect()(0).isNullAt(0))
+  }
+
+  test("RollingMinHash rolling update equals direct per-window fold") {
+    val rnd = new scala.util.Random(99)
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(20 + rnd.nextInt(100))(
+        ('a' + rnd.nextInt(26)).toChar).mkString
+      val k = 8
+      val direct = (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) =>
+          (h * RollingMinHash.B + c) % RollingMinHash.M)
+      }.min
+      assert(RollingMinHash.minHash(UTF8String.fromString(s), k) == direct)
+    }
+  }
+
+  test("RollingMinHash: shorter than k returns -1") {
+    assert(RollingMinHash.minHash(UTF8String.fromString("abc"), 8) == -1L)
+  }
+
+  test("decodeFeatures: partition-wise stub decode, deterministic shape") {
+    val assets = Multimodal.assets(spark, "/root/testdata/sf0.001").limit(20)
+    val decoded = Multimodal.decodeFeatures(spark, assets)
+    val rows = decoded.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val f = r.getSeq[Float](1)
+      assert(f.length == Multimodal.DecoderStub.featureDim)
+      assert(f.exists(_ != 0.0f)) // payload bytes actually flowed through
+    }
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(spark, assets).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
