@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,7 +83,7 @@ case class SeqOffset(n: Long) extends Offset {
 }
 
 class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val host = options.getOrDefault("host", "rotate.aprs.net")
   private val port = options.getInt("port", 10152)
@@ -91,6 +91,7 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
   private val pass = Option(options.get("passcode"))
     .map(_.toInt).getOrElse(AprsIsSource.passcode(callsign))
   private val reconnectMs = options.getLong("reconnectMs", 1000L)
+  private val maxPerTrigger = options.getLong("maxFramesPerTrigger", 100000L)
 
   // frame buffer: index i holds frame with _seq = dropped + i
   private val buf = new ArrayBuffer[String]()
@@ -130,7 +131,22 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
   reader.start()
 
   override def initialOffset(): Offset = SeqOffset(0L)
-  override def latestOffset(): Offset = SeqOffset(tip.get())
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  // backpressure: cap frames per micro-batch so a full-feed burst cannot
+  // produce an unbounded batch (SURVEY §2.9 "backpressure" row)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].n
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        r.maxRows()
+      case _ => maxPerTrigger
+    }
+    SeqOffset(math.min(tip.get(), s + cap))
+  }
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
