@@ -24,12 +24,18 @@ object AprsWireParser {
   private val idx: Map[String, Int] =
     schema.fieldNames.zipWithIndex.toMap
 
-  def parse(raw: String): Option[Row] = {
-    try parseImpl(raw)
+  def parse(raw: String): Option[Row] =
+    parse(raw, System.currentTimeMillis() / 1000)
+
+  /** `now` is injectable (SURVEY §7.4-6): packet timestamps carry only
+    * day/hour/minute, so epoch resolution needs a reference clock —
+    * deterministic goldens pass a fixed one. */
+  def parse(raw: String, now: Long): Option[Row] = {
+    try parseImpl(raw, now)
     catch { case _: Exception => None } // malformed ⇒ drop (reference contract)
   }
 
-  private def parseImpl(raw: String): Option[Row] = {
+  private def parseImpl(raw: String, now: Long): Option[Row] = {
     val gt = raw.indexOf('>')
     val colon = raw.indexOf(':', gt + 1)
     if (gt <= 0 || colon < 0) return None
@@ -55,15 +61,15 @@ object AprsWireParser {
       case '/' | '@' =>
         set("messagecapable", body.charAt(0) == '@')
         if (body.length < 8) return None
-        parseTimestamp(body.substring(1, 8), set)
+        parseTimestamp(body.substring(1, 8), now, set)
         parsePosition(body.substring(8), set)
       case '`' | '\'' =>
         parseMicE(dest, body, set)
       case ';' =>
-        parseObject(body, set)
+        parseObject(body, now, set)
       case '>' =>
         set("format", "status")
-        parseStatusBody(body.substring(1), set)
+        parseStatusBody(body.substring(1), now, set)
       case ':' =>
         parseMessage(body, set)
       case 'T' if body.length > 1 && body.charAt(1) == '#' =>
@@ -80,10 +86,38 @@ object AprsWireParser {
   }
 
   // ---------------------------------------------------------- timestamps
-  private def parseTimestamp(ts: String, set: (String, Any) => Unit): Unit = {
-    // DHM zulu/local ("092345z"/"092345/") or HMS ("234517h")
-    if (ts.length == 7 && "zh/".indexOf(ts.charAt(6)) >= 0)
-      set("raw_timestamp", ts)
+  /** DHM zulu/local ("092345z"/"092345/") or HMS ("234517h") → raw string
+    * + resolved epoch (aprslib-style: current month/year from the clock;
+    * a DHM day in the future rolls back one month). */
+  private def parseTimestamp(ts: String, now: Long,
+      set: (String, Any) => Unit): Unit = {
+    if (ts.length != 7 || "zh/".indexOf(ts.charAt(6)) < 0) return
+    set("raw_timestamp", ts)
+    if (!ts.substring(0, 6).forall(_.isDigit)) return
+    val utc = java.time.ZoneOffset.UTC
+    val nowDt = java.time.Instant.ofEpochSecond(now).atZone(utc)
+    val epoch: Long = ts.charAt(6) match {
+      case 'h' => // HMS: today
+        val (h, m, s) = (ts.substring(0, 2).toInt, ts.substring(2, 4).toInt,
+          ts.substring(4, 6).toInt)
+        if (h > 23 || m > 59 || s > 59) return
+        nowDt.toLocalDate.atTime(h, m, s).atZone(utc).toEpochSecond
+      case _ => // DHM (z = UTC; '/' local treated as UTC like aprslib raw=false default tz)
+        val (d, h, m) = (ts.substring(0, 2).toInt, ts.substring(2, 4).toInt,
+          ts.substring(4, 6).toInt)
+        if (d < 1 || d > 31 || h > 23 || m > 59) return
+        var ym = java.time.YearMonth.from(nowDt)
+        if (d > ym.lengthOfMonth()) ym = ym.minusMonths(1)
+        var t = ym.atDay(math.min(d, ym.lengthOfMonth())).atTime(h, m)
+          .atZone(utc).toEpochSecond
+        if (t > now + 3600) { // future day ⇒ it meant last month
+          ym = ym.minusMonths(1)
+          if (d <= ym.lengthOfMonth())
+            t = ym.atDay(d).atTime(h, m).atZone(utc).toEpochSecond
+        }
+        t
+    }
+    set("timestamp", epoch)
   }
 
   // ------------------------------------------------------------ position
@@ -233,14 +267,14 @@ object AprsWireParser {
 
   // --------------------------------------------------------------- object
   /** `;NAME_____*DDHHMMz<position>` (alive `*` / killed `_`). */
-  private def parseObject(body: String, set: (String, Any) => Unit): Unit = {
+  private def parseObject(body: String, now: Long, set: (String, Any) => Unit): Unit = {
     if (body.length < 18) return
     val name = body.substring(1, 10)
     val aliveC = body.charAt(10)
     set("format", "object")
     set("object_name", name)
     set("alive", aliveC == '*')
-    parseTimestamp(body.substring(11, 18), set)
+    parseTimestamp(body.substring(11, 18), now, set)
     val pos = body.substring(18)
     if (pos.nonEmpty) {
       if (pos.charAt(0).isDigit || pos.charAt(0) == ' ') {
@@ -253,10 +287,10 @@ object AprsWireParser {
   }
 
   // --------------------------------------------------------------- status
-  private def parseStatusBody(s: String, set: (String, Any) => Unit): Unit = {
+  private def parseStatusBody(s: String, now: Long, set: (String, Any) => Unit): Unit = {
     // optional leading DHM timestamp
     if (s.length >= 7 && s.substring(0, 6).forall(_.isDigit) && s.charAt(6) == 'z') {
-      set("raw_timestamp", s.substring(0, 7))
+      parseTimestamp(s.substring(0, 7), now, set)
       set("status", s.substring(7))
     } else set("status", s)
   }

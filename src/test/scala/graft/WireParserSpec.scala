@@ -55,10 +55,19 @@ class WireParserSpec extends AnyFunSuite {
     assert(math.abs(get[Double](r, "latitude") - (49 + 3.50 / 60)) < 1e-6)
   }
 
-  test("timestamped position keeps raw_timestamp") {
-    val r = p("N0CALL>APRS:@092345z4903.50N/07201.75W-")
+  test("timestamped position keeps raw_timestamp and resolves epoch") {
+    // fixed clock: 2026-08-12 10:00:00Z → "092345z" = 2026-08-09 23:45Z
+    val now = 1786528800L
+    val r = AprsWireParser.parse("N0CALL>APRS:@092345z4903.50N/07201.75W-", now).get
     assert(get[String](r, "raw_timestamp") == "092345z")
     assert(get[Boolean](r, "messagecapable") == true)
+    assert(get[Long](r, "timestamp") == 1786319100L) // 2026-08-09T23:45:00Z
+  }
+
+  test("DHM day in the future rolls back one month") {
+    val now = 1786528800L // 2026-08-12
+    val r = AprsWireParser.parse("N0CALL>APRS:@250000z4903.50N/07201.75W-", now).get
+    assert(get[Long](r, "timestamp") == 1784937600L) // 2026-07-25T00:00:00Z
   }
 
   test("compressed position (APRS101 worked example)") {
