@@ -13,14 +13,7 @@ import graft.transform.AprsLineProtocol
 object AprsBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-aprs-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.GraftSession.local("graft-aprs-bench")
 
     val copies = args.headOption.map(_.toInt).getOrElse(50000)
     val fixtures = spark.read.schema(AprsSchema.schema)

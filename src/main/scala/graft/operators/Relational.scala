@@ -310,7 +310,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q22
+  /** Date arithmetic (§2.7 *(absent)* row): order→ship latency histogram
+    * via datediff + month extraction. */
+  def q22DateArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    val ord = t(s, dir, "orders").select($"o_orderkey", $"o_orderdate")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .withColumn("lag_days", datediff($"l_shipdate", $"o_orderdate"))
+      .withColumn("ship_month", month($"l_shipdate").cast("long"))
+      .groupBy($"ship_month")
+      .agg(count(lit(1)).as("n"),
+        min($"lag_days").cast("long").as("min_lag"),
+        max($"lag_days").cast("long").as("max_lag"),
+        sum($"lag_days".cast("long")).as("sum_lag"))
+      .orderBy($"ship_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_date_arith" -> (q22DateArith _),
     "q01_agg" -> (q01Agg _),
     "q02_join_broadcast" -> (q02JoinBroadcast _),
     "q03_join_multi" -> (q03JoinMulti _),
@@ -336,6 +355,14 @@ object Relational {
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q22_date_arith" ->
+      """SELECT month(l_shipdate) AS ship_month, COUNT(*) AS n,
+        |  CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_lag,
+        |  CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_lag,
+        |  CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS sum_lag
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY ship_month""".stripMargin,
     "q01_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${SqlDsum("l_quantity")} AS sum_qty,

@@ -1,0 +1,28 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's recommended session settings so every entry
+  * point (Verify / Bench / AprsBench / tests / the daemon) agrees:
+  * shuffle parallelism sized to the machine (not the 200 default), AQE on
+  * (runtime re-plan + skew-join at scale), nanosAsLong (the events table
+  * is TIMESTAMP(NANOS)), UTC everywhere. */
+object GraftSession {
+  def builder(appName: String, master: Option[String] = None,
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
+    val b = master.fold(SparkSession.builder())(m => SparkSession.builder().master(m))
+    b.appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(appName, Some(s"local[$cpus]"), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

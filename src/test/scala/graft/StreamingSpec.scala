@@ -18,6 +18,44 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   import spark.implicits._
 
+  test("transformWithState state op matches the FMGWS twin (streaming, RocksDB)") {
+    val fixtures = scala.io.Source
+      .fromURL(getClass.getResource("/aprs_fixtures.jsonl")).getLines().toSeq
+    val dir = Files.createTempDirectory("aprs_tws")
+    val (b1, b2) = fixtures.splitAt(15)
+    Files.write(dir.resolve("batch1.json"), b1.mkString("\n").getBytes)
+    val schema = AprsSchema.schema.add("_idx", "long")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val cal = graft.streaming.TelemetryTWS.calibrations(stream, "_idx")
+    val q = cal.writeStream.format("memory").queryName("aprs_tws_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.resolve("batch2.json"), b2.mkString("\n").getBytes)
+      q.processAllAvailable()
+      def calOf(r: org.apache.spark.sql.Row): Option[Seq[Seq[Double]]] =
+        Option(r.getSeq[scala.collection.Seq[Double]](1))
+          .map(_.map(_.toList).toList)
+      val got = spark.table("aprs_tws_out").collect()
+        .map(r => r.getLong(0) -> calOf(r)).toMap
+      // reference result: the golden-proven FMGWS processor over the same
+      // rows in one batch
+      val batch = spark.read.schema(schema).json(
+        getClass.getResource("/aprs_fixtures.jsonl").getPath)
+      val expected = graft.streaming.TelemetryProcessor.attach(batch, "_idx")
+        .select($"_idx", col(graft.transform.AprsCalibration.CalCol)).collect()
+        .map(r => r.getLong(0) -> calOf(r)).toMap
+      assert(got.size == expected.size)
+      expected.foreach { case (idx, exp) =>
+        assert(got(idx) == exp, s"fixture #$idx calibration via transformWithState")
+      }
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("aprs_tws_out")
+    }
+  }
+
   test("two-microbatch replay matches goldens, state crosses batches") {
     val fixtures = scala.io.Source
       .fromURL(getClass.getResource("/aprs_fixtures.jsonl")).getLines().toSeq
