@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Without these, HotSpot marks hot generated methods "not compilable"
+  // after repeated deoptimizations (default cutoff 400) and they run
+  // interpreted for the REST of the JVM — measured as sticky random
+  // 10-50x slowdowns of whole benchmark passes on this workload.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
 )

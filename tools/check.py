@@ -92,9 +92,23 @@ def main():
             else:
                 print(f"FAIL {name}: {first_diff(got, exp)}")
                 n_fail += 1
-    # queries without an oracle: rows-only check
-    for name in sorted(set(glob.glob(f"{out}/*/")) ):
-        pass
+    # queries without an oracle: rows-only check (driver's weaker check)
+    import os
+    for d in sorted(glob.glob(f"{out}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle:
+            continue
+        try:
+            n = len(pd.read_parquet(d))
+            status = "PASS" if n > 0 else "FAIL"
+            print(f"{status} {name} (rows-only: {n} rows)")
+            if n > 0:
+                n_pass += 1
+            else:
+                n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): {e}")
+            n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
