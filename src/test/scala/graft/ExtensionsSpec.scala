@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions are reachable from plain SQL. (The
+  * GraftExtensions class covers spark-submit's spark.sql.extensions;
+  * in-JVM tests share one session, so the post-hoc registrar is used.) */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkTest.session
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("custom functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT py_float_str(250.0d) AS f,
+        |       lp_escape('a\\b"c') AS e,
+        |       rolling_min_hash('abcdefghijklmno', 8) AS h""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "250.0")
+    assert(r.getString(1) == """a\\b\"c""")
+    assert(r.getLong(2) > 0)
+  }
+
+  test("sum128 aggregate callable from SQL") {
+    spark.range(1000).createOrReplaceTempView("ext_nums")
+    val s = spark.sql("SELECT sum128(id) AS s FROM ext_nums").collect()(0).getDouble(0)
+    assert(s == 499500.0)
+  }
+}
