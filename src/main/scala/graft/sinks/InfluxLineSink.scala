@@ -1,7 +1,7 @@
 package graft.sinks
 
 import java.io.OutputStream
-import java.net.{HttpURLConnection, URL}
+import java.net.{HttpURLConnection, URL, URLEncoder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.DataFrame
@@ -17,13 +17,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Delivery is at-least-once under checkpointing (an upgrade over the
   * reference's at-most-once error-swallowing; errors are logged and the
   * batch retried by the engine).
+  *
+  * Credentials: the reference's client authenticates as dbuser/dbpassword
+  * (default root/root, __main__.py:1053-1059); InfluxDB 1.x accepts the
+  * same as `u`/`p` query params on /write, which is what the official
+  * python client sends.
   */
 object InfluxLineSink {
 
-  /** POST a chunk of lines to /write?db=...; returns HTTP status. */
-  private[sinks] def post(url: String, db: String, body: Array[Byte]): Int = {
-    val conn = new URL(s"$url/write?db=$db")
-      .openConnection().asInstanceOf[HttpURLConnection]
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  /** /write?db=... URL with optional u/p credentials. */
+  private[sinks] def writeUrl(url: String, db: String,
+      user: Option[String], password: Option[String]): String = {
+    val auth = (user, password) match {
+      case (Some(u), Some(p)) => s"&u=${enc(u)}&p=${enc(p)}"
+      case (Some(u), None) => s"&u=${enc(u)}"
+      case _ => ""
+    }
+    s"$url/write?db=${enc(db)}$auth"
+  }
+
+  /** POST a chunk of lines to /write; returns HTTP status. */
+  private[sinks] def post(fullUrl: String, body: Array[Byte]): Int = {
+    val conn = new URL(fullUrl).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setFixedLengthStreamingMode(body.length)
@@ -45,14 +62,16 @@ object InfluxLineSink {
     * `linesPerPost`. Runs on executors — the write bandwidth scales with
     * partitions, not with the driver. */
   def writeBatch(batch: DataFrame, url: String, db: String,
-      linesPerPost: Int = 5000): Unit = {
+      linesPerPost: Int = 5000,
+      user: Option[String] = None, password: Option[String] = None): Unit = {
+    val fullUrl = writeUrl(url, db, user, password)
     batch.select("line").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         it.grouped(linesPerPost).foreach { chunk =>
           val body = chunk.map(_.getString(0)).mkString("\n")
             .getBytes(StandardCharsets.UTF_8)
           try {
-            val code = post(url, db, body)
+            val code = post(fullUrl, body)
             if (code >= 300)
               System.err.println(s"[influx-sink] HTTP $code for ${chunk.size} lines")
           } catch {
@@ -66,12 +85,13 @@ object InfluxLineSink {
 
   /** Attach as a streaming sink. */
   def start(lines: DataFrame, url: String, db: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      user: Option[String] = None, password: Option[String] = None): StreamingQuery =
     lines.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatch(batch, url, db)
+        writeBatch(batch, url, db, user = user, password = password)
       }
       .start()
 }

@@ -92,12 +92,30 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
     .map(_.toInt).getOrElse(AprsIsSource.passcode(callsign))
   private val reconnectMs = options.getLong("reconnectMs", 1000L)
   private val maxPerTrigger = options.getLong("maxFramesPerTrigger", 100000L)
+  private val partitionsPerBatch =
+    options.getInt("partitionsPerBatch", 4).max(1)
 
   // frame buffer: index i holds frame with _seq = dropped + i
   private val buf = new ArrayBuffer[String]()
   private var dropped = 0L
   private val tip = new AtomicLong(0L)
   @volatile private var running = true
+
+  /** Restart-from-checkpoint: the buffer and counters are in-memory only,
+    * so after a restart the recovered start offset is ahead of our
+    * internal numbering. Fast-forward the base once so new frames are
+    * numbered from the recovered offset — otherwise latestOffset would
+    * move BACKWARDS vs the checkpoint and Spark fails the query. Frames
+    * buffered before a crash are not replayable (a live radio feed has no
+    * rewind); the gap is an explicit drop, same as the reference losing
+    * its socket (__main__.py:1098). */
+  private def fastForwardTo(start: Long): Unit = buf.synchronized {
+    if (start > dropped + buf.length) {
+      buf.clear()
+      dropped = start
+      tip.set(start)
+    }
+  }
 
   private val reader = new Thread("aprsis-reader") {
     override def run(): Unit = {
@@ -113,8 +131,10 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
           var line = in.readLine()
           while (running && line != null) {
             if (line.nonEmpty && !line.startsWith("#")) { // server comments
-              buf.synchronized { buf += line }
-              tip.incrementAndGet()
+              // tip is maintained inside the buffer lock so the invariant
+              // tip == dropped + buf.length holds even across a
+              // fastForwardTo from a checkpoint restart
+              buf.synchronized { buf += line; tip.set(dropped + buf.length) }
             }
             line = in.readLine()
           }
@@ -140,25 +160,40 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].n
+    fastForwardTo(s)
     val cap = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         r.maxRows()
       case _ => maxPerTrigger
     }
-    SeqOffset(math.min(tip.get(), s + cap))
+    SeqOffset(math.max(s, math.min(tip.get(), s + cap)))
   }
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].n
     val e = end.asInstanceOf[SeqOffset].n
+    fastForwardTo(s)
     val frames = buf.synchronized {
       val lo = (s - dropped).toInt.max(0)
       val hi = (e - dropped).toInt.min(buf.length)
       if (hi <= lo) Array.empty[String]
       else buf.slice(lo, hi).toArray
     }
-    Array(AprsIsPartition(frames, s))
+    // split the batch so executor-side parsing is not a single task — a
+    // single TCP feed is inherently one buffer on the driver, but the
+    // parse work distributes (SURVEY §2.8; VERDICT r1 "multi-partition
+    // micro-batches")
+    if (frames.isEmpty) Array(AprsIsPartition(Array.empty, s))
+    else {
+      val n = math.min(partitionsPerBatch, frames.length)
+      val per = (frames.length + n - 1) / n
+      (0 until n).map { p =>
+        val lo = p * per
+        val hi = math.min(frames.length, lo + per)
+        AprsIsPartition(frames.slice(lo, hi), s + lo): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -70,4 +70,49 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
+
+  /** BroadcastNestedLoopJoin is morally a cartesian (O(n·m) work through
+    * one broadcast) — only the intentionally brute-force oracle twins may
+    * plan one. Everything else, in particular the blocked/bucketed scale
+    * paths (q45, q36, q35), must not. */
+  private val bnljAllowed = Set(
+    "q38_ann_brute", // corpus × broadcast queries: the exact-top-k baseline
+    "q39_ann_lsh_recall", // contains the exact arm as recall denominator
+    "q43_embedding_dedup", // brute-force oracle twin of q45
+    "q44_ann_ivf_recall") // exact arm inside the recall computation
+
+  test("no BroadcastNestedLoopJoin outside the brute-force allow-list") {
+    SparkEntry.queries.keys.foreach { name =>
+      if (!bnljAllowed.contains(name)) {
+        val p = plan(name)
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
+  test("q45: blocked dedup is an equi-join on grid cells, no BNLJ") {
+    val p = plan("q45_embedding_dedup_blocked")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  /** Interpreted array higher-order functions must stay off the vector
+    * hot paths (QuantizeVec/DotLongs are the codegen replacements).
+    * (q35-q37 still build shingle arrays with one transform() per doc —
+    * cheap string ops; the md5/signature/bit-count work is exploded.) */
+  test("similarity hot paths use no array HOF lambdas") {
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    Seq("q38_ann_brute", "q39_ann_lsh_recall", "q43_embedding_dedup",
+        "q44_ann_ivf_recall", "q45_embedding_dedup_blocked")
+      .foreach { name =>
+        val analyzed = castToImpl(SparkEntry.queries(name)(spark, dir))
+          .queryExecution.analyzed
+        val hofs = analyzed.collect {
+          case node if node.expressions.exists(_.exists(_.isInstanceOf[HigherOrderFunction])) => node
+        }
+        assert(hofs.isEmpty, s"$name still contains interpreted HOFs")
+      }
+  }
 }

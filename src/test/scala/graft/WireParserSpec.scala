@@ -124,6 +124,78 @@ class WireParserSpec extends AnyFunSuite {
     assert(eq.size == 5 && eq.head == Seq(0.0, 5.2, 3.0))
   }
 
+  test("uncompressed complete weather report (APRS101 ch.12 example)") {
+    val r = p("N0CALL>APRS:!4903.50N/07201.75W_220/004g005t077r000p000P000h50b09900wRSW")
+    assert(get[String](r, "format") == "uncompressed")
+    assert(get[String](r, "symbol") == "_")
+    val w = get[Row](r, "weather")
+    def wf(k: String): Double = w.getAs[Double](graft.model.AprsSchema.weatherKeys.indexOf(k))
+    assert(math.abs(wf("wind_direction") - 220.0) < 1e-9)
+    assert(math.abs(wf("wind_speed") - 4 * 1.609344) < 1e-6) // mph → km/h
+    assert(math.abs(wf("wind_gust") - 5 * 1.609344) < 1e-6)
+    assert(math.abs(wf("temperature") - (77.0 - 32.0) / 1.8) < 1e-6)
+    assert(math.abs(wf("rain_1h")) < 1e-9)
+    assert(math.abs(wf("humidity") - 50.0) < 1e-9)
+    assert(math.abs(wf("pressure") - 990.0) < 1e-9)
+    // the software tag is the leftover comment, not weather
+    assert(get[String](r, "comment") == "wRSW")
+    // the 220/004 is wind, NOT course/speed
+    assert(r.isNullAt(r.schema.fieldIndex("course")))
+    assert(r.isNullAt(r.schema.fieldIndex("speed")))
+  }
+
+  test("compressed weather report: wind rides in the cs bytes") {
+    // cs = "7P": course (0x37-33)*4 = 88 deg, speed 1.08^(0x50-33)-1 kn
+    val r = p("N0CALL>APRS:!/5L!!<*e7_7P[g005t077")
+    assert(get[String](r, "format") == "compressed")
+    val w = get[Row](r, "weather")
+    def wf(k: String): Double = w.getAs[Double](graft.model.AprsSchema.weatherKeys.indexOf(k))
+    assert(math.abs(wf("wind_direction") - 88.0) < 1e-9)
+    assert(math.abs(wf("wind_speed") - (math.pow(1.08, 47) - 1) * 1.852) < 1e-4)
+    assert(math.abs(wf("temperature") - 25.0) < 1e-6)
+    assert(r.isNullAt(r.schema.fieldIndex("course")))
+  }
+
+  test("DAO datum byte refines precision and serializes daodatumbyte") {
+    val r = p("N0CALL>APRS:!4903.50N/07201.75W-hello !W36! world")
+    assert(get[String](r, "daodatumbyte") == "W")
+    // third minute digit: lat +0.003', lon -0.006' (towards the sign)
+    assert(math.abs(get[Double](r, "latitude") - (49.058333 + 0.003 / 60)) < 1e-6)
+    assert(math.abs(get[Double](r, "longitude") - (-72.029167 - 0.006 / 60)) < 1e-6)
+    assert(get[String](r, "comment") == "hello  world")
+  }
+
+  test("mic-e mtype from the APRS101 message-type table") {
+    // dest "T7SYWX": T,7,S → bits 1,0,1 standard = "in service"
+    val r = p("N0CALL>T7SYWX:`(_fn\"Oj/]comment")
+    assert(get[String](r, "format") == "mic-e")
+    assert(get[Int](r, "mbits") == 5)
+    assert(get[String](r, "mtype") == "in service")
+  }
+
+  test("comment-embedded base91 telemetry |..|") {
+    // pairs: seq=5, then 5 analog channels, then the digital byte
+    val payload = "|!&\"b!!\"a!#!$!%|"
+    val r = p(s"N0CALL>APRS:!4903.50N/07201.75W-before${payload}after")
+    val t = get[Row](r, "telemetry")
+    assert(t.getLong(0) == 5L) // "!&" = 0*91+5
+    val vals = t.getAs[Seq[Double]](2)
+    assert(vals.length == 5)
+    assert(vals.head == 91.0 + 65.0) // "\"b" = 1*91 + 65 = 156
+    assert(get[String](r, "comment") == "beforeafter")
+  }
+
+  test("malformed EQNS drops the packet (aprslib ParseError contract)") {
+    // partial trailing triple — would ANSI-throw in telemetryFrags if the
+    // truncated calibration ever reached state (ADVICE r1, high)
+    assert(AprsWireParser.parse("KB1LQD>APRS::KB1LQD   :EQNS.1,2,3,4").isEmpty)
+    // too many values is equally malformed
+    assert(AprsWireParser.parse(
+      "KB1LQD>APRS::KB1LQD   :EQNS.0,1,0,0,1,0,0,1,0,0,1,0,0,1,0,9").isEmpty)
+    // non-numeric value
+    assert(AprsWireParser.parse("KB1LQD>APRS::KB1LQD   :EQNS.a,b,c").isEmpty)
+  }
+
   test("raw telemetry T# parses (and is a dropped format downstream)") {
     val r = p("KB1LQD>APRS:T#005,199,000,255,073,123,01101001")
     assert(get[String](r, "format") == "telemetry")
