@@ -38,7 +38,7 @@ object Bench {
     "q01_agg", "q02_join_broadcast", "q03_join_multi", "q06_filter_pushdown",
     "q07_window_topn", "q09_topk", "q14_time_window", "q15_sessionize",
     "q16_json", "q30_tokens", "q34_exact_dedup", "q36_minhash_lsh",
-    "q38_ann_brute")
+    "q38_ann_brute", "q45_embedding_dedup_blocked")
 
   private val addOpensPkgs = Seq(
     "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",

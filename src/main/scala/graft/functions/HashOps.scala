@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd MD5 split into two 48-bit longs — the Kirsch-Mitzenmacher
+  * hash family used by the MinHash pipeline (Dedup.q36).
+  *
+  * Bit-identical to the portable SQL formulation
+  * `conv(substring(md5(cast(s as binary)), 1, 12), 16, 10)` /
+  * `... 13, 12 ...` (hex chars 1-12 and 13-24 are digest bytes 0-5 and
+  * 6-11, big-endian) — which is what the DuckDB oracle still computes —
+  * but in ONE digest pass with no 32-char hex string materialization and
+  * no base-16 string parsing per half. On the 260k-shingle sf0.1 corpus
+  * the hex+conv formulation was the single hottest stage of the whole
+  * benchmark suite.
+  */
+object HashOps {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Pair(s: UTF8String): ArrayData = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    def six(o: Int): Long = {
+      var x = 0L
+      var i = 0
+      while (i < 6) { x = (x << 8) | (h(o + i) & 0xffL); i += 1 }
+      x
+    }
+    new GenericArrayData(Array(six(0), six(6)))
+  }
+}
+
+/** `string -> array<long>[2]`: [bytes 0-5, bytes 6-11] of md5(utf8). */
+case class Md5Pair(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashOps.md5Pair(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps$$.MODULE$$.md5Pair($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Pair =
+    copy(child = c)
+  override def prettyName: String = "md5_pair"
+}
+
+object Md5Pair {
+  def apply(c: Column): Column =
+    graft.util.Cols.column(Md5Pair(graft.util.Cols.expression(c)))
+}

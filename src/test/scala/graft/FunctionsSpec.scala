@@ -47,6 +47,39 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Md5Pair equals the portable hex/conv SQL formulation") {
+    val rnd = new scala.util.Random(7)
+    val strs = (1 to 300).map(_ =>
+      Seq.fill(1 + rnd.nextInt(40))(('a' + rnd.nextInt(26)).toChar).mkString)
+    val df = strs.toDF("s")
+      .withColumn("hp", graft.functions.Md5Pair($"s"))
+      .withColumn("m", md5($"s".cast("binary")))
+      .select(
+        element_at($"hp", 1).as("h1"), element_at($"hp", 2).as("h2"),
+        expr("cast(conv(substring(m, 1, 12), 16, 10) as long)").as("e1"),
+        expr("cast(conv(substring(m, 13, 12), 16, 10) as long)").as("e2"))
+    assert(df.filter($"h1" =!= $"e1" || $"h2" =!= $"e2").count() == 0)
+  }
+
+  test("QuantizeVec/DotLongs equal the HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map(_ => (
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .withColumn("qa", graft.functions.QuantizeVec($"a"))
+      .withColumn("qb", graft.functions.QuantizeVec($"b"))
+      .withColumn("ea", expr(
+        "transform(a, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as long))"))
+      .withColumn("eb", expr(
+        "transform(b, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as long))"))
+      .withColumn("dot", graft.functions.DotLongs($"qa", $"qb"))
+      .withColumn("edot", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), cast(0 as long), (acc, x) -> acc + x)"))
+    assert(df.filter($"qa" =!= $"ea" || $"qb" =!= $"eb" || $"dot" =!= $"edot")
+      .count() == 0)
+  }
+
   test("RollingMinHash: shorter than k returns -1") {
     assert(RollingMinHash.minHash(UTF8String.fromString("abc"), 8) == -1L)
   }
