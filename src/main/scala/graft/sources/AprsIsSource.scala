@@ -102,18 +102,23 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
   @volatile private var running = true
 
   /** Restart-from-checkpoint: the buffer and counters are in-memory only,
-    * so after a restart the recovered start offset is ahead of our
-    * internal numbering. Fast-forward the base once so new frames are
-    * numbered from the recovered offset — otherwise latestOffset would
-    * move BACKWARDS vs the checkpoint and Spark fails the query. Frames
-    * buffered before a crash are not replayable (a live radio feed has no
-    * rewind); the gap is an explicit drop, same as the reference losing
-    * its socket (__main__.py:1098). */
+    * so after a restart the recovered start offset is ahead of this fresh
+    * instance's numbering (which began at 0 again). On the FIRST offset
+    * call, rebase once: frames already buffered by the new connection are
+    * new live data — keep them, renumbered from the recovered offset.
+    * Without this, latestOffset would sit at (or move backwards past) the
+    * checkpointed offset forever and the restarted query would plan
+    * permanently-empty batches or fail. Frames consumed by the previous
+    * process are not replayable (a live radio feed has no rewind) — same
+    * loss the reference takes on a dropped socket (__main__.py:1098). */
+  private var rebased = false
   private def fastForwardTo(start: Long): Unit = buf.synchronized {
-    if (start > dropped + buf.length) {
-      buf.clear()
-      dropped = start
-      tip.set(start)
+    if (!rebased) {
+      rebased = true
+      if (start > dropped) {
+        dropped = start
+        tip.set(start + buf.length)
+      }
     }
   }
 
