@@ -40,12 +40,6 @@ object Bench {
     "q16_json", "q30_tokens", "q34_exact_dedup", "q36_minhash_lsh",
     "q38_ann_brute", "q45_embedding_dedup_blocked")
 
-  private val addOpensPkgs = Seq(
-    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-    "java.net", "java.nio", "java.util", "java.util.concurrent",
-    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-    "sun.security.action", "sun.util.calendar")
-
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--child")) {
       childMain(args(1), args.drop(2).toSeq)
@@ -175,16 +169,8 @@ object Bench {
   private def runChildOnce(sfDir: String, names: Seq[String])
       : Either[(String, Seq[(String, Either[String, Double])], Boolean),
                (String, Seq[(String, Either[String, Double])])] = {
-    val java = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-    val cmd = Seq(java) ++
-      addOpensPkgs.flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED")) ++
-      Seq("-XX:PerMethodRecompilationCutoff=-1",
-        "-XX:PerBytecodeRecompilationCutoff=-1",
-        s"-Xmx$mem", "-Dspark.ui.enabled=false",
-        "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Bench", "--child", sfDir) ++ names
+    val cmd = graft.util.JvmFork.command("graft.Bench",
+      Seq("--child", sfDir) ++ names)
     val proc =
       try {
         val pb = new ProcessBuilder(cmd.asJava)
