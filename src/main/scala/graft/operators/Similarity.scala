@@ -184,24 +184,70 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q44
-  /** IVF-style ANN: corpus assigned to nearest of 16 deterministic
-    * centroids (the first 16 vectors — a stand-in for k-means at this
-    * scale); each query probes only its own cell. Self-reported recall@5
-    * like q39. Rows-only check (the IVF assignment is Spark-side). */
+  /** Deterministic k-means centroids for the IVF index: seeds = the
+    * first k vectors, then `iters` Lloyd iterations. Per-dimension sums
+    * are exact integer aggregates (order-independent); the mean is one
+    * double division quantized back to the 1e-6 long scale — so the fit
+    * is bit-stable under any partitioning. Per iteration only k×64
+    * (sum, count) cells come back to the driver — model fitting is
+    * driver-coordinated, data never is. */
+  private def fitCentroids(s: SparkSession, dir: String, k: Int,
+      iters: Int): Seq[(Seq[Long], Double)] = {
+    import s.implicits._
+    val base = scaled(s, dir)
+    def withNorm(c: Seq[Long]): (Seq[Long], Double) =
+      (c, math.sqrt(c.foldLeft(0d)((a, x) => a + x.toDouble * x.toDouble)))
+    var cents: Seq[(Seq[Long], Double)] = base.filter($"vec_id" < k)
+      .orderBy($"vec_id").select($"e").as[Seq[Long]].collect().toSeq
+      .map(withNorm)
+    for (_ <- 1 to iters) {
+      val sums = base
+        .withColumn("cell", assignCell(cents))
+        .select($"cell", posexplode($"e").as(Seq("dim", "v")))
+        .groupBy($"cell", $"dim")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) => // quantized mean; empty cells keep their seed
+            val dims = rows.map(r =>
+              (r.getInt(1), math.floor(
+                r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong)).toMap
+            withNorm((0 until 64).map(d => dims.getOrElse(d, 0L)))
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** Map-side nearest-centroid assignment: k codegen'd integer dot
+    * products against literal centroids, argmax via array_max over
+    * (cosine, -cid) structs — no crossJoin, no shuffle, no window.
+    * Ties pick the lowest cid. */
+  private def assignCell(cents: Seq[(Seq[Long], Double)]): org.apache.spark.sql.Column = {
+    val structs = cents.zipWithIndex.map { case ((ce, cn), c) =>
+      struct(
+        (DotLongs(col("e"), typedLit(ce)).cast("double") / (col("nrm") * cn))
+          .as("s"),
+        lit(-c).as("c"))
+    }
+    -array_max(array(structs: _*)).getField("c")
+  }
+
+  /** IVF ANN: corpus assigned to its nearest of 16 k-means centroids
+    * (deterministic 2-iteration Lloyd fit); each query probes only its
+    * own cell. Self-reported recall@5 like q39. Rows-only check (the
+    * IVF assignment is Spark-side). */
   def q44AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val base = scaled(s, dir)
-    val cents = base.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cn"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"csim".desc, $"cid".asc)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("cdot", DotLongs($"e", $"ce"))
-      .withColumn("csim", $"cdot".cast("double") / ($"nrm" * $"cn"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter($"crk" === 1)
-      .select($"vec_id", $"e", $"nrm", $"cid".as("cell"))
+    val cents = fitCentroids(s, dir, k = 16, iters = 2)
+    val assigned = base
+      .withColumn("cell", assignCell(cents))
+      .select($"vec_id", $"e", $"nrm", $"cell")
     val q = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"cell".as("qcell"))
     def topk(joined: DataFrame): DataFrame = {
