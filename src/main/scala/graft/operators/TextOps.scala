@@ -100,11 +100,33 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q46
+  /** Deterministic stratified sampling by content hash: bucket =
+    * md5(doc_id) mod 1000, keep bucket < per-language rate (en 50%,
+    * others 20%). This is how reproducible pipeline sampling is done at
+    * scale — no RNG state, identical keep-set under any partitioning,
+    * any cluster size, and any re-run (append-safe: new docs don't
+    * reshuffle old decisions), and exactly mirrorable in any engine with
+    * md5. Pure map-side scan → partial agg. */
+  def q46HashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
+      .withColumn("kept", ($"bucket" < $"rate").cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"))
+      .withColumn("kept_ratio", $"n_kept".cast("double") / $"n_docs")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
     "q32_langid" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
+    "q46_hash_sample" -> (q46HashSample _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -148,6 +170,19 @@ object TextOps {
         |FROM documents
         |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
+    "q46_hash_sample" -> {
+      val hexInt =
+        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      s"""WITH b AS (SELECT lang, $hexInt % 1000 AS bucket FROM documents),
+        |k AS (SELECT lang,
+        |        CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 500 ELSE 200 END)
+        |          THEN 1 ELSE 0 END AS kept
+        |      FROM b)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE) / COUNT(*) AS kept_ratio
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
   )
 
   /** public twin of Relational's private SqlDavg */
