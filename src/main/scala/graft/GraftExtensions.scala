@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{LineProtocolEscapeExpr, PyFloatString, RollingMinHashExpr, Sum128}
+import graft.functions.{DotLongs, LineProtocolEscapeExpr, Md5Pair, PyFloatString, QuantizeVec, RollingMinHashExpr, Sum128}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so
@@ -30,6 +30,12 @@ object GraftFunctions {
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("sum128",
       args => Sum128(args.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_vec",
+      args => QuantizeVec(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_longs",
+      args => DotLongs(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_pair",
+      args => Md5Pair(args.head), "scala_udf")
   }
 }
 
@@ -53,5 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sum128"),
       info("sum128", "exact 128-bit integer sum of a long column"),
       (args: Seq[Expression]) => Sum128(args.head).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("quantize_vec"),
+      info("quantize_vec", "float vector -> 1e-6 fixed-point long vector"),
+      (args: Seq[Expression]) => QuantizeVec(args.head)))
+    e.injectFunction((FunctionIdentifier("dot_longs"),
+      info("dot_longs", "integer dot product of two long vectors"),
+      (args: Seq[Expression]) => DotLongs(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("md5_pair"),
+      info("md5_pair", "md5 digest split into two 48-bit longs"),
+      (args: Seq[Expression]) => Md5Pair(args.head)))
   }
 }

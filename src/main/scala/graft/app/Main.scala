@@ -24,21 +24,29 @@ case class AppConfig(
     debug: Boolean = false)
 
 object AppConfig {
-  def parse(args: Array[String]): AppConfig =
-    args.sliding(2, 2).foldLeft(AppConfig()) {
-      case (c, Array("--dbhost", v)) => c.copy(dbhost = v)
-      case (c, Array("--dbport", v)) => c.copy(dbport = v.toInt)
-      case (c, Array("--dbuser", v)) => c.copy(dbuser = v)
-      case (c, Array("--dbpassword", v)) => c.copy(dbpassword = v)
-      case (c, Array("--dbname", v)) => c.copy(dbname = v)
-      case (c, Array("--host", v)) => c.copy(host = v)
-      case (c, Array("--port", v)) => c.copy(port = v.toInt)
-      case (c, Array("--callsign", v)) => c.copy(callsign = v)
-      case (c, Array("--interval", v)) => c.copy(interval = v.toInt)
-      case (c, Array("--checkpoint", v)) => c.copy(checkpointDir = v)
-      case (c, Array("--debug")) => c.copy(debug = true)
-      case (c, _) => c
+  /** Recursive option parser: `--debug` is a bare flag and may appear
+    * anywhere (a pairwise sliding window would mis-align every option
+    * after it); unknown options are skipped like the reference's
+    * argparse ignores nothing it doesn't know — we stay permissive. */
+  def parse(args: Array[String]): AppConfig = {
+    @annotation.tailrec
+    def go(rest: List[String], c: AppConfig): AppConfig = rest match {
+      case "--debug" :: tail => go(tail, c.copy(debug = true))
+      case "--dbhost" :: v :: tail => go(tail, c.copy(dbhost = v))
+      case "--dbport" :: v :: tail => go(tail, c.copy(dbport = v.toInt))
+      case "--dbuser" :: v :: tail => go(tail, c.copy(dbuser = v))
+      case "--dbpassword" :: v :: tail => go(tail, c.copy(dbpassword = v))
+      case "--dbname" :: v :: tail => go(tail, c.copy(dbname = v))
+      case "--host" :: v :: tail => go(tail, c.copy(host = v))
+      case "--port" :: v :: tail => go(tail, c.copy(port = v.toInt))
+      case "--callsign" :: v :: tail => go(tail, c.copy(callsign = v))
+      case "--interval" :: v :: tail => go(tail, c.copy(interval = v.toInt))
+      case "--checkpoint" :: v :: tail => go(tail, c.copy(checkpointDir = v))
+      case _ :: tail => go(tail, c)
+      case Nil => c
     }
+    go(args.toList, AppConfig())
+  }
 }
 
 /** Daemon wiring (SURVEY §3.1): query A = aprsis source → calibration

@@ -90,6 +90,23 @@ class DaemonSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI: --debug anywhere does not shift later options") {
+    val c = AppConfig.parse(Array(
+      "--dbhost", "h1", "--debug", "--dbport", "9999",
+      "--callsign", "N0CALL", "--interval", "5"))
+    assert(c.debug)
+    assert(c.dbhost == "h1")
+    assert(c.dbport == 9999)
+    assert(c.callsign == "N0CALL")
+    assert(c.interval == 5)
+    // defaults mirror the reference's argparse defaults (__main__.py:15-27)
+    val d = AppConfig.parse(Array.empty)
+    assert(d.dbhost == "localhost" && d.dbport == 8086 &&
+      d.dbuser == "root" && d.dbpassword == "root" && d.dbname == "mydb" &&
+      d.host == "rotate.aprs.net" && d.port == 10152 &&
+      d.callsign == "nocall" && d.interval == 15 && !d.debug)
+  }
+
   test("heartbeat: login + status packet on its own connection") {
     val received = new ConcurrentLinkedQueue[String]()
     val aprs = aprsStub(Seq.empty, received)

@@ -30,4 +30,15 @@ class ExtensionsSpec extends AnyFunSuite {
     val s = spark.sql("SELECT sum128(id) AS s FROM ext_nums").collect()(0).getDouble(0)
     assert(s == 499500.0)
   }
+
+  test("vector/hash kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT dot_longs(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+        |       quantize_vec(array(CAST(1.5 AS FLOAT), CAST(-0.25 AS FLOAT))) AS q,
+        |       md5_pair('abc') AS m""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 32L) // 4 + 10 + 18
+    assert(r.getSeq[Long](1) == Seq(1500000L, -250000L)) // floor(x*1e6+0.5)
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+    assert(r.getSeq[Long](2) == Seq(0x900150983cd2L, 0x4fb0d6963f7dL))
+  }
 }
