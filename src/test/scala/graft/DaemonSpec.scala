@@ -73,7 +73,7 @@ class DaemonSpec extends AnyFunSuite {
         .createTempDirectory("graft-daemon-e2e").toString)
     val q = Main.buildIngestQuery(spark, cfg)
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 60000
       while (writes.isEmpty && System.currentTimeMillis() < deadline) {
         q.processAllAvailable(); Thread.sleep(100)
       }

@@ -66,8 +66,8 @@ class SourceSinkSpec extends AnyFunSuite {
     val q = stream.writeStream.format("memory").queryName("aprs_src")
       .outputMode("append").start()
     try {
-      assert(served.await(20, TimeUnit.SECONDS), "both connections served")
-      val deadline = System.currentTimeMillis() + 20000
+      assert(served.await(45, TimeUnit.SECONDS), "both connections served")
+      val deadline = System.currentTimeMillis() + 45000
       def rows() = spark.table("aprs_src")
       while (rows().count() < 4 && System.currentTimeMillis() < deadline) {
         q.processAllAvailable(); Thread.sleep(100)
@@ -132,7 +132,7 @@ class SourceSinkSpec extends AnyFunSuite {
       val first = stream.latestOffset(start, ReadLimit.maxRows(10))
         .asInstanceOf[SeqOffset]
       assert(first.n >= 100L, s"offset moved backwards: $first")
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 45000
       var tip = first
       while (tip.n < 104L && System.currentTimeMillis() < deadline) {
         Thread.sleep(100)
@@ -208,7 +208,7 @@ class SourceSinkSpec extends AnyFunSuite {
     try {
       val seqsA = new ConcurrentLinkedQueue[java.lang.Long]()
       val q1 = startQuery(seqsA)
-      val deadline1 = System.currentTimeMillis() + 20000
+      val deadline1 = System.currentTimeMillis() + 45000
       while (seqsA.size < 2 && System.currentTimeMillis() < deadline1) {
         q1.processAllAvailable(); Thread.sleep(100)
       }
@@ -220,7 +220,7 @@ class SourceSinkSpec extends AnyFunSuite {
       // with _seq numbered from the recovered offset, not from zero
       val seqsB = new ConcurrentLinkedQueue[java.lang.Long]()
       val q2 = startQuery(seqsB)
-      val deadline2 = System.currentTimeMillis() + 20000
+      val deadline2 = System.currentTimeMillis() + 45000
       while (seqsB.size < 2 && System.currentTimeMillis() < deadline2) {
         q2.processAllAvailable(); Thread.sleep(100)
       }
