@@ -273,12 +273,48 @@ object Similarity {
       .orderBy($"qid")
   }
 
+  // ---------------------------------------------------------------- q47
+  /** The dedup DECISION step: connected components over the ≥0.45-cosine
+    * pair graph, canonical representative = min vec_id per component —
+    * i.e. which documents a pipeline actually keeps/drops once near-dup
+    * pairs are known. Iterative min-label propagation: each round is one
+    * distributed join + partial-agg min, labels localCheckpoint'ed so
+    * lineage stays flat; rounds ≤ graph diameter (driver loops until a
+    * fixpoint, the standard shape for iterative graph algorithms on
+    * Spark). Edges come from the grid-blocked q45 join. Hash-exact vs a
+    * DuckDB recursive-CTE transitive closure. */
+  def q47DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q45EmbeddingDedupBlocked(s, dir).select($"i", $"j")
+    val edges = pairs
+      .union(pairs.select($"j".as("i"), $"i".as("j")))
+      .localCheckpoint(true) // materialize once; reused every round
+    var labels = edges.select($"i".as("id")).distinct()
+      .withColumn("lbl", $"id")
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      rounds += 1
+      val nbrMin = edges.join(labels, edges("j") === labels("id"))
+        .groupBy(edges("i").as("nid")).agg(min($"lbl").as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select($"id",
+          least($"lbl", coalesce($"nlbl", $"lbl")).as("nxt"), $"lbl")
+      changed = next.filter($"nxt" =!= $"lbl").count()
+      labels = next.select($"id", $"nxt".as("lbl")).localCheckpoint(true)
+    }
+    labels.select($"lbl".as("cluster_rep"), $"id".as("member"))
+      .orderBy($"cluster_rep", $"member")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ann_brute" -> (q38AnnBrute _),
     "q39_ann_lsh_recall" -> (q39AnnLshRecall _),
     "q43_embedding_dedup" -> (q43EmbeddingDedup _),
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
+    "q47_dedup_components" -> (q47DedupComponents _),
   )
 
   private val scaledCte =
@@ -317,5 +353,21 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q43_embedding_dedup" -> pairwiseDedupSql,
     "q45_embedding_dedup_blocked" -> pairwiseDedupSql,
+    "q47_dedup_components" ->
+      s"""$scaledCte,
+        |p AS (SELECT a.vec_id i, b.vec_id j
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |      WHERE list_inner_product(list_transform(a.e, x -> CAST(x AS DOUBLE)),
+        |                               list_transform(b.e, x -> CAST(x AS DOUBLE)))
+        |          / (a.nrm * b.nrm) >= 0.45),
+        |e AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT DISTINCT i, i FROM e
+        |    UNION
+        |    SELECT e.i, r.lbl FROM e JOIN r ON r.id = e.j)
+        |  SELECT id, lbl FROM r)
+        |SELECT MIN(lbl) AS cluster_rep, id AS member
+        |FROM reach GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
   )
 }
