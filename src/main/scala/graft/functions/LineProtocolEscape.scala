@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * single pass, no regex engine, stays inside whole-stage codegen.
   */
 object LineProtocolEscape {
-  def escape(s: UTF8String): UTF8String = {
+  /** Appends the escaped form directly to `sb` (allocation-free variant for
+    * the FormatLineRuntime assembler's single-pass line building). */
+  def escapeInto(sb: java.lang.StringBuilder, s: UTF8String): Unit = {
     val str = s.toString
     val n = str.length
-    val sb = new java.lang.StringBuilder(n + 8)
     var i = 0
     while (i < n) {
       val cp = str.codePointAt(i)
@@ -36,6 +37,11 @@ object LineProtocolEscape {
       }
       i += Character.charCount(cp)
     }
+  }
+
+  def escape(s: UTF8String): UTF8String = {
+    val sb = new java.lang.StringBuilder(s.numChars() + 8)
+    escapeInto(sb, s)
     UTF8String.fromString(sb.toString)
   }
 }

@@ -64,6 +64,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(300))
   }
 
+  /** Round-2 verdict, top finding: the ten-format `when` chain used to
+    * generate a >64 KB `processNext()` that janino refused to compile, so
+    * the flagship transform SILENTLY ran interpreted while the plan string
+    * still showed "*(1)". This pins that the generated code actually
+    * COMPILES, with every method far below janino's 64 KB ceiling. */
+  test("line-protocol generated code compiles; max method bytecode < 8 KB") {
+    import org.apache.spark.sql.execution.debug._
+    val df = spark.read.schema(AprsSchema.schema)
+      .json("/root/repo/src/test/resources/aprs_fixtures.jsonl")
+    val subtrees = codegenStringSeq(castToImpl(AprsLineProtocol.lines(df))
+      .queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "no whole-stage-codegen subtree found")
+    subtrees.foreach { case (subtree, _, stats) =>
+      assert(stats.maxMethodCodeSize > 0,
+        s"codegen compile FAILED (interpreted fallback) for:\n$subtree")
+      assert(stats.maxMethodCodeSize < 8192,
+        s"generated method is ${stats.maxMethodCodeSize} bytes — approaching " +
+          s"the 64 KB janino ceiling again for:\n$subtree")
+    }
+  }
+
+  test("line-protocol transform executes with codegen fallback disabled") {
+    val df = spark.read.schema(AprsSchema.schema)
+      .json("/root/repo/src/test/resources/aprs_fixtures.jsonl")
+    // CODEGEN_ONLY forbids interpreted expression evaluation; fallback=false
+    // turns a whole-stage compile failure into a hard error instead of a
+    // silent child.execute()
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(AprsLineProtocol.lines(df).count() > 0)
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("no accidental cartesian products anywhere") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
