@@ -231,12 +231,12 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- q37
-  /** SimHash near-dup pairs (no SQL oracle — 64-bit bit-twiddling; the
-    * driver records a rows-only check and DedupSpec cross-checks against
-    * the Jaccard pairs). 60-bit simhash over the *shingle* set (unigram
-    * simhash cannot separate same-vocabulary documents); near = hamming
-    * ≤ 10; candidates via 4×15-bit band join (exact for hamming ≤ 3,
-    * high-probability beyond). */
+  /** SimHash near-dup pairs. 60-bit simhash over the *shingle* set
+    * (unigram simhash cannot separate same-vocabulary documents); near =
+    * hamming ≤ 10; candidates via 4×15-bit band join (exact for hamming
+    * ≤ 3, high-probability beyond). Every step is deterministic md5 bit
+    * arithmetic, so a DuckDB oracle mirrors it exactly (hash-exact check,
+    * unlike the legitimately-approximate q19/q39/q44). */
   def q37SimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // per-shingle 60-bit hash = first 15 hex chars of md5, as long —
@@ -342,6 +342,35 @@ object Dedup {
         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
         |FROM v
         |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        |ORDER BY i, j""".stripMargin
+    },
+    "q37_simhash" -> {
+      // 60-bit per-shingle hash = first 15 hex md5 chars (the conv()
+      // twin of the Spark side); majority bit-votes via a 60-row lateral
+      // range join; identical banding/hamming arithmetic — fully
+      // deterministic, so the check is hash-exact like q36's
+      val hexInt15 =
+        "list_reduce(list_transform(range(15), ii -> CAST(strpos('0123456789abcdef', substr(m, CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, (simhash >> ${b * 15}) & 32767 AS bkey, simhash FROM sim")
+        .mkString(" UNION ALL ")
+      s"""$shingleCte,
+        |e AS (SELECT doc_id, md5(unnest(sh)) m FROM d),
+        |h AS (SELECT doc_id, $hexInt15 h FROM e),
+        |bits AS (SELECT doc_id, r.b, SUM((h >> CAST(r.b AS INTEGER)) & 1) cb,
+        |           COUNT(*) cnt
+        |         FROM h, range(60) AS r(b) GROUP BY doc_id, r.b),
+        |sim AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN cb * 2 > cnt
+        |            THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)
+        |            AS BIGINT) simhash
+        |        FROM bits GROUP BY doc_id),
+        |bands AS ($bandRows),
+        |p AS (SELECT DISTINCT a.doc_id i, b.doc_id j, a.simhash ha, b.simhash hb
+        |      FROM bands a JOIN bands b
+        |      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT i, j, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM p WHERE bit_count(xor(ha, hb)) <= 10
         |ORDER BY i, j""".stripMargin
     },
   )
