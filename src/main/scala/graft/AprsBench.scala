@@ -58,7 +58,10 @@ object AprsBench {
     }
   }
 
-  /** Fork one child; returns (pps, json line) if it produced one. */
+  /** Fork one child; returns (pps, json line) if it produced one. A daemon
+    * reader thread + absolute deadline (not a blocking readLine) so a
+    * wedged/deadlocked child — the exact pathology this fork harness exists
+    * to bound — is forcibly killed instead of hanging the parent forever. */
   private def runChild(args: Array[String]): Option[(Double, String)] =
     try {
       val cmd = graft.util.JvmFork.command("graft.AprsBench",
@@ -66,18 +69,33 @@ object AprsBench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val br = new BufferedReader(new InputStreamReader(proc.getInputStream))
+      val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val reader = new Thread(() => {
+        val br = new BufferedReader(new InputStreamReader(proc.getInputStream))
+        var l = br.readLine()
+        while (l != null) { lines.put(l); l = br.readLine() }
+        lines.put("GRAFTEOF")
+      })
+      reader.setDaemon(true); reader.start()
+
+      val deadlineAt = System.nanoTime() + 600L * 1000000000L
       var result: Option[(Double, String)] = None
-      var l = br.readLine()
-      while (l != null) {
-        if (l.startsWith("""{"metric":"aprs_packets_per_sec"""")) {
+      var done = false
+      while (!done) {
+        val waitMs = (deadlineAt - System.nanoTime()) / 1000000L
+        val l = if (waitMs <= 0) null
+          else lines.poll(waitMs, TimeUnit.MILLISECONDS)
+        if (l == null) {
+          System.err.println("[aprs-bench] watchdog: child exceeded 600s, killed")
+          done = true
+        } else if (l == "GRAFTEOF") {
+          done = true
+        } else if (l.startsWith("""{"metric":"aprs_packets_per_sec"""")) {
           val pps = """"value":([0-9.]+)""".r.findFirstMatchIn(l)
             .map(_.group(1).toDouble).getOrElse(0.0)
           result = Some((pps, l))
         }
-        l = br.readLine()
       }
-      proc.waitFor(600, TimeUnit.SECONDS)
       proc.destroyForcibly()
       result
     } catch {

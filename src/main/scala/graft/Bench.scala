@@ -40,6 +40,25 @@ object Bench {
     "q16_json", "q30_tokens", "q34_exact_dedup", "q36_minhash_lsh",
     "q38_ann_brute", "q45_embedding_dedup_blocked")
 
+  /** Steady-state per-query seconds at sf0.1 / local[32] (measured round 3,
+    * ~1.5× headroom). Round 2 showed min-of-two-forks cannot defend against
+    * a busy MACHINE — both forks reported q36 ≈ 14.5 s while steady state
+    * is 1.6 s — so when BOTH forks land above `AnomalyK`× these references,
+    * the parent cools down and re-measures in a fresh fork, and anything
+    * still slow is annotated `contended` in the JSON instead of silently
+    * inflating the round's number. */
+  private val refSecSf01: Map[String, Double] = Map(
+    "q01_agg" -> 0.9, "q02_join_broadcast" -> 0.8, "q03_join_multi" -> 1.2,
+    "q06_filter_pushdown" -> 0.4, "q07_window_topn" -> 0.8, "q09_topk" -> 0.4,
+    "q14_time_window" -> 0.6, "q15_sessionize" -> 0.7, "q16_json" -> 0.8,
+    "q30_tokens" -> 0.6, "q34_exact_dedup" -> 0.6, "q36_minhash_lsh" -> 2.5,
+    "q38_ann_brute" -> 0.6, "q45_embedding_dedup_blocked" -> 2.0)
+  private val AnomalyK = 3.0
+  private val CooldownMs = 20000L
+
+  private def loadavg1m: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--child")) {
       childMain(args(1), args.drop(2).toSeq)
@@ -152,6 +171,31 @@ object Bench {
       }
     }
 
+    // contention defense: if even the best-of-forks time is >> the recorded
+    // steady-state reference, the MACHINE was busy during both forks (the
+    // round-2 failure mode) — cool down and re-measure those queries in a
+    // fresh child; whatever stays slow is annotated, not silently reported
+    var contended = Seq.empty[String]
+    val references =
+      if (sfDir.stripSuffix("/").endsWith("sf0.1")) refSecSf01 else Map.empty[String, Double]
+    val slow = best.collect {
+      case (n, s) if references.get(n).exists(r => s > AnomalyK * r) => n
+    }.toSeq
+    if (slow.nonEmpty && forks < maxForks) {
+      System.err.println(s"[bench] contention suspected (loadavg $loadavg1m): " +
+        s"${slow.mkString(", ")} above ${AnomalyK}x reference; cooling down " +
+        s"${CooldownMs / 1000}s and re-measuring")
+      Thread.sleep(CooldownMs)
+      forks += 1
+      val rerun = runChildOnce(sfDir, slow).fold(_._2, _._2)
+      rerun.foreach {
+        case (n, Right(s)) =>
+          best(n) = math.min(best.getOrElse(n, Double.MaxValue), s)
+        case _ =>
+      }
+      contended = slow.filter(n => best(n) > AnomalyK * references(n))
+    }
+
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
@@ -159,8 +203,9 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"forks":$forks,"jvm_flags":"${esc(childFlags)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}""")
   }
 
   /** Fork one child for `names`. Right = clean completion (flags, results);
@@ -196,30 +241,35 @@ object Bench {
     // generous first deadline covers JVM + SparkSession startup + first
     // query's warm-up; later queries get a tight bound so a sticky-melted
     // JVM (steady state here is <10 s/query at sf0.1) is killed fast.
-    var deadline = 240L
+    // The deadline is ABSOLUTE per query and re-armed ONLY by protocol
+    // (GRAFTQ/GRAFTERR) lines — a melted child that keeps printing
+    // non-protocol chatter to stdout must still be killed on time.
+    var deadlineAt = System.nanoTime() + 240L * 1000000000L
     var expected = names.length
     while (expected > 0) {
-      val l = lines.poll(deadline, TimeUnit.SECONDS)
+      val waitMs = (deadlineAt - System.nanoTime()) / 1000000L
+      val l = if (waitMs <= 0) null else lines.poll(waitMs, TimeUnit.MILLISECONDS)
       if (l == null || l == "GRAFTEOF") {
         proc.destroyForcibly()
         if (l == null) System.err.println(
-          s"[bench] watchdog: child exceeded ${deadline}s, killed " +
+          s"[bench] watchdog: child exceeded its per-query deadline, killed " +
             s"(${results.size}/${names.size} queries reported)")
         return Left((flags, results.toSeq, false))
       } else if (l.startsWith("GRAFTFLAGS ")) {
-        flags = l.stripPrefix("GRAFTFLAGS ")
+        flags = l.stripPrefix("GRAFTFLAGS ") // informational: no re-arm
       } else if (l.startsWith("GRAFTQ ")) {
         val parts = l.split(" ", 3)
         results += parts(1) -> Right(parts(2).toDouble)
-        expected -= 1; deadline = 90L
+        expected -= 1; deadlineAt = System.nanoTime() + 90L * 1000000000L
       } else if (l.startsWith("GRAFTERR ")) {
         val parts = l.split(" ", 3)
         results += parts(1) -> Left(if (parts.length > 2) parts(2) else "?")
-        expected -= 1; deadline = 90L
+        expected -= 1; deadlineAt = System.nanoTime() + 90L * 1000000000L
       } else if (l == "GRAFTDONE") {
         expected = 0
       }
-      // non-protocol stdout lines (Spark chatter) are ignored
+      // non-protocol stdout lines (Spark chatter) are ignored — and do
+      // not extend the deadline
     }
     proc.waitFor(30, TimeUnit.SECONDS)
     proc.destroyForcibly()
