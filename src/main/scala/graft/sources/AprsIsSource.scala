@@ -94,12 +94,26 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
   private val maxPerTrigger = options.getLong("maxFramesPerTrigger", 100000L)
   private val partitionsPerBatch =
     options.getInt("partitionsPerBatch", 4).max(1)
+  /** Hard cap on driver-buffered frames: if the query stalls behind the
+    * feed, the OLDEST uncommitted frames are dropped (with a counter) so
+    * driver memory stays bounded. The reference would instead let the
+    * socket block and lose frames server-side on disconnect
+    * (__main__.py:1098) — dropping oldest keeps the freshest data and
+    * makes the loss observable. ~100 B/frame ⇒ default caps the buffer
+    * near 100 MB. */
+  private val maxBuffered = options.getLong("maxBufferedFrames", 1000000L).max(1L)
 
   // frame buffer: index i holds frame with _seq = dropped + i
   private val buf = new ArrayBuffer[String]()
   private var dropped = 0L
   private val tip = new AtomicLong(0L)
   @volatile private var running = true
+  // frames discarded by the overflow cap (never delivered to any batch)
+  private val overflowDropped = new AtomicLong(0L)
+  private var lastOverflowLogNs = 0L
+
+  /** Total frames lost to the `maxBufferedFrames` cap so far. */
+  def overflowDroppedCount: Long = overflowDropped.get()
 
   /** Restart-from-checkpoint: the buffer and counters are in-memory only,
     * so after a restart the recovered start offset is ahead of this fresh
@@ -139,7 +153,23 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
               // tip is maintained inside the buffer lock so the invariant
               // tip == dropped + buf.length holds even across a
               // fastForwardTo from a checkpoint restart
-              buf.synchronized { buf += line; tip.set(dropped + buf.length) }
+              buf.synchronized {
+                buf += line
+                if (buf.length > maxBuffered) { // drop-oldest overflow cap
+                  val k = (buf.length - maxBuffered).toInt
+                  buf.remove(0, k)
+                  dropped += k
+                  val total = overflowDropped.addAndGet(k)
+                  val now = System.nanoTime()
+                  if (now - lastOverflowLogNs > 5000000000L) { // ≤1 log / 5 s
+                    lastOverflowLogNs = now
+                    System.err.println(s"[aprsis] buffer full " +
+                      s"(maxBufferedFrames=$maxBuffered): dropped $k oldest " +
+                      s"uncommitted frames ($total total)")
+                  }
+                }
+                tip.set(dropped + buf.length)
+              }
             }
             line = in.readLine()
           }
@@ -179,24 +209,27 @@ class AprsIsMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = start.asInstanceOf[SeqOffset].n
     val e = end.asInstanceOf[SeqOffset].n
     fastForwardTo(s)
-    val frames = buf.synchronized {
+    // firstSeq may exceed `s` after an overflow drop: the surviving frames
+    // keep their TRUE arrival index, so `_seq` stays continuous with what
+    // later frames will carry (a gap marks the loss; numbers never shift)
+    val (frames, firstSeq) = buf.synchronized {
       val lo = (s - dropped).toInt.max(0)
       val hi = (e - dropped).toInt.min(buf.length)
-      if (hi <= lo) Array.empty[String]
-      else buf.slice(lo, hi).toArray
+      if (hi <= lo) (Array.empty[String], s)
+      else (buf.slice(lo, hi).toArray, dropped + lo)
     }
     // split the batch so executor-side parsing is not a single task — a
     // single TCP feed is inherently one buffer on the driver, but the
     // parse work distributes (SURVEY §2.8; VERDICT r1 "multi-partition
     // micro-batches")
-    if (frames.isEmpty) Array(AprsIsPartition(Array.empty, s))
+    if (frames.isEmpty) Array(AprsIsPartition(Array.empty, firstSeq))
     else {
       val n = math.min(partitionsPerBatch, frames.length)
       val per = (frames.length + n - 1) / n
       (0 until n).map { p =>
         val lo = p * per
         val hi = math.min(frames.length, lo + per)
-        AprsIsPartition(frames.slice(lo, hi), s + lo): InputPartition
+        AprsIsPartition(frames.slice(lo, hi), firstSeq + lo): InputPartition
       }.toArray
     }
   }

@@ -155,6 +155,59 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("aprsis source: maxBufferedFrames bounds driver memory, _seq stays continuous") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.{AprsIsMicroBatchStream, AprsIsPartition, SeqOffset}
+
+    val server = new ServerSocket(0)
+    val serverThread = new Thread {
+      override def run(): Unit = {
+        val s = server.accept()
+        val in = new BufferedReader(new InputStreamReader(s.getInputStream))
+        in.readLine() // login
+        val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.UTF_8)
+        (0 until 30).foreach(i =>
+          out.write(s"N0CALL>APRS:!4903.50N/07201.75W-ff msg$i\r\n"))
+        out.flush()
+        Thread.sleep(60000)
+      }
+    }
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("host", "127.0.0.1")
+    opts.put("port", server.getLocalPort.toString)
+    opts.put("reconnectMs", "100")
+    opts.put("partitionsPerBatch", "1")
+    opts.put("maxBufferedFrames", "10")
+    val stream = new AprsIsMicroBatchStream(new CaseInsensitiveStringMap(opts))
+    try {
+      // 30 frames arrive while nothing commits: the cap must evict the 20
+      // oldest (counter observable), never grow the buffer past 10
+      val deadline = System.currentTimeMillis() + 45000
+      while (stream.overflowDroppedCount < 20 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(stream.overflowDroppedCount == 20L, stream.overflowDroppedCount)
+      val tip = stream.latestOffset(SeqOffset(0L), ReadLimit.maxRows(100))
+        .asInstanceOf[SeqOffset]
+      assert(tip.n == 30L, s"tip should count ALL arrivals, got $tip")
+      // the batch [0, 30) can only deliver the 10 survivors — renumbered
+      // from their TRUE arrival index (20..29), not shifted down to 0
+      val parts = stream.planInputPartitions(SeqOffset(0L), tip)
+      assert(parts.length == 1)
+      val p = parts(0).asInstanceOf[AprsIsPartition]
+      assert(p.frames.length == 10, p.frames.length)
+      assert(p.startSeq == 20L, s"_seq must stay continuous, got ${p.startSeq}")
+      assert(p.frames(0).contains("ff msg20") && p.frames(9).contains("ff msg29"))
+      stream.commit(tip) // commit past the gap must not throw
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("aprsis source: full restart from checkpoint resumes cleanly") {
     // a real StreamExecution stop + restart on the same checkpoint dir:
     // the recovered offset is ahead of the fresh source's empty buffer,
