@@ -20,14 +20,15 @@ import graft.transform.{AprsCalibration, AprsLineProtocol}
   * carries 4 columns, not whole packets. Streaming runs need the RocksDB
   * state store provider.
   */
-class TelemetryTWSProcessor(seqIdx: Int, fmtIdx: Int, eqIdx: Int)
+class TelemetryTWSProcessor(seqIdx: Int, fmtIdx: Int, eqIdx: Int,
+    ttl: Option[java.time.Duration] = None)
     extends StatefulProcessor[String, Row, Row] {
 
   @transient private var cal: ValueState[Seq[Seq[Double]]] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     cal = getHandle.getValueState[Seq[Seq[Double]]]("cal",
-      Encoders.kryo[Seq[Seq[Double]]], TTLConfig.NONE)
+      Encoders.kryo[Seq[Seq[Double]]], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
   override def handleInputRows(key: String, rows: Iterator[Row],
       timerValues: TimerValues): Iterator[Row] = {
@@ -55,8 +56,19 @@ object TelemetryTWS {
     * replay the caller equi-joins this back on seqCol; in streaming the
     * serialization belongs on the same branch (stream-stream join-back has
     * no watermarkable key here), which is why [[TelemetryProcessor]]
-    * (FMGWS, full-row passthrough) stays the default pipeline. */
-  def calibrations(df: DataFrame, seqCol: String): DataFrame = {
+    * (FMGWS, full-row passthrough) stays the default pipeline.
+    *
+    * `ttl`: bounds the RocksDB store at 100× station cardinality — an idle
+    * station's calibration expires instead of living forever (an upgrade
+    * over the reference's never-evicted process dict, __main__.py:993;
+    * divergence: the reference would still scale a reappearing station
+    * with its years-old equations, we fall back to identity). TTL needs
+    * TimeMode.ProcessingTime, which makes the query self-trigger no-data
+    * batches to fire expirations — so callers (and tests) must poll the
+    * sink rather than rely on processAllAvailable() returning, and the
+    * reference-parity default stays TTL-less under TimeMode.None. */
+  def calibrations(df: DataFrame, seqCol: String,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
     val narrow = df.select(col("from"), col("format"), col("tEQNS"), col(seqCol))
     val n = narrow.schema
     val outSchema = StructType(Seq(
@@ -67,7 +79,8 @@ object TelemetryTWS {
       .groupByKey(r => Option(r.getString(n.fieldIndex("from"))).getOrElse(""))(Encoders.STRING)
       .transformWithState(
         new TelemetryTWSProcessor(n.fieldIndex(seqCol),
-          n.fieldIndex("format"), n.fieldIndex("tEQNS")),
-        TimeMode.None(), OutputMode.Append(), rowEnc)
+          n.fieldIndex("format"), n.fieldIndex("tEQNS"), ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), rowEnc)
   }
 }
