@@ -44,23 +44,36 @@ object Similarity {
       .select($"vec_id", $"e", $"nrm")
   }
 
+  /** The 10-query probe side: (qid, qe, qn). */
+  private def querySide(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+
+  /** Exact cosine top-k per query over pre-joined candidate rows
+    * ((qid,qe,qn) × (vec_id,e,nrm)). ONE definition of ranking shared by
+    * q38 (headline output) and the q39/q44 approximate arms + recall
+    * denominators (VERDICT r2 #7) — the allow-listed brute-force shape
+    * exists exactly once. */
+  private def cosineTopK(joined: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("dot", DotLongs(col("qe"), col("e")))
+      .withColumn("sim", col("dot").cast("double") / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"),
+        col("rk").cast("long").as("rk"), col("sim"))
+  }
+
+  /** The exact brute-force arm: broadcast queries × full corpus. */
+  private[operators] def exactTopK(base: DataFrame, k: Int = 5): DataFrame =
+    cosineTopK(base.join(broadcast(querySide(base)),
+      col("vec_id") =!= col("qid")), k)
+
   // ---------------------------------------------------------------- q38
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
-  def q38AnnBrute(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val base = scaled(s, dir)
-    val q = base.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
-    val joined = base.join(broadcast(q), $"vec_id" =!= $"qid")
-      .withColumn("dot", DotLongs($"qe", $"e"))
-      .withColumn("sim", $"dot".cast("double") / ($"qn" * $"nrm"))
-    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
-    joined.withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"qid", $"vec_id".as("nid"), $"rk".cast("long").as("rk"), $"sim")
-      .orderBy($"qid", $"rk")
-  }
+  def q38AnnBrute(s: SparkSession, dir: String): DataFrame =
+    exactTopK(scaled(s, dir), k = 5).orderBy(col("qid"), col("rk"))
 
   /** Deterministic Rademacher hyperplanes (md5-derived ±1 components),
     * computed once on the driver — literal constants in the plan, a
@@ -98,18 +111,10 @@ object Similarity {
     val candIds = tabs.join(broadcast(qtabs), Seq("tb", "bk"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id").distinct()
-    val q = base.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
-    def topk(joined: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-      joined.withColumn("dot", DotLongs(col("qe"), col("e")))
-        .withColumn("sim", col("dot").cast("double") / (col("qn") * col("nrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("vec_id").as("nid"))
-    }
-    val exact = topk(base.join(broadcast(q), $"vec_id" =!= $"qid"))
-    val ann = topk(candIds.join(base, "vec_id").join(broadcast(q), "qid"))
+    val q = querySide(base)
+    val exact = exactTopK(base).select($"qid", $"nid")
+    val ann = cosineTopK(candIds.join(base, "vec_id").join(broadcast(q), "qid"),
+      k = 5).select($"qid", $"nid")
     val nCand = candIds.groupBy($"qid").agg(count(lit(1)).as("n_candidates"))
     val hits = exact.as("x").join(ann.as("a"), Seq("qid", "nid"), "left_semi")
       .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
@@ -242,7 +247,6 @@ object Similarity {
     * IVF assignment is Spark-side). */
   def q44AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val base = scaled(s, dir)
     val cents = fitCentroids(s, dir, k = 16, iters = 2)
     val assigned = base
@@ -250,18 +254,10 @@ object Similarity {
       .select($"vec_id", $"e", $"nrm", $"cell")
     val q = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"cell".as("qcell"))
-    def topk(joined: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-      joined.withColumn("dot", DotLongs(col("qe"), col("e")))
-        .withColumn("sim", col("dot").cast("double") / (col("qn") * col("nrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("vec_id").as("nid"))
-    }
-    val exact = topk(assigned.join(broadcast(q), $"vec_id" =!= $"qid"))
+    val exact = exactTopK(base).select($"qid", $"nid")
     val annCand = assigned.join(broadcast(q),
       $"vec_id" =!= $"qid" && $"cell" === $"qcell")
-    val ann = topk(annCand)
+    val ann = cosineTopK(annCand, k = 5).select($"qid", $"nid")
     val nCand = annCand.groupBy($"qid").agg(count(lit(1)).as("n_candidates"))
     val hits = exact.as("x").join(ann.as("a"), Seq("qid", "nid"), "left_semi")
       .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
