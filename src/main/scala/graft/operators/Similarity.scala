@@ -282,6 +282,26 @@ object Similarity {
   def q47DedupComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = q45EmbeddingDedupBlocked(s, dir).select($"i", $"j")
+    labelPropagate(pairs)._1
+      .select($"lbl".as("cluster_rep"), $"id".as("member"))
+      .orderBy($"cluster_rep", $"member")
+  }
+
+  /** Min-label propagation with pointer jumping over an undirected pair
+    * list; returns (labels (id, lbl), rounds). Each round: (1) l(i) :=
+    * min(l(i), min over neighbors j of l(j)) — one join + partial-agg min;
+    * (2) path compression l(i) := l(l(i)) — one self-join that halves the
+    * label-tree depth, so chain-shaped components converge in O(log n)
+    * rounds instead of O(diameter) (ADVICE r2: a >50-diameter component
+    * would otherwise silently split). Labels always name a node of the
+    * same component (initial l=id; both steps move to another member's
+    * id), so the fixpoint is the component minimum. Refusing to converge
+    * inside `maxRounds` now throws — a silently wrong answer is the one
+    * unacceptable outcome. */
+  private[graft] def labelPropagate(pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    import s.implicits._
     val edges = pairs
       .union(pairs.select($"j".as("i"), $"i".as("j")))
       .localCheckpoint(true) // materialize once; reused every round
@@ -290,18 +310,28 @@ object Similarity {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       rounds += 1
       val nbrMin = edges.join(labels, edges("j") === labels("id"))
         .groupBy(edges("i").as("nid")).agg(min($"lbl").as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select($"id",
-          least($"lbl", coalesce($"nlbl", $"lbl")).as("nxt"), $"lbl")
-      changed = next.filter($"nxt" =!= $"lbl").count()
-      labels = next.select($"id", $"nxt".as("lbl")).localCheckpoint(true)
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"),
+          $"lbl".as("old"))
+        .localCheckpoint(true) // feeds both sides of the jump self-join
+      val jump = prop.as("a").join(
+          prop.select($"id".as("lid"), $"lbl".as("llbl")).as("b"),
+          col("a.lbl") === col("lid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce($"llbl", col("a.lbl")).as("lbl"), $"old")
+        .localCheckpoint(true) // lineage stays flat across rounds
+      changed = jump.filter($"lbl" =!= $"old").count()
+      labels = jump.select($"id", $"lbl")
     }
-    labels.select($"lbl".as("cluster_rep"), $"id".as("member"))
-      .orderBy($"cluster_rep", $"member")
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          s"($changed labels still moving) — refusing to emit split components")
+    (labels, rounds)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -73,6 +73,23 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L)))
   }
 
+  /** ADVICE r2: a component with diameter > maxRounds used to silently
+    * split. Pointer jumping must converge a 100-node chain in O(log n)
+    * rounds, and a genuine non-convergence must throw, not mislabel. */
+  test("q47 label propagation: 100-node chain converges in < 10 rounds") {
+    import spark.implicits._
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("i", "j")
+    val (labels, rounds) = Similarity.labelPropagate(chain)
+    assert(rounds < 10, s"took $rounds rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 100)
+    got.foreach { case (id, lbl) => assert(lbl == 0L, s"node $id -> $lbl") }
+    // a cap too small to converge must throw, never emit split components
+    intercept[IllegalStateException] {
+      Similarity.labelPropagate(chain, maxRounds = 2)
+    }
+  }
+
   test("q37 (SimHash) pairs respect the hamming bound and ordering") {
     val rows = Dedup.q37SimHash(spark, dir).collect()
     assert(rows.nonEmpty)
