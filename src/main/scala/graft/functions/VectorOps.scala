@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Codegen'd fixed-point vector kernels for the similarity/dedup family.
   *
@@ -44,8 +44,12 @@ object VectorOps {
   }
 }
 
-/** `array<float>` -> `array<long>` at 1e-6 fixed point. */
-case class QuantizeVec(child: Expression) extends UnaryExpression {
+/** `array<float>` -> `array<long>` at 1e-6 fixed point. Declared input
+  * types make a wrong-width array (e.g. array<double>) an analysis error
+  * instead of getFloat garbage on mismatched UnsafeArrayData (ADVICE r2). */
+case class QuantizeVec(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     VectorOps.quantize(v.asInstanceOf[ArrayData])
@@ -64,7 +68,8 @@ object QuantizeVec {
 
 /** Integer dot product of two `array<long>` columns (or literals). */
 case class DotLongs(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

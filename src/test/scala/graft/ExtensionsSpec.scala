@@ -41,4 +41,18 @@ class ExtensionsSpec extends AnyFunSuite {
     // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
     assert(r.getSeq[Long](2) == Seq(0x900150983cd2L, 0x4fb0d6963f7dL))
   }
+
+  test("kernels reject wrong-width arrays at analysis time (ADVICE r2)") {
+    // array<int> into dot_longs / array<double> into quantize_vec used to
+    // read mismatched UnsafeArrayData widths and return garbage silently
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_longs(array(1, 2), array(3, 4))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quantize_vec(array(1.5, 2.5))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT md5_pair(42)").collect()
+    }
+  }
 }
