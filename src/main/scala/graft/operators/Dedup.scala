@@ -110,7 +110,15 @@ object Dedup {
     * minimal-shuffle shape for a primitive whose candidate mass is
     * intrinsic to the corpus (here 5000 docs share a 27k-shingle
     * vocabulary → ~1.1M sharing pairs at sf0.1; anything that touches
-    * candidates again multiplies that). */
+    * candidates again multiplies that).
+    *
+    * Output column is named `jaccard_lb` (ADVICE r2): `shared` is counted
+    * in the df≤cap shingle sub-space while na/nb are full distinct counts,
+    * so the value is a LOWER BOUND on the true Jaccard — tight whenever no
+    * shared shingle is corpus-wide boilerplate (exactly equal on both test
+    * corpora, max df 25), and conservative (never over-reports) beyond.
+    * The ≥0.5 filter therefore under-selects, never over-selects; q36
+    * keeps the exact uncapped `jaccard` on its (bucket-capped) candidates. */
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = shingleRows(s, dir, distinct = true)
@@ -126,10 +134,10 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .join(nDoc.select($"doc_id".as("i"), $"n".as("na")), "i")
       .join(nDoc.select($"doc_id".as("j"), $"n".as("nb")), "j")
-      .withColumn("jaccard",
+      .withColumn("jaccard_lb",
         $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
-      .filter($"jaccard" >= 0.5)
-      .select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
+      .filter($"jaccard_lb" >= 0.5)
+      .select($"i", $"j", $"shared", $"na", $"nb", $"jaccard_lb")
       .orderBy($"i", $"j")
   }
 
@@ -310,7 +318,7 @@ object Dedup {
         |      FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT i, j, CAST(shared AS BIGINT) AS shared, na.n AS na, nb.n AS nb,
-        |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+        |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard_lb
         |FROM p JOIN n na ON na.doc_id = p.i JOIN n nb ON nb.doc_id = p.j
         |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
         |ORDER BY i, j""".stripMargin,
