@@ -180,42 +180,62 @@ object Dedup {
     * group-internal pairs are jaccard-1 and cross pairs inherit the
     * representatives' verified counts verbatim) — output-sized work, plain
     * equi-joins, no hot key. */
-  def minHashLshPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
+  /** Exact-dup collapse (q34's primitive): one representative per distinct
+    * text. Returns (members (doc_id, rep), repDocs). */
+  private def collapseExact(d: DataFrame): (DataFrame, DataFrame) = {
     val s = d.sparkSession
     import s.implicits._
-    // exact-dup collapse (q34's primitive): one representative per text
     val g = d.select($"doc_id", md5($"text".cast("binary")).as("gid"))
     val reps = g.groupBy($"gid").agg(min($"doc_id").as("rep"))
     val members = g.join(reps, "gid").select($"doc_id", $"rep")
-    val repDocs = d.join(reps.select($"rep".as("doc_id")), "doc_id")
+    (members, d.join(reps.select($"rep".as("doc_id")), "doc_id"))
+  }
 
-    // codegen'd exploded shingles (duplicates harmless under min) + one
-    // digest pass per shingle (graft.functions.Md5Pair) — identical
-    // values to the hex/conv SQL the oracle runs, a fraction of the work
-    val hashed = shingleRowsOf(repDocs, distinct = false)
+  /** 16 Kirsch-Mitzenmacher minhash components (s0..s15) per doc, on
+    * codegen'd exploded shingles (duplicates harmless under min) + one
+    * digest pass per shingle (graft.functions.Md5Pair) — identical values
+    * to the hex/conv SQL the oracle runs, a fraction of the work. */
+  private[graft] def minhashSignatures(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val hashed = shingleRowsOf(d, distinct = false)
       .withColumn("hp", graft.functions.Md5Pair($"s"))
       .withColumn("h1", element_at($"hp", 1))
       .withColumn("h2", element_at($"hp", 2))
     val sigAggs = (0 until 16).map(i =>
       min(expr(s"(h1 + $i * h2) % $MinHashP")).as(s"s$i"))
-    val sig = hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    // band key b = md5("s_{4b},s_{4b+1},s_{4b+2},s_{4b+3}")
+    hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** Bucket-capped banded candidate pairs (i, j) from signature rows:
+    * band key b = md5("s_{4b},..,s_{4b+3}"), buckets larger than the cap
+    * anti-joined away before the pair join. */
+  private[graft] def lshCandidates(sig: DataFrame, bucketCap: Long): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
     val bandStructs = (0 until 4).map { b =>
       val parts = (0 until 4).map(r => s"cast(s${b * 4 + r} as string)").mkString(", ")
       s"struct($b as band, md5(cast(concat_ws(',', $parts) as binary)) as bkey)"
     }.mkString(", ")
     val banded = sig.select($"doc_id", explode(expr(s"array($bandStructs)")).as("x"))
       .select($"doc_id", $"x.band".as("band"), $"x.bkey".as("bkey"))
-    // bucket cap: partial-agg count per (band, bkey), anti-join the fat ones
     val fat = banded.groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("bsz"))
       .filter($"bsz" > bucketCap)
       .select($"band", $"bkey")
     val bandedOk = banded.join(fat, Seq("band", "bkey"), "left_anti")
-    val cand = bandedOk.as("a").join(bandedOk.as("b"),
+    bandedOk.as("a").join(bandedOk.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
+  }
+
+  def minHashLshPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val (members, repDocs) = collapseExact(d)
+    val sig = minhashSignatures(repDocs)
+    val cand = lshCandidates(sig, bucketCap)
     val eD = shingleRowsOf(repDocs, distinct = true)
     val verified = verifyJaccard(eD, cand) // representative pairs only
 
@@ -283,11 +303,40 @@ object Dedup {
       .orderBy($"i", $"j")
   }
 
+  // ---------------------------------------------------------------- q49
+  /** Sketch-only similarity estimation: for each LSH candidate pair,
+    * estimate Jaccard as the fraction of agreeing minhash components — NO
+    * shingle re-join. This is the 100 TB shape when exact verification
+    * (q36) is too expensive: per-pair cost is comparing 16 longs instead
+    * of intersecting shingle sets. Deterministic md5 arithmetic end to
+    * end → hash-exact DuckDB oracle. Pairs are between exact-dup
+    * representatives (members share identical signatures; q34's group
+    * table recovers them). */
+  def q49MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, repDocs) = collapseExact(docs(s, dir))
+    val sig = minhashSignatures(repDocs)
+    val cand = lshCandidates(sig, MaxBandBucket)
+    val a = sig.select($"doc_id".as("i") +:
+      (0 until 16).map(k => col(s"s$k").as(s"a$k")): _*)
+    val b = sig.select($"doc_id".as("j") +:
+      (0 until 16).map(k => col(s"s$k").as(s"b$k")): _*)
+    val matches = (0 until 16)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a, "i").join(b, "j")
+      .withColumn("n_match", matches)
+      .withColumn("est_jaccard", $"n_match".cast("double") / 16.0)
+      .select($"i", $"j", $"n_match", $"est_jaccard")
+      .orderBy($"i", $"j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_simhash" -> (q37SimHash _),
+    "q49_minhash_estimate" -> (q49MinhashEstimate _),
   )
 
   private val shingleCte =
@@ -350,6 +399,38 @@ object Dedup {
         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
         |FROM v
         |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        |ORDER BY i, j""".stripMargin
+    },
+    "q49_minhash_estimate" -> {
+      val hexInt = (off: Int) =>
+        s"list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(m, CAST(ii AS INTEGER)+$off, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      val sigCols = (0 until 16)
+        .map(i => s"min((h1 + $i * h2) % $MinHashP) s$i").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val nMatch = (0 until 16)
+        .map(k => s"(CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH reps AS (SELECT min(doc_id) doc_id, text
+        |              FROM documents GROUP BY md5(text), text),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM reps),
+        |d AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(len(t)-2),
+        |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) sh
+        |      FROM toks WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, md5(unnest(sh)) m FROM d),
+        |h AS (SELECT doc_id, ${hexInt(1)} h1, ${hexInt(13)} h2 FROM e),
+        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+        |bands AS ($bandRows),
+        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
+        |         FROM bands a JOIN bands b
+        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT c.i, c.j, CAST($nMatch AS BIGINT) AS n_match,
+        |  CAST($nMatch AS DOUBLE) / 16.0 AS est_jaccard
+        |FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j
         |ORDER BY i, j""".stripMargin
     },
     "q37_simhash" -> {

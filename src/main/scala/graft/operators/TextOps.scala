@@ -121,12 +121,58 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q48
+  /** Within-document repetition rate: fraction of 3-gram shingle
+    * occurrences that are duplicates of an earlier shingle in the same
+    * document — the standard boilerplate/repetition quality filter
+    * (crawled pages with repeated nav blocks score high and get dropped).
+    * Two partial aggregates over codegen-exploded shingles, no joins:
+    * scan → (doc, shingle) count → per-doc (total, distinct). */
+  def q48Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.shingleRows(s, dir, distinct = false)
+      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_shingles"), count(lit(1)).as("n_distinct"))
+      .withColumn("rep_frac",
+        ($"n_shingles" - $"n_distinct").cast("double") / $"n_shingles".cast("double"))
+      .select($"doc_id", $"n_shingles", $"n_distinct", $"rep_frac")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** Exact per-language length quantiles (p50/p90/p99 of n_chars) via the
+    * nearest-rank method: k = ceil(p·n), answer = k-th smallest. Pure
+    * integer/window arithmetic — unlike interpolated percentile functions
+    * (whose (1-g)a+gb vs a+(b-a)g orderings differ in the last ulp across
+    * engines), this is hash-exact by construction. One shuffle on lang;
+    * at 100 TB the same shape runs per partition-pruned slice. */
+  def q50LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".asc, $"doc_id".asc)
+    val ranked = docs(s, dir)
+      .select($"lang", $"n_chars", $"doc_id")
+      .withColumn("rn", row_number().over(w))
+    val counts = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    def pick(p: Double, name: String) =
+      max(when($"rn" === ceil(lit(p) * $"n_docs").cast("long"), $"n_chars"))
+        .as(name)
+    ranked.join(counts, "lang")
+      .groupBy($"lang")
+      .agg(max($"n_docs").as("n_docs"),
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
     "q32_langid" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
     "q46_hash_sample" -> (q46HashSample _),
+    "q48_repetition" -> (q48Repetition _),
+    "q50_length_quantiles" -> (q50LengthQuantiles _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -170,6 +216,30 @@ object TextOps {
         |FROM documents
         |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
+    "q48_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |d2 AS (SELECT doc_id, list_transform(range(len(t)-2),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) sh
+        |       FROM toks WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) s FROM d2),
+        |g AS (SELECT doc_id, s, COUNT(*) c FROM e GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+        |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS rep_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q50_length_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) rn
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) n_docs FROM documents GROUP BY lang)
+        |SELECT r.lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n_docs) AS BIGINT) THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.9 * n_docs) AS BIGINT) THEN n_chars END) AS p90,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n_docs) AS BIGINT) THEN n_chars END) AS p99
+        |FROM ranked r JOIN c ON c.lang = r.lang
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
     "q46_hash_sample" -> {
       val hexInt =
         "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
