@@ -165,6 +165,35 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q51
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct texts appear in BOTH (the train/test-overlap check a
+    * training-data pipeline runs before mixing corpora). Shape: distinct
+    * (source, content-hash) rows self-equi-join on the hash — fan-out per
+    * hash is bounded by the number of sources, so no hot key at any corpus
+    * size; the all-pairs frame is a cross of the SOURCE dimension only
+    * (metadata cardinality, broadcast, PlanSpec-allow-listed). */
+  def q51Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"source", md5($"text".cast("binary")).as("h")).distinct()
+    val perSource = d.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = perSource.as("a").join(perSource.as("b"),
+        $"a.source" < $"b.source")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"))
+    val shared = d.as("x").join(d.as("y"),
+        $"x.h" === $"y.h" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("source_a"), $"y.source".as("source_b"))
+      .agg(count(lit(1)).as("ns"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce($"ns", lit(0L)))
+      .withColumn("overlap",
+        $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"n_shared", $"overlap")
+      .orderBy($"source_a", $"source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -173,6 +202,7 @@ object TextOps {
     "q46_hash_sample" -> (q46HashSample _),
     "q48_repetition" -> (q48Repetition _),
     "q50_length_quantiles" -> (q50LengthQuantiles _),
+    "q51_contamination" -> (q51Contamination _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -240,6 +270,20 @@ object TextOps {
         |  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n_docs) AS BIGINT) THEN n_chars END) AS p99
         |FROM ranked r JOIN c ON c.lang = r.lang
         |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
+    "q51_contamination" ->
+      """WITH d AS (SELECT DISTINCT source, md5(text) h FROM documents),
+        |ps AS (SELECT source, COUNT(*) n FROM d GROUP BY source),
+        |pairs AS (SELECT a.source source_a, b.source source_b, a.n n_a, b.n n_b
+        |          FROM ps a JOIN ps b ON a.source < b.source),
+        |sh AS (SELECT x.source source_a, y.source source_b, COUNT(*) ns
+        |       FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+        |       GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, CAST(p.n_a AS BIGINT) AS n_a,
+        |  CAST(p.n_b AS BIGINT) AS n_b,
+        |  CAST(COALESCE(ns, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(ns, 0) AS DOUBLE) / (p.n_a + p.n_b - COALESCE(ns, 0)) AS overlap
+        |FROM pairs p LEFT JOIN sh USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
     "q46_hash_sample" -> {
       val hexInt =
         "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"

@@ -120,7 +120,9 @@ class PlanSpec extends AnyFunSuite {
     "q38_ann_brute", // corpus × broadcast queries: the exact-top-k baseline
     "q39_ann_lsh_recall", // contains the exact arm as recall denominator
     "q43_embedding_dedup", // brute-force oracle twin of q45
-    "q44_ann_ivf_recall") // exact arm inside the recall computation
+    "q44_ann_ivf_recall", // exact arm inside the recall computation
+    "q51_contamination") // source-pair frame: cross of the SOURCE dimension
+                         // only (metadata cardinality), never document rows
 
   test("no BroadcastNestedLoopJoin outside the brute-force allow-list") {
     SparkEntry.queries.keys.foreach { name =>
