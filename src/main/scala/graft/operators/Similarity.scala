@@ -334,6 +334,42 @@ object Similarity {
     (labels, rounds)
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Embedding cluster diagnostics over the `label` column: per-label
+    * quantized centroid (exact integer per-dim sums → one rounded mean),
+    * then cosine of every member to its own centroid — count, scaled-exact
+    * average, min, max per label. The purity report an embedding pipeline
+    * runs to sanity-check labels/clusters before using them for sampling.
+    * Scale shape: only k×64 (sum, count) cells reach the driver
+    * (model-to-driver, the q44 pattern); the cosine pass is map-side
+    * against a broadcast centroid table; one final partial agg on label. */
+  def q52LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = emb(s, dir)
+      .withColumn("e", QuantizeVec($"embedding"))
+      .withColumn("nrm", sqrt(DotLongs($"e", $"e").cast("double")))
+      .select($"vec_id", $"label", $"e", $"nrm")
+    val cells = base.select($"label", posexplode($"e").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("cnt"))
+      .collect() // k×64 aggregate cells only — never vector rows
+    val cents = cells.groupBy(_.getInt(0)).toSeq.map { case (lbl, rows) =>
+      val dims = rows.map(r => (r.getInt(1),
+        math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong)).toMap
+      val ce = (0 until 64).map(d => dims.getOrElse(d, 0L))
+      val cn = math.sqrt(ce.foldLeft(0d)((a, x) => a + x.toDouble * x.toDouble))
+      (lbl, ce, cn)
+    }
+    val centDf = broadcast(cents.toDF("label", "ce", "cn"))
+    base.join(centDf, "label")
+      .withColumn("cos", DotLongs($"e", $"ce").cast("double") / ($"nrm" * $"cn"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.util.OracleSafe.davg($"cos").as("avg_cos"),
+        min($"cos").as("min_cos"), max($"cos").as("max_cos"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ann_brute" -> (q38AnnBrute _),
     "q39_ann_lsh_recall" -> (q39AnnLshRecall _),
@@ -341,6 +377,7 @@ object Similarity {
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
     "q47_dedup_components" -> (q47DedupComponents _),
+    "q52_label_centroids" -> (q52LabelCentroids _),
   )
 
   private val scaledCte =
@@ -379,6 +416,32 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q43_embedding_dedup" -> pairwiseDedupSql,
     "q45_embedding_dedup_blocked" -> pairwiseDedupSql,
+    "q52_label_centroids" ->
+      """WITH s AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |  sqrt(CAST(list_inner_product(list_transform(e, x -> CAST(x AS DOUBLE)),
+        |                               list_transform(e, x -> CAST(x AS DOUBLE))) AS DOUBLE)) nrm
+        |  FROM s),
+        |sums AS (SELECT label, r.d, SUM(e[CAST(r.d AS INTEGER)+1]) sv, COUNT(*) cnt
+        |         FROM n, range(64) AS r(d) GROUP BY 1, 2),
+        |cent AS (SELECT label,
+        |           list(CAST(floor(CAST(sv AS DOUBLE)/cnt + 0.5) AS BIGINT) ORDER BY d) ce
+        |         FROM sums GROUP BY label),
+        |cn AS (SELECT label, ce,
+        |  sqrt(CAST(list_inner_product(list_transform(ce, x -> CAST(x AS DOUBLE)),
+        |                               list_transform(ce, x -> CAST(x AS DOUBLE))) AS DOUBLE)) cnorm
+        |  FROM cent),
+        |cosv AS (SELECT n.label,
+        |  list_inner_product(list_transform(n.e, x -> CAST(x AS DOUBLE)),
+        |                     list_transform(c.ce, x -> CAST(x AS DOUBLE)))
+        |    / (n.nrm * c.cnorm) cos
+        |  FROM n JOIN cn c ON c.label = n.label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(FLOOR(cos*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0/COUNT(cos) AS avg_cos,
+        |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+        |FROM cosv GROUP BY label ORDER BY label""".stripMargin,
     "q47_dedup_components" ->
       s"""$scaledCte,
         |p AS (SELECT a.vec_id i, b.vec_id j
