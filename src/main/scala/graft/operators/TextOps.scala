@@ -194,6 +194,28 @@ object TextOps {
       .orderBy($"source_a", $"source_b")
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Exact top-20 tokens per language by document frequency — the
+    * vocabulary/stopword-discovery table that feeds df-caps (q35) and
+    * quality heuristics. Shape: explode → per-doc distinct (map-side
+    * partial agg before the shuffle) → (lang, token) df count → per-lang
+    * top-k window with a total tie-break. At 100 TB the (lang, token)
+    * aggregate is the classic word-count shuffle — partial aggregation
+    * bounds it by vocabulary, not corpus, size. */
+  def q53TopTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = docs(s, dir)
+      .select($"doc_id", $"lang", explode(split(lower($"text"), " ")).as("tok"))
+      .distinct() // document frequency, not term frequency
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"lang").orderBy($"df".desc, $"tok".asc)
+    df.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 20)
+      .select($"lang", $"rk".cast("long").as("rk"), $"tok", $"df")
+      .orderBy($"lang", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -203,6 +225,7 @@ object TextOps {
     "q48_repetition" -> (q48Repetition _),
     "q50_length_quantiles" -> (q50LengthQuantiles _),
     "q51_contamination" -> (q51Contamination _),
+    "q53_top_tokens" -> (q53TopTokens _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -284,6 +307,16 @@ object TextOps {
         |  CAST(COALESCE(ns, 0) AS DOUBLE) / (p.n_a + p.n_b - COALESCE(ns, 0)) AS overlap
         |FROM pairs p LEFT JOIN sh USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
+    "q53_top_tokens" ->
+      """WITH e AS (SELECT DISTINCT doc_id, lang,
+        |             unnest(string_split(lower(text), ' ')) tok
+        |           FROM documents),
+        |df AS (SELECT lang, tok, COUNT(*) df FROM e GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, df,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, tok ASC) rk
+        |      FROM df)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, tok, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "q46_hash_sample" -> {
       val hexInt =
         "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"

@@ -56,6 +56,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Ingestion-time exact dedup: the first copy of each distinct text is
+    * kept, later copies (same batch or later batches) drop via keyed
+    * state. Batch execution of the same operator must agree. */
+  test("streaming exact dedup keeps first copy across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dedup_stream")
+    val outName = "dedup_stream_out"
+    def doc(idx: Int, text: String) =
+      s"""{"doc_id":$idx,"text":"$text","_idx":$idx}"""
+    // batch 1: A, B, dup-of-A (same batch); batch 2: dup-of-A, C
+    Files.write(dir.resolve("b1.json"),
+      Seq(doc(0, "alpha beta"), doc(1, "gamma delta"), doc(2, "alpha beta"))
+        .mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("_idx", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val deduped = graft.streaming.StreamingDedup.firstPerContent(stream, "text", "_idx")
+    val q = deduped.writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.resolve("b2.json"),
+        Seq(doc(3, "alpha beta"), doc(4, "epsilon zeta")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val kept = spark.table(outName).collect().map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 1L, 4L), s"kept $kept")
+      // batch twin agrees: same operator over the full data in one pass
+      val batch = spark.read.schema(schema).json(dir.toString)
+      val batchKept = graft.streaming.StreamingDedup
+        .firstPerContent(batch, "text", "_idx")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchKept == Set(0L, 1L, 4L), s"batch kept $batchKept")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** VERDICT r2 "What's missing" #2: state must not grow forever at 100×
     * station cardinality. TTL requires TimeMode.ProcessingTime, under which
     * the query self-triggers no-data batches (to fire expirations) and
