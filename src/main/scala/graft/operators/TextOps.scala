@@ -216,6 +216,55 @@ object TextOps {
       .orderBy($"lang", $"rk")
   }
 
+  // ---------------------------------------------------------------- q54
+  /** The cleaning CASCADE end-to-end — what a user of this library runs as
+    * their whole corpus-cleaning pass in ONE distributed plan: exact-dup
+    * canonicalization → repetition filter (q48 signal) → quality filter
+    * (q31 signal) → deterministic hash-sampling (q46) — with per-language
+    * accounting of where each document fell out (first failing stage
+    * wins). Every signal is a join/partial-agg already proven hash-exact
+    * alone; composition stays one plan, no driver loops, no collects. */
+  def q54CleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val canon = d.select($"doc_id", md5($"text".cast("binary")).as("h"))
+      .groupBy($"h").agg(min($"doc_id").as("canon_id"))
+    val withCanon = d
+      .withColumn("h", md5($"text".cast("binary")))
+      .join(canon, "h")
+    val rep = Dedup.shingleRows(s, dir, distinct = false)
+      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((sum($"c") - count(lit(1))).cast("double")
+        ./(sum($"c").cast("double")).as("rep_frac"))
+    val staged = withCanon
+      .join(rep, Seq("doc_id"), "left") // <3-token docs: no shingles ⇒ 0.0
+      .withColumn("rf", coalesce($"rep_frac", lit(0.0)))
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("quality",
+        (hitCount("toks", stopEn).cast("double") / size($"toks")) * 0.5 +
+          (lit(1.0) -
+            (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+              .cast("double") / length($"text")) * 0.5)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
+      .withColumn("stage",
+        when($"doc_id" =!= $"canon_id", "dup")
+          .when($"rf" > 0.05, "repetition")
+          .when($"quality" < 0.52, "quality")
+          .when($"bucket" >= $"rate", "sample")
+          .otherwise("kept"))
+    staged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"stage" === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"stage" === "repetition", 1L).otherwise(0L)).as("n_rep"),
+        sum(when($"stage" === "quality", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"stage" === "sample", 1L).otherwise(0L)).as("n_sample"),
+        sum(when($"stage" === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -226,6 +275,7 @@ object TextOps {
     "q50_length_quantiles" -> (q50LengthQuantiles _),
     "q51_contamination" -> (q51Contamination _),
     "q53_top_tokens" -> (q53TopTokens _),
+    "q54_clean_corpus" -> (q54CleanCorpus _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -317,6 +367,42 @@ object TextOps {
         |      FROM df)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, tok, CAST(df AS BIGINT) AS df
         |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "q54_clean_corpus" -> {
+      val hexInt =
+        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      s"""WITH canon AS (SELECT md5(text) h, min(doc_id) canon_id
+        |               FROM documents GROUP BY 1),
+        |toks2 AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |d2 AS (SELECT doc_id, list_transform(range(len(t)-2),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) sh
+        |       FROM toks2 WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) s FROM d2),
+        |g AS (SELECT doc_id, s, COUNT(*) c FROM e GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |          CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+        |            / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) rep_frac
+        |        FROM g GROUP BY doc_id),
+        |staged AS (SELECT dd.lang,
+        |  CASE
+        |    WHEN dd.doc_id <> c.canon_id THEN 'dup'
+        |    WHEN COALESCE(rep_frac, 0.0) > 0.05 THEN 'repetition'
+        |    WHEN (${sqlHits(stopEn)} * 1.0 / len(string_split(lower(text), ' '))) * 0.5
+        |       + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.5 < 0.52
+        |      THEN 'quality'
+        |    WHEN $hexInt % 1000 >= (CASE WHEN dd.lang = 'en' THEN 500 ELSE 200 END)
+        |      THEN 'sample'
+        |    ELSE 'kept' END AS stage
+        |  FROM documents dd
+        |  JOIN canon c ON c.h = md5(dd.text)
+        |  LEFT JOIN rep USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN stage = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+        |  CAST(SUM(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(SUM(CASE WHEN stage = 'sample' THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM staged GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q46_hash_sample" -> {
       val hexInt =
         "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
