@@ -50,8 +50,31 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Frame-level dedup accounting: duplicate payloads yield identical
+    * per-frame content hashes, so distinct-vs-total frame counts give the
+    * content-addressable-storage savings a multimodal pipeline plans
+    * around. One explode + two partial aggregates, grouped by asset size
+    * class (n_frames). */
+  def q55FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .withColumn("frame_hash",
+        md5(concat($"payload", lit(":".getBytes("UTF-8")), $"frame_idx".cast("string").cast("binary"))))
+      .groupBy($"n_frames")
+      .agg(countDistinct($"doc_id").as("n_assets"),
+        count(lit(1)).as("total_frames"),
+        countDistinct($"frame_hash").as("distinct_frames"))
+      .withColumn("dup_ratio",
+        ($"total_frames" - $"distinct_frames").cast("double") /
+          $"total_frames".cast("double"))
+      .orderBy($"n_frames")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_frame_sample" -> (q40FrameSample _),
+    "q55_frame_dedup" -> (q55FrameDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -66,6 +89,20 @@ object Multimodal {
         |          least(greatest(CAST(octet_length(encode(text)) AS BIGINT) // 100, 1), 8) AS n_frames
         |        FROM documents WHERE doc_id < 50) a) b
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q55_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_frames,
+        |    md5(text || ':' || CAST(unnest(range(n_frames)) AS VARCHAR)) AS frame_hash
+        |  FROM (SELECT doc_id, text,
+        |          least(greatest(CAST(octet_length(encode(text)) AS BIGINT) // 100, 1), 8) AS n_frames
+        |        FROM documents) a)
+        |SELECT n_frames,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_assets,
+        |  CAST(COUNT(*) AS BIGINT) AS total_frames,
+        |  CAST(COUNT(DISTINCT frame_hash) AS BIGINT) AS distinct_frames,
+        |  CAST(COUNT(*) - COUNT(DISTINCT frame_hash) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |FROM f GROUP BY n_frames ORDER BY n_frames""".stripMargin,
   )
 
   // ------------------------------------------------------------ decode
