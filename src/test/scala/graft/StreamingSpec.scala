@@ -56,6 +56,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** §2.9 watermark semantics: event-time windows finalize when the
+    * watermark passes their end, and rows older than the watermark are
+    * DROPPED, not retro-added — the contract that bounds streaming agg
+    * state at scale. */
+  test("watermarked windowed aggregation drops late data") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("wm_stream")
+    val outName = "wm_out"
+    def ev(ts: String, user: String) = s"""{"ts":"$ts","user":"$user"}"""
+    // batch 1: two rows in window [0,10), one at :25 (watermark -> 15)
+    Files.write(dir.resolve("b1.json"), Seq(
+      ev("1970-01-01 00:00:05", "a"), ev("1970-01-01 00:00:08", "b"),
+      ev("1970-01-01 00:00:25", "c")).mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val agg = stream
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "10 seconds"))
+      .count()
+      .select($"window.start".cast("long").as("w"), $"count")
+    val q = agg.writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE row for [0,10) (ts 3 < watermark 15 -> dropped)
+      // plus :45, advancing the watermark to 35 so [0,10) and [20,30)
+      // finalize without the late row
+      Files.write(dir.resolve("b2.json"), Seq(
+        ev("1970-01-01 00:00:03", "late"), ev("1970-01-01 00:00:45", "d"))
+        .mkString("\n").getBytes)
+      q.processAllAvailable()
+      // batch 3: advance the watermark past [40,50) so everything emits
+      Files.write(dir.resolve("b3.json"),
+        Seq(ev("1970-01-01 00:01:10", "e")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val got = spark.table(outName).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(0L) == 2L, s"late row must NOT count: $got")
+      assert(got(20L) == 1L && got(40L) == 1L, got)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** Ingestion-time exact dedup: the first copy of each distinct text is
     * kept, later copies (same batch or later batches) drop via keyed
     * state. Batch execution of the same operator must agree. */
