@@ -331,12 +331,42 @@ object Dedup {
       .orderBy($"i", $"j")
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Incremental (append-time) dedup: classify an incoming batch against
+    * the existing canonical corpus — `dup_existing` (content already in
+    * the corpus), `dup_batch` (an earlier row of the same batch has it),
+    * `novel`. This is the decision an append-safe ingestion pipeline makes
+    * per batch without ever rescanning old content bytes: the existing
+    * side joins as (distinct) content hashes only. Batch boundary replayed
+    * here as doc_id < 250. One hash semi-structure join + one min-per-hash
+    * partial agg. */
+  def q56IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .withColumn("h", md5($"text".cast("binary")))
+    val existing = d.filter($"doc_id" < 250)
+      .select($"h").distinct().withColumn("in_existing", lit(1L))
+    val incoming = d.filter($"doc_id" >= 250)
+    val firstInBatch = incoming.groupBy($"h").agg(min($"doc_id").as("first_id"))
+    incoming
+      .join(existing, Seq("h"), "left")
+      .join(firstInBatch, "h")
+      .withColumn("class",
+        when($"in_existing" === 1L, "dup_existing")
+          .when($"doc_id" =!= $"first_id", "dup_batch")
+          .otherwise("novel"))
+      .groupBy($"lang", $"class")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_simhash" -> (q37SimHash _),
     "q49_minhash_estimate" -> (q49MinhashEstimate _),
+    "q56_incremental_dedup" -> (q56IncrementalDedup _),
   )
 
   private val shingleCte =
@@ -401,6 +431,20 @@ object Dedup {
         |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
         |ORDER BY i, j""".stripMargin
     },
+    "q56_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),
+        |existing AS (SELECT DISTINCT h FROM d WHERE doc_id < 250),
+        |incoming AS (SELECT * FROM d WHERE doc_id >= 250),
+        |fb AS (SELECT h, min(doc_id) first_id FROM incoming GROUP BY h)
+        |SELECT i.lang,
+        |  CASE WHEN e.h IS NOT NULL THEN 'dup_existing'
+        |       WHEN i.doc_id <> fb.first_id THEN 'dup_batch'
+        |       ELSE 'novel' END AS class,
+        |  COUNT(*) AS n
+        |FROM incoming i
+        |LEFT JOIN existing e ON e.h = i.h
+        |JOIN fb ON fb.h = i.h
+        |GROUP BY 1, 2 ORDER BY lang, class""".stripMargin,
     "q49_minhash_estimate" -> {
       val hexInt = (off: Int) =>
         s"list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(m, CAST(ii AS INTEGER)+$off, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
