@@ -226,12 +226,13 @@ object TextOps {
     * alone; composition stays one plan, no driver loops, no collects. */
   def q54CleanCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
-    val canon = d.select($"doc_id", md5($"text".cast("binary")).as("h"))
-      .groupBy($"h").agg(min($"doc_id").as("canon_id"))
+    // canonical id via a window min over the hash partition: one shuffle
+    // on h and ONE scan of documents, vs groupBy + re-join (two scans)
     val withCanon = d
       .withColumn("h", md5($"text".cast("binary")))
-      .join(canon, "h")
+      .withColumn("canon_id", min($"doc_id").over(Window.partitionBy($"h")))
     val rep = Dedup.shingleRows(s, dir, distinct = false)
       .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
