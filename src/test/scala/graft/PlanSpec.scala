@@ -43,6 +43,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q07/q53: rank filters plan a WindowGroupLimit (partial top-k)") {
+    // per-partition top-k runs BEFORE the full window sort — the property
+    // that keeps grouped top-k viable when a group spans many rows
+    assert(plan("q07_window_topn").contains("WindowGroupLimit"))
+    assert(plan("q53_top_tokens").contains("WindowGroupLimit"))
+  }
+
   test("q01: aggregation is partial+final hash aggregate") {
     val p = plan("q01_agg")
     assert(p.contains("HashAggregate"), p)
