@@ -265,13 +265,25 @@ object Dedup {
     * ≤ 3, high-probability beyond). Every step is deterministic md5 bit
     * arithmetic, so a DuckDB oracle mirrors it exactly (hash-exact check,
     * unlike the legitimately-approximate q19/q39/q44). */
-  def q37SimHash(s: SparkSession, dir: String): DataFrame = {
+  def q37SimHash(s: SparkSession, dir: String): DataFrame =
+    simHashPairs(docs(s, dir))
+
+  /** SimHash pipeline with the same mega-cluster defenses as q36
+    * (identical texts ⇒ identical simhash ⇒ identical buckets, so the
+    * band join has the same quadratic hot-key hazard): exact-dup collapse
+    * before banding, bucket cap, membership expansion afterwards — intra
+    * pairs are hamming 0, cross pairs inherit the representatives'
+    * hamming verbatim, so output matches the uncollapsed formula the
+    * oracle runs. */
+  def simHashPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
+    val (members, repDocs) = collapseExact(d)
     // per-shingle 60-bit hash = first 15 hex chars of md5, as long —
     // computed on codegen-exploded DISTINCT shingles (majority votes are
     // over the shingle SET); the 60 votes are plain partial-aggregate
     // bit-count sums, NOT an interpreted per-row array fold.
-    val hashed = shingleRows(s, dir, distinct = true)
+    val hashed = shingleRowsOf(repDocs, distinct = true)
       .withColumnRenamed("s", "t")
       .withColumn("h", expr(
         "cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as long)"))
@@ -292,7 +304,12 @@ object Dedup {
     val banded = withSim.select($"doc_id", $"simhash",
       explode(expr(s"array($bandStructs)")).as("bd"))
       .select($"doc_id", $"simhash", $"bd.band", $"bd.bkey")
-    banded.as("a").join(banded.as("b"),
+    val fat = banded.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > bucketCap)
+      .select($"band", $"bkey")
+    val bandedOk = banded.join(fat, Seq("band", "bkey"), "left_anti")
+    val repPairs = bandedOk.as("a").join(bandedOk.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
@@ -300,7 +317,19 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter($"hamming" <= 10)
       .select($"i", $"j", $"hamming")
-      .orderBy($"i", $"j")
+    // membership expansion: shingle-less groups have no simhash and emit
+    // nothing (inner join against withSim's keys)
+    val intra = members.select($"rep", $"doc_id".as("i"))
+      .join(members.select($"rep", $"doc_id".as("j")), "rep")
+      .filter($"i" < $"j")
+      .join(withSim.select($"doc_id".as("rep")), "rep")
+      .select($"i", $"j", lit(0).cast("int").as("hamming"))
+    val cross = repPairs
+      .join(members.select($"rep".as("i"), $"doc_id".as("mi")), "i")
+      .join(members.select($"rep".as("j"), $"doc_id".as("mj")), "j")
+      .select(least($"mi", $"mj").as("i"), greatest($"mi", $"mj").as("j"),
+        $"hamming")
+    cross.union(intra).orderBy($"i", $"j")
   }
 
   // ---------------------------------------------------------------- q49

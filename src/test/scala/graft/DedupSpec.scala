@@ -57,6 +57,12 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(cross.length == 2 && cross.distinct.length == 1, cross.toSeq)
     assert(pairs.contains((2000L, 2001L))) // intra pair of the small group
+
+    // q37 has the same hazard and the same defense: the cluster's pairs
+    // all come back hamming-0 via expansion, not a quadratic band bucket
+    val sim = Dedup.simHashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sim.count(p => p._1 <= 1000 && p._2 <= 1000 && p._3 == 0) == 499500)
   }
 
   test("q36 bucket cap drops fat buckets but never exact-dup groups") {
