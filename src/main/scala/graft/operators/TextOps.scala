@@ -266,6 +266,74 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q57
+  /** Deterministic train/val/test split assignment (98/1/1) by content-id
+    * hash bucket — append-safe and re-run-safe like q46: a document's
+    * split never changes when the corpus grows or repartitions, and the
+    * three sets are disjoint by construction. Pure map-side + one count
+    * aggregate. */
+  def q57SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .withColumn("split",
+        when($"bucket" < 980, "train").when($"bucket" < 990, "val")
+          .otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"split")
+  }
+
+  // ---------------------------------------------------------------- q58
+  /** Sequence packing: greedily pack documents (in stable doc_id order,
+    * per language) into 8192-token context windows by start offset — the
+    * pre-training batch-prep step. pack_id = floor(exclusive-running-token
+    * -total / 8192): one window cumsum (running-sum shape, q08 twin) and
+    * one aggregate; a document that straddles a boundary belongs to the
+    * pack it starts in. Reports packing efficiency per language. */
+  def q58SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = docs(s, dir)
+      .withColumn("tok", size(split(trim($"text"), "\\s+")).cast("long"))
+      .withColumn("start_off", coalesce(sum($"tok").over(w), lit(0L)))
+      .withColumn("pack_id", floor($"start_off" / 8192L))
+    packed.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok").as("total_tokens"),
+        (max($"pack_id") + 1L).as("n_packs"))
+      .withColumn("avg_tokens_per_pack",
+        $"total_tokens".cast("double") / $"n_packs".cast("double"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------- q59
+  /** Source-mixture rebalancing: compute the per-source deterministic
+    * keep-rate that flattens the corpus to a uniform source mixture
+    * (rate = min(1, target/actual)), then the kept counts under q46-style
+    * hash-bucket sampling. The "what do I sample to hit my target mix"
+    * planning step — two aggregates and a broadcast-size join, no RNG. */
+  def q59MixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).withColumn("bucket", expr(
+      "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val target = counts.agg(
+      (sum($"n_docs").cast("double") / count(lit(1)).cast("double")).as("target"))
+    val rates = counts.crossJoin(broadcast(target))
+      .withColumn("rate_k",
+        least(lit(1000L), floor(($"target" / $"n_docs".cast("double")) * 1000.0).cast("long")))
+    d.join(broadcast(rates.select($"source", $"n_docs", $"rate_k")), "source")
+      .withColumn("kept", ($"bucket" < $"rate_k").cast("long"))
+      .groupBy($"source", $"n_docs", $"rate_k")
+      .agg(sum($"kept").as("n_kept"))
+      .select($"source", $"n_docs", $"rate_k", $"n_kept")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -277,6 +345,9 @@ object TextOps {
     "q51_contamination" -> (q51Contamination _),
     "q53_top_tokens" -> (q53TopTokens _),
     "q54_clean_corpus" -> (q54CleanCorpus _),
+    "q57_split_assign" -> (q57SplitAssign _),
+    "q58_sequence_packing" -> (q58SequencePacking _),
+    "q59_mixture_rebalance" -> (q59MixtureRebalance _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -403,6 +474,45 @@ object TextOps {
         |  CAST(SUM(CASE WHEN stage = 'sample' THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
         |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM staged GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q57_split_assign" -> {
+      val hexInt =
+        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      s"""WITH b AS (SELECT lang, $hexInt % 1000 AS bucket FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 980 THEN 'train'
+        |       WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    },
+    "q58_sequence_packing" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) tok
+        |           FROM documents),
+        |p AS (SELECT lang, tok,
+        |        COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) start_off
+        |      FROM t),
+        |q AS (SELECT lang, tok, CAST(floor(start_off / 8192) AS BIGINT) pack_id FROM p)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(pack_id) + 1 AS BIGINT) AS n_packs,
+        |  CAST(CAST(SUM(tok) AS BIGINT) AS DOUBLE) / CAST(MAX(pack_id) + 1 AS DOUBLE)
+        |    AS avg_tokens_per_pack
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "q59_mixture_rebalance" -> {
+      val hexInt =
+        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      s"""WITH b AS (SELECT source, doc_id, $hexInt % 1000 AS bucket FROM documents),
+        |c AS (SELECT source, COUNT(*) n_docs FROM b GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) / COUNT(*) target FROM c),
+        |r AS (SELECT source, n_docs,
+        |        LEAST(CAST(1000 AS BIGINT),
+        |          CAST(floor((target / CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT)) rate_k
+        |      FROM c, t)
+        |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate_k AS rate_k,
+        |  CAST(SUM(CASE WHEN b.bucket < r.rate_k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM b JOIN r ON r.source = b.source
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
     },
     "q46_hash_sample" -> {
       val hexInt =
