@@ -318,12 +318,17 @@ object TextOps {
     * planning step — two aggregates and a broadcast-size join, no RNG. */
   def q59MixtureRebalance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).withColumn("bucket", expr(
       "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
     val counts = d.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-    val target = counts.agg(
-      (sum($"n_docs").cast("double") / count(lit(1)).cast("double")).as("target"))
-    val rates = counts.crossJoin(broadcast(target))
+    // the uniform target is a global scalar over the SOURCE-cardinality
+    // table: a single-partition window over ~|sources| rows, not a join
+    val w0 = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("target",
+        sum($"n_docs").over(w0).cast("double") / count(lit(1)).over(w0).cast("double"))
       .withColumn("rate_k",
         least(lit(1000L), floor(($"target" / $"n_docs".cast("double")) * 1000.0).cast("long")))
     d.join(broadcast(rates.select($"source", $"n_docs", $"rate_k")), "source")
