@@ -56,6 +56,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** The dedup keep-set must survive a query restart: state checkpoints
+    * with the query, so content first seen before the restart still
+    * drops after it — the property that makes ingestion-time dedup
+    * trustworthy in a daemon that gets bounced. */
+  test("streaming exact dedup state survives a checkpoint restart") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dedup_restart")
+    val ckpt = Files.createTempDirectory("dedup_restart_ckpt")
+    def doc(idx: Int, text: String) =
+      s"""{"doc_id":$idx,"text":"$text","_idx":$idx}"""
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("_idx", LongType)))
+    val kept = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      graft.streaming.StreamingDedup.firstPerContent(stream, "text", "_idx")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => kept.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    Files.write(dir.resolve("b1.json"),
+      Seq(doc(0, "alpha beta"), doc(1, "gamma delta")).mkString("\n").getBytes)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    assert(kept.contains(0L) && kept.contains(1L), s"batch-1 kept: $kept")
+    // restart on the same checkpoint; dup of pre-restart content must drop
+    Files.write(dir.resolve("b2.json"),
+      Seq(doc(2, "alpha beta"), doc(3, "epsilon zeta")).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val ids = kept.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSet
+      assert(ids.contains(3L) && !ids.contains(2L),
+        s"pre-restart content must stay deduplicated, got $ids")
+    } finally {
+      q2.stop()
+    }
+  }
+
   /** §2.9 watermark semantics: event-time windows finalize when the
     * watermark passes their end, and rows older than the watermark are
     * DROPPED, not retro-added — the contract that bounds streaming agg
