@@ -44,7 +44,9 @@ object AprsBench {
     run() // warm-up
     val sec = Seq(run(), run()).min
     val pps = n / sec
-    println(f"""{"metric":"aprs_packets_per_sec","value":$pps%.0f,"unit":"rows/sec","rows":$n,"sec":$sec%.2f}""")
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"""{"metric":"aprs_packets_per_sec","value":$pps%.0f,"unit":"rows/sec","rows":$n,"sec":$sec%.2f,"loadavg":$load%.1f}""")
     Console.flush()
     spark.stop()
   }
