@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotLongs, LineProtocolEscapeExpr, Md5Pair, PyFloatString, QuantizeVec, RollingMinHashExpr, Sum128}
+import graft.functions.{DotLongs, LineProtocolEscapeExpr, Md5Pair, PyFloatString, QuantizeVec, RollingMinHashExpr, ShingleStats, Sum128}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so
@@ -36,6 +36,8 @@ object GraftFunctions {
       args => DotLongs(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("md5_pair",
       args => Md5Pair(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_stats",
+      args => ShingleStats(args.head), "scala_udf")
   }
 }
 
@@ -68,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("md5_pair"),
       info("md5_pair", "md5 digest split into two 48-bit longs"),
       (args: Seq[Expression]) => Md5Pair(args.head)))
+    e.injectFunction((FunctionIdentifier("shingle_stats"),
+      info("shingle_stats", "per-doc 3-gram shingle (total, distinct) counts"),
+      (args: Seq[Expression]) => ShingleStats(args.head)))
   }
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleStats
+
+/** The q54 cleaning cascade as a STREAMING ingestion transform: exact
+  * dedup (keep first copy per content hash, keyed state), then the
+  * stateless repetition / quality / deterministic-sampling stages — one
+  * composable pipeline a continuously-ingesting deployment runs on each
+  * micro-batch. Batch twin: TextOps.q54CleanCorpus (whose dup stage keeps
+  * min doc_id instead of first arrival — the only semantic difference, and
+  * exactly the difference between a corpus snapshot and a stream).
+  *
+  * Everything after the dedup state op is map-side: [[ShingleStats]] (one
+  * codegen pass per doc) replaces the batch path's explode/groupBy
+  * repetition signal — a per-doc aggregate needs no shuffle when the doc
+  * is a single row.
+  */
+object IngestClean {
+
+  /** en stopword quality score, identical to TextOps.q31/q54. */
+  private def quality(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val stopHits = expr(
+      "CAST(size(filter(split(lower(text), ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+    (stopHits.cast("double") / size(toks)) * 0.5 +
+      (lit(1.0) -
+        (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+          .cast("double") / length(text)) * 0.5
+  }
+
+  /** Keeps documents that survive all four stages; adds the signal
+    * columns (`rep_frac`, `quality`, `bucket`) for observability. */
+  def apply(df: DataFrame, textCol: String, orderCol: String,
+      idCol: String = "doc_id", maxRepFrac: Double = 0.05,
+      minQuality: Double = 0.52, keepPerMille: Int = 500): DataFrame = {
+    val deduped = StreamingDedup.firstPerContent(df, textCol, orderCol)
+    deduped
+      .withColumn("_ss", ShingleStats(col(textCol)))
+      .withColumn("rep_frac",
+        when(col("_ss.n_shingles") > 0,
+          (col("_ss.n_shingles") - col("_ss.n_distinct")).cast("double") /
+            col("_ss.n_shingles").cast("double")).otherwise(lit(0.0)))
+      .withColumn("quality", quality(col(textCol)))
+      .withColumn("bucket", expr(
+        s"cast(conv(substring(md5(cast(cast($idCol as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .filter(col("rep_frac") <= maxRepFrac &&
+        col("quality") >= minQuality && col("bucket") < keepPerMille)
+      .drop("_ss")
+  }
+}

@@ -113,6 +113,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** The stateless per-row shingle stats (streaming cleaning path) must
+    * agree exactly with the exploded/aggregated formulation (batch q48). */
+  test("ShingleStats expression matches the exploded q48 signal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val exploded = Dedup.shingleRows(spark, dir, distinct = false)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("t"), countDistinct($"s").as("d")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaFn = graft.util.Tables(spark, dir, "documents")
+      .select($"doc_id", graft.functions.ShingleStats($"text").as("ss"))
+      .select($"doc_id", $"ss.n_shingles", $"ss.n_distinct").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(exploded.nonEmpty && viaFn.size >= exploded.size)
+    exploded.foreach { case (id, v) => assert(viaFn(id) == v, s"doc $id") }
+    // docs the exploded path skips (<3 tokens) must report (0, 0)
+    viaFn.filterNot(kv => exploded.contains(kv._1))
+      .foreach { case (id, v) => assert(v == ((0L, 0L)), s"doc $id: $v") }
+  }
+
   test("q37 (SimHash) pairs respect the hamming bound and ordering") {
     val rows = Dedup.q37SimHash(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -42,6 +42,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](2) == Seq(0x900150983cd2L, 0x4fb0d6963f7dL))
   }
 
+  test("shingle_stats callable from SQL") {
+    val r = spark.sql(
+      "SELECT shingle_stats('a b a b a b').n_shingles AS t, " +
+        "shingle_stats('a b a b a b').n_distinct AS d").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L) // (a b a),(b a b) x2
+  }
+
   test("kernels reject wrong-width arrays at analysis time (ADVICE r2)") {
     // array<int> into dot_longs / array<double> into quantize_vec used to
     // read mismatched UnsafeArrayData widths and return garbage silently

@@ -56,6 +56,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** The q54 cleaning cascade running as a STREAM: dedup state + stateless
+    * repetition/quality/sampling stages over micro-batches. doc_ids chosen
+    * for their md5 buckets (3,4,5,7 < 500 = sampled in; 0 = sampled out). */
+  test("streaming ingest cleaning applies all four stages across batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("clean_stream")
+    val outName = "clean_stream_out"
+    val good = "the big cat of a dog and one to go" // quality .75, no repeats
+    def doc(idx: Int, text: String) =
+      s"""{"doc_id":$idx,"text":"$text","_idx":$idx}"""
+    // b1: keeper(3) + repetitive(4) + low-quality(5)
+    Files.write(dir.resolve("b1.json"), Seq(
+      doc(3, good),
+      doc(4, "x y z x y z x y z x y z"), // rep_frac 0.7
+      doc(5, "zebra quark plasma")) // quality 0.5 < 0.52
+      .mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("_idx", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val cleaned = graft.streaming.IngestClean(stream, "text", "_idx")
+    val q = cleaned.writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // b2: dup of the keeper (7, dedup-dropped despite good bucket) +
+      // sampled-out keeper-quality text (0, bucket 916) + new keeper (9)
+      Files.write(dir.resolve("b2.json"), Seq(
+        doc(7, good),
+        doc(0, good + " now"),
+        doc(9, good + " again")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val kept = spark.table(outName).collect().map(_.getLong(0)).toSet
+      assert(kept == Set(3L, 9L), s"kept $kept")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** The dedup keep-set must survive a query restart: state checkpoints
     * with the query, so content first seen before the restart still
     * drops after it — the property that makes ingestion-time dedup
