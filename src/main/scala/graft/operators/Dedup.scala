@@ -32,18 +32,21 @@ object Dedup {
     shingleRowsOf(docs(s, dir), distinct)
 
   /** Same, over an explicit `(doc_id, text)` corpus — lets q36 shingle
-    * only the exact-dup representatives instead of every copy. */
-  def shingleRowsOf(d: DataFrame, distinct: Boolean): DataFrame = {
+    * only the exact-dup representatives instead of every copy. `width`
+    * selects the n-gram size (3 for the near-dup family, wider for
+    * decontamination, where longer exact n-grams are the standard
+    * overlap unit). */
+  def shingleRowsOf(d: DataFrame, distinct: Boolean,
+      width: Int = 3): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
+    val parts = (1 to width).map(k => s"element_at(toks, i+$k)").mkString(", ")
     val ex = d
       .withColumn("toks", split(lower($"text"), " "))
-      .filter(size($"toks") >= 3)
+      .filter(size($"toks") >= width)
       .select($"doc_id", $"toks",
-        explode(expr("sequence(0, size(toks) - 3)")).as("i"))
-      .select($"doc_id", expr(
-        "concat_ws(' ', element_at(toks, i+1), element_at(toks, i+2), element_at(toks, i+3))")
-        .as("s"))
+        explode(expr(s"sequence(0, size(toks) - $width)")).as("i"))
+      .select($"doc_id", expr(s"concat_ws(' ', $parts)").as("s"))
     if (distinct) ex.distinct() else ex
   }
 
@@ -389,6 +392,106 @@ object Dedup {
       .orderBy($"lang", $"class")
   }
 
+  // ---------------------------------------------------------------- q60
+  /** Width of the exact-overlap n-gram used for decontamination. Longer
+    * than the near-dup 3-gram on purpose: a decontamination hit should
+    * mean a *verbatim run* crossed the split, not shared vocabulary
+    * (practice uses 10-13; 5 is scaled to this corpus's ~40-token docs). */
+  val DecontamWidth = 5
+
+  /** Train/eval decontamination — the overlap check a training-data
+    * pipeline runs before the eval split is trusted: a train document is
+    * contaminated if it shares at least one exact `DecontamWidth`-gram
+    * with ANY eval document. The split is the q46/q57 deterministic hash
+    * bucket (eval = bucket < 100 of 1000), so the same doc lands on the
+    * same side on every engine and every re-run.
+    *
+    * Scale shape: eval-side shingles collapse to a DISTINCT shingle set
+    * (the eval corpus is the small side by construction — benchmarks, not
+    * the crawl), train shingles equi-join against it and collapse to
+    * distinct contaminated doc ids before the per-language count. No
+    * per-pair work, no fan-out beyond the shingle join, and the final agg
+    * is over (lang) — at 100 TB this is one shuffle on the shingle plus
+    * one on doc_id. */
+  def q60Decontam(s: SparkSession, dir: String): DataFrame =
+    decontamOf(docs(s, dir))
+
+  /** The decontamination pipeline over an explicit `(doc_id, lang, text)`
+    * corpus (spec-testable with planted verbatim copies). */
+  def decontamOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val b = d.withColumn("bucket", expr(
+      "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+    val evalSh = shingleRowsOf(
+        b.filter($"bucket" < 100).select($"doc_id", $"text"),
+        distinct = true, width = DecontamWidth)
+      .select($"s").distinct()
+    val trainSh = shingleRowsOf(
+      b.filter($"bucket" >= 100).select($"doc_id", $"text"),
+      distinct = true, width = DecontamWidth)
+    val hits = trainSh.join(evalSh, "s")
+      .select($"doc_id").distinct()
+      .withColumn("cont", lit(1L))
+    b.filter($"bucket" >= 100).select($"doc_id", $"lang")
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce($"cont", lit(0L))).as("n_contaminated"))
+      .withColumn("contam_frac",
+        $"n_contaminated".cast("double") / $"n_train")
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------- q62
+  /** Near-dup cluster-size histogram: connected components over the q36
+    * LSH pair list (min-label propagation, q47's primitive), then
+    * cluster_size → how many clusters / documents. The shape-of-the-
+    * duplication report that decides whether dedup should enumerate
+    * pairs (small clusters) or collapse components (mega-clusters).
+    * Singleton documents never enter the pair list and are intentionally
+    * absent — the histogram is over documents that have at least one
+    * near-dup. Cost beyond q36 itself: O(log n) label-propagation rounds
+    * + two tiny partial aggs. */
+  def q62ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q36MinHashLsh(s, dir).select($"i", $"j")
+    Similarity.labelPropagate(pairs)._1
+      .groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", $"cluster_size" * $"n_clusters")
+      .orderBy($"cluster_size")
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** The keep/drop decision per near-dup cluster: within each q36
+    * component keep the longest member (max n_chars, tie → min doc_id) —
+    * the "best representative" rule a cleaning pipeline applies before
+    * writing the deduplicated corpus. cluster_rep is the component's min
+    * doc_id (the label propagation fixpoint). One window top-1 per
+    * cluster over rows already keyed by cluster — the same partial
+    * per-group top-k shape as q07 (WindowGroupLimit), no extra
+    * shuffle beyond the label join. */
+  def q65KeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q36MinHashLsh(s, dir).select($"i", $"j")
+    val labels = Similarity.labelPropagate(pairs)._1 // (id, lbl)
+    val d = docs(s, dir).select($"doc_id", $"n_chars")
+    val m = labels.join(d, labels("id") === d("doc_id"))
+      .select($"lbl", $"id", $"n_chars")
+    val w = Window.partitionBy($"lbl").orderBy($"n_chars".desc, $"id".asc)
+    val wsz = Window.partitionBy($"lbl")
+    m.withColumn("rk", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(wsz))
+      .filter($"rk" === 1)
+      .select($"lbl".as("cluster_rep"), $"cluster_size",
+        $"id".as("keep_id"), $"n_chars".as("keep_n_chars"),
+        ($"cluster_size" - 1L).as("n_dropped"))
+      .orderBy($"cluster_rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
@@ -396,6 +499,9 @@ object Dedup {
     "q37_simhash" -> (q37SimHash _),
     "q49_minhash_estimate" -> (q49MinhashEstimate _),
     "q56_incremental_dedup" -> (q56IncrementalDedup _),
+    "q60_decontam" -> (q60Decontam _),
+    "q62_cluster_sizes" -> (q62ClusterSizes _),
+    "q65_keep_best" -> (q65KeepBest _),
   )
 
   private val shingleCte =
@@ -404,6 +510,39 @@ object Dedup {
       |        list_distinct(list_transform(range(len(t)-2),
       |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) sh
       |      FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** The q36 pipeline's CTE chain up to `v` (verified candidate pairs
+    * with i, j, shared, na, nb) — shared by the q36 oracle itself and the
+    * component-level consumers (q62, q65) that build a recursive closure
+    * on top of the same pair list. */
+  private val q36JaccardCond =
+    "CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5"
+
+  private val q36OracleCtes = {
+    val hexInt = (off: Int) =>
+      s"list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(m, CAST(ii AS INTEGER)+$off, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+    val sigCols = (0 until 16)
+      .map(i => s"min((h1 + $i * h2) % $MinHashP) s$i").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$shingleCte,
+      |e AS (SELECT doc_id, md5(unnest(sh)) m FROM d),
+      |h AS (SELECT doc_id, ${hexInt(1)} h1, ${hexInt(13)} h2 FROM e),
+      |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+      |bands AS ($bandRows),
+      |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
+      |         FROM bands a JOIN bands b
+      |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |v AS (SELECT c.i, c.j,
+      |        CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) shared,
+      |        CAST(len(da.sh) AS BIGINT) na, CAST(len(db.sh) AS BIGINT) nb
+      |      FROM cand c
+      |      JOIN d da ON da.doc_id = c.i
+      |      JOIN d db ON db.doc_id = c.j)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q34_exact_dedup" ->
@@ -430,36 +569,70 @@ object Dedup {
         |FROM p JOIN n na ON na.doc_id = p.i JOIN n nb ON nb.doc_id = p.j
         |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
         |ORDER BY i, j""".stripMargin,
-    "q36_minhash_lsh" -> {
-      val hexInt = (off: Int) =>
-        s"list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(m, CAST(ii AS INTEGER)+$off, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
-      val sigCols = (0 until 16)
-        .map(i => s"min((h1 + $i * h2) % $MinHashP) s$i").mkString(", ")
-      val bandRows = (0 until 4).map { b =>
-        val parts = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($parts) bkey FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""$shingleCte,
-        |e AS (SELECT doc_id, md5(unnest(sh)) m FROM d),
-        |h AS (SELECT doc_id, ${hexInt(1)} h1, ${hexInt(13)} h2 FROM e),
-        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
-        |bands AS ($bandRows),
-        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j
-        |         FROM bands a JOIN bands b
-        |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |v AS (SELECT c.i, c.j,
-        |        CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) shared,
-        |        CAST(len(da.sh) AS BIGINT) na, CAST(len(db.sh) AS BIGINT) nb
-        |      FROM cand c
-        |      JOIN d da ON da.doc_id = c.i
-        |      JOIN d db ON db.doc_id = c.j)
+    "q36_minhash_lsh" ->
+      s"""$q36OracleCtes
         |SELECT i, j, shared, na, nb,
         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
         |FROM v
-        |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
-        |ORDER BY i, j""".stripMargin
+        |WHERE $q36JaccardCond
+        |ORDER BY i, j""".stripMargin,
+    "q60_decontam" -> {
+      val sh = (1 to DecontamWidth).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      val hexBucket =
+        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
+      s"""WITH b AS (SELECT doc_id, lang, text, $hexBucket AS bucket FROM documents),
+        |toks AS (SELECT doc_id, lang, bucket, string_split(lower(text), ' ') t FROM b),
+        |d AS (SELECT doc_id, lang, bucket,
+        |        list_distinct(list_transform(range(len(t)-${DecontamWidth - 1}),
+        |          i -> $sh)) sh
+        |      FROM toks WHERE len(t) >= $DecontamWidth),
+        |e AS (SELECT doc_id, lang, bucket, unnest(sh) s FROM d),
+        |evs AS (SELECT DISTINCT s FROM e WHERE bucket < 100),
+        |hits AS (SELECT DISTINCT e.doc_id FROM e JOIN evs USING (s)
+        |         WHERE bucket >= 100)
+        |SELECT lang, COUNT(*) AS n_train,
+        |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS contam_frac
+        |FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
+        |WHERE b.bucket >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q62_cluster_sizes" ->
+      s"""$q36OracleCtes,
+        |p AS (SELECT i, j FROM v WHERE $q36JaccardCond),
+        |ed AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT DISTINCT i, i FROM ed
+        |    UNION
+        |    SELECT ed.i, r.lbl FROM ed JOIN r ON r.id = ed.j)
+        |  SELECT id, MIN(lbl) lbl FROM r GROUP BY id),
+        |cs AS (SELECT lbl, COUNT(*) cluster_size FROM reach GROUP BY lbl)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  COUNT(*) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q65_keep_best" ->
+      s"""$q36OracleCtes,
+        |p AS (SELECT i, j FROM v WHERE $q36JaccardCond),
+        |ed AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT DISTINCT i, i FROM ed
+        |    UNION
+        |    SELECT ed.i, r.lbl FROM ed JOIN r ON r.id = ed.j)
+        |  SELECT id, MIN(lbl) lbl FROM r GROUP BY id),
+        |m AS (SELECT reach.lbl, reach.id, dd.n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY reach.lbl
+        |          ORDER BY dd.n_chars DESC, reach.id ASC) rk,
+        |        COUNT(*) OVER (PARTITION BY reach.lbl) sz
+        |      FROM reach JOIN documents dd ON dd.doc_id = reach.id)
+        |SELECT lbl AS cluster_rep, CAST(sz AS BIGINT) AS cluster_size,
+        |  id AS keep_id, n_chars AS keep_n_chars,
+        |  CAST(sz - 1 AS BIGINT) AS n_dropped
+        |FROM m WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
     "q56_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),
         |existing AS (SELECT DISTINCT h FROM d WHERE doc_id < 250),

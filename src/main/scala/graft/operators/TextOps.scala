@@ -339,6 +339,87 @@ object TextOps {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Exact TF-IDF top-3 terms per document (doc_id < 50 window), with the
+    * raw-ratio idf variant score = tf · N / df — chosen over log-idf
+    * deliberately: multiplication and division are correctly-rounded IEEE
+    * ops, so the score (and therefore the ranking) is bit-identical on
+    * every engine, where `ln` is library-dependent in the last ulp. df is
+    * document frequency over the FULL corpus (distinct doc per token —
+    * the word-count shuffle, bounded by vocabulary after partial agg); N
+    * reaches the driver as one aggregate scalar (model-to-driver, the
+    * q44/q52 pattern). Ranking ties break on token text. */
+  def q61Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+    val n = docs(s, dir).count() // one scalar to the driver, never rows
+    val tf = toks.filter($"doc_id" < 50)
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfT = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok".asc)
+    tf.join(dfT, "tok")
+      .withColumn("score",
+        $"tf".cast("double") * lit(n.toDouble) / $"df".cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"tok",
+        $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  // ---------------------------------------------------------------- q63
+  /** Per-document token-rarity profile (doc_id < 100): the median (plus
+    * min/max) corpus document-frequency over the document's token
+    * OCCURRENCES — the gibberish/ill-formed-text detector (a document of
+    * rare tokens has low median df; boilerplate has high). Median is the
+    * q50 nearest-rank construction — exact integer pick, no interpolation
+    * — over rows joined to the vocabulary-sized df table (broadcast-size
+    * after the word-count partial agg). */
+  def q63Rarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+    val dfT = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
+    val occ = toks.filter($"doc_id" < 100).join(dfT, "tok")
+    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
+    val wn = Window.partitionBy($"doc_id")
+    occ.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"),
+        max(when($"rn" === ceil(lit(0.5) * $"n").cast("long"), $"df"))
+          .as("med_df"),
+        min($"df").as("min_df"), max($"df").as("max_df"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Inverted-index construction over rare shingles: posting lists
+    * (sorted doc-id strings) for 3-gram shingles with document frequency
+    * in [2, 5], load-controlled by a deterministic 1/16 hash sample of
+    * the shingle space — the "which exact phrases recur, and where"
+    * index a dedup/provenance pipeline materializes. The sample filter
+    * runs BEFORE the per-shingle aggregation (15/16 of rows pruned
+    * map-side, pre-shuffle); posting lists are bounded by the df cap, so
+    * no group exceeds 5 entries — no collect_list hot key at any corpus
+    * size. */
+  def q64InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.shingleRows(s, dir, distinct = true)
+      .filter(substring(md5($"s".cast("binary")), 1, 1) === "0")
+      .groupBy($"s")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list($"doc_id")).as("ids"))
+      .filter($"df".between(2, 5))
+      .withColumn("posting",
+        expr("array_join(transform(ids, x -> cast(x as string)), ',')"))
+      .select($"s", $"df", $"posting")
+      .orderBy($"s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -353,6 +434,9 @@ object TextOps {
     "q57_split_assign" -> (q57SplitAssign _),
     "q58_sequence_packing" -> (q58SequencePacking _),
     "q59_mixture_rebalance" -> (q59MixtureRebalance _),
+    "q61_tfidf" -> (q61Tfidf _),
+    "q63_rarity" -> (q63Rarity _),
+    "q64_inverted_index" -> (q64InvertedIndex _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -532,6 +616,50 @@ object TextOps {
         |  CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE) / COUNT(*) AS kept_ratio
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q61_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) tf FROM toks
+        |       WHERE doc_id < 50 GROUP BY 1, 2),
+        |dfx AS (SELECT tok, COUNT(*) df
+        |        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |         CAST(tf.tf AS BIGINT) tf, CAST(dfx.df AS BIGINT) df,
+        |         CAST(tf.tf AS DOUBLE)
+        |           * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+        |           / CAST(dfx.df AS DOUBLE) score
+        |       FROM tf JOIN dfx USING (tok)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, tok ASC) rk FROM sc)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q63_rarity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
+        |              FROM documents),
+        |dfx AS (SELECT tok, COUNT(*) df
+        |        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |occ AS (SELECT toks.doc_id, toks.tok, CAST(dfx.df AS BIGINT) df
+        |        FROM toks JOIN dfx USING (tok) WHERE doc_id < 100),
+        |rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY df ASC, tok ASC) rn,
+        |         COUNT(*) OVER (PARTITION BY doc_id) n
+        |       FROM occ)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN df END) AS med_df,
+        |  MIN(df) AS min_df, MAX(df) AS max_df
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q64_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) sh
+        |      FROM toks WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) s FROM d),
+        |f AS (SELECT doc_id, s FROM e WHERE substr(md5(s), 1, 1) = '0'),
+        |g AS (SELECT s, COUNT(*) df,
+        |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) posting
+        |      FROM f GROUP BY s)
+        |SELECT s, CAST(df AS BIGINT) AS df, posting
+        |FROM g WHERE df BETWEEN 2 AND 5 ORDER BY s""".stripMargin,
   )
 
   /** public twin of Relational's private SqlDavg */

@@ -141,4 +141,72 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getInt(2) <= 10) // bit_count yields int
     }
   }
+
+  /** md5-bucket twin of the q46/q57/q60 split function, computed in plain
+    * JVM code so tests can PLANT documents on a chosen side of the split. */
+  private def bucketOf(docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+  }
+
+  /** q60: a verbatim 5-gram run copied from an eval doc into a train doc
+    * must flag that train doc — and only it. */
+  test("q60 flags planted eval-verbatim train docs, nothing else") {
+    import spark.implicits._
+    val ids = (0L until 200L)
+    val evalId = ids.find(bucketOf(_) < 100).get
+    val trainIds = ids.filter(bucketOf(_) >= 100).take(3)
+    val evalText = "one two three four five six seven eight"
+    val rows = Seq(
+      (evalId, "en", evalText), // eval side
+      (trainIds(0), "en", "prefix words then " + evalText), // contaminated
+      (trainIds(1), "en", "alpha beta gamma delta epsilon zeta eta"),
+      (trainIds(2), "en", "red green blue cyan magenta yellow black"))
+    val out = Dedup.decontamOf(rows.toDF("doc_id", "lang", "text")).collect()
+    assert(out.length == 1 && out(0).getString(0) == "en")
+    assert(out(0).getLong(1) == 3, "n_train")
+    assert(out(0).getLong(2) == 1, "n_contaminated")
+  }
+
+  /** q62/q65 must agree with a driver-side union-find over the SAME q36
+    * pair list — an independent recomputation of the component structure
+    * (the oracle checks each query alone; this pins their consistency). */
+  test("q62/q65 agree with a union-find over the q36 pairs") {
+    val pairs = Dedup.q36MinHashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val clusters = parent.keys.toSeq.groupBy(find).map {
+      case (_, ms) => ms.min -> ms.toSet
+    }
+    // q62: histogram of those cluster sizes
+    val hist = clusters.values.groupBy(_.size).map {
+      case (sz, cs) => (sz.toLong, cs.size.toLong, (sz * cs.size).toLong)
+    }.toSet
+    val gotHist = Dedup.q62ClusterSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotHist == hist, s"got $gotHist want $hist")
+    // q65: representative = min id; keep = max n_chars then min id
+    val nChars = graft.util.Tables(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = clusters.map { case (rep, ms) =>
+      val keep = ms.toSeq.sortBy(id => (-nChars(id), id)).head
+      (rep, ms.size.toLong, keep, nChars(keep), ms.size.toLong - 1)
+    }.toSet
+    val got = Dedup.q65KeepBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want, s"got $got want $want")
+  }
 }
