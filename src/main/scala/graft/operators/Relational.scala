@@ -328,8 +328,48 @@ object Relational {
       .orderBy($"ship_month")
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Bucketed range join (interval join): click→purchase attribution —
+    * every same-user (click, purchase) pair with the purchase inside
+    * [click_ts, click_ts + 1 h). The naive plan for a pure range
+    * predicate is a nested-loop join; the scale shape here equi-joins on
+    * (user_id, hour_bucket), replicating only the CLICK side to the ≤ 2
+    * buckets its window can touch (the 1-D analog of q45's
+    * Okcan-Riedewald grid), then applies the exact range filter.
+    * Shuffle volume is O(2·clicks + purchases) on evenly-hashed keys, no
+    * hot key, no BNLJ — the same plan holds at any corpus size; bucket
+    * width tracks the window length so replication stays ≤ 2. */
+  val RangeJoinWindowUs = 3600L * 1000000L
+
+  def q67RangeJoin(s: SparkSession, dir: String): DataFrame =
+    rangeJoinOf(t(s, dir, "events"))
+
+  /** The bucketed interval join over an explicit events frame
+    * (spec-testable with planted boundary timestamps). */
+  def rangeJoinOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = RangeJoinWindowUs
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id",
+        unix_micros($"ts").as("cus"))
+      .withColumn("bucket", explode(array_distinct(
+        array(expr(s"cus div $w"), expr(s"(cus + ${w - 1}) div $w")))))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        unix_micros($"ts").as("pus"))
+      .withColumn("bucket", expr(s"pus div $w"))
+    clicks.join(purchases,
+        $"user_id" === $"p_user" && clicks("bucket") === purchases("bucket"))
+      .filter($"pus" >= $"cus" && $"pus" < $"cus" + w)
+      .select($"click_id", $"purchase_id", $"user_id",
+        expr("(pus - cus) div 1000000").as("lag_sec"))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_date_arith" -> (q22DateArith _),
+    "q67_range_join" -> (q67RangeJoin _),
     "q01_agg" -> (q01Agg _),
     "q02_join_broadcast" -> (q02JoinBroadcast _),
     "q03_join_multi" -> (q03JoinMulti _),
@@ -355,6 +395,16 @@ object Relational {
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q67_range_join" ->
+      s"""SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id AS user_id,
+        |  CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS lag_sec
+        |FROM events a JOIN events b
+        |ON a.user_id = b.user_id
+        |AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |AND epoch_us(b.ts) < epoch_us(a.ts) + $RangeJoinWindowUs
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q22_date_arith" ->
       """SELECT month(l_shipdate) AS ship_month, COUNT(*) AS n,
         |  CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_lag,

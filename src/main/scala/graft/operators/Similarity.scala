@@ -370,6 +370,33 @@ object Similarity {
       .orderBy($"label")
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Scalar-quantization audit: per-label reconstruction error of the
+    * 1e-6 fixed-point quantization every similarity query here runs on —
+    * the "is the compressed index faithful enough" check an embedding
+    * pipeline materializes before swapping quantized vectors in. err_d =
+    * |x_d − q_d/1e6| per dimension; avg is exact scaled-integer
+    * arithmetic at 1e-12 (the error's own magnitude — OracleSafe's davg
+    * pattern, finer scale), max is a plain double max. Map-side explode +
+    * one partial agg on label; nothing but k aggregate rows leaves an
+    * executor. */
+  def q66QuantizeError(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir)
+      .withColumn("q", QuantizeVec($"embedding"))
+      .select($"label", $"q", posexplode($"embedding").as(Seq("d", "x")))
+      .withColumn("err",
+        abs($"x".cast("double") -
+          element_at($"q", $"d" + 1).cast("double") / lit(1000000.0)))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vals"),
+        (sum(floor($"err" * lit(1.0e12) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1.0e12) / count(lit(1)).cast("double"))
+          .as("avg_err"),
+        max($"err").as("max_err"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ann_brute" -> (q38AnnBrute _),
     "q39_ann_lsh_recall" -> (q39AnnLshRecall _),
@@ -378,6 +405,7 @@ object Similarity {
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
     "q47_dedup_components" -> (q47DedupComponents _),
     "q52_label_centroids" -> (q52LabelCentroids _),
+    "q66_quantize_error" -> (q66QuantizeError _),
   )
 
   private val scaledCte =
@@ -442,6 +470,19 @@ object Similarity {
         |  CAST(SUM(CAST(FLOOR(cos*10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0/COUNT(cos) AS avg_cos,
         |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
         |FROM cosv GROUP BY label ORDER BY label""".stripMargin,
+    "q66_quantize_error" ->
+      """WITH s AS (SELECT label, embedding,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) q
+        |  FROM embeddings),
+        |e AS (SELECT label,
+        |        abs(CAST(embedding[CAST(r.d AS INTEGER)+1] AS DOUBLE)
+        |            - CAST(q[CAST(r.d AS INTEGER)+1] AS DOUBLE)/1000000.0) err
+        |      FROM s, range(64) AS r(d))
+        |SELECT label, COUNT(*) AS n_vals,
+        |  CAST(SUM(CAST(floor(err*1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    /1000000000000.0/CAST(COUNT(*) AS DOUBLE) AS avg_err,
+        |  MAX(err) AS max_err
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "q47_dedup_components" ->
       s"""$scaledCte,
         |p AS (SELECT a.vec_id i, b.vec_id j

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Similarity}
+
+/** Boundary semantics of the bucketed range join (q67) — the cases the
+  * oracle's random corpus may not exercise — plus the q66 quantization
+  * error bound. */
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def mkEvents(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type")
+  }
+
+  test("q67 honors [start, start+1h) bounds across bucket boundaries") {
+    val h = Relational.RangeJoinWindowUs // 1 h in µs
+    val base = 1000L * h + 7L // mid-bucket click, window crosses into next
+    val rows = Seq(
+      (1L, base, 42L, "click"),
+      (10L, base, 42L, "purchase"), // same instant: included
+      (11L, base + h - 1, 42L, "purchase"), // last µs in window (next bucket)
+      (12L, base + h, 42L, "purchase"), // exactly +1h: excluded
+      (13L, base - 1, 42L, "purchase"), // before click: excluded
+      (14L, base + 5, 99L, "purchase"), // other user: excluded
+      // a click exactly ON a bucket boundary must not emit duplicate pairs
+      (2L, 2000L * h, 7L, "click"),
+      (20L, 2000L * h + 3, 7L, "purchase"))
+    val got = Relational.rangeJoinOf(mkEvents(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 10L, 0L), (1L, 11L, 3599L), (2L, 20L, 0L)),
+      got.toSeq.toString)
+  }
+
+  test("q67 matches a driver-side nested loop on the real corpus") {
+    val ev = graft.util.Tables(spark, dir, "events")
+      .selectExpr("event_id", "unix_micros(ts) us", "user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val h = Relational.RangeJoinWindowUs
+    val want = (for {
+      c <- ev if c._4 == "click"
+      p <- ev if p._4 == "purchase" && p._3 == c._3 &&
+        p._2 >= c._2 && p._2 < c._2 + h
+    } yield (c._1, p._1, c._3, (p._2 - c._2) / 1000000L)).sortBy(x => (x._1, x._2))
+    val got = Relational.q67RangeJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want.toSeq)
+  }
+
+  test("q66 max reconstruction error stays under the quantization step/2") {
+    val rows = Similarity.q66QuantizeError(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= 5.0e-7, s"label ${r.getInt(0)}: ${r.getDouble(3)}")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+}
