@@ -1,0 +1,35 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** The publish step of the cleaning pipeline: write a corpus as a
+  * partitioned + bucketed + sorted parquet table, so every DOWNSTREAM
+  * consumer gets its physical optimizations for free:
+  *
+  *  - `partitionBy(lang)` → partition pruning: a per-language job reads
+  *    only its directory (at 100 TB, reading 1/5 of the corpus instead
+  *    of filtering 5/5 is the difference between an hour and a day);
+  *  - `bucketBy(n, doc_id)` → joins and aggregations on doc_id need NO
+  *    shuffle: both sides are already hash-distributed the same way, so
+  *    the sort-merge join reads buckets pairwise (proven by
+  *    PublishSpec's exchange-free plan assertions). Re-joining cleaned
+  *    text against labels/scores/embeddings keyed by doc_id is the
+  *    single most repeated operation in a training-data pipeline — the
+  *    one-time bucketed write amortizes the shuffle across every later
+  *    consumer;
+  *  - `sortBy(doc_id)` → bucket files are internally sorted, so the
+  *    merge phase streams.
+  *
+  * Bucket count is a build-time choice: at 100 TB with ~256 MB bucket
+  * files you'd pick O(100k); the API surface is identical.
+  */
+object CorpusPublisher {
+
+  def publish(d: DataFrame, table: String, buckets: Int = 32): Unit =
+    d.write.mode("overwrite")
+      .partitionBy("lang")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .format("parquet")
+      .saveAsTable(table)
+}

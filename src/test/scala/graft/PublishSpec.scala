@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.CorpusPublisher
+
+/** The bucketed-publish contract: after CorpusPublisher.publish, the
+  * operations a pipeline repeats forever (join on doc_id, aggregate on
+  * doc_id, per-language scan) run WITHOUT a shuffle / full scan — the
+  * physical-layout payoff the one-time bucketed write buys. */
+class PublishSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def publishOnce(): Unit = {
+    if (!spark.catalog.tableExists("docs_pub")) {
+      val d = graft.util.Tables(spark, dir, "documents")
+        .select("doc_id", "text", "source", "n_chars", "lang")
+      CorpusPublisher.publish(d, "docs_pub", buckets = 8)
+    }
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("published table round-trips rows and schema") {
+    publishOnce()
+    val orig = graft.util.Tables(spark, dir, "documents")
+    val back = spark.table("docs_pub")
+    assert(back.count() == orig.count())
+    assert(back.columns.toSet == Set("doc_id", "text", "source", "n_chars", "lang"))
+    // spot-check one row's content survives the round trip
+    val r = back.filter(back("doc_id") === 0L).collect()
+    val o = orig.filter(orig("doc_id") === 0L).select("doc_id", "text", "source", "n_chars", "lang").collect()
+    assert(r.length == 1 && r(0).getString(1) == o(0).getString(1))
+  }
+
+  test("self-join on the bucket key plans with NO shuffle exchange") {
+    publishOnce()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t1 = spark.table("docs_pub").select("doc_id", "n_chars")
+      val t2 = spark.table("docs_pub").select("doc_id", "source")
+      val p = plan(t1.join(t2, "doc_id"))
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("aggregation on the bucket key plans with NO shuffle exchange") {
+    publishOnce()
+    val p = plan(spark.table("docs_pub").groupBy("doc_id").count())
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed aggregation still shuffles:\n$p")
+  }
+
+  test("per-language read prunes partitions at the source") {
+    publishOnce()
+    val p = plan(spark.table("docs_pub").filter("lang = 'en'"))
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"no partition pruning visible:\n$p")
+    // the pruned scan must not carry a post-scan lang filter on data rows
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+  }
+}
