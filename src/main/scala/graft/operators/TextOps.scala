@@ -420,6 +420,64 @@ object TextOps {
       .orderBy($"s")
   }
 
+  // ---------------------------------------------------------------- q68
+  /** PII patterns shared by the Spark and DuckDB sides — kept to syntax
+    * with identical semantics in Java regex and RE2 (character classes,
+    * bounded repetition; no lookaround, which RE2 lacks). */
+  val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiIpv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PiiPhone = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII detection/redaction accounting per source: email / IPv4 / phone
+    * match counts and the redacted-character total — the scrub step a
+    * training-data pipeline runs before publishing (C4/CCNet-style).
+    * Pure map-side regex scan → one partial agg on source. The synthetic
+    * corpus contains no PII, so every count is zero HERE by construction
+    * (still hash-checked against the oracle running the same patterns);
+    * PiiSpec plants real emails/IPs/phones and pins the detection and
+    * redaction semantics. */
+  def q68PiiRedact(s: SparkSession, dir: String): DataFrame =
+    piiOf(docs(s, dir))
+
+  def piiOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val anyPii = s"($PiiEmail)|($PiiIpv4)|($PiiPhone)"
+    d
+      .withColumn("ne", regexp_count($"text", lit(PiiEmail)).cast("long"))
+      .withColumn("ni", regexp_count($"text", lit(PiiIpv4)).cast("long"))
+      .withColumn("np", regexp_count($"text", lit(PiiPhone)).cast("long"))
+      .withColumn("redacted",
+        (length($"text") - length(regexp_replace($"text", anyPii, ""))).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ne").as("n_emails"), sum($"ni").as("n_ipv4"),
+        sum($"np").as("n_phones"), sum($"redacted").as("n_redacted_chars"))
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------- q69
+  /** Character-class profile per language: average alpha / space / punct
+    * fractions — the script/encoding sanity signal (mojibake and
+    * markup-heavy documents skew these). Fractions are per-doc rational
+    * arithmetic; the per-language average is OracleSafe's scaled-exact
+    * mean. Map-side lengths → one partial agg. */
+  def q69CharClass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def frac(keepPat: String) =
+      length(regexp_replace($"text", keepPat, "")).cast("double") / length($"text")
+    docs(s, dir)
+      .withColumn("alpha_frac", frac("[^a-zA-Z]"))
+      .withColumn("space_frac", frac("[^ ]"))
+      .withColumn("punct_frac", frac("[^.,!?;:]"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        davg($"alpha_frac").as("avg_alpha_frac"),
+        davg($"space_frac").as("avg_space_frac"),
+        davg($"punct_frac").as("avg_punct_frac"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -437,6 +495,8 @@ object TextOps {
     "q61_tfidf" -> (q61Tfidf _),
     "q63_rarity" -> (q63Rarity _),
     "q64_inverted_index" -> (q64InvertedIndex _),
+    "q68_pii_redact" -> (q68PiiRedact _),
+    "q69_charclass" -> (q69CharClass _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -660,6 +720,27 @@ object TextOps {
         |      FROM f GROUP BY s)
         |SELECT s, CAST(df AS BIGINT) AS df, posting
         |FROM g WHERE df BETWEEN 2 AND 5 ORDER BY s""".stripMargin,
+    "q68_pii_redact" -> {
+      val any = s"($PiiEmail)|($PiiIpv4)|($PiiPhone)"
+      s"""SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '$PiiEmail'))) AS BIGINT) AS n_emails,
+        |  CAST(SUM(len(regexp_extract_all(text, '$PiiIpv4'))) AS BIGINT) AS n_ipv4,
+        |  CAST(SUM(len(regexp_extract_all(text, '$PiiPhone'))) AS BIGINT) AS n_phones,
+        |  CAST(SUM(length(text) - length(regexp_replace(text, '$any', '', 'g'))) AS BIGINT)
+        |    AS n_redacted_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q69_charclass" ->
+      s"""WITH f AS (SELECT lang,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)/length(text) alpha_frac,
+        |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)/length(text) space_frac,
+        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text) punct_frac
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ${SqlDavgPub("alpha_frac")} AS avg_alpha_frac,
+        |  ${SqlDavgPub("space_frac")} AS avg_space_frac,
+        |  ${SqlDavgPub("punct_frac")} AS avg_punct_frac
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** public twin of Relational's private SqlDavg */

@@ -44,6 +44,41 @@ class TextOpsSpec extends AnyFunSuite {
       s"doc ${r.getLong(0)} token count"))
   }
 
+  /** The synthetic corpus contains no PII (q68's oracle check is all
+    * zeros there) — this is where the detection/redaction semantics are
+    * actually exercised, on planted emails / IPv4s / phone numbers. */
+  test("q68 detects and redacts planted emails, IPs and phone numbers") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@mail.co today", "s1"),
+      (2L, "server 10.0.255.3 and 192.168.1.1 rebooted", "s1"),
+      (3L, "call +1 555 123-4567 now", "s2"),
+      (4L, "nothing sensitive here at all", "s2"))
+    val out = TextOps.piiOf(rows.toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    val (e1, i1, p1, red1) = out("s1")
+    assert(e1 == 2 && i1 == 2 && p1 == 0, out("s1").toString)
+    // redacted chars = the exact matched spans' lengths
+    assert(red1 == "alice@example.com".length + "bob.smith+x@mail.co".length +
+      "10.0.255.3".length + "192.168.1.1".length)
+    val (e2, i2, p2, red2) = out("s2")
+    assert(e2 == 0 && i2 == 0 && p2 == 1, out("s2").toString)
+    assert(red2 == "+1 555 123-4567".length)
+  }
+
+  test("q69 fractions are consistent per language") {
+    val rows = TextOps.q69CharClass(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+      }
+      // alpha + space can't exceed 1 (beyond davg's 1e-4 rounding grain)
+      assert(r.getDouble(2) + r.getDouble(3) <= 1.0 + 1e-4)
+    }
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
