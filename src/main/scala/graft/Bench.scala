@@ -39,7 +39,8 @@ object Bench {
     "q07_window_topn", "q09_topk", "q14_time_window", "q15_sessionize",
     "q16_json", "q30_tokens", "q34_exact_dedup", "q36_minhash_lsh",
     "q38_ann_brute", "q45_embedding_dedup_blocked",
-    "q48_repetition", "q53_top_tokens", "q54_clean_corpus")
+    "q48_repetition", "q53_top_tokens", "q54_clean_corpus",
+    "q60_decontam", "q65_keep_best", "q67_range_join")
 
   /** Steady-state per-query seconds at sf0.1 / local[32] (measured round 3,
     * ~1.5× headroom). Round 2 showed min-of-two-forks cannot defend against
@@ -54,7 +55,8 @@ object Bench {
     "q14_time_window" -> 0.6, "q15_sessionize" -> 0.7, "q16_json" -> 0.8,
     "q30_tokens" -> 0.6, "q34_exact_dedup" -> 0.6, "q36_minhash_lsh" -> 2.5,
     "q38_ann_brute" -> 0.6, "q45_embedding_dedup_blocked" -> 2.0,
-    "q48_repetition" -> 0.9, "q53_top_tokens" -> 0.8, "q54_clean_corpus" -> 1.5)
+    "q48_repetition" -> 0.9, "q53_top_tokens" -> 0.8, "q54_clean_corpus" -> 1.5,
+    "q60_decontam" -> 1.5, "q65_keep_best" -> 5.0, "q67_range_join" -> 0.8)
   private val AnomalyK = 3.0
   private val CooldownMs = 20000L
 

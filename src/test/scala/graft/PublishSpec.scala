@@ -15,6 +15,17 @@ class PublishSpec extends AnyFunSuite {
 
   private def publishOnce(): Unit = {
     if (!spark.catalog.tableExists("docs_pub")) {
+      // the in-memory catalog is per-JVM but the warehouse dir persists:
+      // a leftover location from a previous run must go first
+      spark.sql("DROP TABLE IF EXISTS docs_pub")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        "docs_pub")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
       val d = graft.util.Tables(spark, dir, "documents")
         .select("doc_id", "text", "source", "n_chars", "lang")
       CorpusPublisher.publish(d, "docs_pub", buckets = 8)
