@@ -170,6 +170,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 1, "n_contaminated")
   }
 
+  /** An eval phrase copied into a THOUSAND train docs is the decontam
+    * hot-key case (one shingle shared by 1000 train rows). The distinct
+    * eval side keeps the join linear — every copy flags, in bounded time. */
+  test("q60 flags a 1000-doc verbatim cluster linearly") {
+    import spark.implicits._
+    val ids = (0L until 3000L)
+    val evalId = ids.find(bucketOf(_) < 100).get
+    val trainIds = ids.filter(bucketOf(_) >= 100).take(1000)
+    val leak = "zero one two three four five six"
+    val rows = (evalId, "en", leak) +:
+      trainIds.map(id => (id, "en", s"doc $id says " + leak))
+    val out = Dedup.decontamOf(rows.toDF("doc_id", "lang", "text")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 1000 && out(0).getLong(2) == 1000,
+      out(0).toString)
+  }
+
   /** q62/q65 must agree with a driver-side union-find over the SAME q36
     * pair list — an independent recomputation of the component structure
     * (the oracle checks each query alone; this pins their consistency). */

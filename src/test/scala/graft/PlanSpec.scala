@@ -148,6 +148,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("q67: interval join plans as an equi-join on (user, bucket)") {
+    val p = plan("q67_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("NestedLoop"), p.take(600))
+    // the range predicate rides on the equi-join as a post-condition,
+    // visible in the join's condition clause, not as a separate BNLJ
+    assert(p.contains("bucket"), p.take(600))
+  }
+
   /** Interpreted array higher-order functions must stay off the vector
     * hot paths (QuantizeVec/DotLongs are the codegen replacements).
     * (q35-q37 still build shingle arrays with one transform() per doc —

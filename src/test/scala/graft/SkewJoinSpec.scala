@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  test("salted join equals the plain join exactly, including duplicates") {
+    import spark.implicits._
+    // planted skew: key 7 carries 10k of 10.2k rows
+    val skewed = ((1L to 10000L).map(i => (7L, i)) ++
+      (1L to 200L).map(i => (i % 5, -i))).toDF("k", "payload")
+    val modest = Seq((7L, "hot"), (7L, "hot2"), (1L, "one"), (3L, "three"),
+      (99L, "unmatched")).toDF("k", "name")
+    val plain = skewed.join(modest, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val salted = SkewJoin.salted(skewed, modest, "k", saltFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(salted == plain)
+    assert(plain.count(_._1 == 7L) == 20000) // 10k × 2 matching dim rows
+  }
+
+  test("salting spreads a hot key across saltFactor shuffle keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val skewed = (1L to 10000L).map(i => (7L, i)).toDF("k", "payload")
+    val n = 8
+    val spread = skewed
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(n.toLong)))
+      .groupBy("k", "_salt").count().collect()
+    assert(spread.length == n, s"expected $n salt groups, got ${spread.length}")
+    val max = spread.map(_.getLong(2)).max
+    // the hot key's largest shuffle-key share shrinks ~saltFactor-fold
+    assert(max <= 10000 / n * 2, s"max per-salt share $max")
+  }
+}
