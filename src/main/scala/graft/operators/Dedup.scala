@@ -402,9 +402,10 @@ object Dedup {
   /** Train/eval decontamination — the overlap check a training-data
     * pipeline runs before the eval split is trusted: a train document is
     * contaminated if it shares at least one exact `DecontamWidth`-gram
-    * with ANY eval document. The split is the q46/q57 deterministic hash
-    * bucket (eval = bucket < 100 of 1000), so the same doc lands on the
-    * same side on every engine and every re-run.
+    * with ANY eval document. The 10% eval holdout here (bucket < 100 of
+    * 1000) uses the same deterministic bucket FUNCTION as q46/q57
+    * ([[graft.util.Buckets]]) but is its own split — against a real
+    * benchmark suite the eval side would be the benchmark corpus itself.
     *
     * Scale shape: eval-side shingles collapse to a DISTINCT shingle set
     * (the eval corpus is the small side by construction — benchmarks, not
@@ -421,11 +422,11 @@ object Dedup {
   def decontamOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val b = d.withColumn("bucket", expr(
-      "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+    val b = d.withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+    // per-doc dedup would be redundant under the global distinct on s
     val evalSh = shingleRowsOf(
         b.filter($"bucket" < 100).select($"doc_id", $"text"),
-        distinct = true, width = DecontamWidth)
+        distinct = false, width = DecontamWidth)
       .select($"s").distinct()
     val trainSh = shingleRowsOf(
       b.filter($"bucket" >= 100).select($"doc_id", $"text"),

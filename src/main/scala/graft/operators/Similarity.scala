@@ -384,10 +384,13 @@ object Similarity {
     import s.implicits._
     emb(s, dir)
       .withColumn("q", QuantizeVec($"embedding"))
-      .select($"label", $"q", posexplode($"embedding").as(Seq("d", "x")))
+      // zip before exploding: each output row carries ONE (x, q_d) pair,
+      // not the full 64-long quantized array 64 times over
+      .select($"label",
+        posexplode(arrays_zip($"embedding", $"q")).as(Seq("d", "z")))
       .withColumn("err",
-        abs($"x".cast("double") -
-          element_at($"q", $"d" + 1).cast("double") / lit(1000000.0)))
+        abs($"z.embedding".cast("double") -
+          $"z.q".cast("double") / lit(1000000.0)))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vals"),
         (sum(floor($"err" * lit(1.0e12) + lit(0.5)).cast("long"))

@@ -9,12 +9,18 @@ import org.apache.spark.sql.functions._
   * for that key in ONE task's stream side first).
   *
   * Shape: the skewed (large) side gets a salt in [0, saltFactor) derived
-  * from a per-row id — rows of the SAME hot key spread across saltFactor
-  * shuffle keys; the modest side is replicated saltFactor× by an explode,
-  * and the join runs on (key, salt). Output is the exact multiset of the
-  * unsalted join for ANY salt assignment, which is why a
-  * partition-ordinal-derived salt is safe here even though it is not
-  * stable across re-runs — no output row depends on which salt a row got.
+  * from the ROW CONTENT (xxhash64 over every column) — rows of the SAME
+  * hot key spread across saltFactor shuffle keys; the modest side is
+  * replicated saltFactor× by an explode, and the join runs on
+  * (key, salt). A content hash, not a partition-ordinal id: an ordinal
+  * (monotonically_increasing_id / rand) changes when a lost map task is
+  * recomputed in a different row order, and a row whose salt changes
+  * between two fetches of the same shuffle lands in the wrong (or two)
+  * reduce partitions — the SPARK-23207 class of silent corruption.
+  * Content-derived salt is identical on every attempt. The one caveat:
+  * fully duplicate rows share a salt, so a hot key whose rows are all
+  * byte-identical does not spread (collapse such duplicates to a count
+  * first — q34's primitive).
   *
   * Cost model: replication multiplies the small side's shuffle volume by
   * saltFactor, and divides the hot key's per-task row count by the same
@@ -30,7 +36,7 @@ object SkewJoin {
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val ls = skewed.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor.toLong)))
     val rs = modest.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     ls.join(rs, Seq(key, "_salt")).drop("_salt")

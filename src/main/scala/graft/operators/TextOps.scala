@@ -111,8 +111,7 @@ object TextOps {
   def q46HashSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
       .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
       .withColumn("kept", ($"bucket" < $"rate").cast("long"))
       .groupBy($"lang")
@@ -247,8 +246,7 @@ object TextOps {
           (lit(1.0) -
             (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
               .cast("double") / length($"text")) * 0.5)
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
       .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
       .withColumn("stage",
         when($"doc_id" =!= $"canon_id", "dup")
@@ -275,8 +273,7 @@ object TextOps {
   def q57SplitAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
       .withColumn("split",
         when($"bucket" < 980, "train").when($"bucket" < 990, "val")
           .otherwise("test"))
@@ -319,8 +316,7 @@ object TextOps {
   def q59MixtureRebalance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir).withColumn("bucket", expr(
-      "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+    val d = docs(s, dir).withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
     val counts = d.groupBy($"source").agg(count(lit(1)).as("n_docs"))
     // the uniform target is a global scalar over the SOURCE-cardinality
     // table: a single-partition window over ~|sources| rows, not a join
@@ -408,12 +404,16 @@ object TextOps {
     * size. */
   def q64InvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.shingleRows(s, dir, distinct = true)
+    val e = Dedup.shingleRows(s, dir, distinct = true)
       .filter(substring(md5($"s".cast("binary")), 1, 1) === "0")
-      .groupBy($"s")
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list($"doc_id")).as("ids"))
+    // df filter FIRST, list aggregation after: a hot shingle (df ~ corpus
+    // size) must be discarded as a cheap count, never materialized as an
+    // unbounded collect_list in one aggregation group's memory
+    val small = e.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df".between(2, 5))
+    e.join(small, "s")
+      .groupBy($"s", $"df")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .withColumn("posting",
         expr("array_join(transform(ids, x -> cast(x as string)), ',')"))
       .select($"s", $"df", $"posting")

@@ -44,8 +44,7 @@ object IngestClean {
           (col("_ss.n_shingles") - col("_ss.n_distinct")).cast("double") /
             col("_ss.n_shingles").cast("double")).otherwise(lit(0.0)))
       .withColumn("quality", quality(col(textCol)))
-      .withColumn("bucket", expr(
-        s"cast(conv(substring(md5(cast(cast($idCol as string) as binary)), 1, 8), 16, 10) as long) % 1000"))
+      .withColumn("bucket", graft.util.Buckets.mod1000(idCol))
       .filter(col("rep_frac") <= maxRepFrac &&
         col("quality") >= minQuality && col("bucket") < keepPerMille)
       .drop("_ss")

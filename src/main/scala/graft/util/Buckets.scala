@@ -1,0 +1,17 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** THE deterministic hash bucket every sampling/split operator shares
+  * (q46 sampling, q54 cascade, q57 splits, q59 rebalancing, q60
+  * decontamination, IngestClean): bucket = first-8-hex-chars of
+  * md5(id-as-string) mod 1000. One definition — the cross-query
+  * consistency guarantee (a document lands in the same bucket in every
+  * operator, engine, re-run and partitioning) depends on every site
+  * using exactly this expression. DuckDB twin: the `hexInt % 1000`
+  * list_reduce in the oracle SQL. */
+object Buckets {
+  def mod1000(idCol: String): Column = expr(
+    s"cast(conv(substring(md5(cast(cast($idCol as string) as binary)), 1, 8), 16, 10) as long) % 1000")
+}

@@ -31,11 +31,23 @@ class SkewJoinSpec extends AnyFunSuite {
     val skewed = (1L to 10000L).map(i => (7L, i)).toDF("k", "payload")
     val n = 8
     val spread = skewed
-      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(n.toLong)))
+      .withColumn("_salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(n.toLong)))
       .groupBy("k", "_salt").count().collect()
     assert(spread.length == n, s"expected $n salt groups, got ${spread.length}")
     val max = spread.map(_.getLong(2)).max
     // the hot key's largest shuffle-key share shrinks ~saltFactor-fold
     assert(max <= 10000 / n * 2, s"max per-salt share $max")
+  }
+
+  test("content-derived salt is identical across recomputations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 1000L).map(i => (i % 7, i)).toDF("k", "payload")
+    def salts() = df
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("payload")), lit(8L)))
+      .repartition(13) // different physical row order
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(salts() == salts())
   }
 }
