@@ -478,6 +478,38 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q70
+  /** Per-document chunking accounting: split every document into
+    * ChunkLen-token context windows with a (ChunkLen − ChunkStride)-token
+    * overlap — the per-doc complement of q58's cross-doc packing, and the
+    * step that decides how many training sequences a long document
+    * yields. n_chunks = 1 + ceil(max(0, tok − ChunkLen) / ChunkStride),
+    * all integer arithmetic (ceil(a/b) as (a + b − 1) div b), so the
+    * count — and the fill factor total_tokens / (total_chunks · ChunkLen)
+    * — is bit-identical on every engine. Production sizing would be
+    * 1024/896; 32/24 is scaled to this corpus's 25-80-token documents the
+    * same way DecontamWidth is. Pure map-side projection + one partial
+    * agg. */
+  val ChunkLen = 32L
+  val ChunkStride = 24L // = ChunkLen - 8 overlap
+
+  def q70Chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("tok", size(split(trim($"text"), "\\s+")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"1 + (greatest(0L, tok - $ChunkLen) + ${ChunkStride - 1}) div $ChunkStride"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok").as("total_tokens"),
+        sum($"n_chunks").as("total_chunks"),
+        max($"n_chunks").as("max_chunks"))
+      .withColumn("avg_fill",
+        $"total_tokens".cast("double") /
+          ($"total_chunks" * lit(ChunkLen)).cast("double"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -497,6 +529,7 @@ object TextOps {
     "q64_inverted_index" -> (q64InvertedIndex _),
     "q68_pii_redact" -> (q68PiiRedact _),
     "q69_charclass" -> (q69CharClass _),
+    "q70_chunking" -> (q70Chunking _),
   )
 
   private def sqlHits(words: Seq[String]) = {
@@ -741,6 +774,20 @@ object TextOps {
         |  ${SqlDavgPub("space_frac")} AS avg_space_frac,
         |  ${SqlDavgPub("punct_frac")} AS avg_punct_frac
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "q70_chunking" ->
+      s"""WITH t AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok,
+        |    1 + (GREATEST(0, tok - $ChunkLen) + ${ChunkStride - 1}) // $ChunkStride n_chunks
+        |  FROM t)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+        |  CAST(MAX(n_chunks) AS BIGINT) AS max_chunks,
+        |  CAST(CAST(SUM(tok) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(n_chunks) AS BIGINT) * $ChunkLen AS DOUBLE) AS avg_fill
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** public twin of Relational's private SqlDavg */

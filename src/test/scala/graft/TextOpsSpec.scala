@@ -79,6 +79,23 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 chunk-count boundary arithmetic") {
+    // tok <= 32 -> 1 chunk; each further 24-token stride adds one
+    def nChunks(tok: Long): Long =
+      1 + math.max(0L, tok - TextOps.ChunkLen + TextOps.ChunkStride - 1) /
+        TextOps.ChunkStride
+    assert(nChunks(1) == 1 && nChunks(32) == 1)
+    assert(nChunks(33) == 2 && nChunks(56) == 2)
+    assert(nChunks(57) == 3)
+    // the real corpus must exercise the multi-chunk arm
+    val rows = TextOps.q70Chunking(spark, dir).collect()
+    assert(rows.map(_.getLong(4)).max >= 2, "no multi-chunk docs in corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(1)) // total_chunks >= n_docs
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
