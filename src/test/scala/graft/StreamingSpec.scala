@@ -189,6 +189,42 @@ class StreamingSpec extends AnyFunSuite {
   /** Ingestion-time exact dedup: the first copy of each distinct text is
     * kept, later copies (same batch or later batches) drop via keyed
     * state. Batch execution of the same operator must agree. */
+  test("streaming decontamination alerts once per contaminated doc") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("decontam_stream")
+    val outName = "decontam_stream_out"
+    val leak = "zero one two three four five six"
+    val evalSh = graft.streaming.StreamDecontam.evalShingles(
+      Seq((100L, leak)).toDF("doc_id", "text"))
+    def doc(idx: Int, text: String) = s"""{"doc_id":$idx,"text":"$text"}"""
+    // batch 1: one contaminated, one clean
+    Files.write(dir.resolve("b1.json"),
+      Seq(doc(0, "intro then " + leak), doc(1, "totally clean text here now ok"))
+        .mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val q = graft.streaming.StreamDecontam.alerts(stream, evalSh)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: the SAME contaminated doc again (no second alert) + a new one
+      Files.write(dir.resolve("b2.json"),
+        Seq(doc(0, "intro then " + leak), doc(2, leak + " verbatim tail"))
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+      val alerts = spark.table(outName).collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+      assert(alerts == Seq(0L, 2L), s"alerts $alerts")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   test("streaming exact dedup keeps first copy across micro-batches") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("dedup_stream")
