@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: replicate the sf0.1 documents table `factor`× (doc_id
+  * offset per copy — exact duplicates, the realistic re-crawl/re-ingest
+  * shape) and time the linear-shape document operators on it, so the
+  * "would this still work at N×" question gets a measured answer instead
+  * of an asserted one. Quadratic-output operators (q36's pair expansion
+  * within duplicate groups) are exercised by DedupSpec's planted
+  * mega-cluster instead — their OUTPUT grows quadratically with copy
+  * count by definition, so a wall-clock ratio would measure semantics,
+  * not scaling.
+  *
+  * Usage: graft.ScaleSmoke <sfDir> <factor> <workDir>
+  * Prints one JSON line: {"factor":N,"queries":{name:sec,...}}
+  */
+object ScaleSmoke {
+
+  private val linearQueries = Seq(
+    "q34_exact_dedup", "q48_repetition", "q53_top_tokens",
+    "q54_clean_corpus", "q60_decontam", "q69_charclass", "q70_chunking")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = args.lift(2).getOrElse("/tmp/graft_scale_smoke")
+    val spark = graft.util.GraftSession.local("graft-scale-smoke")
+    import spark.implicits._
+
+    val d = graft.util.Tables(spark, sfDir, "documents")
+    (0 until factor).map(k => d.withColumn("doc_id", $"doc_id" + lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm-up pass at base scale (codegen/classload), then timed passes
+    linearQueries.foreach(time(_, sfDir))
+    val base = linearQueries.map(n => n -> time(n, sfDir)).toMap
+    val scaled = linearQueries.map(n => n -> time(n, workDir)).toMap
+    val qJson = linearQueries.map { n =>
+      val ratio = scaled(n) / base(n)
+      f""""$n":{"base":${base(n)}%.3f,"scaled":${scaled(n)}%.3f,"ratio":$ratio%.2f}"""
+    }.mkString(",")
+    println(s"""{"factor":$factor,"queries":{$qJson}}""")
+    spark.stop()
+  }
+}
