@@ -225,19 +225,37 @@ object TextOps {
     * alone; composition stays one plan, no driver loops, no collects. */
   def q54CleanCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    stagedDocs(docs(s, dir))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"stage" === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"stage" === "repetition", 1L).otherwise(0L)).as("n_rep"),
+        sum(when($"stage" === "quality", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"stage" === "sample", 1L).otherwise(0L)).as("n_sample"),
+        sum(when($"stage" === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  /** The row-level primitive under q54's accounting AND the publish
+    * pipeline ([[graft.app.CleanPipeline]]): every document of the input
+    * corpus plus its cleaning `stage` (dup / repetition / quality /
+    * sample / kept — first failing stage wins). Filtering `stage = kept`
+    * yields the publishable corpus; aggregating yields q54. */
+  def stagedDocs(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir)
     // canonical id via a window min over the hash partition: one shuffle
     // on h and ONE scan of documents, vs groupBy + re-join (two scans)
     val withCanon = d
       .withColumn("h", md5($"text".cast("binary")))
       .withColumn("canon_id", min($"doc_id").over(Window.partitionBy($"h")))
-    val rep = Dedup.shingleRows(s, dir, distinct = false)
+    val rep = Dedup.shingleRowsOf(d.select($"doc_id", $"text"), distinct = false)
       .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg((sum($"c") - count(lit(1))).cast("double")
         ./(sum($"c").cast("double")).as("rep_frac"))
-    val staged = withCanon
+    withCanon
       .join(rep, Seq("doc_id"), "left") // <3-token docs: no shingles ⇒ 0.0
       .withColumn("rf", coalesce($"rep_frac", lit(0.0)))
       .withColumn("toks", split(lower($"text"), " "))
@@ -254,14 +272,7 @@ object TextOps {
           .when($"quality" < 0.52, "quality")
           .when($"bucket" >= $"rate", "sample")
           .otherwise("kept"))
-    staged.groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"stage" === "dup", 1L).otherwise(0L)).as("n_dup"),
-        sum(when($"stage" === "repetition", 1L).otherwise(0L)).as("n_rep"),
-        sum(when($"stage" === "quality", 1L).otherwise(0L)).as("n_quality"),
-        sum(when($"stage" === "sample", 1L).otherwise(0L)).as("n_sample"),
-        sum(when($"stage" === "kept", 1L).otherwise(0L)).as("n_kept"))
-      .orderBy($"lang")
+      .drop("h", "canon_id", "rep_frac", "rf", "toks", "bucket", "rate")
   }
 
   // ---------------------------------------------------------------- q57

@@ -67,6 +67,29 @@ class PublishSpec extends AnyFunSuite {
       s"bucketed aggregation still shuffles:\n$p")
   }
 
+  test("CleanPipeline publishes exactly q54's kept documents") {
+    // fresh location, same leftover-warehouse hygiene as publishOnce
+    spark.sql("DROP TABLE IF EXISTS clean_pub")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "clean_pub")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    val summary = graft.app.CleanPipeline.run(spark, dir, "clean_pub", buckets = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wantKept = graft.operators.TextOps.q54CleanCorpus(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    // accounting agrees with q54's oracle-checked totals...
+    wantKept.foreach { case (lang, n) =>
+      assert(summary.getOrElse((lang, "kept"), 0L) == n, s"lang $lang")
+    }
+    // ...and the published table holds exactly the kept rows
+    assert(spark.table("clean_pub").count() == wantKept.values.sum)
+  }
+
   test("per-language read prunes partitions at the source") {
     publishOnce()
     val p = plan(spark.table("docs_pub").filter("lang = 'en'"))
