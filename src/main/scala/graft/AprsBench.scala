@@ -46,7 +46,11 @@ object AprsBench {
     val pps = n / sec
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"""{"metric":"aprs_packets_per_sec","value":$pps%.0f,"unit":"rows/sec","rows":$n,"sec":$sec%.2f,"loadavg":$load%.1f}""")
+    // Locale.ROOT: the f interpolator's default-locale decimal separator
+    // would emit "3,61" (invalid JSON) on non-dot-decimal JVMs
+    println(String.format(java.util.Locale.ROOT,
+      """{"metric":"aprs_packets_per_sec","value":%.0f,"unit":"rows/sec","rows":%d,"sec":%.2f,"loadavg":%.1f}""",
+      Double.box(pps), Long.box(n), Double.box(sec), Double.box(load)))
     Console.flush()
     spark.stop()
   }

@@ -81,7 +81,8 @@ object Bench {
     val spark = graft.util.GraftSession.local("graft-bench")
     names.foreach { name =>
       measureOne(name, sfDir) match {
-        case Right(sec) => println(f"GRAFTQ $name $sec%.6f")
+        case Right(sec) => println("GRAFTQ %s %s".format(name,
+          String.format(java.util.Locale.ROOT, "%.6f", Double.box(sec))))
         case Left(err)  => println(s"GRAFTERR $name $err")
       }
       Console.flush()

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * not scaling.
   *
   * Usage: graft.ScaleSmoke <sfDir> <factor> <workDir>
-  * Prints one JSON line: {"factor":N,"queries":{name:sec,...}}
+  * Prints one JSON line:
+  * {"factor":N,"queries":{name:{"base":sec,"scaled":sec,"ratio":x},...}}
   */
 object ScaleSmoke {
 
@@ -44,9 +45,14 @@ object ScaleSmoke {
     linearQueries.foreach(time(_, sfDir))
     val base = linearQueries.map(n => n -> time(n, sfDir)).toMap
     val scaled = linearQueries.map(n => n -> time(n, workDir)).toMap
+    // Locale.ROOT: the f interpolator's default-locale decimal separator
+    // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        Double.box(v))
     val qJson = linearQueries.map { n =>
       val ratio = scaled(n) / base(n)
-      f""""$n":{"base":${base(n)}%.3f,"scaled":${scaled(n)}%.3f,"ratio":$ratio%.2f}"""
+      s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},"ratio":${num(ratio, 2)}}"""
     }.mkString(",")
     println(s"""{"factor":$factor,"queries":{$qJson}}""")
     spark.stop()

@@ -20,16 +20,24 @@ import graft.util.Tables
 object CleanPipeline {
 
   /** Returns the per-(lang, stage) accounting AFTER publishing the kept
-    * documents to `table`. */
+    * documents to `table`. The staged frame is persisted across its two
+    * consumers (the publish write and the accounting aggregate) so the
+    * cascade — the expensive plan here — runs once, and the tiny
+    * accounting result is materialized before the unpersist. */
   def run(spark: SparkSession, inDir: String, table: String,
       buckets: Int = 32): DataFrame = {
-    val staged = TextOps.stagedDocs(Tables(spark, inDir, "documents"))
-    val kept = staged.filter(col("stage") === "kept")
-      .select("doc_id", "text", "source", "n_chars", "lang")
-    CorpusPublisher.publish(kept, table, buckets)
-    staged.groupBy(col("lang"), col("stage"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("stage"))
+    val staged = TextOps.stagedDocs(Tables(spark, inDir, "documents")).persist()
+    try {
+      val kept = staged.filter(col("stage") === "kept")
+        .select("doc_id", "text", "source", "n_chars", "lang")
+      CorpusPublisher.publish(kept, table, buckets)
+      val acct = staged.groupBy(col("lang"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("stage"))
+      val rows = acct.collect() // |langs|×|stages| rows — driver-sized
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), acct.schema)
+    } finally staged.unpersist()
   }
 
   def main(args: Array[String]): Unit = {

@@ -239,8 +239,10 @@ object TextOps {
   /** The row-level primitive under q54's accounting AND the publish
     * pipeline ([[graft.app.CleanPipeline]]): every document of the input
     * corpus plus its cleaning `stage` (dup / repetition / quality /
-    * sample / kept — first failing stage wins). Filtering `stage = kept`
-    * yields the publishable corpus; aggregating yields q54. */
+    * sample / kept — first failing stage wins) and the `quality` score,
+    * deliberately retained as an observability signal (IngestClean's
+    * convention). Filtering `stage = kept` yields the publishable corpus;
+    * aggregating yields q54. */
   def stagedDocs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._

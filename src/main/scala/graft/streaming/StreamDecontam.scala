@@ -23,10 +23,12 @@ import graft.operators.Dedup
 object StreamDecontam {
 
   /** Static side: the distinct DecontamWidth-gram set of an eval corpus
-    * (`(doc_id, text)` rows). */
+    * (`(doc_id, text)` rows). Cached — the static side of a stream-static
+    * join is re-evaluated every micro-batch, and this one is provably
+    * identical across the query's lifetime. */
   def evalShingles(evalDocs: DataFrame): DataFrame =
     Dedup.shingleRowsOf(evalDocs, distinct = false, width = Dedup.DecontamWidth)
-      .select(col("s")).distinct()
+      .select(col("s")).distinct().cache()
 
   /** One alert row (doc_id, offending-shingle evidence) per contaminated
     * incoming document; `stream` carries `(doc_id, text)`. */

@@ -13,19 +13,23 @@ class PublishSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   private val dir = "/root/testdata/sf0.001"
 
+  /** The in-memory catalog is per-JVM but the warehouse dir persists: a
+    * leftover location from a previous run must go before a re-create. */
+  private def cleanTableLocation(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   private def publishOnce(): Unit = {
     if (!spark.catalog.tableExists("docs_pub")) {
-      // the in-memory catalog is per-JVM but the warehouse dir persists:
-      // a leftover location from a previous run must go first
-      spark.sql("DROP TABLE IF EXISTS docs_pub")
-      val loc = new java.io.File(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-        "docs_pub")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
+      cleanTableLocation("docs_pub")
       val d = graft.util.Tables(spark, dir, "documents")
         .select("doc_id", "text", "source", "n_chars", "lang")
       CorpusPublisher.publish(d, "docs_pub", buckets = 8)
@@ -68,16 +72,7 @@ class PublishSpec extends AnyFunSuite {
   }
 
   test("CleanPipeline publishes exactly q54's kept documents") {
-    // fresh location, same leftover-warehouse hygiene as publishOnce
-    spark.sql("DROP TABLE IF EXISTS clean_pub")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      "clean_pub")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (loc.exists()) rm(loc)
+    cleanTableLocation("clean_pub")
     val summary = graft.app.CleanPipeline.run(spark, dir, "clean_pub", buckets = 4)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val wantKept = graft.operators.TextOps.q54CleanCorpus(spark, dir)

@@ -186,9 +186,8 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  /** Ingestion-time exact dedup: the first copy of each distinct text is
-    * kept, later copies (same batch or later batches) drop via keyed
-    * state. Batch execution of the same operator must agree. */
+  /** StreamDecontam (q60's continuous twin): stream-static shingle join,
+    * one alert per contaminated document across the query lifetime. */
   test("streaming decontamination alerts once per contaminated doc") {
     import org.apache.spark.sql.types._
     import spark.implicits._
@@ -225,6 +224,9 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Ingestion-time exact dedup: the first copy of each distinct text is
+    * kept, later copies (same batch or later batches) drop via keyed
+    * state. Batch execution of the same operator must agree. */
   test("streaming exact dedup keeps first copy across micro-batches") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("dedup_stream")
