@@ -310,6 +310,46 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q71
+  /** KMV (bottom-k / k-minimum-values) distinct-count sketch, k = 64:
+    * keep the k smallest 48-bit md5-derived hashes of each group's
+    * values; estimate D̂ = (k−1)·2⁴⁸ / h_k (exact count when the group
+    * has < k values). The deliberate contrast to q19's HLL++: because
+    * the hash family is md5 (engine-portable) and the estimator is pure
+    * arithmetic, the SKETCH ITSELF is deterministic — the oracle checks
+    * it hash-exact, where HLL implementations can only be rows-only.
+    * KMV is also mergeable (union of bottom-k sets → bottom-k), the
+    * property that makes it a distributed partial aggregate at scale;
+    * here the per-group bottom-k is a WindowGroupLimit (partial top-k
+    * before the full sort, q07's shape). Reports the exact distinct and
+    * relative error alongside — both deterministic. */
+  val KmvK = 64
+
+  def q71KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_partkey").distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(cast(l_partkey as string) as binary)), 1, 12), 16, 10) as long)"))
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"h".asc, $"l_partkey".asc)
+    val sketch = d.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KmvK)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("k_obs"), max($"h").as("hk"))
+    val exact = d.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_distinct"))
+    sketch.join(exact, "l_returnflag")
+      .withColumn("est_kmv",
+        when($"k_obs" < KmvK, $"k_obs".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(math.pow(2, 48)) /
+            $"hk".cast("double")))
+      .withColumn("rel_err",
+        ($"est_kmv" - $"n_distinct".cast("double")) / $"n_distinct".cast("double"))
+      .select($"l_returnflag", $"n_distinct", $"hk", $"est_kmv", $"rel_err")
+      .orderBy($"l_returnflag")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Date arithmetic (§2.7 *(absent)* row): order→ship latency histogram
     * via datediff + month extraction. */
@@ -370,6 +410,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_date_arith" -> (q22DateArith _),
     "q67_range_join" -> (q67RangeJoin _),
+    "q71_kmv_distinct" -> (q71KmvDistinct _),
     "q01_agg" -> (q01Agg _),
     "q02_join_broadcast" -> (q02JoinBroadcast _),
     "q03_join_multi" -> (q03JoinMulti _),
@@ -395,6 +436,27 @@ object Relational {
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q71_kmv_distinct" -> {
+      val hexInt =
+        "list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |h AS (SELECT l_returnflag, l_partkey, $hexInt h FROM d),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |        ORDER BY h ASC, l_partkey ASC) rn FROM h),
+        |sk AS (SELECT l_returnflag, COUNT(*) k_obs, MAX(h) hk
+        |       FROM r WHERE rn <= $KmvK GROUP BY l_returnflag),
+        |ex AS (SELECT l_returnflag, COUNT(*) n_distinct FROM d GROUP BY 1),
+        |j AS (SELECT sk.l_returnflag, CAST(ex.n_distinct AS BIGINT) n_distinct,
+        |        sk.hk,
+        |        CASE WHEN sk.k_obs < $KmvK THEN CAST(sk.k_obs AS DOUBLE)
+        |             ELSE CAST(${KmvK - 1} AS DOUBLE) * 281474976710656.0
+        |                  / CAST(sk.hk AS DOUBLE) END est_kmv
+        |      FROM sk JOIN ex USING (l_returnflag))
+        |SELECT l_returnflag, n_distinct, hk, est_kmv,
+        |  (est_kmv - CAST(n_distinct AS DOUBLE)) / CAST(n_distinct AS DOUBLE)
+        |    AS rel_err
+        |FROM j ORDER BY l_returnflag""".stripMargin
+    },
     "q67_range_join" ->
       s"""SELECT a.event_id AS click_id, b.event_id AS purchase_id,
         |  a.user_id AS user_id,

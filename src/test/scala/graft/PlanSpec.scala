@@ -43,11 +43,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q07/q53: rank filters plan a WindowGroupLimit (partial top-k)") {
+  test("q07/q53/q71: rank filters plan a WindowGroupLimit (partial top-k)") {
     // per-partition top-k runs BEFORE the full window sort — the property
     // that keeps grouped top-k viable when a group spans many rows
     assert(plan("q07_window_topn").contains("WindowGroupLimit"))
     assert(plan("q53_top_tokens").contains("WindowGroupLimit"))
+    // the KMV bottom-k sketch is the same partial-top-k shape
+    assert(plan("q71_kmv_distinct").contains("WindowGroupLimit"))
   }
 
   test("q01: aggregation is partial+final hash aggregate") {
