@@ -26,4 +26,11 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Register every table as a temp view, so pure-SQL users run the
+    * engine through `spark.sql(...)` — combined with
+    * [[graft.GraftFunctions.register]] this makes the whole surface
+    * (tables + custom functions) reachable without the DataFrame API. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

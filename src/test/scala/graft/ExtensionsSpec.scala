@@ -25,6 +25,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) > 0)
   }
 
+  test("pure-SQL surface: registered table views + custom functions") {
+    graft.util.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // a join over the views plus a custom function, no DataFrame API
+    val r = spark.sql(
+      """SELECT o.o_orderstatus, sum128(CAST(l.l_quantity AS BIGINT)) q
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(r.length == 3 && r.forall(_.getDouble(1) > 0))
+    // the events view carries the restored ns->us timestamp column
+    val ts = spark.sql("SELECT MIN(ts) FROM events").collect()(0)
+    assert(ts.getTimestamp(0) != null)
+  }
+
   test("sum128 aggregate callable from SQL") {
     spark.range(1000).createOrReplaceTempView("ext_nums")
     val s = spark.sql("SELECT sum128(id) AS s FROM ext_nums").collect()(0).getDouble(0)
