@@ -96,6 +96,15 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("typed Dataset surface round-trips the corpus tables") {
+    val docs = graft.model.Corpus.documents(spark, dir)
+    val d = docs.head()
+    assert(d.n_chars == d.text.length, "n_chars disagrees with text")
+    assert(docs.filter((x: graft.model.Document) => x.lang == "en").count() > 0)
+    val emb = graft.model.Corpus.embeddings(spark, dir).head()
+    assert(emb.embedding.length == 64)
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
