@@ -311,9 +311,10 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q71
-  /** KMV (bottom-k / k-minimum-values) distinct-count sketch, k = 64:
-    * keep the k smallest 48-bit md5-derived hashes of each group's
-    * values; estimate D̂ = (k−1)·2⁴⁸ / h_k (exact count when the group
+  /** KMV (bottom-k / k-minimum-values) distinct-count sketch, k = 64
+    * (the classic Bar-Yossef et al. 2002 streaming estimator): keep the
+    * k smallest 48-bit md5-derived hashes of each group's values;
+    * estimate D̂ = (k−1)·2⁴⁸ / h_k (exact count when the group
     * has < k values). The deliberate contrast to q19's HLL++: because
     * the hash family is md5 (engine-portable) and the estimator is pure
     * arithmetic, the SKETCH ITSELF is deterministic — the oracle checks
