@@ -351,6 +351,39 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q72
+  /** Cohort retention matrix: users grouped by first-activity period
+    * (cohort), then for each (cohort, period-offset) the distinct users
+    * still active — the standard product-analytics rollup. Periods are
+    * DAYS by integer epoch arithmetic from a fixed origin (no
+    * date-library rounding; daily, because the corpus spans one month —
+    * a production deployment would use weeks). Shape: one agg for
+    * first-activity, one distinct (user, period) projection, a
+    * broadcast-size join on user, and the final matrix agg — counts
+    * only, hash-exact by construction. */
+  val CohortOriginUs = 1704067200000000L // 2024-01-01T00:00:00Z
+  val CohortPeriodUs = 86400L * 1000000L
+
+  def q72Cohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val active = t(s, dir, "events")
+      .select($"user_id",
+        expr(s"(unix_micros(ts) - ${CohortOriginUs}L) div ${CohortPeriodUs}L")
+          .as("period"))
+      .distinct()
+    val cohorts = active.groupBy($"user_id").agg(min($"period").as("cohort"))
+    val sizes = cohorts.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))
+    active.join(cohorts, "user_id")
+      .groupBy($"cohort", ($"period" - $"cohort").as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention",
+        $"n_active".cast("double") / $"cohort_size".cast("double"))
+      .select($"cohort", $"period_offset", $"cohort_size", $"n_active",
+        $"retention")
+      .orderBy($"cohort", $"period_offset")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Date arithmetic (§2.7 *(absent)* row): order→ship latency histogram
     * via datediff + month extraction. */
@@ -412,6 +445,7 @@ object Relational {
     "q22_date_arith" -> (q22DateArith _),
     "q67_range_join" -> (q67RangeJoin _),
     "q71_kmv_distinct" -> (q71KmvDistinct _),
+    "q72_cohorts" -> (q72Cohorts _),
     "q01_agg" -> (q01Agg _),
     "q02_join_broadcast" -> (q02JoinBroadcast _),
     "q03_join_multi" -> (q03JoinMulti _),
@@ -437,6 +471,21 @@ object Relational {
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q72_cohorts" ->
+      s"""WITH active AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) - $CohortOriginUs) // $CohortPeriodUs AS period
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(period) cohort FROM active GROUP BY 1),
+        |sizes AS (SELECT cohort, COUNT(*) cohort_size FROM cohorts GROUP BY 1)
+        |SELECT c.cohort, a.period - c.cohort AS period_offset,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  COUNT(*) AS n_active,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+        |FROM active a
+        |JOIN cohorts c USING (user_id)
+        |JOIN sizes s ON s.cohort = c.cohort
+        |GROUP BY c.cohort, a.period - c.cohort, s.cohort_size
+        |ORDER BY 1, 2""".stripMargin,
     "q71_kmv_distinct" -> {
       val hexInt =
         "list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
