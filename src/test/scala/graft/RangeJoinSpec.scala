@@ -54,6 +54,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == want.toSeq)
   }
 
+  /** Two independent formulations of 30-minute-gap sessions — q15's
+    * lag + running-sum construction and Spark's session_window builtin —
+    * must produce identical per-user session counts. */
+  test("q15 lag-based sessions agree with the session_window builtin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaBuiltin = graft.util.Tables(spark, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaLag = graft.operators.Relational.q15Sessionize(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaLag.nonEmpty && viaBuiltin.size == viaLag.size)
+    viaLag.foreach { case (u, v) =>
+      assert(viaBuiltin(u) == v, s"user $u: builtin ${viaBuiltin(u)} vs lag $v")
+    }
+  }
+
   test("q66 max reconstruction error stays under the quantization step/2") {
     val rows = Similarity.q66QuantizeError(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -96,6 +96,19 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** q58 (cross-doc packing) and q70 (per-doc chunking) share one
+    * tokenization — their per-language token totals must agree. */
+  test("q58 and q70 agree on total tokens per language") {
+    val packed = TextOps.q58SequencePacking(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val chunked = TextOps.q70Chunking(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(packed.nonEmpty && packed.keySet == chunked.keySet)
+    packed.foreach { case (lang, tok) =>
+      assert(chunked(lang) == tok, s"lang $lang: $tok vs ${chunked(lang)}")
+    }
+  }
+
   test("typed Dataset surface round-trips the corpus tables") {
     val docs = graft.model.Corpus.documents(spark, dir)
     val d = docs.head()
