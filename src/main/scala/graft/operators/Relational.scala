@@ -384,6 +384,58 @@ object Relational {
       .orderBy($"cohort", $"period_offset")
   }
 
+  // ---------------------------------------------------------------- q73
+  /** Ordered conversion funnel signup → click → purchase: a user reaches
+    * a step only via an event inside [prev-step entry, +24 h) — the
+    * min-timestamp entry semantics make re-orderings unable to
+    * double-count, and the window makes conversion a real drop-off
+    * measure instead of "ever did both". Three conditional aggregates
+    * chained by per-user joins — each stage is one shuffle on user_id
+    * and the frames shrink monotonically. Conversion is each step's
+    * user count over the previous step's. */
+  val FunnelStepUs = 24L * 3600L * 1000000L
+
+  def q73Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val su = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("sus"))
+    val cl = ev.filter($"event_type" === "click").join(su, "user_id")
+      .filter($"us" >= $"sus" && $"us" < $"sus" + FunnelStepUs)
+      .groupBy($"user_id").agg(min($"us").as("cus"))
+    val pu = ev.filter($"event_type" === "purchase").join(cl, "user_id")
+      .filter($"us" >= $"cus" && $"us" < $"cus" + FunnelStepUs)
+      .groupBy($"user_id").agg(min($"us").as("pus"))
+    val counts = Seq(
+      ("1_signup", su), ("2_click", cl), ("3_purchase", pu))
+    val rows = counts.map { case (step, df) =>
+      df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(step))
+    }.reduce(_ union _)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"step")
+    rows.select($"step", $"n_users")
+      .withColumn("conv",
+        $"n_users".cast("double") /
+          coalesce(lag($"n_users", 1).over(w), $"n_users").cast("double"))
+      .orderBy($"step")
+  }
+
+  // ---------------------------------------------------------------- q74
+  /** Event-type transition matrix: counts of consecutive (prev → next)
+    * event-type pairs per user timeline (lag over a total order) — the
+    * path-analysis primitive. One shuffle on user_id for the window, one
+    * vocabulary-sized aggregate. */
+  def q74Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"prev_type", $"event_type")
+  }
+
   // ---------------------------------------------------------------- q22
   /** Date arithmetic (§2.7 *(absent)* row): order→ship latency histogram
     * via datediff + month extraction. */
@@ -446,6 +498,8 @@ object Relational {
     "q67_range_join" -> (q67RangeJoin _),
     "q71_kmv_distinct" -> (q71KmvDistinct _),
     "q72_cohorts" -> (q72Cohorts _),
+    "q73_funnel" -> (q73Funnel _),
+    "q74_transitions" -> (q74Transitions _),
     "q01_agg" -> (q01Agg _),
     "q02_join_broadcast" -> (q02JoinBroadcast _),
     "q03_join_multi" -> (q03JoinMulti _),
@@ -471,6 +525,36 @@ object Relational {
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q73_funnel" ->
+      s"""WITH su AS (SELECT user_id, MIN(epoch_us(ts)) sus FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |cl AS (SELECT e.user_id, MIN(epoch_us(e.ts)) cus
+        |       FROM events e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= su.sus
+        |         AND epoch_us(e.ts) < su.sus + $FunnelStepUs
+        |       GROUP BY 1),
+        |pu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) pus
+        |       FROM events e JOIN cl USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= cl.cus
+        |         AND epoch_us(e.ts) < cl.cus + $FunnelStepUs
+        |       GROUP BY 1),
+        |steps AS (
+        |  SELECT '1_signup' step, COUNT(*) n_users FROM su
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM cl
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM pu)
+        |SELECT step, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_users AS DOUBLE)
+        |    / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step), n_users) AS DOUBLE)
+        |    AS conv
+        |FROM steps ORDER BY step""".stripMargin,
+    "q74_transitions" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
     "q72_cohorts" ->
       s"""WITH active AS (SELECT DISTINCT user_id,
         |    (epoch_us(ts) - $CohortOriginUs) // $CohortPeriodUs AS period
