@@ -413,7 +413,13 @@ object Dedup {
     * distinct contaminated doc ids before the per-language count. No
     * per-pair work, no fan-out beyond the shingle join, and the final agg
     * is over (lang) — at 100 TB this is one shuffle on the shingle plus
-    * one on doc_id. */
+    * one on doc_id. Scan accounting, honestly: the SAME-corpus split
+    * used here decodes the text column twice (the eval and train
+    * branches carry complementary bucket filters that cannot push into
+    * the parquet scan, and Spark reuses only exchange subtrees, not
+    * scans); in the production shape the eval side is a separate
+    * benchmark corpus and each side is scanned once. A caller looping
+    * over same-corpus configurations should persist the shingle rows. */
   def q60Decontam(s: SparkSession, dir: String): DataFrame =
     decontamOf(docs(s, dir))
 

@@ -366,10 +366,14 @@ object Relational {
 
   def q72Cohorts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // FLOOR division, not `div` (truncation): a pre-origin event must land
+    // in period -1, matching DuckDB's `//` — pmod's non-negative remainder
+    // makes (x - pmod(x, p)) div p an exact floor for either sign
     val active = t(s, dir, "events")
       .select($"user_id",
-        expr(s"(unix_micros(ts) - ${CohortOriginUs}L) div ${CohortPeriodUs}L")
-          .as("period"))
+        expr(s"""(unix_micros(ts) - ${CohortOriginUs}L
+                 - pmod(unix_micros(ts) - ${CohortOriginUs}L, ${CohortPeriodUs}L))
+                div ${CohortPeriodUs}L""").as("period"))
       .distinct()
     val cohorts = active.groupBy($"user_id").agg(min($"period").as("cohort"))
     val sizes = cohorts.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))

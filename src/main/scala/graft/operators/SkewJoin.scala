@@ -35,6 +35,8 @@ object SkewJoin {
   def salted(skewed: DataFrame, modest: DataFrame, key: String,
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    require(!skewed.columns.contains("_salt") && !modest.columns.contains("_salt"),
+      "inputs must not carry a _salt column (reserved by SkewJoin.salted)")
     val ls = skewed.withColumn("_salt",
       pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor.toLong)))
     val rs = modest.withColumn("_salt",

@@ -356,21 +356,23 @@ object TextOps {
     * every engine, where `ln` is library-dependent in the last ulp. df is
     * document frequency over the FULL corpus (distinct doc per token —
     * the word-count shuffle, bounded by vocabulary after partial agg); N
-    * reaches the driver as one aggregate scalar (model-to-driver, the
-    * q44/q52 pattern). Ranking ties break on token text. */
+    * joins in as a one-row broadcast aggregate (the scalar-subquery
+    * shape — fully lazy, so building the plan never triggers a job).
+    * Ranking ties break on token text. */
   def q61Tfidf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val toks = docs(s, dir)
       .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
-    val n = docs(s, dir).count() // one scalar to the driver, never rows
+    val nDf = docs(s, dir).agg(count(lit(1)).cast("double").as("n_total"))
     val tf = toks.filter($"doc_id" < 50)
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val dfT = toks.distinct().groupBy($"tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok".asc)
     tf.join(dfT, "tok")
+      .crossJoin(broadcast(nDf)) // 1 aggregate row — a scalar, not a frame
       .withColumn("score",
-        $"tf".cast("double") * lit(n.toDouble) / $"df".cast("double"))
+        $"tf".cast("double") * $"n_total" / $"df".cast("double"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"doc_id", $"rk".cast("long").as("rk"), $"tok",

@@ -56,10 +56,21 @@ class RangeJoinSpec extends AnyFunSuite {
 
   /** Two independent formulations of 30-minute-gap sessions — q15's
     * lag + running-sum construction and Spark's session_window builtin —
-    * must produce identical per-user session counts. */
+    * must produce identical per-user session counts. The formulations
+    * disagree ONLY at a gap of exactly 30:00.000000 (q15's `> gap` keeps
+    * it in-session, session_window's half-open windows split), so the
+    * test first PROVES no such gap exists in the corpus — the
+    * equivalence claim is checked, not assumed. */
   test("q15 lag-based sessions agree with the session_window builtin") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val boundaryGaps = graft.util.Tables(spark, dir, "events")
+      .withColumn("gap", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(wu))
+      .filter($"gap" === 1800L * 1000000L).count()
+    assert(boundaryGaps == 0L,
+      "corpus has an exactly-30-minute gap; the two formulations diverge there by design")
     val viaBuiltin = graft.util.Tables(spark, dir, "events")
       .groupBy($"user_id", session_window($"ts", "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
