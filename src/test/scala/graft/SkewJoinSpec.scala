@@ -40,6 +40,18 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(max <= 10000 / n * 2, s"max per-salt share $max")
   }
 
+  test("inputs already carrying _salt are rejected, not clobbered") {
+    import spark.implicits._
+    val withSalt = Seq((1L, 0L)).toDF("k", "_salt")
+    val plain = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(withSalt, plain, "k")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(plain, withSalt, "k")
+    }
+  }
+
   test("content-derived salt is identical across recomputations") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
