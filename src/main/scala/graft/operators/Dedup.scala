@@ -233,14 +233,29 @@ object Dedup {
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
   }
 
-  def minHashLshPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
+  /** The LSH pipeline up to verified REPRESENTATIVE pairs (pre-expansion):
+    * (members (doc_id, rep), shingle-bearing rep ids with their distinct
+    * counts, verified pairs between reps). The component-level consumers
+    * (q62, q65) build on THIS — propagating labels over rep pairs and
+    * expanding LABELS to members afterwards is linear in membership,
+    * where propagating over the expanded pair list would be quadratic in
+    * duplicate-group size (exactly the mega-cluster blowup the collapse
+    * exists to prevent). */
+  private[graft] def lshRepGraph(d: DataFrame,
+      bucketCap: Long = MaxBandBucket): (DataFrame, DataFrame, DataFrame) = {
     val s = d.sparkSession
     import s.implicits._
     val (members, repDocs) = collapseExact(d)
     val sig = minhashSignatures(repDocs)
     val cand = lshCandidates(sig, bucketCap)
     val eD = shingleRowsOf(repDocs, distinct = true)
-    val verified = verifyJaccard(eD, cand) // representative pairs only
+    (members, eD, verifyJaccard(eD, cand))
+  }
+
+  def minHashLshPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val (members, eD, verified) = lshRepGraph(d, bucketCap)
 
     // membership expansion back to all doc pairs
     val nRep = eD.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -451,19 +466,55 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- q62
+  /** Per-document component labels for the q36 near-dup graph, computed
+    * the scale-safe way: label propagation runs over REPRESENTATIVE
+    * pairs only, then labels expand to members through the exact-dup
+    * group table — linear in membership. Propagating over q36's
+    * EXPANDED pair list would re-introduce the k²/2 intra-group edges
+    * the collapse removed (a 1000-identical-doc cluster = 499,500
+    * edges), melting the components query on exactly the input dedup
+    * exists for. Output = (doc_id, lbl) for every doc with ≥1 near-dup:
+    * reps connected by verified pairs, plus pair-less multi-member
+    * exact-dup groups (their members ARE near-dups — jaccard 1).
+    * Labels are component-min doc ids: reps are group-min by
+    * construction, and propagation takes the min rep. */
+  private def memberComponents(s: SparkSession, dir: String): DataFrame =
+    memberComponentsOf(docs(s, dir))
+
+  private[graft] def memberComponentsOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val (members, eD, verified) = lshRepGraph(d)
+    val repPairs = verified.select($"i", $"j")
+    val labels = Similarity.labelPropagate(repPairs)._1 // (id=rep, lbl)
+    // shingle-less (<3-token) groups never enter the pair graph (q36
+    // emits nothing for them) — the eD join keeps the semantics aligned
+    val multi = members.groupBy($"rep").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .join(eD.select($"doc_id".as("rep")).distinct(), "rep")
+      .select($"rep")
+    val pairless = multi.join(labels, multi("rep") === labels("id"), "left_anti")
+      .select($"rep".as("id"), $"rep".as("lbl"))
+    val compOfRep = labels.union(pairless)
+    members.join(compOfRep, members("rep") === compOfRep("id"))
+      .select($"doc_id", $"lbl")
+  }
+
   /** Near-dup cluster-size histogram: connected components over the q36
-    * LSH pair list (min-label propagation, q47's primitive), then
-    * cluster_size → how many clusters / documents. The shape-of-the-
+    * near-dup graph (rep-level propagation, see [[memberComponents]]),
+    * then cluster_size → how many clusters / documents. The shape-of-the-
     * duplication report that decides whether dedup should enumerate
     * pairs (small clusters) or collapse components (mega-clusters).
-    * Singleton documents never enter the pair list and are intentionally
-    * absent — the histogram is over documents that have at least one
-    * near-dup. Cost beyond q36 itself: O(log n) label-propagation rounds
-    * + two tiny partial aggs. */
+    * Singleton documents have no near-dup and are intentionally absent. */
   def q62ClusterSizes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = q36MinHashLsh(s, dir).select($"i", $"j")
-    Similarity.labelPropagate(pairs)._1
+    q62ClusterSizesOf(docs(s, dir))
+  }
+
+  private[graft] def q62ClusterSizesOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    memberComponentsOf(d)
       .groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
       .groupBy($"cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
@@ -476,18 +527,16 @@ object Dedup {
     * component keep the longest member (max n_chars, tie → min doc_id) —
     * the "best representative" rule a cleaning pipeline applies before
     * writing the deduplicated corpus. cluster_rep is the component's min
-    * doc_id (the label propagation fixpoint). One window top-1 per
-    * cluster over rows already keyed by cluster — the same partial
-    * per-group top-k shape as q07 (WindowGroupLimit), no extra
-    * shuffle beyond the label join. */
+    * doc_id. One window top-1 per cluster over rows already keyed by
+    * cluster — the same partial per-group top-k shape as q07
+    * (WindowGroupLimit), no extra shuffle beyond the label join. */
   def q65KeepBest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = q36MinHashLsh(s, dir).select($"i", $"j")
-    val labels = Similarity.labelPropagate(pairs)._1 // (id, lbl)
+    val labels = memberComponents(s, dir)
     val d = docs(s, dir).select($"doc_id", $"n_chars")
-    val m = labels.join(d, labels("id") === d("doc_id"))
-      .select($"lbl", $"id", $"n_chars")
+    val m = labels.join(d, "doc_id")
+      .select($"lbl", $"doc_id".as("id"), $"n_chars")
     val w = Window.partitionBy($"lbl").orderBy($"n_chars".desc, $"id".asc)
     val wsz = Window.partitionBy($"lbl")
     m.withColumn("rk", row_number().over(w))

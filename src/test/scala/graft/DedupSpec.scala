@@ -187,6 +187,34 @@ class DedupSpec extends AnyFunSuite {
       out(0).toString)
   }
 
+  /** The component queries must survive the mega-cluster too: label
+    * propagation runs over REPRESENTATIVE pairs (1 rep here), never the
+    * 499,500 expanded intra pairs — O(members) label expansion, not
+    * O(members²) edges. */
+  test("q62-style components survive a planted 1000-identical-doc cluster") {
+    import spark.implicits._
+    val cluster = (1L to 1000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog"))
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = (cluster ++ Seq((2000L, a), (2001L, a + " x"))).toDF("doc_id", "text")
+    val (members, eD, verified) = Dedup.lshRepGraph(df)
+    // the rep graph carries at most ONE pair for the small group, never
+    // the cluster's half-million intra edges
+    assert(verified.count() <= 2)
+    val labels = graft.operators.Similarity.labelPropagate(
+      verified.select("i", "j"))._1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // membership expansion recovers the full 1000-doc component linearly
+    val multi = members.groupBy("rep").count().filter("count >= 2")
+      .join(eD.select(org.apache.spark.sql.functions.col("doc_id").as("rep")).distinct(), "rep")
+    val clusterRep = multi.collect().map(_.getLong(0))
+    assert(clusterRep.contains(1L), s"cluster rep missing: ${clusterRep.toSeq}")
+    val full = Dedup.q62ClusterSizesOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full(1000L) == 1L, s"histogram $full") // one 1000-doc cluster
+    assert(full(2L) == 1L, s"histogram $full") // plus the near-dup pair
+    assert(labels.nonEmpty || clusterRep.nonEmpty)
+  }
+
   /** q62/q65 must agree with a driver-side union-find over the SAME q36
     * pair list — an independent recomputation of the component structure
     * (the oracle checks each query alone; this pins their consistency). */
