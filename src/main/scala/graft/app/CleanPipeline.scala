@@ -40,6 +40,43 @@ object CleanPipeline {
     } finally staged.unpersist()
   }
 
+  /** The near-dup-aware variant: after the q54 stages, members of a q36
+    * near-dup component that are NOT the component's q65-chosen keeper
+    * (longest member, tie → min id) fall out as stage `neardup`. The
+    * keeper choice is cluster-wide and independent of the other stages —
+    * a cluster's keeper can itself be dropped by quality/sampling, which
+    * is the honest composition (choosing keepers only among survivors
+    * would make the keep-set depend on stage order). One extra join
+    * against the drop list; everything else identical to [[run]]. */
+  def runWithNearDup(spark: SparkSession, inDir: String, table: String,
+      buckets: Int = 32): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables(spark, inDir, "documents")
+    // q65's keep decision per cluster
+    val drops = Dedup.queries("q65_keep_best")(spark, inDir)
+      .select(col("cluster_rep").as("lbl"), col("keep_id"))
+    val dropList = Dedup.memberComponentsOf(docs)
+      .join(drops, "lbl")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id")).withColumn("neardup", lit(1))
+    val staged = TextOps.stagedDocs(docs)
+      .join(dropList, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("stage") === "kept" && col("neardup") === 1, "neardup")
+          .otherwise(col("stage")))
+      .persist()
+    try {
+      val kept = staged.filter(col("stage") === "kept")
+        .select("doc_id", "text", "source", "n_chars", "lang")
+      CorpusPublisher.publish(kept, table, buckets)
+      val acct = staged.groupBy(col("lang"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("stage"))
+      val rows = acct.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), acct.schema)
+    } finally staged.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val table = args.lift(1).getOrElse("clean_corpus")

@@ -85,6 +85,29 @@ class PublishSpec extends AnyFunSuite {
     assert(spark.table("clean_pub").count() == wantKept.values.sum)
   }
 
+  test("near-dup-aware pipeline drops exactly the non-keeper members") {
+    cleanTableLocation("clean_nd_pub")
+    val summary = graft.app.CleanPipeline
+      .runWithNearDup(spark, dir, "clean_nd_pub", buckets = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val plain = graft.app.CleanPipeline.run(spark, dir, "clean_pub", buckets = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every stage count matches the plain run except kept/neardup, whose
+    // sum equals the plain kept count (the near-dup stage only re-labels)
+    plain.keys.filter(_._2 != "kept").foreach { k =>
+      assert(summary.getOrElse(k, 0L) == plain(k), s"stage $k")
+    }
+    plain.filter(_._1._2 == "kept").foreach { case ((lang, _), n) =>
+      val kept = summary.getOrElse((lang, "kept"), 0L)
+      val nd = summary.getOrElse((lang, "neardup"), 0L)
+      assert(kept + nd == n, s"lang $lang: $kept + $nd != $n")
+    }
+    assert(spark.table("clean_nd_pub").count() ==
+      summary.collect { case ((_, "kept"), n) => n }.sum)
+    // at least one near-dup member must actually drop on this corpus
+    assert(summary.keys.exists(_._2 == "neardup"), summary.toString)
+  }
+
   test("per-language read prunes partitions at the source") {
     publishOnce()
     val p = plan(spark.table("docs_pub").filter("lang = 'en'"))
