@@ -45,6 +45,24 @@ object ScaleSmoke {
     linearQueries.foreach(time(_, sfDir))
     val base = linearQueries.map(n => n -> time(n, sfDir)).toMap
     val scaled = linearQueries.map(n => n -> time(n, workDir)).toMap
+
+    // correctness under scale-up, not just speed: exact duplication must
+    // multiply q69's per-language doc counts by exactly `factor` and
+    // leave the charclass averages unchanged. Counts compare exactly;
+    // averages to 1e-9 — the scaled sums divide in a different
+    // association ((f·S)/1e4/(f·N) vs (S/1e4)/N), so the two correctly-
+    // rounded results may differ in the last ulp without any
+    // partition-sensitivity being present.
+    val q69base = SparkEntry.queries("q69_charclass")(spark, sfDir).collect()
+    val q69scaled = SparkEntry.queries("q69_charclass")(spark, workDir).collect()
+    val invariantsOk = q69base.length == q69scaled.length &&
+      q69base.zip(q69scaled).forall { case (b, sc) =>
+        b.getString(0) == sc.getString(0) &&
+          sc.getLong(1) == b.getLong(1) * factor &&
+          (2 to 4).forall(i => math.abs(b.getDouble(i) - sc.getDouble(i)) < 1e-9)
+      }
+    require(invariantsOk,
+      "scale-up broke a scale-invariant result — aggregation is partition-sensitive somewhere")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =
@@ -54,7 +72,7 @@ object ScaleSmoke {
       val ratio = scaled(n) / base(n)
       s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},"ratio":${num(ratio, 2)}}"""
     }.mkString(",")
-    println(s"""{"factor":$factor,"queries":{$qJson}}""")
+    println(s"""{"factor":$factor,"invariants":"ok","queries":{$qJson}}""")
     spark.stop()
   }
 }
