@@ -139,6 +139,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamDecontam's once-per-doc alert guarantee must hold ACROSS a
+    * restart: the dropDuplicates state checkpoints with the query, so a
+    * doc alerted before the bounce never re-alerts after it. */
+  test("streaming decontamination alert state survives a restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("decontam_restart")
+    val ckpt = Files.createTempDirectory("decontam_restart_ckpt")
+    val leak = "zero one two three four five six"
+    val evalSh = graft.streaming.StreamDecontam.evalShingles(
+      Seq((100L, leak)).toDF("doc_id", "text"))
+    def doc(idx: Int, text: String) = s"""{"doc_id":$idx,"text":"$text"}"""
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      graft.streaming.StreamDecontam.alerts(stream, evalSh)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => alerts.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    Files.write(dir.resolve("b1.json"),
+      Seq(doc(0, "intro then " + leak)).mkString("\n").getBytes)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    assert(alerts.contains(0L), s"pre-restart alert missing: $alerts")
+    // restart on the same checkpoint: the SAME doc re-sent must not
+    // re-alert; a newly contaminated doc must
+    Files.write(dir.resolve("b2.json"),
+      Seq(doc(0, "intro then " + leak), doc(5, leak + " tail words"))
+        .mkString("\n").getBytes)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val ids = alerts.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+      assert(ids.count(_ == 0L) == 1, s"doc 0 re-alerted after restart: $ids")
+      assert(ids.contains(5L), s"post-restart contamination missed: $ids")
+    } finally q2.stop()
+  }
+
   /** §2.9 watermark semantics: event-time windows finalize when the
     * watermark passes their end, and rows older than the watermark are
     * DROPPED, not retro-added — the contract that bounds streaming agg
