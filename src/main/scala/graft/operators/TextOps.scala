@@ -57,7 +57,10 @@ object TextOps {
       .withColumn("n_punct",
         (length($"text") - length(regexp_replace($"text", "[.,!?;:]", ""))).cast("long"))
       .withColumn("n_stop", hitCount("toks", stopEn))
-      .withColumn("punct_ratio", $"n_punct".cast("double") / length($"text"))
+      // empty text: ratio 0 rather than an ANSI divide-by-zero error
+      .withColumn("punct_ratio",
+        when(length($"text") === 0, lit(0.0))
+          .otherwise($"n_punct".cast("double") / length($"text")))
       .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
       .withColumn("quality",
         $"stop_ratio" * 0.5 + (lit(1.0) - $"punct_ratio") * 0.5)
@@ -261,11 +264,15 @@ object TextOps {
       .join(rep, Seq("doc_id"), "left") // <3-token docs: no shingles ⇒ 0.0
       .withColumn("rf", coalesce($"rep_frac", lit(0.0)))
       .withColumn("toks", split(lower($"text"), " "))
+      // empty text would divide by length 0 (ANSI: a thrown error, not
+      // NaN) — an empty doc is junk by definition: quality 0 ⇒ it fails
+      // the quality stage instead of killing the job
       .withColumn("quality",
-        (hitCount("toks", stopEn).cast("double") / size($"toks")) * 0.5 +
-          (lit(1.0) -
-            (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
-              .cast("double") / length($"text")) * 0.5)
+        when(length($"text") === 0, lit(0.0)).otherwise(
+          (hitCount("toks", stopEn).cast("double") / size($"toks")) * 0.5 +
+            (lit(1.0) -
+              (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+                .cast("double") / length($"text")) * 0.5))
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
       .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
       .withColumn("stage",
@@ -479,8 +486,10 @@ object TextOps {
     * mean. Map-side lengths → one partial agg. */
   def q69CharClass(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // empty text: fraction 0 rather than an ANSI divide-by-zero error
     def frac(keepPat: String) =
-      length(regexp_replace($"text", keepPat, "")).cast("double") / length($"text")
+      when(length($"text") === 0, lit(0.0)).otherwise(
+        length(regexp_replace($"text", keepPat, "")).cast("double") / length($"text"))
     docs(s, dir)
       .withColumn("alpha_frac", frac("[^a-zA-Z]"))
       .withColumn("space_frac", frac("[^ ]"))

@@ -20,15 +20,17 @@ import graft.functions.ShingleStats
   */
 object IngestClean {
 
-  /** en stopword quality score, identical to TextOps.q31/q54. */
+  /** en stopword quality score, identical to TextOps.q31/q54 (incl. the
+    * empty-text guard: quality 0, not an ANSI divide-by-zero error). */
   private def quality(text: Column): Column = {
     val toks = split(lower(text), " ")
     val stopHits = expr(
       "CAST(size(filter(split(lower(text), ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
-    (stopHits.cast("double") / size(toks)) * 0.5 +
-      (lit(1.0) -
-        (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
-          .cast("double") / length(text)) * 0.5
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (stopHits.cast("double") / size(toks)) * 0.5 +
+        (lit(1.0) -
+          (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+            .cast("double") / length(text)) * 0.5)
   }
 
   /** Keeps documents that survive all four stages; adds the signal

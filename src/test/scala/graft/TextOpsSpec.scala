@@ -96,6 +96,39 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Degenerate documents — empty, blank, sub-shingle-width — must flow
+    * through the staging cascade without crashing and classify
+    * deterministically. This test originally CAUGHT a real crash: the
+    * quality score divides by length(text), and under ANSI mode (the
+    * Spark 4 default) an empty document threw DIVIDE_BY_ZERO through
+    * q31/q54/q69/IngestClean — all four now guard empty text as
+    * quality/fraction 0 (junk by definition, dropped at the quality
+    * stage instead of killing the job). */
+  test("stagedDocs survives empty and sub-width documents") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "", "en", "s0", 0L),
+      (2L, " ", "en", "s0", 1L),
+      (3L, "a", "en", "s0", 1L),
+      (4L, "a b", "en", "s0", 3L),
+      (5L, "the a of and to the a of and to . . .", "en", "s0", 37L))
+    val staged = TextOps.stagedDocs(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_id", "stage").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(staged.size == 5)
+    val valid = Set("dup", "repetition", "quality", "sample", "kept")
+    staged.foreach { case (id, st) =>
+      assert(valid.contains(st), s"doc $id -> $st")
+    }
+    // and twice in a row gives the same answer (determinism, incl. NaN paths)
+    val again = TextOps.stagedDocs(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_id", "stage").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == staged)
+  }
+
   /** q58 (cross-doc packing) and q70 (per-doc chunking) share one
     * tokenization — their per-language token totals must agree. */
   test("q58 and q70 agree on total tokens per language") {
