@@ -399,9 +399,13 @@ object Relational {
     * user count over the previous step's. */
   val FunnelStepUs = 24L * 3600L * 1000000L
 
-  def q73Funnel(s: SparkSession, dir: String): DataFrame = {
+  def q73Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(t(s, dir, "events"))
+
+  private[graft] def funnelOf(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
     import s.implicits._
-    val ev = t(s, dir, "events")
+    val ev = ev0
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
     val su = ev.filter($"event_type" === "signup")
       .groupBy($"user_id").agg(min($"us").as("sus"))
@@ -417,10 +421,15 @@ object Relational {
       df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(step))
     }.reduce(_ union _)
     val w = org.apache.spark.sql.expressions.Window.orderBy($"step")
+    // an empty previous step (no signups at all) must yield conv 0, not
+    // a 0/0 division error
     rows.select($"step", $"n_users")
+      .withColumn("prev",
+        coalesce(lag($"n_users", 1).over(w), $"n_users"))
       .withColumn("conv",
-        $"n_users".cast("double") /
-          coalesce(lag($"n_users", 1).over(w), $"n_users").cast("double"))
+        when($"prev" === 0L, lit(0.0))
+          .otherwise($"n_users".cast("double") / $"prev".cast("double")))
+      .select($"step", $"n_users", $"conv")
       .orderBy($"step")
   }
 

@@ -85,6 +85,20 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** A corpus with an empty funnel step must report conv 0, not die on
+    * a 0/0 division (the empty-doc ANSI lesson, applied to q73). */
+  test("q73 funnel with no signups yields zero counts, no division error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq((1L, 10L, "click"), (2L, 10L, "purchase"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(lit(1000000L) * col("event_id")))
+    val rows = Relational.funnelOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("1_signup", 0L, 0.0), ("2_click", 0L, 0.0),
+      ("3_purchase", 0L, 0.0)), rows.toSeq.toString)
+  }
+
   test("q66 max reconstruction error stays under the quantization step/2") {
     val rows = Similarity.q66QuantizeError(spark, dir).collect()
     assert(rows.nonEmpty)
