@@ -49,6 +49,16 @@ object Similarity {
     base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
 
+  /** Cosine with the zero-vector convention cos := 0. A zero embedding
+    * (a failed encoder is a fact of life in real corpora) gives norm 0,
+    * and under ANSI mode (the Spark 4 default) even double division by
+    * zero ABORTS the query — one bad row must not kill a similarity
+    * sweep. Zero cosine keeps such rows below every ≥-threshold filter
+    * and at the bottom of every top-k. */
+  private def safeCos(dot: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(den === 0.0, lit(0.0)).otherwise(dot.cast("double") / den)
+
   /** Exact cosine top-k per query over pre-joined candidate rows
     * ((qid,qe,qn) × (vec_id,e,nrm)). ONE definition of ranking shared by
     * q38 (headline output) and the q39/q44 approximate arms + recall
@@ -58,7 +68,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("dot", DotLongs(col("qe"), col("e")))
-      .withColumn("sim", col("dot").cast("double") / (col("qn") * col("nrm")))
+      .withColumn("sim", safeCos(col("dot"), col("qn") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id").as("nid"),
@@ -139,7 +149,7 @@ object Similarity {
     val b = base.select($"vec_id".as("j"), $"e".as("eb"), $"nrm".as("nb"))
     a.join(b, $"i" < $"j")
       .withColumn("dot", DotLongs($"ea", $"eb"))
-      .withColumn("cosine", $"dot".cast("double") / ($"na" * $"nb"))
+      .withColumn("cosine", safeCos($"dot", $"na" * $"nb"))
       .filter($"cosine" >= 0.45)
       .select($"i", $"j", $"cosine")
       .orderBy($"i", $"j")
@@ -181,7 +191,7 @@ object Similarity {
       // different blocks); diagonal cells need the id order predicate
       .filter($"cx" < $"cy" || $"ia" < $"jb")
       .withColumn("dot", DotLongs($"ea", $"eb"))
-      .withColumn("cosine", $"dot".cast("double") / ($"na" * $"nb"))
+      .withColumn("cosine", safeCos($"dot", $"na" * $"nb"))
       .filter($"cosine" >= 0.45)
       .select(least($"ia", $"jb").as("i"), greatest($"ia", $"jb").as("j"),
         $"cosine")
@@ -234,8 +244,7 @@ object Similarity {
   private def assignCell(cents: Seq[(Seq[Long], Double)]): org.apache.spark.sql.Column = {
     val structs = cents.zipWithIndex.map { case ((ce, cn), c) =>
       struct(
-        (DotLongs(col("e"), typedLit(ce)).cast("double") / (col("nrm") * cn))
-          .as("s"),
+        safeCos(DotLongs(col("e"), typedLit(ce)), col("nrm") * cn).as("s"),
         lit(-c).as("c"))
     }
     -array_max(array(structs: _*)).getField("c")
@@ -362,7 +371,7 @@ object Similarity {
     }
     val centDf = broadcast(cents.toDF("label", "ce", "cn"))
     base.join(centDf, "label")
-      .withColumn("cos", DotLongs($"e", $"ce").cast("double") / ($"nrm" * $"cn"))
+      .withColumn("cos", safeCos(DotLongs($"e", $"ce"), $"nrm" * $"cn"))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
         graft.util.OracleSafe.davg($"cos").as("avg_cos"),

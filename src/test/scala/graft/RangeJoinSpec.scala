@@ -99,6 +99,37 @@ class RangeJoinSpec extends AnyFunSuite {
       ("3_purchase", 0L, 0.0)), rows.toSeq.toString)
   }
 
+  /** A zero embedding (failed encoder) gives norm 0; under ANSI even
+    * double division by zero aborts the query. safeCos's cos := 0
+    * convention must keep the similarity family alive AND keep the bad
+    * row out of every thresholded result. */
+  test("similarity family survives a zero vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("zv").toString
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.0f), 1), // the zero vector, as a query too
+      (1L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f), 1),
+      (2L, Array.tabulate(64)(i => if (i == 0) 0.9f else 0.01f), 2),
+      (3L, Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f), 2))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // brute-force pairs: must run, and no pair may involve the zero vector
+    val pairs = graft.operators.Similarity.q43EmbeddingDedup(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 0L || p._2 == 0L), pairs.toSeq.toString)
+    assert(pairs.contains((1L, 2L))) // the genuine near-dup still found
+    // blocked path agrees
+    val blocked = graft.operators.Similarity
+      .q45EmbeddingDedupBlocked(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(blocked.sorted.toSeq == pairs.sorted.toSeq)
+    // top-k with the zero vector AS A QUERY: all sims 0, ranked by id
+    val topk = graft.operators.Similarity.q38AnnBrute(spark, tmp)
+      .filter(col("qid") === 0L).collect()
+    assert(topk.length == 3 && topk.forall(_.getDouble(3) == 0.0))
+  }
+
   test("q66 max reconstruction error stays under the quantization step/2") {
     val rows = Similarity.q66QuantizeError(spark, dir).collect()
     assert(rows.nonEmpty)
