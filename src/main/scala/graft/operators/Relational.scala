@@ -258,8 +258,17 @@ object Relational {
     * relational form. */
   def q16Json(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "events")
-      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+    qJsonOf(t(s, dir, "events"))
+  }
+
+  private[graft] def qJsonOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev
+      // try_cast, not cast: a malformed numeric payload in one event
+      // must group under bucket null (like a missing key), not abort the
+      // query under ANSI; the DuckDB twin uses TRY_CAST identically
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') as long)"))
       .withColumn("bucket", $"k" % 10)
       .groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
@@ -752,7 +761,7 @@ object Relational {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "q16_json" ->
-      s"""SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS bucket,
+      s"""SELECT event_type, TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS bucket,
         |  COUNT(*) AS n,
         |  ${SqlDsum("value")} AS sum_value
         |FROM events

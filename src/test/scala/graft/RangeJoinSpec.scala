@@ -99,6 +99,23 @@ class RangeJoinSpec extends AnyFunSuite {
       ("3_purchase", 0L, 0.0)), rows.toSeq.toString)
   }
 
+  /** Malformed JSON payloads must group under bucket null, not abort
+    * the query under ANSI's strict casts. */
+  test("q16 survives malformed and missing JSON payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "view", 1.0, """{"k":"7"}"""),
+      (2L, "view", 1.0, """{"k":"not-a-number"}"""),
+      (3L, "view", 1.0, """{"other":1}"""),
+      (4L, "view", 1.0, "not json at all"))
+    val out = Relational.qJsonOf(
+        rows.toDF("event_id", "event_type", "value", "props"))
+      .collect().map(r => (if (r.isNullAt(1)) -1L else r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out(7L) == 1L, out.toString)
+    assert(out(-1L) == 3L, out.toString) // the three malformed/missing rows
+  }
+
   /** A zero embedding (failed encoder) gives norm 0; under ANSI even
     * double division by zero aborts the query. safeCos's cos := 0
     * convention must keep the similarity family alive AND keep the bad
