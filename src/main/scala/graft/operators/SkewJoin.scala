@@ -38,7 +38,8 @@ object SkewJoin {
     require(!skewed.columns.contains("_salt") && !modest.columns.contains("_salt"),
       "inputs must not carry a _salt column (reserved by SkewJoin.salted)")
     val ls = skewed.withColumn("_salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor.toLong)))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*),
+        lit(saltFactor.toLong)))
     val rs = modest.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     ls.join(rs, Seq(key, "_salt")).drop("_salt")
