@@ -17,6 +17,8 @@ import graft.util.Tables
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -210,18 +212,37 @@ object Dedup {
     hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 
-  /** Bucket-capped banded candidate pairs (i, j) from signature rows:
-    * band key b = md5("s_{4b},..,s_{4b+3}"), buckets larger than the cap
-    * anti-joined away before the pair join. */
-  private[graft] def lshCandidates(sig: DataFrame, bucketCap: Long): DataFrame = {
+  /** (doc_id, band, bkey) rows: band key b = md5("s_{4b},..,s_{4b+3}"). */
+  private def bandedOf(sig: DataFrame): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
     val bandStructs = (0 until 4).map { b =>
       val parts = (0 until 4).map(r => s"cast(s${b * 4 + r} as string)").mkString(", ")
       s"struct($b as band, md5(cast(concat_ws(',', $parts) as binary)) as bkey)"
     }.mkString(", ")
-    val banded = sig.select($"doc_id", explode(expr(s"array($bandStructs)")).as("x"))
+    sig.select($"doc_id", explode(expr(s"array($bandStructs)")).as("x"))
       .select($"doc_id", $"x.band".as("band"), $"x.bkey".as("bkey"))
+  }
+
+  /** Number of band buckets the cap would drop — the silent-recall-loss
+    * detector ADVICE r3 asked for: a dropped bucket costs q36 one pair but
+    * can split/merge an entire q62/q65 component, so the condition must be
+    * loudly diagnosable, not discovered via an oracle hash mismatch. */
+  private[graft] def cappedBucketCount(sig: DataFrame, bucketCap: Long): Long = {
+    val s = sig.sparkSession
+    import s.implicits._
+    bandedOf(sig).groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > bucketCap)
+      .count()
+  }
+
+  /** Bucket-capped banded candidate pairs (i, j) from signature rows:
+    * buckets larger than the cap anti-joined away before the pair join. */
+  private[graft] def lshCandidates(sig: DataFrame, bucketCap: Long): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val banded = bandedOf(sig)
     val fat = banded.groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("bsz"))
       .filter($"bsz" > bucketCap)
@@ -246,7 +267,19 @@ object Dedup {
     val s = d.sparkSession
     import s.implicits._
     val (members, repDocs) = collapseExact(d)
-    val sig = minhashSignatures(repDocs)
+    // localCheckpoint: the signature frame (reps × 16 longs, small) feeds
+    // the cap detector plus three branches of the candidate join —
+    // materializing it runs the shingle→minhash pipeline exactly once
+    val sig = minhashSignatures(repDocs).localCheckpoint(true)
+    // ADVICE r3: a cap-dropped bucket silently changes whole components
+    // downstream (q62/q65), so count and report instead of staying quiet.
+    // One tiny job over the checkpointed signatures.
+    val nCapped = cappedBucketCount(sig, bucketCap)
+    if (nCapped > 0)
+      log.warn(s"lsh: $nCapped band bucket(s) exceed cap=$bucketCap and were " +
+        "dropped from candidate generation — component-level consumers " +
+        "(q62/q65) may diverge from a capless oracle; raise the cap or " +
+        "inspect the hot texts")
     val cand = lshCandidates(sig, bucketCap)
     val eD = shingleRowsOf(repDocs, distinct = true)
     (members, eD, verifyJaccard(eD, cand))

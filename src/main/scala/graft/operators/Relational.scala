@@ -376,8 +376,10 @@ object Relational {
   def q72Cohorts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // FLOOR division, not `div` (truncation): a pre-origin event must land
-    // in period -1, matching DuckDB's `//` — pmod's non-negative remainder
-    // makes (x - pmod(x, p)) div p an exact floor for either sign
+    // in period -1 — pmod's non-negative remainder makes
+    // (x - pmod(x, p)) div p an exact floor for either sign. NOTE: DuckDB's
+    // `//` truncates toward zero (−7 // 2 = −3), so the oracle spells out
+    // the same pmod-style floor instead of relying on `//`
     val active = t(s, dir, "events")
       .select($"user_id",
         expr(s"""(unix_micros(ts) - ${CohortOriginUs}L
@@ -565,9 +567,11 @@ object Relational {
         |  UNION ALL SELECT '2_click', COUNT(*) FROM cl
         |  UNION ALL SELECT '3_purchase', COUNT(*) FROM pu)
         |SELECT step, CAST(n_users AS BIGINT) AS n_users,
-        |  CAST(n_users AS DOUBLE)
-        |    / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step), n_users) AS DOUBLE)
-        |    AS conv
+        |  CASE WHEN COALESCE(LAG(n_users) OVER (ORDER BY step), n_users) = 0
+        |    THEN 0.0
+        |    ELSE CAST(n_users AS DOUBLE)
+        |      / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step), n_users) AS DOUBLE)
+        |  END AS conv
         |FROM steps ORDER BY step""".stripMargin,
     "q74_transitions" ->
       """WITH x AS (SELECT user_id, event_type,
@@ -578,8 +582,13 @@ object Relational {
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
     "q72_cohorts" ->
+      // DuckDB `//` truncates toward zero, so the oracle mirrors the
+      // engine's pmod floor with the same exact integer arithmetic — a
+      // pre-origin event lands in period -1 in BOTH engines
       s"""WITH active AS (SELECT DISTINCT user_id,
-        |    (epoch_us(ts) - $CohortOriginUs) // $CohortPeriodUs AS period
+        |    (epoch_us(ts) - $CohortOriginUs
+        |     - (((epoch_us(ts) - $CohortOriginUs) % $CohortPeriodUs + $CohortPeriodUs) % $CohortPeriodUs))
+        |    // $CohortPeriodUs AS period
         |  FROM events),
         |cohorts AS (SELECT user_id, MIN(period) cohort FROM active GROUP BY 1),
         |sizes AS (SELECT cohort, COUNT(*) cohort_size FROM cohorts GROUP BY 1)

@@ -571,14 +571,19 @@ object TextOps {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     "q31_quality" ->
+      // punct_ratio's empty-text guard mirrors the engine's when()-guard
+      // (ratio 0.0), not DuckDB's NULL-on-0/0; stop_ratio needs none because
+      // string_split of '' yields [''] (len 1) in both engines
       s"""SELECT doc_id,
         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
         |  ${sqlHits(stopEn)} AS n_stop,
-        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
         |  CAST(${sqlHits(stopEn)} AS DOUBLE) / len(string_split(lower(text), ' ')) AS stop_ratio,
         |  (CAST(${sqlHits(stopEn)} AS DOUBLE) / len(string_split(lower(text), ' '))) * 0.5
-        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.5 AS quality
+        |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 0.5 AS quality
         |FROM documents
         |WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
@@ -788,10 +793,15 @@ object TextOps {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
     "q69_charclass" ->
+      // empty-text guard mirrors the engine's when()-guard (fraction 0.0),
+      // not DuckDB's NULL-on-0/0 — the twins must agree on degenerate docs
       s"""WITH f AS (SELECT lang,
-        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)/length(text) alpha_frac,
-        |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)/length(text) space_frac,
-        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text) punct_frac
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)/length(text) END alpha_frac,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)/length(text) END space_frac,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text) END punct_frac
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
         |  ${SqlDavgPub("alpha_frac")} AS avg_alpha_frac,

@@ -254,4 +254,19 @@ class DedupSpec extends AnyFunSuite {
         r.getLong(4))).toSet
     assert(got == want, s"got $got want $want")
   }
+
+  /** ADVICE r3: a cap-dropped band bucket silently changes whole q62/q65
+    * components, so the rep-graph path counts (and warns about) dropped
+    * buckets instead of staying quiet. */
+  test("lsh cap detector counts dropped band buckets") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // two near-identical DISTINCT texts: survive the exact-dup collapse
+    // and share at least one band bucket (pinned by the q36 cap test)
+    val df = Seq((1L, a), (2L, a + " extra")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df)
+    assert(Dedup.cappedBucketCount(sig, bucketCap = 1L) >= 1L)
+    // the production cap never fires on this corpus
+    assert(Dedup.cappedBucketCount(sig, Dedup.MaxBandBucket) == 0L)
+  }
 }
