@@ -24,10 +24,27 @@ case class AppConfig(
     debug: Boolean = false)
 
 object AppConfig {
+  /** Unknown flag / missing option value — argparse-parity failure
+    * (the reference ERRORS on anything it doesn't know, __main__.py:15-27;
+    * a typo like `--dbprot 8087` must not silently run on the default
+    * port). Main turns this into usage + exit 2, argparse's exit code. */
+  final class CliError(val message: String)
+    extends IllegalArgumentException(message)
+
+  val usage: String =
+    "usage: aprs2influxdbspark [--dbhost HOST] [--dbport PORT] " +
+      "[--dbuser USER] [--dbpassword PASSWORD] [--dbname NAME] " +
+      "[--host HOST] [--port PORT] [--callsign CALLSIGN] " +
+      "[--interval MINUTES] [--checkpoint DIR] [--debug]"
+
+  private val valueOpts = Set("--dbhost", "--dbport", "--dbuser",
+    "--dbpassword", "--dbname", "--host", "--port", "--callsign",
+    "--interval", "--checkpoint")
+
   /** Recursive option parser: `--debug` is a bare flag and may appear
     * anywhere (a pairwise sliding window would mis-align every option
-    * after it); unknown options are skipped like the reference's
-    * argparse ignores nothing it doesn't know — we stay permissive. */
+    * after it); an unknown token or a value-less option throws CliError,
+    * matching the reference's argparse error-on-unknown behavior. */
   def parse(args: Array[String]): AppConfig = {
     @annotation.tailrec
     def go(rest: List[String], c: AppConfig): AppConfig = rest match {
@@ -42,7 +59,10 @@ object AppConfig {
       case "--callsign" :: v :: tail => go(tail, c.copy(callsign = v))
       case "--interval" :: v :: tail => go(tail, c.copy(interval = v.toInt))
       case "--checkpoint" :: v :: tail => go(tail, c.copy(checkpointDir = v))
-      case _ :: tail => go(tail, c)
+      case opt :: Nil if valueOpts(opt) =>
+        throw new CliError(s"argument $opt: expected one argument")
+      case tok :: _ =>
+        throw new CliError(s"unrecognized arguments: $tok")
       case Nil => c
     }
     go(args.toList, AppConfig())
@@ -55,7 +75,12 @@ object AppConfig {
   * (__main__.py:1199-1206) — except restart-safe via checkpointing. */
 object Main {
   def main(args: Array[String]): Unit = {
-    val cfg = AppConfig.parse(args)
+    val cfg = try AppConfig.parse(args) catch {
+      case e: AppConfig.CliError =>
+        System.err.println(AppConfig.usage)
+        System.err.println(s"aprs2influxdbspark: error: ${e.message}")
+        sys.exit(2) // argparse's exit code for a CLI usage error
+    }
     configureLogging(cfg)
     // spark-submit injects spark.master on a cluster; standalone runs
     // (dev/e2e) fall back to all local cores

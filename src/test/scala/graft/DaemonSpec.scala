@@ -107,6 +107,21 @@ class DaemonSpec extends AnyFunSuite {
       d.callsign == "nocall" && d.interval == 15 && !d.debug)
   }
 
+  test("CLI: unknown or value-less options error like argparse") {
+    // the day-one operator typo: --dbprot must NOT silently run on the
+    // default port (reference argparse errors, __main__.py:15-27)
+    val e = intercept[AppConfig.CliError] {
+      AppConfig.parse(Array("--dbprot", "8087"))
+    }
+    assert(e.message.contains("--dbprot"))
+    val m = intercept[AppConfig.CliError] {
+      AppConfig.parse(Array("--dbhost"))
+    }
+    assert(m.message.contains("expected one argument"))
+    // positional garbage is rejected too
+    intercept[AppConfig.CliError] { AppConfig.parse(Array("oops")) }
+  }
+
   test("heartbeat: login + status packet on its own connection") {
     val received = new ConcurrentLinkedQueue[String]()
     val aprs = aprsStub(Seq.empty, received)
