@@ -142,6 +142,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** VERDICT r3 top item: packing parallelism must not cap at the
+    * language count. The distributed prefix sum must (a) reproduce the
+    * naive single-window running sum EXACTLY and (b) hash-partition the
+    * heavy window on (lang, rbucket) — >1 task per language on a
+    * single-language corpus. */
+  test("q58 prefix sum matches the single window; >1 task per language") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // ONE language, skewed token counts, ids with gaps
+    val d = (0L until 1000L).map(i => ("en", i * 3, i % 37 + 1))
+      .toDF("lang", "doc_id", "tok")
+    val got = TextOps.packAssignments(d, buckets = 8)
+      .select("doc_id", "start_off", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = d
+      .withColumn("start_off", coalesce(sum($"tok").over(w), lit(0L)))
+      .withColumn("pack_id", floor($"start_off" / 8192L))
+      .select("doc_id", "start_off", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.sameElements(want))
+    // the within-bucket window exchanges on (lang, rbucket): the single
+    // language splits into 8 range buckets instead of one mega-task
+    val plan = TextOps.packAssignments(d, buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\([^)]*rbucket.*"), plan)
+  }
+
   test("typed Dataset surface round-trips the corpus tables") {
     val docs = graft.model.Corpus.documents(spark, dir)
     val d = docs.head()
