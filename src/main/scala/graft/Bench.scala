@@ -97,8 +97,13 @@ object Bench {
   private def measureOne(name: String, sfDir: String): Either[String, Double] =
     try {
       val spark = graft.util.GraftSession.local("graft-bench")
-      def run(): Unit = SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      def run(): Unit = {
+        // memoized operator state (q62/q65 shared labels) must not leak
+        // across passes — a timed pass pays the full cost it claims
+        graft.operators.Dedup.clearCaches()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       run()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9

@@ -186,14 +186,27 @@ object Dedup {
     * representatives' verified counts verbatim) — output-sized work, plain
     * equi-joins, no hot key. */
   /** Exact-dup collapse (q34's primitive): one representative per distinct
-    * text. Returns (members (doc_id, rep), repDocs). */
+    * text. Returns (members (doc_id, rep), repDocs).
+    *
+    * Both outputs are consumed by SEVERAL downstream subtrees (signatures,
+    * verification shingles, membership expansion — up to four occurrences
+    * in one plan), so the two frames that cost a raw-text scan are
+    * materialized once: `g` (doc_id, gid — two columns, no text) and
+    * `repDocs` (the collapsed corpus). At 100 TB this is the standard
+    * persist-the-reused-working-set trade (the collapsed corpus is read
+    * 2–3× per pipeline run; re-scanning the raw table each time costs
+    * more than materializing the dedup'd one — and the exchange-reuse
+    * optimizer cannot help across separate actions). */
   private def collapseExact(d: DataFrame): (DataFrame, DataFrame) = {
     val s = d.sparkSession
     import s.implicits._
     val g = d.select($"doc_id", md5($"text".cast("binary")).as("gid"))
+      .localCheckpoint(true) // 1st raw scan; text never leaves the executors
     val reps = g.groupBy($"gid").agg(min($"doc_id").as("rep"))
     val members = g.join(reps, "gid").select($"doc_id", $"rep")
-    (members, d.join(reps.select($"rep".as("doc_id")), "doc_id"))
+    val repDocs = d.join(reps.select($"rep".as("doc_id")), "doc_id")
+      .localCheckpoint(true) // 2nd raw scan; reused by sig + verify passes
+    (members, repDocs)
   }
 
   /** 16 Kirsch-Mitzenmacher minhash components (s0..s15) per doc, on
@@ -255,15 +268,17 @@ object Dedup {
   }
 
   /** The LSH pipeline up to verified REPRESENTATIVE pairs (pre-expansion):
-    * (members (doc_id, rep), shingle-bearing rep ids with their distinct
-    * counts, verified pairs between reps). The component-level consumers
+    * (members (doc_id, rep), distinct shingle rows of the reps, verified
+    * pairs between reps, checkpointed signature frame — one row per
+    * shingle-bearing rep, the cheap source for the rep-id set). The
+    * component-level consumers
     * (q62, q65) build on THIS — propagating labels over rep pairs and
     * expanding LABELS to members afterwards is linear in membership,
     * where propagating over the expanded pair list would be quadratic in
     * duplicate-group size (exactly the mega-cluster blowup the collapse
     * exists to prevent). */
-  private[graft] def lshRepGraph(d: DataFrame,
-      bucketCap: Long = MaxBandBucket): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def lshRepGraph(d: DataFrame, bucketCap: Long =
+      MaxBandBucket): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = d.sparkSession
     import s.implicits._
     val (members, repDocs) = collapseExact(d)
@@ -282,13 +297,13 @@ object Dedup {
         "inspect the hot texts")
     val cand = lshCandidates(sig, bucketCap)
     val eD = shingleRowsOf(repDocs, distinct = true)
-    (members, eD, verifyJaccard(eD, cand))
+    (members, eD, verifyJaccard(eD, cand), sig)
   }
 
   def minHashLshPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val (members, eD, verified) = lshRepGraph(d, bucketCap)
+    val (members, eD, verified, _) = lshRepGraph(d, bucketCap)
 
     // membership expansion back to all doc pairs
     val nRep = eD.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -511,20 +526,36 @@ object Dedup {
     * exact-dup groups (their members ARE near-dups — jaccard 1).
     * Labels are component-min doc ids: reps are group-min by
     * construction, and propagation takes the min rep. */
+  /** Session-scoped memo of the member-label frame (VERDICT r3 #3): q62
+    * and q65 are two reports over the SAME component structure, so when
+    * both run in a session they share one LSH + propagation pass. Keyed
+    * by (session, dir) — the corpus dirs are immutable inputs; the cached
+    * frame is a localCheckpoint, so no lineage escapes. Bench clears this
+    * before every measured pass so timings stay honest. */
+  private val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop memoized frames (benchmark hygiene — a timed pass must pay the
+    * full cost it claims to measure). */
+  def clearCaches(): Unit = componentCache.clear()
+
   private def memberComponents(s: SparkSession, dir: String): DataFrame =
-    memberComponentsOf(docs(s, dir))
+    componentCache.computeIfAbsent((s, dir),
+      _ => memberComponentsOf(docs(s, dir)).localCheckpoint(true))
 
   private[graft] def memberComponentsOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val (members, eD, verified) = lshRepGraph(d)
+    val (members, _, verified, sig) = lshRepGraph(d)
     val repPairs = verified.select($"i", $"j")
     val labels = Similarity.labelPropagate(repPairs)._1 // (id=rep, lbl)
     // shingle-less (<3-token) groups never enter the pair graph (q36
-    // emits nothing for them) — the eD join keeps the semantics aligned
+    // emits nothing for them) — the rep-id join keeps the semantics
+    // aligned. The signature frame has exactly one (checkpointed) row per
+    // shingle-bearing rep, so it IS that id set — no second shingle pass
     val multi = members.groupBy($"rep").agg(count(lit(1)).as("n"))
       .filter($"n" >= 2)
-      .join(eD.select($"doc_id".as("rep")).distinct(), "rep")
+      .join(sig.select($"doc_id".as("rep")), "rep")
       .select($"rep")
     val pairless = multi.join(labels, multi("rep") === labels("id"), "left_anti")
       .select($"rep".as("id"), $"rep".as("lbl"))
@@ -539,15 +570,16 @@ object Dedup {
     * duplication report that decides whether dedup should enumerate
     * pairs (small clusters) or collapse components (mega-clusters).
     * Singleton documents have no near-dup and are intentionally absent. */
-  def q62ClusterSizes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    q62ClusterSizesOf(docs(s, dir))
-  }
+  def q62ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    sizeHistogramOf(memberComponents(s, dir))
 
-  private[graft] def q62ClusterSizesOf(d: DataFrame): DataFrame = {
-    val s = d.sparkSession
+  private[graft] def q62ClusterSizesOf(d: DataFrame): DataFrame =
+    sizeHistogramOf(memberComponentsOf(d))
+
+  private def sizeHistogramOf(labels: DataFrame): DataFrame = {
+    val s = labels.sparkSession
     import s.implicits._
-    memberComponentsOf(d)
+    labels
       .groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
       .groupBy($"cluster_size")
       .agg(count(lit(1)).as("n_clusters"))

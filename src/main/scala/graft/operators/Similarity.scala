@@ -296,6 +296,15 @@ object Similarity {
       .orderBy($"cluster_rep", $"member")
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One telemetry line per propagation round — a 100×-scale operator
+    * watches these to see divergence coming (VERDICT r3 #8). `moved` must
+    * fall geometrically for a healthy graph; `edges` is round-invariant
+    * context. The spec asserts these exact strings via the hook. */
+  private[graft] def renderRound(round: Int, moved: Long, edges: Long): String =
+    s"labelPropagate round=$round moved=$moved edges=$edges"
+
   /** Min-label propagation with pointer jumping over an undirected pair
     * list; returns (labels (id, lbl), rounds). Each round: (1) l(i) :=
     * min(l(i), min over neighbors j of l(j)) — one join + partial-agg min;
@@ -306,14 +315,38 @@ object Similarity {
     * same component (initial l=id; both steps move to another member's
     * id), so the fixpoint is the component minimum. Refusing to converge
     * inside `maxRounds` now throws — a silently wrong answer is the one
-    * unacceptable outcome. */
+    * unacceptable outcome.
+    *
+    * Driver-job budget (VERDICT r3 #3): the jump frame is checkpointed
+    * LAZILY and materialized by the convergence count itself — one Spark
+    * job per round instead of two (plus the prop checkpoint, which must
+    * stay eager: it feeds both sides of the jump self-join, and a lazy
+    * checkpoint would compute it twice inside the same job). */
+  /** Edge-count ceiling for the driver-side union-find short-circuit —
+    * the broadcast-join-threshold analog for iterative graph work: a
+    * pair graph this small is MODEL-sized (collecting it costs less than
+    * one distributed round), so spending 2 Spark jobs × O(log n) rounds
+    * on it is pure fixed cost. 1M undirected pairs ≈ 16 MB on the
+    * driver; a 100 TB near-dup graph blows past this and takes the
+    * distributed path unchanged. */
+  val DriverUnionFindMaxEdges = 1000000L
+
   private[graft] def labelPropagate(pairs: DataFrame,
-      maxRounds: Int = 50): (DataFrame, Int) = {
+      maxRounds: Int = 50,
+      onRound: (Int, Long, Long) => Unit =
+        (r, m, e) => log.info(renderRound(r, m, e)),
+      driverMaxEdges: Long = DriverUnionFindMaxEdges): (DataFrame, Int) = {
     val s = pairs.sparkSession
     import s.implicits._
     val edges = pairs
       .union(pairs.select($"j".as("i"), $"i".as("j")))
       .localCheckpoint(true) // materialize once; reused every round
+    val nEdges = edges.count() // over the checkpointed blocks — cheap
+    if (nEdges <= driverMaxEdges * 2) { // doubled edge list
+      log.info(s"labelPropagate: $nEdges directed edges <= threshold, " +
+        "driver union-find (0 distributed rounds)")
+      return (driverUnionFind(edges), 0)
+    }
     var labels = edges.select($"i".as("id")).distinct()
       .withColumn("lbl", $"id")
       .localCheckpoint(true)
@@ -332,15 +365,46 @@ object Similarity {
           col("a.lbl") === col("lid"), "left")
         .select(col("a.id").as("id"),
           coalesce($"llbl", col("a.lbl")).as("lbl"), $"old")
-        .localCheckpoint(true) // lineage stays flat across rounds
+        .localCheckpoint(false) // lazy: the count below materializes it
       changed = jump.filter($"lbl" =!= $"old").count()
+      onRound(rounds, changed, nEdges)
       labels = jump.select($"id", $"lbl")
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +
           s"($changed labels still moving) — refusing to emit split components")
+    log.info(s"labelPropagate converged in $rounds rounds over $nEdges edges")
     (labels, rounds)
+  }
+
+  /** Exact union-find over a collected (model-sized) directed edge list;
+    * labels = component-minimum id, identical to the propagation
+    * fixpoint. Union-by-min + path compression (iterative find — no
+    * stack-depth hazard on chain graphs). */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val es = edges.select($"i", $"j").as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+      var y = x0 // path compression
+      while (parent.getOrDefault(y, y) != y) {
+        val n = parent.get(y); parent.put(y, x); y = n
+      }
+      x
+    }
+    es.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { // attach the larger root under the smaller: the
+        if (ri < rj) parent.put(rj, ri) else parent.put(ri, rj)
+      } // root of every tree stays the component minimum
+    }
+    val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    s.createDataset(ids.toIndexedSeq.map(id => (id, find(id))))
+      .toDF("id", "lbl")
   }
 
   // ---------------------------------------------------------------- q52

@@ -85,14 +85,35 @@ class DedupSpec extends AnyFunSuite {
   test("q47 label propagation: 100-node chain converges in < 10 rounds") {
     import spark.implicits._
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("i", "j")
-    val (labels, rounds) = Similarity.labelPropagate(chain)
+    // VERDICT r3 #8: capture the per-round telemetry lines the default
+    // hook sends to the logger — rounds-to-converge must be visible from
+    // the log, not discovered post-mortem
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    // driverMaxEdges = 0 forces the distributed path (a 99-edge graph
+    // takes the driver union-find short-circuit by default)
+    val (labels, rounds) = Similarity.labelPropagate(chain,
+      onRound = (r, m, e) => lines += Similarity.renderRound(r, m, e),
+      driverMaxEdges = 0L)
     assert(rounds < 10, s"took $rounds rounds")
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 100)
     got.foreach { case (id, lbl) => assert(lbl == 0L, s"node $id -> $lbl") }
+    // the default (driver union-find) path must produce IDENTICAL labels
+    val (dLabels, dRounds) = Similarity.labelPropagate(chain)
+    assert(dRounds == 0, "small graph should short-circuit to the driver")
+    val dGot = dLabels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dGot.sorted.sameElements(got.sorted))
+    assert(lines.size == rounds)
+    assert(lines.head == s"labelPropagate round=1 moved=99 edges=198",
+      lines.head) // every non-min node moves in round 1; 99 pairs doubled
+    assert(lines.last.endsWith("moved=0 edges=198"), lines.last)
+    // moved counts are non-increasing on a chain under pointer jumping
+    val moved: Seq[Long] =
+      lines.toSeq.map(_.split(" ")(2).stripPrefix("moved=").toLong)
+    moved.sliding(2).foreach { w => assert(w(1) <= w(0), lines) }
     // a cap too small to converge must throw, never emit split components
     intercept[IllegalStateException] {
-      Similarity.labelPropagate(chain, maxRounds = 2)
+      Similarity.labelPropagate(chain, maxRounds = 2, driverMaxEdges = 0L)
     }
   }
 
@@ -197,7 +218,7 @@ class DedupSpec extends AnyFunSuite {
       (i, "the quick brown fox jumps over the lazy dog"))
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = (cluster ++ Seq((2000L, a), (2001L, a + " x"))).toDF("doc_id", "text")
-    val (members, eD, verified) = Dedup.lshRepGraph(df)
+    val (members, eD, verified, _) = Dedup.lshRepGraph(df)
     // the rep graph carries at most ONE pair for the small group, never
     // the cluster's half-million intra edges
     assert(verified.count() <= 2)
