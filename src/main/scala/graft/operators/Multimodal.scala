@@ -10,11 +10,14 @@ import graft.util.Tables
   * decode/feature-extract/frame-sample stages, as a 100 TB training-data
   * pipeline would run them.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly marked deterministic stub ([[DecoderStub]]); everything
-  * Spark-side — schema, binary column handling, partition-wise batch
-  * decode via mapPartitions, frame explosion, metadata pushdown — is real
-  * and oracle-tested. Payloads are derived from `documents.text` bytes
+  * The decode stage dispatches on payload magic bytes: PNG/JPEG payloads
+  * go through a REAL pixel decode ([[ImageDecoder]], javax.imageio — in
+  * the JDK, no external dependency); other modalities (audio PCM, video
+  * containers — no codec in this container) fall back to the clearly
+  * marked deterministic stub ([[DecoderStub]]). Everything Spark-side —
+  * schema, binary column handling, partition-wise batch decode via
+  * mapPartitions, frame explosion, metadata pushdown — is real and
+  * oracle-tested. Payloads are derived from `documents.text` bytes
   * (the driver's table; no synthetic inputs).
   */
 object Multimodal {
@@ -106,11 +109,67 @@ object Multimodal {
   )
 
   // ------------------------------------------------------------ decode
-  /** STUBBED decode: real image/audio libs are absent in this container.
-    * Produces deterministic fake features so the distributed plumbing
-    * (partition-wise batching, schema, memory shape) is fully testable;
-    * swap `decodeOne` for a real codec (JPEG → pixels, PCM → samples) in
-    * production. */
+  /** Real image decode: PNG/JPEG bytes → pixels (javax.imageio) → a
+    * deterministic [[DecoderStub.featureDim]]-float descriptor:
+    * [mean R, mean G, mean B, mean luminance, 2×2 luminance grid], all
+    * normalized to [0, 1]. Integer pixel sums (getRGB is exact for the
+    * lossless formats) divided once at the end, so the vector is
+    * bit-stable across runs and partitionings. Luminance uses the
+    * BT.601 integer weights (299/587/114 per mille). */
+  object ImageDecoder {
+    def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte
+    def isJpeg(p: Array[Byte]): Boolean =
+      p.length >= 3 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte &&
+        p(2) == 0xff.toByte
+    def isImage(p: Array[Byte]): Boolean = isPng(p) || isJpeg(p)
+
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "payload carries an image signature but no installed reader decodes it")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      val lumSum = new Array[Long](4) // quadrant index qy*2 + qx
+      val lumCnt = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          rs += r; gs += g; bs += b
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          lumSum(q) += 299L * r + 587L * g + 114L * b
+          lumCnt(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val out = new Array[Float](DecoderStub.featureDim)
+      out(0) = (rs / (n * 255.0)).toFloat
+      out(1) = (gs / (n * 255.0)).toFloat
+      out(2) = (bs / (n * 255.0)).toFloat
+      out(3) = (lumSum.sum / (n * 255000.0)).toFloat
+      var q = 0
+      while (q < 4) {
+        out(4 + q) = if (lumCnt(q) == 0) 0.0f
+          else (lumSum(q) / (lumCnt(q) * 255000.0)).toFloat
+        q += 1
+      }
+      out
+    }
+  }
+
+  /** STUBBED decode for the modalities this container has no codec for
+    * (audio PCM, video containers). Produces deterministic fake features
+    * so the distributed plumbing (partition-wise batching, schema, memory
+    * shape) is fully testable; swap `decodeOne` for a real codec in
+    * production, exactly as [[ImageDecoder]] does for PNG/JPEG. */
   object DecoderStub {
     val featureDim = 8
     /** >>> STUB <<< — replace with a real decoder. Derives featureDim
@@ -130,13 +189,20 @@ object Multimodal {
     StructField("doc_id", LongType),
     StructField("features", ArrayType(FloatType))))
 
-  /** Partition-wise batch decode: one decoder instance per partition (the
-    * pattern a heavyweight codec needs), constant memory per batch. */
+  /** Partition-wise batch decode: one decoder init per partition (the
+    * pattern a heavyweight codec needs), constant memory per batch.
+    * Dispatches on payload magic: real image decode for PNG/JPEG, the
+    * stub for everything else. */
   def decodeFeatures(s: SparkSession, assetsDf: DataFrame): DataFrame = {
     val rdd = assetsDf.select("doc_id", "payload").rdd.mapPartitions { it =>
-      // per-partition decoder init would go here (native lib handles etc.)
+      // per-partition decoder init: never spill ImageIO scratch to an
+      // executor temp file — decode stays in-memory per batch
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        Row(r.getLong(0), DecoderStub.decodeOne(r.getAs[Array[Byte]](1)).toSeq)
+        val p = r.getAs[Array[Byte]](1)
+        val f = if (ImageDecoder.isImage(p)) ImageDecoder.decodeOne(p)
+          else DecoderStub.decodeOne(p)
+        Row(r.getLong(0), f.toSeq)
       }
     }
     s.createDataFrame(rdd, decodedSchema)
