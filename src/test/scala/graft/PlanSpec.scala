@@ -145,6 +145,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q60: text is decoded once — final plan carries no text scan") {
+    // VERDICT r3 #7: the same-corpus split used to decode the text
+    // column twice (eval + train branches). The shingle frame is now
+    // checkpointed, so the query's physical plan reads the checkpoint
+    // plus ONE text-free (doc_id, lang) scan — no text anywhere.
+    val p = plan("q60_decontam")
+    assert(!p.contains("text:string"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      p.take(800))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      p.take(800)) // the checkpointed shingle rows
+  }
+
   test("q45: blocked dedup is an equi-join on grid cells, no BNLJ") {
     val p = plan("q45_embedding_dedup_blocked")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
