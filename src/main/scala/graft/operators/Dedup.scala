@@ -578,6 +578,34 @@ object Dedup {
     * duplication report that decides whether dedup should enumerate
     * pairs (small clusters) or collapse components (mega-clusters).
     * Singleton documents have no near-dup and are intentionally absent. */
+  // ---------------------------------------------------------------- q77
+  /** Train/val/test LEAKAGE through near-duplicates: a cluster whose
+    * members land in different q57 splits leaks eval content into
+    * training in near-verbatim form — exact-hash splitting can't see it,
+    * only the component view can (the reason dedup must run BEFORE
+    * split assignment). Reports the cluster histogram by number of
+    * splits spanned; splits_spanned ≥ 2 is the leak. Reuses the
+    * memoized component labels (one LSH + propagation with q62/q65)
+    * plus a label-cardinality aggregate — nothing scans text again. */
+  def q77SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(memberComponents(s, dir))
+
+  private[graft] def splitLeakageOf(labels: DataFrame): DataFrame = {
+    val s = labels.sparkSession
+    import s.implicits._
+    labels
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+      .withColumn("split",
+        when($"bucket" < 980, "train").when($"bucket" < 990, "val")
+          .otherwise("test"))
+      .groupBy($"lbl")
+      .agg(countDistinct($"split").as("splits_spanned"),
+        count(lit(1)).as("sz"))
+      .groupBy($"splits_spanned")
+      .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"))
+      .orderBy($"splits_spanned")
+  }
+
   def q62ClusterSizes(s: SparkSession, dir: String): DataFrame =
     sizeHistogramOf(memberComponents(s, dir))
 
@@ -631,6 +659,7 @@ object Dedup {
     "q60_decontam" -> (q60Decontam _),
     "q62_cluster_sizes" -> (q62ClusterSizes _),
     "q65_keep_best" -> (q65KeepBest _),
+    "q77_split_leakage" -> (q77SplitLeakage _),
   )
 
   private val shingleCte =
@@ -646,6 +675,11 @@ object Dedup {
     * on top of the same pair list. */
   private val q36JaccardCond =
     "CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5"
+
+  /** DuckDB twin of [[graft.util.Buckets.mod1000]] over an id column:
+    * first 8 hex chars of md5(id-as-string) as an integer, mod 1000. */
+  private def sqlBucket(c: String) =
+    s"list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
 
   private val q36OracleCtes = {
     val hexInt = (off: Int) =>
@@ -707,9 +741,7 @@ object Dedup {
         |ORDER BY i, j""".stripMargin,
     "q60_decontam" -> {
       val sh = (1 to DecontamWidth).map(k => s"t[i+$k]").mkString(" || ' ' || ")
-      val hexBucket =
-        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
-      s"""WITH b AS (SELECT doc_id, lang, text, $hexBucket AS bucket FROM documents),
+      s"""WITH b AS (SELECT doc_id, lang, text, ${sqlBucket("doc_id")} AS bucket FROM documents),
         |toks AS (SELECT doc_id, lang, bucket, string_split(lower(text), ' ') t FROM b),
         |d AS (SELECT doc_id, lang, bucket,
         |        list_distinct(list_transform(range(len(t)-${DecontamWidth - 1}),
@@ -743,6 +775,25 @@ object Dedup {
         |  COUNT(*) AS n_clusters,
         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q77_split_leakage" ->
+      s"""$q36OracleCtes,
+        |p AS (SELECT i, j FROM v WHERE $q36JaccardCond),
+        |ed AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT DISTINCT i, i FROM ed
+        |    UNION
+        |    SELECT ed.i, r.lbl FROM ed JOIN r ON r.id = ed.j)
+        |  SELECT id, MIN(lbl) lbl FROM r GROUP BY id),
+        |sp AS (SELECT lbl, CASE WHEN ${sqlBucket("id")} < 980 THEN 'train'
+        |                        WHEN ${sqlBucket("id")} < 990 THEN 'val'
+        |                        ELSE 'test' END split
+        |       FROM reach),
+        |cl AS (SELECT lbl, COUNT(DISTINCT split) splits_spanned, COUNT(*) sz
+        |       FROM sp GROUP BY lbl)
+        |SELECT CAST(splits_spanned AS BIGINT) AS splits_spanned,
+        |  COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_keep_best" ->
       s"""$q36OracleCtes,
         |p AS (SELECT i, j FROM v WHERE $q36JaccardCond),

@@ -592,7 +592,78 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q76
+  /** Temperature-scaled source mixture (T = 0.5): per-source sampling
+    * weight ∝ √n_docs — the standard flatten-the-head reweighting for
+    * multi-source pre-training corpora — and the integer token allocation
+    * out of a fixed budget. Determinism: IEEE-754 `sqrt` is correctly
+    * rounded (unlike ln/exp, identical in every engine), each weight is
+    * floor-scaled to a long BEFORE the cross-source sum (so accumulation
+    * order cannot matter), and the allocation is pure integer arithmetic.
+    * Two source-cardinality aggregates — driver-sized frames only. */
+  val MixtureTokenBudget = 1000000L
+
+  def q76MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_scaled",
+        floor(sqrt($"n_docs".cast("double")) * 10000.0 + 0.5).cast("long"))
+    val w0 = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("total_w", sum($"w_scaled").over(w0)) // |sources| rows
+      .withColumn("share",
+        $"w_scaled".cast("double") / $"total_w".cast("double"))
+      .withColumn("alloc_tokens",
+        expr(s"($MixtureTokenBudget * w_scaled) div total_w"))
+      .select($"source", $"n_docs", $"w_scaled", $"share", $"alloc_tokens")
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------- q78
+  /** Cross-document boilerplate detection at the segment level: split
+    * each document on sentence boundaries, count the per-doc distinct
+    * segments that appear in ≥2 documents (template/navigation text —
+    * the thing paragraph-dedup removes before training). Per-language
+    * report with the scaled-exact average boilerplate fraction. Scale
+    * shape: explode → per-doc distinct → one df aggregate on the segment
+    * hash → join back — the q35 shingle pattern at segment granularity,
+    * no pairwise work. */
+  def q78Boilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplateOf(docs(s, dir))
+
+  /** Same, over an explicit `(doc_id, lang, text)` corpus
+    * (spec-testable with planted template sentences). */
+  private[graft] def boilerplateOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val segs = d.select($"doc_id", explode(split($"text", "\\. ")).as("seg0"))
+      .withColumn("seg", trim($"seg0"))
+      .filter(length($"seg") > 0)
+      .select($"doc_id", $"seg").distinct()
+    val dfc = segs.groupBy($"seg").agg(count(lit(1)).as("df"))
+    val per = segs.join(dfc, "seg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_boiler"))
+    d.select($"doc_id", $"lang").join(per, Seq("doc_id"), "left")
+      .withColumn("n_segs", coalesce($"n_segs", lit(0L)))
+      .withColumn("n_boiler", coalesce($"n_boiler", lit(0L)))
+      // segment-less (empty-text) docs: fraction 0, not an ANSI 0/0
+      .withColumn("frac", when($"n_segs" === 0L, lit(0.0))
+        .otherwise($"n_boiler".cast("double") / $"n_segs".cast("double")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_segs").as("total_segs"),
+        sum($"n_boiler").as("boiler_segs"),
+        davg($"frac").as("avg_boiler_frac"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_mixture_weights" -> (q76MixtureWeights _),
+    "q78_boilerplate" -> (q78Boilerplate _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
     "q32_langid" -> (q32LangId _),
@@ -620,6 +691,36 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q76_mixture_weights" ->
+      s"""WITH c AS (SELECT source, COUNT(*) n_docs,
+        |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))*10000 + 0.5) AS BIGINT)
+        |      AS w_scaled
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) total_w FROM c)
+        |SELECT source, n_docs, w_scaled,
+        |  CAST(w_scaled AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
+        |  ($MixtureTokenBudget * w_scaled) // total_w AS alloc_tokens
+        |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
+    "q78_boilerplate" ->
+      s"""WITH s0 AS (SELECT doc_id, unnest(string_split(text, '. ')) seg0
+        |  FROM documents),
+        |segs AS (SELECT DISTINCT doc_id, trim(seg0) seg FROM s0
+        |         WHERE length(trim(seg0)) > 0),
+        |dfc AS (SELECT seg, COUNT(*) df FROM segs GROUP BY seg),
+        |per AS (SELECT doc_id, COUNT(*) n_segs,
+        |          SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) n_boiler
+        |        FROM segs JOIN dfc USING (seg) GROUP BY doc_id),
+        |f AS (SELECT d.lang,
+        |        COALESCE(per.n_segs, 0) n_segs,
+        |        COALESCE(per.n_boiler, 0) n_boiler,
+        |        CASE WHEN COALESCE(per.n_segs, 0) = 0 THEN 0.0
+        |             ELSE CAST(per.n_boiler AS DOUBLE) / per.n_segs END frac
+        |      FROM documents d LEFT JOIN per USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_segs) AS BIGINT) AS total_segs,
+        |  CAST(SUM(n_boiler) AS BIGINT) AS boiler_segs,
+        |  ${SqlDavgPub("frac")} AS avg_boiler_frac
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q30_tokens" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tok_ws,

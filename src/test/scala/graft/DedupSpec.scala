@@ -276,6 +276,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  /** q77: a cluster whose members land in different q57 splits is a
+    * leak. Planted label frame with ids of KNOWN buckets (the md5 bucket
+    * function is deterministic, so the choice is stable forever). */
+  test("q77 split-leakage histogram flags clusters spanning splits") {
+    import spark.implicits._
+    val buckets = (0L until 2000L).toDF("doc_id")
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val train = buckets.filter(_._2 < 980).keys.toSeq.sorted
+    val test_ = buckets.filter(_._2 >= 990).keys.toSeq.sorted
+    assert(train.size >= 3 && test_.nonEmpty, "bucket universe too small")
+    val labels = Seq(
+      (train(0), 100L), (test_(0), 100L), // train+test members: leak
+      (train(1), 200L), (train(2), 200L)) // both train: clean
+      .toDF("doc_id", "lbl")
+    val got = Dedup.splitLeakageOf(labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 2L)), got) // one clean 2-doc cluster
+    assert(got(2L) == ((1L, 2L)), got) // one leaking 2-doc cluster
+  }
+
   /** ADVICE r3: a cap-dropped band bucket silently changes whole q62/q65
     * components, so the rep-graph path counts (and warns about) dropped
     * buckets instead of staying quiet. */

@@ -172,6 +172,53 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.matches("(?s).*hashpartitioning\\([^)]*rbucket.*"), plan)
   }
 
+  /** q76 invariants the oracle can't see: shares form a distribution,
+    * the integer allocation never overspends the budget, and weights are
+    * monotone in corpus size (temperature 0.5 flattens but never
+    * reorders). */
+  test("q76 mixture: shares sum to 1, allocation within budget, monotone") {
+    val rows = TextOps.q76MixtureWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    assert(rows.map(_._5).sum <= TextOps.MixtureTokenBudget)
+    // floor leaves less than |sources| tokens unallocated
+    assert(rows.map(_._5).sum > TextOps.MixtureTokenBudget - rows.length)
+    rows.sortBy(_._2).sliding(2).foreach { w =>
+      assert(w(1)._3 >= w(0)._3, s"weights reordered: $w")
+    }
+  }
+
+  /** q78 with planted template text: three docs sharing a boilerplate
+    * sentence, one unique doc — the shared segment (and only it) counts
+    * as boilerplate in each carrier. */
+  test("q78 counts planted cross-doc boilerplate segments") {
+    import spark.implicits._
+    val boiler = "Subscribe to our newsletter"
+    val d = Seq(
+      (1L, "en", s"$boiler. alpha beta gamma"),
+      (2L, "en", s"$boiler. delta epsilon"),
+      (3L, "en", s"zeta eta. $boiler. "),
+      (4L, "de", "unique content only here"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.boilerplateOf(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    // en: doc1 has 2 segs (1 boiler), doc2 has 2 (1), doc3 has 2 (1)
+    assert(out("en") == ((3L, 6L, 3L,
+      out("en")._4)) && math.abs(out("en")._4 - 0.5) < 1e-4, out)
+    // de: one doc, one unique segment, zero boilerplate
+    assert(out("de") == ((1L, 1L, 0L, 0.0)), out)
+    // and the real operator over testdata returns sane fractions
+    val real = TextOps.q78Boilerplate(spark, dir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // boiler_segs <= total_segs
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-4)
+    }
+  }
+
   test("typed Dataset surface round-trips the corpus tables") {
     val docs = graft.model.Corpus.documents(spark, dir)
     val d = docs.head()
