@@ -40,7 +40,8 @@ object Bench {
     "q16_json", "q30_tokens", "q34_exact_dedup", "q36_minhash_lsh",
     "q38_ann_brute", "q45_embedding_dedup_blocked",
     "q48_repetition", "q53_top_tokens", "q54_clean_corpus",
-    "q60_decontam", "q65_keep_best", "q67_range_join")
+    "q58_sequence_packing", "q60_decontam", "q65_keep_best",
+    "q67_range_join", "q75_skewed_join", "q77_split_leakage")
 
   /** Steady-state per-query seconds at sf0.1 / local[32] (measured round 3,
     * ~1.5× headroom). Round 2 showed min-of-two-forks cannot defend against
@@ -56,7 +57,9 @@ object Bench {
     "q30_tokens" -> 0.6, "q34_exact_dedup" -> 0.6, "q36_minhash_lsh" -> 2.5,
     "q38_ann_brute" -> 0.6, "q45_embedding_dedup_blocked" -> 2.0,
     "q48_repetition" -> 0.9, "q53_top_tokens" -> 0.8, "q54_clean_corpus" -> 1.5,
-    "q60_decontam" -> 1.5, "q65_keep_best" -> 5.0, "q67_range_join" -> 0.8)
+    "q58_sequence_packing" -> 0.8, "q60_decontam" -> 1.5,
+    "q65_keep_best" -> 4.5, "q67_range_join" -> 0.8,
+    "q75_skewed_join" -> 0.5, "q77_split_leakage" -> 4.0)
   private val AnomalyK = 3.0
   private val CooldownMs = 20000L
 
