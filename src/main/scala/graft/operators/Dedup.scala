@@ -197,15 +197,21 @@ object Dedup {
     * 2–3× per pipeline run; re-scanning the raw table each time costs
     * more than materializing the dedup'd one — and the exchange-reuse
     * optimizer cannot help across separate actions). */
-  private def collapseExact(d: DataFrame): (DataFrame, DataFrame) = {
+  private def collapseExact(d: DataFrame,
+      materialize: Boolean = true): (DataFrame, DataFrame) = {
     val s = d.sparkSession
     import s.implicits._
-    val g = d.select($"doc_id", md5($"text".cast("binary")).as("gid"))
-      .localCheckpoint(true) // 1st raw scan; text never leaves the executors
+    def cp(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    // materialize=true: 2 raw scans total, every later pass reads the
+    // checkpoints (the multi-action component path). false: fully lazy —
+    // a SINGLE-action consumer (q36/q37) plans one job and exchange
+    // reuse dedupes the repeated subtrees, so materializing would only
+    // add job barriers.
+    val g = cp(d.select($"doc_id", md5($"text".cast("binary")).as("gid")))
     val reps = g.groupBy($"gid").agg(min($"doc_id").as("rep"))
     val members = g.join(reps, "gid").select($"doc_id", $"rep")
-    val repDocs = d.join(reps.select($"rep".as("doc_id")), "doc_id")
-      .localCheckpoint(true) // 2nd raw scan; reused by sig + verify passes
+    val repDocs = cp(d.join(reps.select($"rep".as("doc_id")), "doc_id"))
     (members, repDocs)
   }
 
@@ -278,23 +284,30 @@ object Dedup {
     * duplicate-group size (exactly the mega-cluster blowup the collapse
     * exists to prevent). */
   private[graft] def lshRepGraph(d: DataFrame, bucketCap: Long =
-      MaxBandBucket): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      MaxBandBucket,
+      detect: Boolean = false): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = d.sparkSession
     import s.implicits._
-    val (members, repDocs) = collapseExact(d)
-    // localCheckpoint: the signature frame (reps × 16 longs, small) feeds
-    // the cap detector plus three branches of the candidate join —
-    // materializing it runs the shingle→minhash pipeline exactly once
-    val sig = minhashSignatures(repDocs).localCheckpoint(true)
-    // ADVICE r3: a cap-dropped bucket silently changes whole components
-    // downstream (q62/q65), so count and report instead of staying quiet.
-    // One tiny job over the checkpointed signatures.
-    val nCapped = cappedBucketCount(sig, bucketCap)
-    if (nCapped > 0)
-      log.warn(s"lsh: $nCapped band bucket(s) exceed cap=$bucketCap and were " +
-        "dropped from candidate generation — component-level consumers " +
-        "(q62/q65) may diverge from a capless oracle; raise the cap or " +
-        "inspect the hot texts")
+    // detect=false (single-action consumers, q36): fully lazy — one job,
+    // exchange reuse dedupes the repeated subtrees, any materialization
+    // barrier only costs. detect=true (the multi-action component path):
+    // checkpoint the scan-bearing frames and the signature frame (reps ×
+    // 16 longs, small) so the cap detector plus every later action read
+    // materialized data instead of re-running the shingle pipeline.
+    val (members, repDocs) = collapseExact(d, materialize = detect)
+    val sig = if (detect) minhashSignatures(repDocs).localCheckpoint(true)
+      else minhashSignatures(repDocs)
+    if (detect) {
+      // ADVICE r3: a cap-dropped bucket silently changes whole components
+      // downstream (q62/q65), so count and report instead of staying
+      // quiet. One tiny job over the checkpointed signatures.
+      val nCapped = cappedBucketCount(sig, bucketCap)
+      if (nCapped > 0)
+        log.warn(s"lsh: $nCapped band bucket(s) exceed cap=$bucketCap and " +
+          "were dropped from candidate generation — component-level " +
+          "consumers (q62/q65) may diverge from a capless oracle; raise " +
+          "the cap or inspect the hot texts")
+    }
     val cand = lshCandidates(sig, bucketCap)
     val eD = shingleRowsOf(repDocs, distinct = true)
     (members, eD, verifyJaccard(eD, cand), sig)
@@ -344,7 +357,7 @@ object Dedup {
   def simHashPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val (members, repDocs) = collapseExact(d)
+    val (members, repDocs) = collapseExact(d, materialize = false)
     // per-shingle 60-bit hash = first 15 hex chars of md5, as long —
     // computed on codegen-exploded DISTINCT shingles (majority votes are
     // over the shingle SET); the 60 votes are plain partial-aggregate
@@ -409,7 +422,7 @@ object Dedup {
     * table recovers them). */
   def q49MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (_, repDocs) = collapseExact(docs(s, dir))
+    val (_, repDocs) = collapseExact(docs(s, dir), materialize = false)
     val sig = minhashSignatures(repDocs)
     val cand = lshCandidates(sig, MaxBandBucket)
     val a = sig.select($"doc_id".as("i") +:
@@ -554,7 +567,7 @@ object Dedup {
   private[graft] def memberComponentsOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val (members, _, verified, sig) = lshRepGraph(d)
+    val (members, _, verified, sig) = lshRepGraph(d, detect = true)
     val repPairs = verified.select($"i", $"j")
     val labels = Similarity.labelPropagate(repPairs)._1 // (id=rep, lbl)
     // shingle-less (<3-token) groups never enter the pair graph (q36
