@@ -550,7 +550,38 @@ object Relational {
       .orderBy($"seg")
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Ledger reconciliation — the FULL OUTER member of the join family
+    * (§2.4): per-order lineitem revenue totals against the order header,
+    * classified by presence (matched / order_only / lineitem_only) and
+    * by header-vs-detail comparison. The standard data-quality check two
+    * tables of record get before either is trusted. One partial agg on
+    * the detail side, one shuffle full-outer join on the key, one
+    * vocabulary-sized final agg; header/detail totals are scaled-long
+    * exact so the comparison buckets are deterministic. */
+  def q79Reconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").groupBy($"l_orderkey")
+      .agg(dsum($"l_extendedprice").as("li_total"))
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+    o.join(li, $"o_orderkey" === $"l_orderkey", "full_outer")
+      .withColumn("side",
+        when($"o_orderkey".isNull, "lineitem_only")
+          .when($"l_orderkey".isNull, "order_only")
+          .otherwise("matched"))
+      .withColumn("cmp",
+        when($"side" =!= "matched", lit("n/a"))
+          .when($"o_totalprice" > $"li_total", "header_higher")
+          .when($"o_totalprice" < $"li_total", "header_lower")
+          .otherwise("equal"))
+      .groupBy($"side", $"cmp")
+      .agg(count(lit(1)).as("n"),
+        dsum(coalesce($"li_total", lit(0.0))).as("sum_li_total"))
+      .orderBy($"side", $"cmp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_reconcile" -> (q79Reconcile _),
     "q75_skewed_join" -> (q75SkewedJoin _),
     "q22_date_arith" -> (q22DateArith _),
     "q67_range_join" -> (q67RangeJoin _),
@@ -583,6 +614,21 @@ object Relational {
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q79_reconcile" ->
+      s"""WITH lt AS (SELECT l_orderkey, ${SqlDsum("l_extendedprice")} li_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only'
+        |       WHEN lt.l_orderkey IS NULL THEN 'order_only'
+        |       ELSE 'matched' END AS side,
+        |  CASE WHEN o.o_orderkey IS NULL OR lt.l_orderkey IS NULL THEN 'n/a'
+        |       WHEN o.o_totalprice > lt.li_total THEN 'header_higher'
+        |       WHEN o.o_totalprice < lt.li_total THEN 'header_lower'
+        |       ELSE 'equal' END AS cmp,
+        |  COUNT(*) AS n,
+        |  ${SqlDsum("COALESCE(lt.li_total, 0)")} AS sum_li_total
+        |FROM orders o FULL OUTER JOIN lt ON o.o_orderkey = lt.l_orderkey
+        |GROUP BY 1, 2 ORDER BY side, cmp""".stripMargin,
     "q75_skewed_join" ->
       s"""WITH ev AS (SELECT event_id, user_id, value,
         |    CASE WHEN user_id % 10 < $SkewHotShare THEN 0

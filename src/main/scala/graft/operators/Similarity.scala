@@ -254,10 +254,38 @@ object Similarity {
     * (deterministic 2-iteration Lloyd fit); each query probes only its
     * own cell. Self-reported recall@5 like q39. Rows-only check (the
     * IVF assignment is Spark-side). */
-  def q44AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
+  def q44AnnIvfRecall(s: SparkSession, dir: String): DataFrame =
+    ivfRecallWith(s, dir, fitCentroids(s, dir, k = 16, iters = 2))
+
+  /** Persist a fitted IVF index (quantized centroids + norms) so the
+    * Lloyd fit runs ONCE and later sessions query against the saved
+    * model — the build-once / query-many shape a production ANN index
+    * needs (at 100 TB the fit scans the corpus per iteration; queries
+    * must not). Schema: (cid int, e array<long>, nrm double). */
+  def saveIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      k: Int = 16, iters: Int = 2): Unit = {
+    import s.implicits._
+    fitCentroids(s, dir, k, iters).zipWithIndex
+      .map { case ((e, nrm), cid) => (cid, e, nrm) }
+      .toDF("cid", "e", "nrm")
+      .coalesce(1) // k rows — one file
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Load a saved IVF index in centroid order. */
+  def loadIvfIndex(s: SparkSession, indexPath: String): Seq[(Seq[Long], Double)] = {
+    import s.implicits._
+    s.read.parquet(indexPath).orderBy($"cid")
+      .select($"e", $"nrm").as[(Seq[Long], Double)].collect().toIndexedSeq
+  }
+
+  /** q44's ANN + recall report against an explicit (possibly loaded)
+    * centroid model — the fit is deterministic, so the saved-index path
+    * must reproduce the inline-fit output bit for bit (spec-pinned). */
+  private[graft] def ivfRecallWith(s: SparkSession, dir: String,
+      cents: Seq[(Seq[Long], Double)]): DataFrame = {
     import s.implicits._
     val base = scaled(s, dir)
-    val cents = fitCentroids(s, dir, k = 16, iters = 2)
     val assigned = base
       .withColumn("cell", assignCell(cents))
       .select($"vec_id", $"e", $"nrm", $"cell")

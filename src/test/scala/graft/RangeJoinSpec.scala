@@ -155,4 +155,23 @@ class RangeJoinSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3))
     }
   }
+
+  /** IVF index persistence: the Lloyd fit is deterministic, so a saved
+    * index must round-trip exactly and the query path against the LOADED
+    * model must reproduce the inline-fit q44 output bit for bit — the
+    * build-once / query-many contract a production ANN index needs. */
+  test("q44 IVF index saves, loads, and queries identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.saveIvfIndex(spark, dir, s"$tmp/ivf")
+    val loaded = Similarity.loadIvfIndex(spark, s"$tmp/ivf")
+    assert(loaded.length == 16)
+    loaded.foreach { case (e, nrm) =>
+      assert(e.length == 64 && nrm > 0.0)
+    }
+    val inline = Similarity.q44AnnIvfRecall(spark, dir).collect()
+      .map(_.toString).toSeq
+    val viaIndex = Similarity.ivfRecallWith(spark, dir, loaded).collect()
+      .map(_.toString).toSeq
+    assert(viaIndex == inline)
+  }
 }
