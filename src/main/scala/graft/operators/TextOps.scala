@@ -661,9 +661,42 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Corpus snapshot diff — the versioning check a published corpus gets
+    * between releases: content-hash FULL OUTER join of two snapshots,
+    * classified added / removed / changed / unchanged per language. The
+    * two versions derive deterministically from the driver's table (the
+    * q34 re-ingest idiom): the "previous" snapshot lacks buckets 0–9
+    * (1% new docs), the "current" drops buckets ≥ 990 (1% deletions) and
+    * edits buckets 500–509 (1% changed text). One scan feeds both sides;
+    * the join carries only (doc_id, lang, 128-bit hash) — never text. */
+  def q80SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = docs(s, dir)
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+    val v1 = b.filter($"bucket" >= 10)
+      .select($"doc_id", $"lang",
+        md5($"text".cast("binary")).as("h1"))
+    val v2 = b.filter($"bucket" < 990)
+      .withColumn("text2",
+        when($"bucket".between(500, 509), concat($"text", lit(" [edited]")))
+          .otherwise($"text"))
+      .select($"doc_id", $"lang".as("lang2"),
+        md5($"text2".cast("binary")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("lang", coalesce($"lang", $"lang2"))
+      .withColumn("status",
+        when($"h1".isNull, "added").when($"h2".isNull, "removed")
+          .when($"h1" =!= $"h2", "changed").otherwise("unchanged"))
+      .groupBy($"lang", $"status")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_mixture_weights" -> (q76MixtureWeights _),
     "q78_boilerplate" -> (q78Boilerplate _),
+    "q80_snapshot_diff" -> (q80SnapshotDiff _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
     "q32_langid" -> (q32LangId _),
@@ -701,6 +734,24 @@ object TextOps {
         |  CAST(w_scaled AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
         |  ($MixtureTokenBudget * w_scaled) // total_w AS alloc_tokens
         |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
+    "q80_snapshot_diff" -> {
+      val bucket =
+        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
+      s"""WITH b AS (SELECT doc_id, lang, text, $bucket AS bucket FROM documents),
+        |v1 AS (SELECT doc_id, lang, md5(text) h1 FROM b WHERE bucket >= 10),
+        |v2 AS (SELECT doc_id, lang AS lang2,
+        |         md5(CASE WHEN bucket BETWEEN 500 AND 509
+        |               THEN text || ' [edited]' ELSE text END) h2
+        |       FROM b WHERE bucket < 990)
+        |SELECT COALESCE(v1.lang, v2.lang2) AS lang,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |GROUP BY 1, 2 ORDER BY lang, status""".stripMargin
+    },
     "q78_boilerplate" ->
       s"""WITH s0 AS (SELECT doc_id, unnest(string_split(text, '. ')) seg0
         |  FROM documents),
