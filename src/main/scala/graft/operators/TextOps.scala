@@ -668,8 +668,12 @@ object TextOps {
     * two versions derive deterministically from the driver's table (the
     * q34 re-ingest idiom): the "previous" snapshot lacks buckets 0–9
     * (1% new docs), the "current" drops buckets ≥ 990 (1% deletions) and
-    * edits buckets 500–509 (1% changed text). One scan feeds both sides;
-    * the join carries only (doc_id, lang, 128-bit hash) — never text. */
+    * edits buckets 500–509 (1% changed text). In production the two
+    * sides are two REAL snapshot tables (one scan each); here both
+    * versions derive from the driver's single table, so the plan scans
+    * it twice (the md5-bucket filters are expressions, not pushable
+    * predicates — same as q34's re-ingest union). Either way the join
+    * carries only (doc_id, lang, 128-bit hash) — never text. */
   def q80SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = docs(s, dir)
