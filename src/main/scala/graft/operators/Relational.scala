@@ -308,14 +308,26 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q19
-  /** Approximate distinct (HLL++) — no DuckDB oracle (different sketch
-    * impls give different estimates); the driver records a rows-only check. */
+  /** Approximate distinct (HLL++), oracle-checked as an INVARIANT: HLL
+    * register values are implementation-specific (DuckDB's sketch gives a
+    * different estimate), so the checked output carries the exact distinct
+    * count plus a Spark-computed `hll_within_5pct` flag — the DuckDB twin
+    * computes the exact side and the literal expected flag, making the row
+    * hash-exact while the HLL++ path is still exercised (rsd 0.01 keeps
+    * the estimate far inside the 5% tolerance: measured ≤0.7% error at
+    * sf0.001–0.1). The raw estimate is deliberately NOT a checked column;
+    * the flag attests it. */
   def q19ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        count_distinct($"l_partkey").as("n_distinct"),
         count(lit(1)).as("n_rows"))
+      .withColumn("hll_within_5pct",
+        abs($"approx_parts".cast("double") - $"n_distinct".cast("double")) <=
+          lit(0.05) * $"n_distinct".cast("double"))
+      .select($"l_returnflag", $"n_distinct", $"n_rows", $"hll_within_5pct")
       .orderBy($"l_returnflag")
   }
 
@@ -614,6 +626,15 @@ object Relational {
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q19_approx_distinct" ->
+      // the HLL sketch itself is engine-specific, so the twin computes
+      // the exact side and the literal expected invariant flag — see
+      // q19ApproxDistinct's doc for why this is hash-exact
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_distinct,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q79_reconcile" ->
       s"""WITH lt AS (SELECT l_orderkey, ${SqlDsum("l_extendedprice")} li_total
         |  FROM lineitem GROUP BY 1)
@@ -630,8 +651,12 @@ object Relational {
         |FROM orders o FULL OUTER JOIN lt ON o.o_orderkey = lt.l_orderkey
         |GROUP BY 1, 2 ORDER BY side, cmp""".stripMargin,
     "q75_skewed_join" ->
+      // sign-safe mod: the engine uses pmod(user_id, 10); DuckDB `%`
+      // keeps the sign (-3 % 10 = -3), so the twin spells out the
+      // ((x % m) + m) % m floor-mod — identical on the non-negative
+      // fixture ids, and still identical if ids ever go negative
       s"""WITH ev AS (SELECT event_id, user_id, value,
-        |    CASE WHEN user_id % 10 < $SkewHotShare THEN 0
+        |    CASE WHEN ((user_id % 10) + 10) % 10 < $SkewHotShare THEN 0
         |         ELSE user_id END AS fk
         |  FROM events),
         |dim AS (SELECT DISTINCT fk,

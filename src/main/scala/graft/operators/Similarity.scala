@@ -97,11 +97,19 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q39
-  /** Sign-LSH bucketed ANN + self-reported recall@5 vs the exact top-5.
+  /** Sign-LSH bucketed ANN + recall@5 vs the exact top-5.
     * Two hash tables of 4 hyperplanes each (16 buckets/table); a query's
     * candidates are vectors sharing a bucket in EITHER table — the
     * standard multi-table LSH recall/candidate trade-off. Bucket bits are
-    * sign(plane·e) via codegen'd DotLongs against literal planes. */
+    * sign(plane·e) via codegen'd DotLongs against literal planes.
+    *
+    * HASH-EXACT oracle (was rows-only through r4): the hyperplanes are
+    * driver-computed ±1 constants and every arithmetic step is exact —
+    * integer dot products whose partial sums stay < 2⁵³ (64 terms of
+    * ≤ 10¹² each), correctly-rounded IEEE sqrt/division — so the DuckDB
+    * twin replays the ENTIRE pipeline (buckets, candidates, both top-5
+    * arms, recall) with the same plane literals interpolated into the
+    * SQL, and the full output row is checked, not an invariant flag. */
   def q39AnnLshRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -252,8 +260,16 @@ object Similarity {
 
   /** IVF ANN: corpus assigned to its nearest of 16 k-means centroids
     * (deterministic 2-iteration Lloyd fit); each query probes only its
-    * own cell. Self-reported recall@5 like q39. Rows-only check (the
-    * IVF assignment is Spark-side). */
+    * own cell. Recall@5 reported like q39.
+    *
+    * HASH-EXACT oracle (was rows-only through r4): the Lloyd fit is
+    * deterministic fixed-point arithmetic end to end — seeds are the
+    * first k vectors, per-cell sums are exact BIGINT aggregates, the
+    * quantized mean is one correctly-rounded double division + floor
+    * (the q52-centroid idiom DuckDB already matches bit-for-bit) — so
+    * the DuckDB twin UNROLLS both iterations as CTEs (assign → sum →
+    * mean → empty-cells-keep-previous) and replays the final assignment,
+    * cell-probe candidates, both top-5 arms, and recall exactly. */
   def q44AnnIvfRecall(s: SparkSession, dir: String): DataFrame =
     ivfRecallWith(s, dir, fitCentroids(s, dir, k = 16, iters = 2))
 
@@ -533,7 +549,148 @@ object Similarity {
       |    / (a.nrm * b.nrm) >= 0.45
       |ORDER BY i, j""".stripMargin
 
+  /** One ±1 hyperplane as a DuckDB DOUBLE-list literal — the SAME
+    * driver-computed constants the engine plans as literals, interpolated
+    * here so oracle and engine share the hash family by construction. */
+  private def planeLit(p: Int): String =
+    hyperplanes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** Sign-LSH bucket id over planes [lo..hi] as SQL (bit p set when
+    * plane·e ≥ 0) — mirrors q39's `bucket`. `ev` is the DOUBLE-cast
+    * embedding list; every product/sum is integer-valued and < 2⁵³, so
+    * the sign test is exact in both engines. */
+  private def sqlBucket(lo: Int, hi: Int): String =
+    (lo to hi).map { p =>
+      s"(CASE WHEN list_inner_product(ev, ${planeLit(p)}) >= 0 THEN ${1L << (p - lo)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Shared oracle scaffolding for the two ANN-recall twins: the scaled
+    * vectors with a DOUBLE shadow list, the exact top-5 arm (safeCos
+    * convention spelled out), and the final (qid, n_candidates, n_hit,
+    * recall) report over CTEs named `cand` (qid, nid) and `ann`
+    * (qid, nid). */
+  private val vCte =
+    s"""$scaledCte,
+      |v AS (SELECT vec_id, e, nrm,
+      |        list_transform(e, x -> CAST(x AS DOUBLE)) ev FROM n)""".stripMargin
+
+  private val exactArmCte =
+    """exactp AS (SELECT q.vec_id qid, c.vec_id nid,
+      |    CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |         ELSE list_inner_product(q.ev, c.ev) / (q.nrm * c.nrm) END sim
+      |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |exact AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rk
+      |    FROM exactp) WHERE rk <= 5)""".stripMargin
+
+  private val recallReportSql =
+    """nc AS (SELECT qid, COUNT(*) n_candidates FROM cand GROUP BY 1),
+      |hits AS (SELECT x.qid, COUNT(*) n_hit FROM exact x
+      |         JOIN ann a ON a.qid = x.qid AND a.nid = x.nid GROUP BY 1)
+      |SELECT q.qid,
+      |  CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+      |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+      |FROM (SELECT vec_id qid FROM v WHERE vec_id < 10) q
+      |LEFT JOIN nc USING (qid) LEFT JOIN hits h USING (qid)
+      |ORDER BY qid""".stripMargin
+
+  /** Full q39 twin: buckets → two-table candidate union → ANN top-5 →
+    * recall vs the exact arm. See q39AnnLshRecall's doc for why every
+    * step is engine-portable exact arithmetic. */
+  private def q39OracleSql: String =
+    s"""$vCte,
+      |b AS (SELECT vec_id, ev, nrm,
+      |        ${sqlBucket(0, 3)} b1,
+      |        ${sqlBucket(4, 7)} b2
+      |      FROM v),
+      |tabs AS (SELECT vec_id, 1 tb, b1 bk FROM b
+      |         UNION ALL SELECT vec_id, 2 tb, b2 bk FROM b),
+      |cand AS (SELECT DISTINCT q.vec_id qid, t.vec_id nid
+      |         FROM tabs t JOIN tabs q
+      |           ON q.vec_id < 10 AND t.tb = q.tb AND t.bk = q.bk
+      |              AND t.vec_id <> q.vec_id),
+      |qs AS (SELECT vec_id qid, ev qe, nrm qn FROM v WHERE vec_id < 10),
+      |annp AS (SELECT c.qid, c.nid,
+      |    CASE WHEN q.qn * x.nrm = 0 THEN 0.0
+      |         ELSE list_inner_product(q.qe, x.ev) / (q.qn * x.nrm) END sim
+      |  FROM cand c JOIN v x ON x.vec_id = c.nid JOIN qs q ON q.qid = c.qid),
+      |ann AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rk
+      |    FROM annp) WHERE rk <= 5),
+      |$exactArmCte,
+      |$recallReportSql""".stripMargin
+
+  /** One Lloyd assignment pass as SQL: rank the k centroids per vector by
+    * safeCos (zero-norm → 0) descending, cid ascending — `assignCell`'s
+    * argmax/tie-break exactly. `centSrc` must expose (cid, cv, cn). */
+  private def sqlAssign(aName: String, cellName: String, centSrc: String): String =
+    s"""$aName AS (SELECT v.vec_id, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |      CASE WHEN v.nrm * c.cn = 0 THEN 0.0
+      |           ELSE list_inner_product(v.ev, c.cv) / (v.nrm * c.cn) END DESC,
+      |      c.cid ASC) rk
+      |  FROM v CROSS JOIN $centSrc c),
+      |$cellName AS (SELECT vec_id, cid FROM $aName WHERE rk = 1)""".stripMargin
+
+  /** One Lloyd update pass as SQL: exact per-(cell, dim) BIGINT sums, the
+    * floor(sum/cnt + 0.5) quantized mean, empty cells keep the PREVIOUS
+    * centroid (`fitCentroids`' `case None => old`). */
+  private def sqlLloydStep(i: Int, cellSrc: String, prevCent: String,
+      outCent: String): String =
+    s"""s$i AS (SELECT cid, r.d, SUM(e[CAST(r.d AS INTEGER)+1]) sv, COUNT(*) cnt
+      |  FROM v JOIN $cellSrc USING (vec_id), range(64) AS r(d) GROUP BY 1, 2),
+      |m$i AS (SELECT cid,
+      |    list(CAST(floor(CAST(sv AS DOUBLE)/cnt + 0.5) AS BIGINT) ORDER BY d) ce
+      |  FROM s$i GROUP BY cid),
+      |$outCent AS (SELECT p.cid, COALESCE(m$i.ce, p.ce) ce
+      |  FROM $prevCent p LEFT JOIN m$i USING (cid))""".stripMargin
+
+  /** Add the DOUBLE shadow + norm to a raw (cid, ce) centroid CTE —
+    * `withNorm`'s exact-integer-sum + IEEE sqrt. */
+  private def sqlCentNorm(name: String, src: String): String =
+    s"""$name AS (SELECT cid, ce,
+      |    list_transform(ce, x -> CAST(x AS DOUBLE)) cv,
+      |    sqrt(CAST(list_inner_product(list_transform(ce, x -> CAST(x AS DOUBLE)),
+      |                                 list_transform(ce, x -> CAST(x AS DOUBLE))) AS DOUBLE)) cn
+      |  FROM $src)""".stripMargin
+
+  /** Full q44 twin: seeds = first 16 vectors (cid = vec_id — ids are
+    * dense from 0 in the fixtures, matching `fitCentroids`' index-order
+    * seeding), two unrolled Lloyd iterations, final cell assignment,
+    * same-cell candidates, ANN top-5, recall vs the exact arm. */
+  private def q44OracleSql: String =
+    s"""$vCte,
+      |seed AS (SELECT vec_id cid, e ce FROM v WHERE vec_id < 16),
+      |${sqlCentNorm("c0", "seed")},
+      |${sqlAssign("a0", "cell0", "c0")},
+      |${sqlLloydStep(1, "cell0", "c0", "r1")},
+      |${sqlCentNorm("c1", "r1")},
+      |${sqlAssign("a1", "cell1", "c1")},
+      |${sqlLloydStep(2, "cell1", "c1", "r2")},
+      |${sqlCentNorm("c2", "r2")},
+      |${sqlAssign("a2", "cellf", "c2")},
+      |qs AS (SELECT v.vec_id qid, v.ev qe, v.nrm qn, cf.cid qcell
+      |       FROM v JOIN cellf cf ON cf.vec_id = v.vec_id WHERE v.vec_id < 10),
+      |cand AS (SELECT q.qid, x.vec_id nid
+      |         FROM v x JOIN cellf cf ON cf.vec_id = x.vec_id
+      |                  JOIN qs q ON cf.cid = q.qcell AND x.vec_id <> q.qid),
+      |annp AS (SELECT c.qid, c.nid,
+      |    CASE WHEN q.qn * x.nrm = 0 THEN 0.0
+      |         ELSE list_inner_product(q.qe, x.ev) / (q.qn * x.nrm) END sim
+      |  FROM cand c JOIN v x ON x.vec_id = c.nid JOIN qs q ON q.qid = c.qid),
+      |ann AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rk
+      |    FROM annp) WHERE rk <= 5),
+      |$exactArmCte,
+      |$recallReportSql""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q39_ann_lsh_recall" -> q39OracleSql,
+    "q44_ann_ivf_recall" -> q44OracleSql,
     "q38_ann_brute" ->
       s"""$scaledCte,
         |p AS (SELECT q.vec_id qid, c.vec_id nid,
