@@ -17,6 +17,11 @@ object Verify {
     def keep(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Oracle runs are strict: a fired LSH bucket cap aborts loudly here
+    // instead of surfacing as an opaque DuckDB hash mismatch (ADVICE r4),
+    // and no memoized component labels can leak in from earlier state.
+    sys.props("graft.lsh.strict") = "true"
+    graft.operators.Dedup.clearCaches()
     val spark = graft.util.GraftSession
       .builder("graft-verify", Some(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

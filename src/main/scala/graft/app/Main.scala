@@ -41,25 +41,47 @@ object AppConfig {
     "--dbpassword", "--dbname", "--host", "--port", "--callsign",
     "--interval", "--checkpoint")
 
+  /** A token that argparse would read as an OPTION rather than a value:
+    * starts with `-` and is neither the bare `-` nor a negative number
+    * (argparse's _negative_number_matcher — since no option string here
+    * looks like a negative number, `-5` stays a legal value while
+    * `--debug` after a value option means the value is missing). */
+  private def looksLikeOption(tok: String): Boolean =
+    tok.startsWith("-") && tok != "-" &&
+      !tok.matches("""-\d+|-\d*\.\d+""")
+
+  /** argparse-parity int conversion: a non-numeric value is a CLI usage
+    * error (usage + exit 2), not an uncaught NumberFormatException. */
+  private def intVal(opt: String, v: String): Int =
+    try v.toInt catch {
+      case _: NumberFormatException =>
+        throw new CliError(s"argument $opt: invalid int value: '$v'")
+    }
+
   /** Recursive option parser: `--debug` is a bare flag and may appear
     * anywhere (a pairwise sliding window would mis-align every option
-    * after it); an unknown token or a value-less option throws CliError,
-    * matching the reference's argparse error-on-unknown behavior. */
+    * after it); an unknown token, a value-less option (including one
+    * followed by another flag), or a malformed int throws CliError,
+    * matching the reference's argparse error behavior. */
   def parse(args: Array[String]): AppConfig = {
+    def set(c: AppConfig, opt: String, v: String): AppConfig = opt match {
+      case "--dbhost" => c.copy(dbhost = v)
+      case "--dbport" => c.copy(dbport = intVal(opt, v))
+      case "--dbuser" => c.copy(dbuser = v)
+      case "--dbpassword" => c.copy(dbpassword = v)
+      case "--dbname" => c.copy(dbname = v)
+      case "--host" => c.copy(host = v)
+      case "--port" => c.copy(port = intVal(opt, v))
+      case "--callsign" => c.copy(callsign = v)
+      case "--interval" => c.copy(interval = intVal(opt, v))
+      case "--checkpoint" => c.copy(checkpointDir = v)
+    }
     @annotation.tailrec
     def go(rest: List[String], c: AppConfig): AppConfig = rest match {
       case "--debug" :: tail => go(tail, c.copy(debug = true))
-      case "--dbhost" :: v :: tail => go(tail, c.copy(dbhost = v))
-      case "--dbport" :: v :: tail => go(tail, c.copy(dbport = v.toInt))
-      case "--dbuser" :: v :: tail => go(tail, c.copy(dbuser = v))
-      case "--dbpassword" :: v :: tail => go(tail, c.copy(dbpassword = v))
-      case "--dbname" :: v :: tail => go(tail, c.copy(dbname = v))
-      case "--host" :: v :: tail => go(tail, c.copy(host = v))
-      case "--port" :: v :: tail => go(tail, c.copy(port = v.toInt))
-      case "--callsign" :: v :: tail => go(tail, c.copy(callsign = v))
-      case "--interval" :: v :: tail => go(tail, c.copy(interval = v.toInt))
-      case "--checkpoint" :: v :: tail => go(tail, c.copy(checkpointDir = v))
-      case opt :: Nil if valueOpts(opt) =>
+      case opt :: v :: tail if valueOpts(opt) && !looksLikeOption(v) =>
+        go(tail, set(c, opt, v))
+      case opt :: _ if valueOpts(opt) =>
         throw new CliError(s"argument $opt: expected one argument")
       case tok :: _ =>
         throw new CliError(s"unrecognized arguments: $tok")
@@ -94,6 +116,9 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (cfg.debug) "DEBUG" else "WARN")
 
+    // per-batch operational metrics (rows/sec per format, batch time,
+    // state size) → daemon log + stdout; see OpsMetrics
+    spark.streams.addListener(new graft.streaming.OpsMetrics.Listener())
     val ingest = buildIngestQuery(spark, cfg)
     val heartbeat = Heartbeat.start(spark, cfg)
     spark.streams.awaitAnyTermination()
@@ -125,7 +150,8 @@ object Main {
       .option("host", cfg.host).option("port", cfg.port)
       .option("callsign", cfg.callsign)
       .load()
-    val lines = TelemetryProcessor.toLines(packets, "_seq")
+    val observed = graft.streaming.OpsMetrics.observed(packets)
+    val lines = TelemetryProcessor.toLines(observed, "_seq")
       .filter(col("line").isNotNull)
       .select(col("line"))
     InfluxLineSink.start(lines,

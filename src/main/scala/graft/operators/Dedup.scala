@@ -302,11 +302,18 @@ object Dedup {
       // downstream (q62/q65), so count and report instead of staying
       // quiet. One tiny job over the checkpointed signatures.
       val nCapped = cappedBucketCount(sig, bucketCap)
-      if (nCapped > 0)
-        log.warn(s"lsh: $nCapped band bucket(s) exceed cap=$bucketCap and " +
+      if (nCapped > 0) {
+        val msg = s"lsh: $nCapped band bucket(s) exceed cap=$bucketCap and " +
           "were dropped from candidate generation — component-level " +
           "consumers (q62/q65) may diverge from a capless oracle; raise " +
-          "the cap or inspect the hot texts")
+          "the cap or inspect the hot texts"
+        // ADVICE r4: in strict mode (oracle-verification runs — Verify
+        // sets the property) a fired cap fails FAST instead of surfacing
+        // later as an opaque hash mismatch buried under a log warning;
+        // production-scale paths stay warn-only.
+        if (strictCap) throw new IllegalStateException(msg)
+        else log.warn(msg)
+      }
     }
     val cand = lshCandidates(sig, bucketCap)
     val eD = shingleRowsOf(repDocs, distinct = true)
@@ -557,8 +564,21 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Drop memoized frames (benchmark hygiene — a timed pass must pay the
-    * full cost it claims to measure). */
-  def clearCaches(): Unit = componentCache.clear()
+    * full cost it claims to measure; verification hygiene — a rewritten
+    * corpus dir must not serve stale labels). Unpersists the evicted
+    * checkpoints so their blocks free immediately instead of at GC. */
+  def clearCaches(): Unit = {
+    componentCache.values.forEach { df =>
+      try df.unpersist(false) catch { case _: Exception => () }
+    }
+    componentCache.clear()
+  }
+
+  /** Fail fast on a fired LSH bucket cap (vs warn-only): set by Verify
+    * for oracle runs, or via SPARK_GRAFT_LSH_STRICT=1. */
+  private def strictCap: Boolean =
+    sys.props.get("graft.lsh.strict").contains("true") ||
+      sys.env.get("SPARK_GRAFT_LSH_STRICT").contains("1")
 
   private def memberComponents(s: SparkSession, dir: String): DataFrame =
     componentCache.computeIfAbsent((s, dir),

@@ -71,6 +71,12 @@ class DaemonSpec extends AnyFunSuite {
       host = "127.0.0.1", port = aprs.getLocalPort,
       checkpointDir = java.nio.file.Files
         .createTempDirectory("graft-daemon-e2e").toString)
+    // operational metrics must flow during the SAME e2e run (SURVEY
+    // §2.8's StreamingQueryListener row) — captured via the injectable
+    // emit, the exact line Main's default listener logs/prints
+    val metricLines = new ConcurrentLinkedQueue[String]()
+    val listener = new graft.streaming.OpsMetrics.Listener(metricLines.add(_))
+    spark.streams.addListener(listener)
     val q = Main.buildIngestQuery(spark, cfg)
     try {
       val deadline = System.currentTimeMillis() + 60000
@@ -83,7 +89,24 @@ class DaemonSpec extends AnyFunSuite {
       assert(all.contains("/write?db=mydb&u=root&p=root|"), all.take(200))
       assert(all.contains("packet,format=uncompressed "), all.take(400))
       assert(all.contains("packet,format=beacon "), all.take(400))
+      // a data-bearing batch reported per-format counts and batch timing
+      val deadline2 = System.currentTimeMillis() + 30000
+      def metrics = metricLines.toArray.map(_.toString)
+      while (!metrics.exists(_.contains("formats{")) &&
+          System.currentTimeMillis() < deadline2) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      val withData = metrics.filter(_.contains("formats{"))
+      assert(withData.nonEmpty,
+        s"no streaming-metrics line with format counts: ${metrics.mkString("; ")}")
+      val m = withData.mkString("\n")
+      assert(m.contains("streaming-metrics query="), m)
+      assert(m.contains("uncompressed=1/"), m)
+      assert(m.contains("beacon=1/"), m)
+      assert(m.contains("batch_ms="), m)
+      assert(m.contains("state_rows="), m)
     } finally {
+      spark.streams.removeListener(listener)
       q.stop()
       aprs.close()
       http.stop(0)
@@ -120,6 +143,28 @@ class DaemonSpec extends AnyFunSuite {
     assert(m.message.contains("expected one argument"))
     // positional garbage is rejected too
     intercept[AppConfig.CliError] { AppConfig.parse(Array("oops")) }
+  }
+
+  test("CLI: malformed ints and flag-consuming values error like argparse") {
+    // ADVICE r4: a non-numeric port must be a usage error (exit 2), not
+    // an uncaught NumberFormatException stack trace (exit 1)
+    val b = intercept[AppConfig.CliError] {
+      AppConfig.parse(Array("--dbport", "eighty"))
+    }
+    assert(b.message.contains("--dbport") &&
+      b.message.contains("invalid int value"))
+    // ADVICE r4: a value option followed by another flag must not
+    // silently swallow the flag as its value — argparse says the value
+    // is missing
+    val f = intercept[AppConfig.CliError] {
+      AppConfig.parse(Array("--dbport", "--debug"))
+    }
+    assert(f.message.contains("--dbport") &&
+      f.message.contains("expected one argument"))
+    // ...but a negative number IS a value (argparse's
+    // _negative_number_matcher: no option here looks like a number)
+    assert(AppConfig.parse(Array("--interval", "-5")).interval == -5)
+    assert(AppConfig.parse(Array("--dbhost", "-")).dbhost == "-")
   }
 
   test("heartbeat: login + status packet on its own connection") {
