@@ -11,10 +11,12 @@ import graft.util.Tables
   * pipeline would run them.
   *
   * The decode stage dispatches on payload magic bytes: PNG/JPEG payloads
-  * go through a REAL pixel decode ([[ImageDecoder]], javax.imageio — in
-  * the JDK, no external dependency); other modalities (audio PCM, video
-  * containers — no codec in this container) fall back to the clearly
-  * marked deterministic stub ([[DecoderStub]]). Everything Spark-side —
+  * go through a REAL pixel decode ([[ImageDecoder]], javax.imageio) and
+  * RIFF/WAVE payloads through a REAL PCM sample decode ([[WavDecoder]],
+  * javax.sound.sampled) — both JDK-only, no external dependency; the one
+  * remaining modality with no codec in this container (video) falls back
+  * to the clearly marked deterministic stub ([[DecoderStub]]).
+  * Everything Spark-side —
   * schema, binary column handling, partition-wise batch decode via
   * mapPartitions, frame explosion, metadata pushdown — is real and
   * oracle-tested. Payloads are derived from `documents.text` bytes
@@ -165,11 +167,87 @@ object Multimodal {
     }
   }
 
-  /** STUBBED decode for the modalities this container has no codec for
-    * (audio PCM, video containers). Produces deterministic fake features
-    * so the distributed plumbing (partition-wise batching, schema, memory
-    * shape) is fully testable; swap `decodeOne` for a real codec in
-    * production, exactly as [[ImageDecoder]] does for PNG/JPEG. */
+  /** Real audio decode: RIFF/WAVE PCM bytes → samples
+    * (javax.sound.sampled — in the JDK, no external dependency) → a
+    * deterministic [[DecoderStub.featureDim]]-float descriptor:
+    * [mean |amplitude|, RMS, zero-crossing rate, peak, 4 quarter-segment
+    * mean |amplitude|s], all normalized to [0, 1]. Integer sample sums
+    * (|s|, s², crossings) divided once at the end — like ImageDecoder,
+    * bit-stable across runs and partitionings (sums stay < 2⁶³: s² ≤
+    * 2³⁰ per 16-bit sample). Zero crossings are counted per channel
+    * (interleaved neighbors belong to different channels). */
+  object WavDecoder {
+    def isWav(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == 'F'.toByte && p(8) == 'W'.toByte &&
+        p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val unsigned8 =
+          fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+        require(unsigned8 ||
+          (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            (bits == 16 || bits == 8)),
+          s"unsupported WAV encoding ${fmt.getEncoding}/$bits-bit " +
+            "(PCM 8/16-bit only)")
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        val n = bytes.length / (bits / 8)
+        val nFrames = n / ch
+        require(nFrames > 0, "empty WAV payload")
+        val maxAmp = if (bits == 16) 32768.0 else 128.0
+        def sample(i: Int): Int =
+          if (bits == 16) {
+            val o = i * 2
+            if (fmt.isBigEndian) (bytes(o).toInt << 8) | (bytes(o + 1) & 0xff)
+            else (bytes(o + 1).toInt << 8) | (bytes(o) & 0xff)
+          } else if (unsigned8) (bytes(i) & 0xff) - 128
+          else bytes(i).toInt
+        var absSum = 0L; var sqSum = 0L; var peak = 0L; var crossings = 0L
+        val segSum = new Array[Long](4)
+        val segCnt = new Array[Long](4)
+        var i = 0
+        while (i < n) {
+          val s = sample(i)
+          val a = math.abs(s.toLong)
+          absSum += a; sqSum += s.toLong * s
+          if (a > peak) peak = a
+          val frame = i / ch
+          val seg = math.min(frame * 4L / nFrames, 3L).toInt
+          segSum(seg) += a; segCnt(seg) += 1
+          // previous sample of the SAME channel is ch positions back
+          if (frame > 0 && ((sample(i - ch) >= 0) != (s >= 0))) crossings += 1
+          i += 1
+        }
+        val out = new Array[Float](DecoderStub.featureDim)
+        out(0) = (absSum / (n * maxAmp)).toFloat
+        out(1) = (math.sqrt(sqSum.toDouble / n) / maxAmp).toFloat
+        val crossDen = (nFrames - 1).toLong * ch
+        out(2) = if (crossDen == 0) 0f else (crossings.toDouble / crossDen).toFloat
+        out(3) = (peak / maxAmp).toFloat
+        var q = 0
+        while (q < 4) {
+          out(4 + q) = if (segCnt(q) == 0) 0f
+            else (segSum(q) / (segCnt(q) * maxAmp)).toFloat
+          q += 1
+        }
+        out
+      } finally in.close()
+    }
+  }
+
+  /** STUBBED decode for the one modality this container has no codec for
+    * (video containers — PNG/JPEG and WAV/PCM decode for real above).
+    * Produces deterministic fake features so the distributed plumbing
+    * (partition-wise batching, schema, memory shape) is fully testable;
+    * swap `decodeOne` for a real codec in production, exactly as
+    * [[ImageDecoder]] / [[WavDecoder]] do. */
   object DecoderStub {
     val featureDim = 8
     /** >>> STUB <<< — replace with a real decoder. Derives featureDim
@@ -201,6 +279,7 @@ object Multimodal {
       it.map { r =>
         val p = r.getAs[Array[Byte]](1)
         val f = if (ImageDecoder.isImage(p)) ImageDecoder.decodeOne(p)
+          else if (WavDecoder.isWav(p)) WavDecoder.decodeOne(p)
           else DecoderStub.decodeOne(p)
         Row(r.getLong(0), f.toSeq)
       }
