@@ -43,28 +43,87 @@ object Bench {
     "q58_sequence_packing", "q60_decontam", "q65_keep_best",
     "q67_range_join", "q75_skewed_join", "q77_split_leakage")
 
-  /** Steady-state per-query seconds at sf0.1 / local[32] (measured round 3,
-    * ~1.5× headroom). Round 2 showed min-of-two-forks cannot defend against
-    * a busy MACHINE — both forks reported q36 ≈ 14.5 s while steady state
-    * is 1.6 s — so when BOTH forks land above `AnomalyK`× these references,
-    * the parent cools down and re-measures in a fresh fork, and anything
-    * still slow is annotated `contended` in the JSON instead of silently
-    * inflating the round's number. */
+  /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
+    * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
+    * against a busy MACHINE — both forks reported q36 ≈ 14.5 s while
+    * steady state is 1.6 s — so when BOTH forks land above `AnomalyK`×
+    * these references, the parent cools down and re-measures in a fresh
+    * fork, and anything still slow is annotated `contended` in the JSON
+    * instead of silently inflating the round's number. Round 4 showed a
+    * second, milder mode: ambient load (loadavg ~6) inflating q36/q60
+    * 27-35% — far under AnomalyK, so it was recorded silently. Hence the
+    * second gate: when loadavg exceeds `LoadavgGate` at either end of the
+    * run, anything above `ContendedK`× steady state is ALSO annotated
+    * `contended` (the tighter multiplier only applies when the load
+    * reading corroborates, so quiet-box variance never trips it). */
   private val refSecSf01: Map[String, Double] = Map(
-    "q01_agg" -> 0.9, "q02_join_broadcast" -> 0.8, "q03_join_multi" -> 1.2,
-    "q06_filter_pushdown" -> 0.4, "q07_window_topn" -> 0.8, "q09_topk" -> 0.4,
-    "q14_time_window" -> 0.6, "q15_sessionize" -> 0.7, "q16_json" -> 0.8,
-    "q30_tokens" -> 0.6, "q34_exact_dedup" -> 0.6, "q36_minhash_lsh" -> 2.5,
-    "q38_ann_brute" -> 0.6, "q45_embedding_dedup_blocked" -> 2.0,
-    "q48_repetition" -> 0.9, "q53_top_tokens" -> 0.8, "q54_clean_corpus" -> 1.5,
-    "q58_sequence_packing" -> 0.8, "q60_decontam" -> 1.5,
-    "q65_keep_best" -> 4.5, "q67_range_join" -> 0.8,
-    "q75_skewed_join" -> 0.5, "q77_split_leakage" -> 4.0)
+    "q01_agg" -> 0.6, "q02_join_broadcast" -> 0.5, "q03_join_multi" -> 0.8,
+    "q06_filter_pushdown" -> 0.2, "q07_window_topn" -> 0.45, "q09_topk" -> 0.15,
+    "q14_time_window" -> 0.3, "q15_sessionize" -> 0.35, "q16_json" -> 0.45,
+    "q30_tokens" -> 0.35, "q34_exact_dedup" -> 0.35, "q36_minhash_lsh" -> 1.8,
+    "q38_ann_brute" -> 0.3, "q45_embedding_dedup_blocked" -> 1.1,
+    "q48_repetition" -> 0.55, "q53_top_tokens" -> 0.45, "q54_clean_corpus" -> 0.9,
+    "q58_sequence_packing" -> 0.55, "q60_decontam" -> 0.8,
+    "q65_keep_best" -> 3.0, "q67_range_join" -> 0.3,
+    "q75_skewed_join" -> 0.35, "q77_split_leakage" -> 3.0)
   private val AnomalyK = 3.0
+  private val ContendedK = 1.25
+  private val LoadavgGate = 4.0
   private val CooldownMs = 20000L
 
   private def loadavg1m: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Non-query bench entries (VERDICT r4 #4/#7/#8) — measured exactly
+    * like queries (warm-up + min of two passes) but not oracle-checked;
+    * each exists to put a NUMBER on a scale path the headline queries
+    * don't reach at this SF. */
+  private[graft] val extras: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
+    // #4: the ≥1M-edge distributed label-propagation path, FORCED
+    // (driverMaxEdges=0) over a lineitem-derived bipartite graph
+    // (~600k order↔part edges at sf0.1 — far past any fixture dedup
+    // graph). Per-round moved/edges telemetry goes to stderr so the
+    // bench output records the round structure, not just the total.
+    "x_components_distributed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val pairs = graft.util.Tables(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("i"),
+          (col("l_partkey") * 2 + 1).as("j"))
+        .distinct()
+      val (labels, rounds) = graft.operators.Similarity.labelPropagate(
+        pairs,
+        onRound = (r, m, e) => System.err.println(
+          s"[bench] x_components_distributed round=$r moved=$m edges=$e"),
+        driverMaxEdges = 0L)
+      val nComp = labels.select("lbl").distinct().count()
+      System.err.println(
+        s"[bench] x_components_distributed rounds=$rounds components=$nComp")
+    }),
+    // #7 baseline arm: IVF fit + query inline (the q44 shape)
+    "x_ivf_fit_query" -> ((s, dir) =>
+      graft.operators.Similarity.q44AnnIvfRecall(s, dir)
+        .write.format("noop").mode("overwrite").save()),
+    // #7: build-once/query-many — the warm-up pass writes the index if
+    // missing, timed passes pay ONLY load + query (must come out ≪ the
+    // fit+query arm, the "queries must not refit" claim with a number)
+    "x_ivf_query_loaded" -> ((s, dir) => {
+      val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
+      if (!new java.io.File(path).exists())
+        graft.operators.Similarity.saveIvfIndex(s, dir, path)
+      graft.operators.Similarity.ivfRecallWith(s, dir,
+        graft.operators.Similarity.loadIvfIndex(s, path))
+        .write.format("noop").mode("overwrite").save()
+    }),
+    // #8: amortized pipeline mode — q62/q65/q77 share ONE memoized
+    // component-label pass (how a real pipeline runs them), vs the
+    // headline's honest cold costs where each query pays its own pass
+    "x_pipeline_components_shared" -> ((s, dir) => {
+      graft.operators.Dedup.clearCaches()
+      Seq("q62_cluster_sizes", "q65_keep_best", "q77_split_leakage")
+        .foreach(n => SparkEntry.queries(n)(s, dir)
+          .write.format("noop").mode("overwrite").save())
+    }),
+  )
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--child")) {
@@ -104,8 +163,11 @@ object Bench {
         // memoized operator state (q62/q65 shared labels) must not leak
         // across passes — a timed pass pays the full cost it claims
         graft.operators.Dedup.clearCaches()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        extras.get(name) match {
+          case Some(f) => f(spark, sfDir)
+          case None => SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
       }
       run()
       val times = (1 to 2).map { _ =>
@@ -122,7 +184,9 @@ object Bench {
   // parent: forks children, watchdogs them, prints the one JSON line.
   // ------------------------------------------------------------------
   private def parentMain(sfDir: String): Unit = {
-    val all = headline.filter(SparkEntry.queries.contains)
+    val loadavgStart = loadavg1m
+    val all = headline.filter(SparkEntry.queries.contains) ++
+      extras.keys.toSeq.sorted
     val best = mutable.LinkedHashMap[String, Double]()
     val errors = mutable.LinkedHashMap[String, String]()
     var childFlags = ""
@@ -208,17 +272,38 @@ object Bench {
       }
       contended = slow.filter(n => best(n) > AnomalyK * references(n))
     }
+    // ambient-load gate (round-4 failure mode: loadavg ~6 inflating
+    // q36/q60 27-35% — far under AnomalyK, silently recorded): when the
+    // load reading corroborates, annotate anything above the tighter
+    // ContendedK multiplier too. Annotation, not suppression — the
+    // numbers stay in the JSON, flagged as load-affected.
+    val loadavgEnd = loadavg1m
+    if (math.max(loadavgStart, loadavgEnd) > LoadavgGate) {
+      val ambient = best.collect {
+        case (n, s) if references.get(n).exists(r => s > ContendedK * r) => n
+      }.toSeq
+      if (ambient.nonEmpty)
+        System.err.println(s"[bench] ambient load (start $loadavgStart, " +
+          s"end $loadavgEnd > $LoadavgGate): annotating " +
+          s"${ambient.mkString(", ")} as contended (> ${ContendedK}x steady)")
+      contended = (contended ++ ambient).distinct
+    }
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
+    // extras are reported separately: "value" stays the headline-query
+    // total, comparable across rounds/BASELINE
+    val (extraBest, queryBest) = best.partition(kv => extras.contains(kv._1))
+    val qs = queryBest.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val exJson = extraBest.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}""")
+    val total = queryBest.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"loadavg_start":$loadavgStart,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}""")
   }
 
   /** Fork one child for `names`. Right = clean completion (flags, results);
