@@ -41,7 +41,8 @@ object Bench {
     "q38_ann_brute", "q45_embedding_dedup_blocked",
     "q48_repetition", "q53_top_tokens", "q54_clean_corpus",
     "q58_sequence_packing", "q60_decontam", "q65_keep_best",
-    "q67_range_join", "q75_skewed_join", "q77_split_leakage")
+    "q67_range_join", "q75_skewed_join", "q77_split_leakage",
+    "q81_heavy_hitters")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -63,9 +64,12 @@ object Bench {
     "q30_tokens" -> 0.35, "q34_exact_dedup" -> 0.35, "q36_minhash_lsh" -> 1.8,
     "q38_ann_brute" -> 0.3, "q45_embedding_dedup_blocked" -> 1.1,
     "q48_repetition" -> 0.55, "q53_top_tokens" -> 0.45, "q54_clean_corpus" -> 0.9,
-    "q58_sequence_packing" -> 0.55, "q60_decontam" -> 0.8,
-    "q65_keep_best" -> 3.0, "q67_range_join" -> 0.3,
-    "q75_skewed_join" -> 0.35, "q77_split_leakage" -> 3.0)
+    // q60's 0.95 is the r4 single-text-decode rework's true steady state
+    // (measured quiet-box r5; r3's 0.71 was the old double-scan code)
+    "q58_sequence_packing" -> 0.55, "q60_decontam" -> 0.95,
+    "q65_keep_best" -> 3.1, "q67_range_join" -> 0.3,
+    "q75_skewed_join" -> 0.35, "q77_split_leakage" -> 3.3,
+    "q81_heavy_hitters" -> 1.2)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
@@ -73,6 +77,15 @@ object Bench {
 
   private def loadavg1m: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Fitted-index location for the IVF extras; written once (warm-up
+    * pass) and reused by both loaded-index arms. */
+  private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
+    if (!new java.io.File(path).exists())
+      graft.operators.Similarity.saveIvfIndex(s, dir, path)
+    path
+  }
 
   /** Non-query bench entries (VERDICT r4 #4/#7/#8) — measured exactly
     * like queries (warm-up + min of two passes) but not oracle-checked;
@@ -104,14 +117,19 @@ object Bench {
       graft.operators.Similarity.q44AnnIvfRecall(s, dir)
         .write.format("noop").mode("overwrite").save()),
     // #7: build-once/query-many — the warm-up pass writes the index if
-    // missing, timed passes pay ONLY load + query (must come out ≪ the
-    // fit+query arm, the "queries must not refit" claim with a number)
+    // missing, timed passes pay ONLY load + query. Two arms: the full
+    // q44 report against the loaded index (includes the exact-recall
+    // audit arm), and the PRODUCTION query path (ANN top-k only — a
+    // serving path does not recompute recall per batch), which is the
+    // "queries must not refit" number
     "x_ivf_query_loaded" -> ((s, dir) => {
-      val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
-      if (!new java.io.File(path).exists())
-        graft.operators.Similarity.saveIvfIndex(s, dir, path)
       graft.operators.Similarity.ivfRecallWith(s, dir,
-        graft.operators.Similarity.loadIvfIndex(s, path))
+        graft.operators.Similarity.loadIvfIndex(s, ivfPath(s, dir)))
+        .write.format("noop").mode("overwrite").save()
+    }),
+    "x_ivf_query_only_loaded" -> ((s, dir) => {
+      graft.operators.Similarity.ivfQuery(s, dir,
+        graft.operators.Similarity.loadIvfIndex(s, ivfPath(s, dir)))
         .write.format("noop").mode("overwrite").save()
     }),
     // #8: amortized pipeline mode — q62/q65/q77 share ONE memoized

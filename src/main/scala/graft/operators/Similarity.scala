@@ -295,6 +295,26 @@ object Similarity {
       .select($"e", $"nrm").as[(Seq[Long], Double)].collect().toIndexedSeq
   }
 
+  /** The production IVF query path: ANN top-k against an explicit
+    * (normally loaded) centroid model, WITHOUT the exact arm — recall
+    * reporting is an audit tool, not something a query-many serving path
+    * recomputes per batch. This is what build-once/query-many actually
+    * runs; Bench times it against the fit+query arm. */
+  def ivfQuery(s: SparkSession, dir: String,
+      cents: Seq[(Seq[Long], Double)], k: Int = 5): DataFrame = {
+    import s.implicits._
+    val base = scaled(s, dir)
+    val assigned = base
+      .withColumn("cell", assignCell(cents))
+      .select($"vec_id", $"e", $"nrm", $"cell")
+    val q = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"),
+        $"cell".as("qcell"))
+    cosineTopK(assigned.join(broadcast(q),
+      $"vec_id" =!= $"qid" && $"cell" === $"qcell"), k)
+      .orderBy($"qid", $"rk")
+  }
+
   /** q44's ANN + recall report against an explicit (possibly loaded)
     * centroid model — the fit is deterministic, so the saved-index path
     * must reproduce the inline-fit output bit for bit (spec-pinned). */

@@ -739,10 +739,85 @@ object TextOps {
       v2Table: String): DataFrame =
     snapshotDiffAgg(snapshotDiffRows(s.table(v1Table), s.table(v2Table)))
 
+  // ---------------------------------------------------------------- q81
+  /** Heavy hitters (ε-frequent items): every token whose TERM-occurrence
+    * count exceeds n/k — the sketch family's missing member next to
+    * HLL (q19), KMV (q71), MinHash (q36/q49), SimHash (q37). The q53
+    * contrast: q53 ranks a FIXED number of tokens per language (top-k by
+    * df); this returns the complete, threshold-defined set, whose size
+    * is data-dependent.
+    *
+    * The 100 TB shape is the classic two-pass Misra-Gries (Misra &
+    * Gries 1982; Metwally et al. Space-Saving is the same guarantee):
+    *  - pass 1: a BOUNDED-MEMORY summary of [[HeavyK]] counters per
+    *    partition (mapPartitions — genuine per-partition imperative
+    *    state, the rare justified RDD drop-down); by the pigeonhole
+    *    merge property, any token with global count > n/k exceeds its
+    *    partition threshold in ≥ 1 partition, so the union of partition
+    *    candidates (≤ k × #partitions, driver-sized) is a SUPERSET of
+    *    the true heavy hitters — this replaces a full-vocabulary
+    *    group-by, the thing that is expensive at corpus scale;
+    *  - pass 2: ONE scan that broadcast-classifies each token as
+    *    candidate-or-other and partially aggregates to ≤ |candidates|+1
+    *    rows per partition — exact counts for candidates AND the exact
+    *    total in the same job.
+    * The verify step makes the OUTPUT deterministic and exact (the true
+    * heavy hitters, nothing else) no matter how partitioning shuffles
+    * the sketch's internal candidate set — which is why a capricious
+    * one-pass summary can still be oracle-checked hash-exact. */
+  val HeavyK = 200
+
+  def q81HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(docs(s, dir))
+
+  /** Same, over an explicit corpus with a `text` column (spec-testable
+    * with planted frequencies and adversarial partitioning). */
+  private[graft] def heavyHittersOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val toks = d
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+    // pass 1: per-partition Misra-Gries summaries → candidate union
+    val candidates = toks.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { r =>
+        val t = r.getString(0)
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < HeavyK => m.update(t, 1L)
+          case None => // MG decrement-all step; drop exhausted counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m.update(key, c - 1) }
+            dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.distinct().collect().sorted
+    // pass 2: exact candidate counts + exact total, one scan, partial
+    // aggregation to ≤ |candidates|+1 rows per partition. Broadcast
+    // join, not isin: thousands of literals would blow codegen.
+    val candDf = candidates.toSeq.toDF("ctok")
+    // the not-a-candidate bucket's sentinel is a single space — split on
+    // " " can never emit it, while "" IS a legal token and must stay
+    // reportable (it can be a heavy hitter of sparse documents)
+    val grouped = toks
+      .join(broadcast(candDf), $"tok" === $"ctok", "left")
+      .groupBy(coalesce($"ctok", lit(" ")).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // tiny (≤ |candidates|+1 rows); feeds 2 actions
+    val total = grouped.agg(sum($"cnt")).head.getLong(0)
+    grouped.filter($"g" =!= " " && $"cnt" * HeavyK > total)
+      .select($"g".as("tok"), $"cnt",
+        ($"cnt".cast("double") / total.toDouble).as("share"))
+      .orderBy($"tok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_mixture_weights" -> (q76MixtureWeights _),
     "q78_boilerplate" -> (q78Boilerplate _),
     "q80_snapshot_diff" -> (q80SnapshotDiff _),
+    "q81_heavy_hitters" -> (q81HeavyHitters _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
     "q32_langid" -> (q32LangId _),
@@ -770,6 +845,18 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q81_heavy_hitters" ->
+      // the exact threshold set the MG-candidate + verify pipeline must
+      // land on regardless of its internal sketch state
+      s"""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) n_total FROM t)
+        |SELECT tok, COUNT(*) AS cnt,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(n.n_total AS DOUBLE) AS share
+        |FROM t CROSS JOIN n
+        |GROUP BY tok, n.n_total
+        |HAVING COUNT(*) * $HeavyK > n.n_total
+        |ORDER BY tok""".stripMargin,
     "q76_mixture_weights" ->
       s"""WITH c AS (SELECT source, COUNT(*) n_docs,
         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))*10000 + 0.5) AS BIGINT)

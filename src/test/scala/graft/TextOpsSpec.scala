@@ -228,6 +228,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(emb.embedding.length == 64)
   }
 
+  /** q81's contract: the bounded-memory Misra-Gries candidate pass may
+    * keep or evict anything it likes, but the verified OUTPUT must be
+    * exactly the tokens with count·k > n — pinned with planted
+    * frequencies straddling the threshold and adversarial partitioning
+    * (many distinct filler tokens force constant MG counter eviction). */
+  test("q81: exact threshold set survives MG eviction pressure") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // n = 40000 fillers + 250 hot + 150 warm; threshold n/200 = 202.0 —
+    // hot (250) is in, warm (150) and every filler (1) are out
+    val filler = (0 until 40000).map(i => s"f$i")
+    val words = filler ++ Seq.fill(250)("hot") ++ Seq.fill(150)("warm")
+    // one word per doc, shuffled deterministically and spread over many
+    // small partitions: each partition's MG map overflows repeatedly
+    val docs = new scala.util.Random(7).shuffle(words).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val df = docs.toDF("doc_id", "text").repartition(16)
+    val out = TextOps.heavyHittersOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("hot" -> 250L), s"got $out")
+    // threshold is strict (> n/k): exactly n/k must NOT qualify
+    // (n = 40000, k = 200 → edge at exactly 200 occurrences)
+    val words2 = (0 until 39800).map(i => s"f$i") ++ Seq.fill(200)("edge")
+    val df2 = words2.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(8)
+    assert(TextOps.heavyHittersOf(df2).collect().isEmpty)
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
