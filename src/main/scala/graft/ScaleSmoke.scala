@@ -22,7 +22,7 @@ object ScaleSmoke {
     "q34_exact_dedup", "q48_repetition", "q53_top_tokens",
     "q54_clean_corpus", "q58_sequence_packing", "q60_decontam",
     "q69_charclass", "q70_chunking", "q76_mixture_weights",
-    "q78_boilerplate")
+    "q78_boilerplate", "q81_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
