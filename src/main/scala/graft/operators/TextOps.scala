@@ -302,6 +302,33 @@ object TextOps {
       .orderBy($"lang", $"split")
   }
 
+  // ---------------------------------------------------------------- q82
+  /** Stratified EXACT-k eval-set builder: exactly [[EvalK]] documents per
+    * (lang, source) cell, selected in deterministic content-free hash
+    * order — the eval/calibration-set primitive q46 cannot express (q46
+    * samples at a RATE, so cell sizes float with the data; an eval suite
+    * needs a fixed budget per cell, reproducible across re-runs and
+    * unbiased by doc_id assignment order). Order is md5(doc_id) with
+    * doc_id as tiebreak — same engine-portable hash family as the q46/q57
+    * bucket function. Plans as the q07/q71 WindowGroupLimit shape: each
+    * task keeps ≤ k rows per group BEFORE the shuffle, so the sort never
+    * sees more than k × #groups × #partitions rows — the scale-safe
+    * per-group top-k, not a global sort. */
+  val EvalK = 20
+
+  def q82StratifiedEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy($"hx".asc, $"doc_id".asc)
+    docs(s, dir)
+      .withColumn("hx", expr("md5(cast(cast(doc_id as string) as binary))"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= EvalK)
+      .select($"lang", $"source", $"rk".cast("long").as("rk"), $"doc_id")
+      .orderBy($"lang", $"source", $"rk")
+  }
+
   // ---------------------------------------------------------------- q58
   /** Sequence packing: greedily pack documents (in stable doc_id order,
     * per language) into 8192-token context windows by start offset — the
@@ -818,6 +845,7 @@ object TextOps {
     "q78_boilerplate" -> (q78Boilerplate _),
     "q80_snapshot_diff" -> (q80SnapshotDiff _),
     "q81_heavy_hitters" -> (q81HeavyHitters _),
+    "q82_stratified_eval" -> (q82StratifiedEval _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
     "q32_langid" -> (q32LangId _),
@@ -857,6 +885,16 @@ object TextOps {
         |GROUP BY tok, n.n_total
         |HAVING COUNT(*) * $HeavyK > n.n_total
         |ORDER BY tok""".stripMargin,
+    "q82_stratified_eval" ->
+      s"""WITH h AS (SELECT lang, source, doc_id,
+        |            md5(CAST(doc_id AS VARCHAR)) hx FROM documents),
+        |r AS (SELECT lang, source, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY lang, source
+        |          ORDER BY hx ASC, doc_id ASC) rk
+        |      FROM h)
+        |SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= $EvalK
+        |ORDER BY lang, source, rk""".stripMargin,
     "q76_mixture_weights" ->
       s"""WITH c AS (SELECT source, COUNT(*) n_docs,
         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))*10000 + 0.5) AS BIGINT)

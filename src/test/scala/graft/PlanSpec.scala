@@ -50,6 +50,8 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q53_top_tokens").contains("WindowGroupLimit"))
     // the KMV bottom-k sketch is the same partial-top-k shape
     assert(plan("q71_kmv_distinct").contains("WindowGroupLimit"))
+    // exact-k stratified eval selection keeps ≤ k rows per cell per task
+    assert(plan("q82_stratified_eval").contains("WindowGroupLimit"))
   }
 
   test("q01: aggregation is partial+final hash aggregate") {

@@ -231,6 +231,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingSessionize (q15's continuous twin): native session_window
+    * state merges events within the gap, finalizes on watermark, emits
+    * once per closed session — and open sessions stay unemitted. */
+  test("streaming sessionization closes sessions on watermark, holds open ones") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("sess_stream")
+    val outName = "sess_out"
+    def ev(ts: String, user: String) = s"""{"ts":"$ts","user_id":"$user"}"""
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", StringType)))
+    // batch 1: a@5 + a@10 merge into one session (gap 30 s); b@7 alone
+    Files.write(dir.resolve("b1.json"), Seq(
+      ev("1970-01-01 00:00:05", "a"), ev("1970-01-01 00:00:10", "a"),
+      ev("1970-01-01 00:00:07", "b")).mkString("\n").getBytes)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val q = graft.streaming.StreamingSessionize
+      .sessions(stream, gap = "30 seconds", watermark = "10 seconds")
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a@120 — watermark 110 passes both open sessions' ends
+      // (a: 10+30=40, b: 7+30=37) → they finalize; a@120 stays OPEN
+      Files.write(dir.resolve("b2.json"),
+        Seq(ev("1970-01-01 00:02:00", "a")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // batch 3: a@300 — watermark 290 closes a's [120, 150) session
+      Files.write(dir.resolve("b3.json"),
+        Seq(ev("1970-01-01 00:05:00", "a")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val got = spark.table(outName).collect().map { r =>
+        (r.getString(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getLong(3))
+      }.toSet
+      assert(got == Set(
+        ("a", 5L, 40L, 2L),    // merged a@5 + a@10, end = last + gap
+        ("b", 7L, 37L, 1L),
+        ("a", 120L, 150L, 1L)  // a@300's session is still open: absent
+      ), s"got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** StreamDecontam (q60's continuous twin): stream-static shingle join,
     * one alert per contaminated document across the query lifetime. */
   test("streaming decontamination alerts once per contaminated doc") {
