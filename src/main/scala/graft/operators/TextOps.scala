@@ -167,6 +167,55 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Approximate percentiles (the engine's Greenwald-Khanna
+    * `percentile_approx` sketch) made oracle-checkable the q19 way:
+    * sketch INTERNALS are engine-specific (and the distributed merge
+    * order is not even deterministic), but GK's rank-error GUARANTEE is —
+    * the returned value's rank is within ε·n of the target for
+    * ε = 1/accuracy, whatever order partitions merge in. So the checked
+    * row carries the exact nearest-rank percentiles (q50's pattern) plus
+    * Spark-computed `*_rank_ok` flags: the exact rank of the sketch's
+    * answer (count of values ≤ it) must sit within ε·n + 1 of the target
+    * rank. The DuckDB twin computes the exact side and predicts the
+    * flags literally — hash-exact while the GK path is fully exercised.
+    * This closes the sketch family's checkability story: HLL → invariant
+    * flag (q19), KMV/MinHash/SimHash/MG → exactly deterministic
+    * (q71/q36/q37/q81), GK → guarantee-bound flag. */
+  val GkAccuracy = 100
+
+  def q83ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select($"lang", $"n_chars", $"doc_id")
+    val approx = base.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx($"n_chars", lit(0.5), lit(GkAccuracy)).as("a50"),
+        percentile_approx($"n_chars", lit(0.9), lit(GkAccuracy)).as("a90"))
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".asc, $"doc_id".asc)
+    val ranked = base.withColumn("rn", row_number().over(w))
+    def pick(p: Double, name: String) =
+      max(when($"rn" === ceil(lit(p) * $"n_docs").cast("long"), $"n_chars"))
+        .as(name)
+    val exact = ranked
+      .join(base.groupBy($"lang").agg(count(lit(1)).as("n_docs")), "lang")
+      .groupBy($"lang")
+      .agg(pick(0.5, "p50_exact"), pick(0.9, "p90_exact"))
+    // exact rank of each sketch answer: one partial-agg pass of
+    // conditional counts — no sort, no join fan-out
+    val ranksOfApprox = base.join(broadcast(approx), "lang")
+      .groupBy($"lang")
+      .agg(sum(when($"n_chars" <= $"a50", 1L).otherwise(0L)).as("r50"),
+        sum(when($"n_chars" <= $"a90", 1L).otherwise(0L)).as("r90"))
+    def ok(r: org.apache.spark.sql.Column, p: Double) =
+      abs(r.cast("double") - lit(p) * $"n_docs".cast("double")) <=
+        $"n_docs".cast("double") / lit(GkAccuracy.toDouble) + lit(1.0)
+    approx.join(exact, "lang").join(ranksOfApprox, "lang")
+      .select($"lang", $"n_docs", $"p50_exact", $"p90_exact",
+        ok($"r50", 0.5).as("p50_rank_ok"), ok($"r90", 0.9).as("p90_rank_ok"))
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- q51
   /** Cross-source contamination matrix: for every pair of sources, how
     * many distinct texts appear in BOTH (the train/test-overlap check a
@@ -846,6 +895,7 @@ object TextOps {
     "q80_snapshot_diff" -> (q80SnapshotDiff _),
     "q81_heavy_hitters" -> (q81HeavyHitters _),
     "q82_stratified_eval" -> (q82StratifiedEval _),
+    "q83_approx_quantiles" -> (q83ApproxQuantiles _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
     "q32_langid" -> (q32LangId _),
@@ -995,6 +1045,20 @@ object TextOps {
         |  CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
         |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS rep_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q83_approx_quantiles" ->
+      // exact side mirrors q50's nearest-rank idiom; the GK flags are
+      // literal — guaranteed TRUE by the sketch's rank-error contract
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) rn
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) n_docs FROM documents GROUP BY lang)
+        |SELECT r.lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n_docs) AS BIGINT) THEN n_chars END) AS p50_exact,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.9 * n_docs) AS BIGINT) THEN n_chars END) AS p90_exact,
+        |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+        |FROM ranked r JOIN c ON c.lang = r.lang
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
     "q50_length_quantiles" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars,
