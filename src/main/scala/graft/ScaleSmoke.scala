@@ -24,6 +24,13 @@ object ScaleSmoke {
     "q69_charclass", "q70_chunking", "q76_mixture_weights",
     "q78_boilerplate", "q81_heavy_hitters")
 
+  /** Event-suite coverage (r5): replicated events with DISJOINT user-id
+    * copies — time windows share keys (counts ×factor), sessions and
+    * transitions replicate per-copy. Exercises the window/sessionize/lag
+    * shapes the documents table can't. */
+  private val eventQueries = Seq(
+    "q14_time_window", "q15_sessionize", "q74_transitions")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -35,6 +42,12 @@ object ScaleSmoke {
     (0 until factor).map(k => d.withColumn("doc_id", $"doc_id" + lit(k * 10000000L)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    val ev = graft.util.Tables(spark, sfDir, "events")
+    (0 until factor).map(k => ev
+        .withColumn("event_id", $"event_id" + lit(k * 1000000000L))
+        .withColumn("user_id", $"user_id" + lit(k * 1000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -44,9 +57,10 @@ object ScaleSmoke {
     }
 
     // warm-up pass at base scale (codegen/classload), then timed passes
-    linearQueries.foreach(time(_, sfDir))
-    val base = linearQueries.map(n => n -> time(n, sfDir)).toMap
-    val scaled = linearQueries.map(n => n -> time(n, workDir)).toMap
+    val allQueries = linearQueries ++ eventQueries
+    allQueries.foreach(time(_, sfDir))
+    val base = allQueries.map(n => n -> time(n, sfDir)).toMap
+    val scaled = allQueries.map(n => n -> time(n, workDir)).toMap
 
     // correctness under scale-up, not just speed: exact duplication must
     // multiply q69's per-language doc counts by exactly `factor` and
@@ -65,12 +79,20 @@ object ScaleSmoke {
       }
     require(invariantsOk,
       "scale-up broke a scale-invariant result — aggregation is partition-sensitive somewhere")
+    // event-suite invariant: disjoint user copies replicate transitions
+    // exactly, so every (prev, event) count scales by exactly `factor`
+    val q74base = SparkEntry.queries("q74_transitions")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val q74scaled = SparkEntry.queries("q74_transitions")(spark, workDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    require(q74scaled == q74base.map { case (k, v) => k -> v * factor },
+      "event scale-up broke the transition-count invariant")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f",
         Double.box(v))
-    val qJson = linearQueries.map { n =>
+    val qJson = allQueries.map { n =>
       val ratio = scaled(n) / base(n)
       s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},"ratio":${num(ratio, 2)}}"""
     }.mkString(",")
