@@ -472,6 +472,64 @@ object Relational {
       .orderBy($"prev_type", $"event_type")
   }
 
+  // ---------------------------------------------------------------- q84
+  /** RFM user segmentation — the classic activity-analytics cut next to
+    * q72's cohorts / q73's funnels: per user, Recency (last event),
+    * Frequency (event count) and Monetary (scaled-long exact value sum),
+    * each cut into exact global quartiles, then the cell matrix over the
+    * ≤ 64 (r, f, m) segments.
+    *
+    * Scale shape: a global `ntile`/`row_number` window has NO partition
+    * key — one task would stream every user (the q58 scale-killer class,
+    * this time with nothing to sub-bucket by). Exact global rank is
+    * instead [[withGlobalRank]]: range-partitioned distributed sort +
+    * `zipWithIndex` (per-partition offsets from one lightweight count
+    * job — parallelism stays #partitions). The quartile is then the pure
+    * integer formula 1 + (rank−1)·4 div n, spelled IDENTICALLY in the
+    * DuckDB twin over ROW_NUMBER (neither engine's ntile is used, so
+    * there is no remainder-placement convention to disagree on); ties
+    * break on user_id, making every rank — and so every cell — total-
+    * order deterministic. */
+  def q84RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("rec_us"),
+        count(lit(1)).as("freq"),
+        sum(slong($"value")).as("mon_s"))
+      .localCheckpoint(true) // feeds three ranked passes + the final agg
+    val nUsers = perUser.count()
+    def quartOf(metric: String): DataFrame =
+      withGlobalRank(
+        perUser.select($"user_id", col(metric)),
+        Seq(col(metric).desc, $"user_id".asc), "rn")
+        .select($"user_id",
+          expr(s"1 + (rn - 1) * 4 div $nUsers").as(s"${metric}_q"))
+    perUser.select($"user_id", $"mon_s")
+      .join(quartOf("rec_us").withColumnRenamed("rec_us_q", "r_q"), "user_id")
+      .join(quartOf("freq").withColumnRenamed("freq_q", "f_q"), "user_id")
+      .join(quartOf("mon_s").withColumnRenamed("mon_s_q", "m_q"), "user_id")
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_users"),
+        (sum($"mon_s").cast("double") / lit(10000.0)).as("sum_value"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
+  /** Exact global rank (1-based, by `order`) WITHOUT a single-partition
+    * window: distributed range-partitioned sort, then `zipWithIndex`
+    * (Spark computes per-partition offsets with one count job and
+    * assigns indexes partition-parallel). The scale-safe form of
+    * `row_number() OVER (ORDER BY ...)` for frames too big for one
+    * task. */
+  private def withGlobalRank(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      name: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(name, org.apache.spark.sql.types.LongType)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   // ---------------------------------------------------------------- q22
   /** Date arithmetic (§2.7 *(absent)* row): order→ship latency histogram
     * via datediff + month extraction. */
@@ -620,12 +678,28 @@ object Relational {
     "q17_asof" -> (q17AsOf _),
     "q18_pivot" -> (q18Pivot _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
+    "q84_rfm_segments" -> (q84RfmSegments _),
   )
 
   /** DuckDB twins. Scaled-long exact arithmetic mirrors OracleSafe; every
     * query carries a total deterministic ORDER BY; timestamps leave as
     * strings. */
   val oracle: Map[String, String] = Map(
+    "q84_rfm_segments" ->
+      // same integer quartile formula over ROW_NUMBER as the engine —
+      // no ntile on either side, no remainder-placement convention
+      s"""WITH pu AS (SELECT user_id, MAX(epoch_us(ts)) rec_us, COUNT(*) freq,
+        |              CAST(SUM(${sq("value")}) AS BIGINT) mon_s
+        |            FROM events GROUP BY user_id),
+        |n AS (SELECT COUNT(*) nu FROM pu),
+        |r AS (SELECT user_id, mon_s,
+        |        1 + (ROW_NUMBER() OVER (ORDER BY rec_us DESC, user_id ASC) - 1) * 4 // nu AS r_q,
+        |        1 + (ROW_NUMBER() OVER (ORDER BY freq DESC, user_id ASC) - 1) * 4 // nu AS f_q,
+        |        1 + (ROW_NUMBER() OVER (ORDER BY mon_s DESC, user_id ASC) - 1) * 4 // nu AS m_q
+        |      FROM pu CROSS JOIN n)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+        |  CAST(SUM(mon_s) AS DOUBLE)/10000.0 AS sum_value
+        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q19_approx_distinct" ->
       // the HLL sketch itself is engine-specific, so the twin computes
       // the exact side and the literal expected invariant flag — see
