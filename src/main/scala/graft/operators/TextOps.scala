@@ -882,7 +882,10 @@ object TextOps {
       .groupBy(coalesce($"ctok", lit(" ")).as("g"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // tiny (≤ |candidates|+1 rows); feeds 2 actions
-    val total = grouped.agg(sum($"cnt")).head.getLong(0)
+    // coalesce(0): an EMPTY corpus (a day's partition with no documents)
+    // sums to null — must yield an empty result, not an NPE (the r3
+    // degenerate-input rule: one empty input never kills a 100 TB job)
+    val total = grouped.agg(coalesce(sum($"cnt"), lit(0L))).head.getLong(0)
     grouped.filter($"g" =!= " " && $"cnt" * HeavyK > total)
       .select($"g".as("tok"), $"cnt",
         ($"cnt".cast("double") / total.toDouble).as("share"))

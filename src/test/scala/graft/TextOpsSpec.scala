@@ -254,6 +254,9 @@ class TextOpsSpec extends AnyFunSuite {
     val df2 = words2.zipWithIndex.map { case (w, i) => (i.toLong, w) }
       .toDF("doc_id", "text").repartition(8)
     assert(TextOps.heavyHittersOf(df2).collect().isEmpty)
+    // degenerate input: an EMPTY corpus yields an empty result, no crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.heavyHittersOf(empty).collect().isEmpty)
   }
 
   test("q64: posting length equals df and ids are sorted ascending") {
