@@ -277,6 +277,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingHeavyHitters (q81's continuous twin): bounded bucketed
+    * Misra-Gries state whose latest-generation candidate union must stay
+    * a SUPERSET of the true heavy hitters across micro-batches. */
+  test("streaming heavy-hitter candidates stay a superset across batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("hh_stream")
+    val outName = "hh_out"
+    // three batches, 1200 tokens total: "hot" ends at 300 (25% > n/k for
+    // k=20), "warm" at 30 (2.5% < 5%), fillers unique. Fillers rotate so
+    // MG counters churn.
+    def batch(i: Int): String =
+      ((0 until 270).map(j => s"f${i}_$j") ++ Seq.fill(100)("hot") ++
+        Seq.fill(10)("warm")).map(t => s"""{"tok":"$t"}""").mkString("\n")
+    val schema = StructType(Seq(StructField("tok", StringType)))
+    Files.write(dir.resolve("b1.json"), batch(1).getBytes)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val q = graft.streaming.StreamingHeavyHitters
+      .candidates(stream, k = 20, buckets = 8)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.resolve("b2.json"), batch(2).getBytes)
+      q.processAllAvailable()
+      Files.write(dir.resolve("b3.json"), batch(3).getBytes)
+      q.processAllAvailable()
+      // latest generation per bucket = the current candidate sets
+      val all = spark.table(outName).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val latest = all.groupBy(_._1).values.toSeq.flatMap { rows =>
+        val g = rows.map(_._2).max
+        rows.filter(_._2 == g).toSeq
+      }
+      val cands = latest.map(_._3).toSet
+      assert(cands.contains("hot"), s"true heavy hitter evicted: $cands")
+      // MG estimates are lower bounds, never overcounts
+      latest.filter(_._3 == "hot").foreach(r => assert(r._4 <= 300L, r))
+      // state is bounded: no bucket's candidate set exceeds k
+      all.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+        assert(rows.length <= 20, s"bucket emitted ${rows.length} > k")
+      }
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** StreamDecontam (q60's continuous twin): stream-static shingle join,
     * one alert per contaminated document across the query lifetime. */
   test("streaming decontamination alerts once per contaminated doc") {
