@@ -277,6 +277,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamAttribution: stream-STREAM windowed join — purchases match a
+    * preceding click by the same user within the horizon; outside the
+    * horizon (or wrong user) never joins. */
+  test("stream-stream attribution joins within the horizon only") {
+    import org.apache.spark.sql.types._
+    val cDir = Files.createTempDirectory("attr_clicks")
+    val pDir = Files.createTempDirectory("attr_purch")
+    val outName = "attr_out"
+    def ev(ts: String, user: String, id: Long) =
+      s"""{"ts":"$ts","user_id":"$user","event_id":$id}"""
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", StringType), StructField("event_id", LongType)))
+    def stream(dir: java.nio.file.Path) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    // clicks: a@5, b@10; purchases: a@20 (15 s after click — in horizon),
+    // a@200 (195 s — outside the 30 s horizon), c@25 (no click at all)
+    Files.write(cDir.resolve("c1.json"), Seq(
+      ev("1970-01-01 00:00:05", "a", 1L),
+      ev("1970-01-01 00:00:10", "b", 2L)).mkString("\n").getBytes)
+    Files.write(pDir.resolve("p1.json"), Seq(
+      ev("1970-01-01 00:00:20", "a", 100L),
+      ev("1970-01-01 00:03:20", "a", 101L),
+      ev("1970-01-01 00:00:25", "c", 102L)).mkString("\n").getBytes)
+    val q = graft.streaming.StreamAttribution
+      .attribute(stream(cDir), stream(pDir),
+        horizon = "30 seconds", watermark = "10 seconds")
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks so all joinable pairs emit
+      Files.write(cDir.resolve("c2.json"),
+        Seq(ev("1970-01-01 00:10:00", "z", 3L)).mkString("\n").getBytes)
+      Files.write(pDir.resolve("p2.json"),
+        Seq(ev("1970-01-01 00:10:00", "z", 103L)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val got = spark.table(outName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // only a@20 attributes to a@5's click; z@600 self-joins (0 s gap)
+      assert(got == Set(("a", 1L, 100L), ("z", 3L, 103L)), s"got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** StreamingHeavyHitters (q81's continuous twin): bounded bucketed
     * Misra-Gries state whose latest-generation candidate union must stay
     * a SUPERSET of the true heavy hitters across micro-batches. */
