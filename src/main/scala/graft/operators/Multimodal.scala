@@ -11,10 +11,12 @@ import graft.util.Tables
   * pipeline would run them.
   *
   * The decode stage dispatches on payload magic bytes: PNG/JPEG payloads
-  * go through a REAL pixel decode ([[ImageDecoder]], javax.imageio) and
+  * go through a REAL pixel decode ([[ImageDecoder]], javax.imageio),
   * RIFF/WAVE payloads through a REAL PCM sample decode ([[WavDecoder]],
-  * javax.sound.sampled) — both JDK-only, no external dependency; the one
-  * remaining modality with no codec in this container (video) falls back
+  * javax.sound.sampled), and animated GIF / MJPEG-AVI payloads through a
+  * REAL multi-frame video decode ([[VideoDecoder]], RIFF chunk walk +
+  * ImageIO per frame) — all JDK-only, no external dependency; only
+  * codec-compressed video (H.264/VP9, no JDK decoder exists) falls back
   * to the clearly marked deterministic stub ([[DecoderStub]]).
   * Everything Spark-side —
   * schema, binary column handling, partition-wise batch decode via
@@ -242,12 +244,135 @@ object Multimodal {
     }
   }
 
-  /** STUBBED decode for the one modality this container has no codec for
-    * (video containers — PNG/JPEG and WAV/PCM decode for real above).
+  /** Real video decode for the two container formats the JDK can fully
+    * handle with no external codec: animated GIF (multi-frame via the
+    * built-in ImageIO GIF reader) and MJPEG-in-AVI (RIFF chunk walk —
+    * pure byte arithmetic — yielding per-frame JPEG payloads that
+    * [[ImageDecoder]]-style pixel sums turn into luminance statistics).
+    * Descriptor ([[DecoderStub.featureDim]] floats, all in [0, 1]):
+    * [overall mean luminance, first-frame lum, last-frame lum, motion
+    * (mean |Δ frame lum|), 4 temporal-quarter mean luminances]. Per-frame
+    * luminance uses the same BT.601 integer weights (299/587/114 per
+    * mille) and exact long sums as [[ImageDecoder]]; each mean is one
+    * correctly-rounded division, so the vector is bit-stable across
+    * runs and partitionings. GIF frames are decoded as stored (patch
+    * rasters, no disposal compositing) — deterministic and sufficient
+    * for a content descriptor. Codec-compressed containers (H.264 MP4,
+    * VP9 WebM, …) have no JDK decoder and fall through to the stub. */
+  object VideoDecoder {
+    def isGif(p: Array[Byte]): Boolean =
+      p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == '8'.toByte
+    def isAvi(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == 'F'.toByte && p(8) == 'A'.toByte &&
+        p(9) == 'V'.toByte && p(10) == 'I'.toByte && p(11) == ' '.toByte
+    def isVideo(p: Array[Byte]): Boolean = isGif(p) || isAvi(p)
+
+    private def le32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** Walk the RIFF chunk tree and collect video-stream chunks
+      * (`##dc`/`##db`) whose payload starts with a JPEG SOI marker. */
+    private[operators] def aviJpegFrames(p: Array[Byte]): Seq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val size = le32(p, o + 4)
+          val dataStart = o + 8
+          val dataEnd = math.min(dataStart + size, end.toLong).toInt
+          val isList = (p(o) == 'R'.toByte && p(o + 1) == 'I'.toByte &&
+            p(o + 2) == 'F'.toByte && p(o + 3) == 'F'.toByte) ||
+            (p(o) == 'L'.toByte && p(o + 1) == 'I'.toByte &&
+              p(o + 2) == 'S'.toByte && p(o + 3) == 'T'.toByte)
+          if (isList) {
+            if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd)
+          } else if (p(o + 2) == 'd'.toByte &&
+              (p(o + 3) == 'c'.toByte || p(o + 3) == 'b'.toByte) &&
+              dataEnd - dataStart >= 3 &&
+              p(dataStart) == 0xff.toByte && p(dataStart + 1) == 0xd8.toByte) {
+            out += java.util.Arrays.copyOfRange(p, dataStart, dataEnd)
+          }
+          o = dataStart + (size + (size & 1L)).toInt // chunks are even-padded
+        }
+      }
+      walk(12, p.length)
+      out.toSeq
+    }
+
+    private def gifFrames(p: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "no GIF reader installed")
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        (0 until n).map(reader.read)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    /** (BT.601 per-mille luminance sum, pixel count) for one frame. */
+    private def lumOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var lum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (lum, w.toLong * h)
+    }
+
+    def decodeOne(payload: Array[Byte]): Array[Float] = {
+      val frames: Seq[java.awt.image.BufferedImage] =
+        if (isGif(payload)) gifFrames(payload)
+        else aviJpegFrames(payload).map { j =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+          require(img != null, "AVI carries a JPEG frame no installed reader decodes")
+          img
+        }
+      require(frames.nonEmpty, "video payload with no decodable frames")
+      val lums = frames.map(lumOf)
+      val nF = frames.length
+      val means = lums.map { case (s, n) => s / (n * 255000.0) }
+      val out = new Array[Float](DecoderStub.featureDim)
+      out(0) = (lums.map(_._1).sum / (lums.map(_._2).sum * 255000.0)).toFloat
+      out(1) = means.head.toFloat
+      out(2) = means.last.toFloat
+      out(3) = if (nF < 2) 0f
+        else (means.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (nF - 1)).toFloat
+      val segNum = new Array[Long](4); val segDen = new Array[Long](4)
+      lums.zipWithIndex.foreach { case ((s, n), i) =>
+        val seg = math.min(i * 4L / nF, 3L).toInt
+        segNum(seg) += s; segDen(seg) += n
+      }
+      var q = 0
+      while (q < 4) {
+        out(4 + q) = if (segDen(q) == 0) 0f
+          else (segNum(q) / (segDen(q) * 255000.0)).toFloat
+        q += 1
+      }
+      out
+    }
+  }
+
+  /** STUBBED decode for payloads no JDK codec covers (codec-compressed
+    * video such as H.264/VP9 — PNG/JPEG, WAV/PCM, GIF and MJPEG-AVI all
+    * decode for real above).
     * Produces deterministic fake features so the distributed plumbing
     * (partition-wise batching, schema, memory shape) is fully testable;
     * swap `decodeOne` for a real codec in production, exactly as
-    * [[ImageDecoder]] / [[WavDecoder]] do. */
+    * [[ImageDecoder]] / [[WavDecoder]] / [[VideoDecoder]] do. */
   object DecoderStub {
     val featureDim = 8
     /** >>> STUB <<< — replace with a real decoder. Derives featureDim
@@ -280,6 +405,7 @@ object Multimodal {
         val p = r.getAs[Array[Byte]](1)
         val f = if (ImageDecoder.isImage(p)) ImageDecoder.decodeOne(p)
           else if (WavDecoder.isWav(p)) WavDecoder.decodeOne(p)
+          else if (VideoDecoder.isVideo(p)) VideoDecoder.decodeOne(p)
           else DecoderStub.decodeOne(p)
         Row(r.getLong(0), f.toSeq)
       }

@@ -165,4 +165,85 @@ class FunctionsSpec extends AnyFunSuite {
       assert(math.abs(g - w) < 1e-7, s"got ${out(1L)} want $want")
     }
   }
+
+  /** Round-5: real VIDEO decode behind the dispatch. A 4-frame animated
+    * GIF (gray ramp 0, 85, 170, 255 — palette-exact) decodes via the
+    * JDK's multi-frame GIF reader to the analytically-known descriptor:
+    * frame luminances 0, 1/3, 2/3, 1 ⇒ overall mean 1/2, motion 1/3,
+    * one frame per temporal quarter. */
+  test("decodeFeatures: real animated-GIF payload decodes to exact video features") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    val grays = Seq(0, 85, 170, 255)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, g << 16 | g << 8 | g)
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = baos.toByteArray
+    assert(Multimodal.VideoDecoder.isGif(gif) &&
+      Multimodal.VideoDecoder.isVideo(gif))
+    assert(!Multimodal.VideoDecoder.isVideo("GIF-not-really".getBytes("UTF-8")))
+    import spark.implicits._
+    val df = Seq((1L, gif)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val third = (1.0 / 3.0).toFloat
+    val want = Seq(0.5f, 0f, 1f, third, 0f, third, 2 * third, 1f)
+    out(1L).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"got ${out(1L)} want $want")
+    }
+  }
+
+  /** Round-5: MJPEG-in-AVI — the RIFF chunk walk finds the `00dc` frames
+    * inside `LIST movi` (skipping a decoy `LIST hdrl`), each decoded as
+    * JPEG. Solid-gray frames keep JPEG DC-only loss small, so the
+    * descriptor lands within codec tolerance of the analytic value. */
+  test("decodeFeatures: MJPEG AVI payload decodes frames via the RIFF walk") {
+    import java.awt.image.BufferedImage
+    def jpegOf(g: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, g << 16 | g << 8 | g)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc.getBytes("ISO-8859-1"))
+      val n = data.length
+      b.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      b.write(data)
+      if ((n & 1) == 1) b.write(0) // RIFF chunks are even-padded
+      b.toByteArray
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ children)
+    val frames = Seq(jpegOf(64), jpegOf(192))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val avi = chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi)
+    assert(Multimodal.VideoDecoder.isAvi(avi) &&
+      Multimodal.VideoDecoder.isVideo(avi))
+    assert(!Multimodal.WavDecoder.isWav(avi)) // RIFF but not WAVE
+    import spark.implicits._
+    val df = Seq((1L, avi)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val (lo, hi) = (64f / 255f, 192f / 255f)
+    val want = Seq((lo + hi) / 2, lo, hi, hi - lo, lo, 0f, hi, 0f)
+    out(1L).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 0.02f, s"got ${out(1L)} want $want")
+    }
+    // determinism across decodes (pure function of the payload bytes)
+    assert(Multimodal.VideoDecoder.decodeOne(avi).sameElements(
+      Multimodal.VideoDecoder.decodeOne(avi)))
+  }
 }
