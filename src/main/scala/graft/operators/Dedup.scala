@@ -70,6 +70,37 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q85
+  /** Bag-of-words (order-invariant) dedup: the signature is the hash of
+    * the SORTED token multiset, so token-order perturbations — shuffled
+    * boilerplate, re-serialized scrapes, list-reordered templates — that
+    * byte-exact dedup misses collapse to one key. Demonstrated under
+    * re-ingestion like q34: odd doc_ids come back byte-identical (exact
+    * dedup catches them), even doc_ids come back token-REVERSED (only
+    * the BoW signature catches them). Per-lang accounting shows the
+    * hierarchy exact ⊂ bag-of-words. Same scale shape as q34: one
+    * map-side signature per doc, one shuffle on the group-by — the
+    * array_sort is per-row, codegen'd, never a shuffle key explosion. */
+  def q85BowDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id", $"lang", $"text")
+    val reingest = d
+      .withColumn("text",
+        when($"doc_id" % 2 === 0,
+          concat_ws(" ", reverse(split($"text", " ")))).otherwise($"text"))
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    d.union(reingest)
+      .withColumn("h", md5($"text".cast("binary")))
+      .withColumn("bow_sig",
+        md5(concat_ws(" ", array_sort(split($"text", " "))).cast("binary")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"h").as("n_exact_unique"),
+        countDistinct($"bow_sig").as("n_bow_unique"))
+      .withColumn("bow_only_catch", $"n_exact_unique" - $"n_bow_unique")
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- q35
   /** Max document frequency for a shingle to participate in the q35
     * pair join. A shingle shared by more than this many documents
@@ -684,6 +715,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
+    "q85_bow_dedup" -> (q85BowDedup _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_simhash" -> (q37SimHash _),
@@ -751,6 +783,22 @@ object Dedup {
         |  FROM all_rows GROUP BY h)
         |SELECT lang, COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_rows
         |FROM per_hash GROUP BY lang ORDER BY lang""".stripMargin,
+    "q85_bow_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |      ELSE text END
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_unique,
+        |  CAST(COUNT(DISTINCT md5(array_to_string(
+        |    list_sort(string_split(text, ' ')), ' '))) AS BIGINT) AS n_bow_unique,
+        |  CAST(COUNT(DISTINCT md5(text)) - COUNT(DISTINCT md5(array_to_string(
+        |    list_sort(string_split(text, ' ')), ' '))) AS BIGINT) AS bow_only_catch
+        |FROM a GROUP BY lang ORDER BY lang""".stripMargin,
     "q35_ngram_jaccard" ->
       s"""$shingleCte,
         |e AS (SELECT doc_id, unnest(sh) s FROM d),

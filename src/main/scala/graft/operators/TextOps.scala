@@ -142,6 +142,88 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Minimum corpus-wide occurrence count for a bigram to be scored by
+    * q87 — below this, lift estimates are noise (and at 100 TB the
+    * HAVING prunes the singleton tail, which dominates the bigram key
+    * space, before the dictionary joins). */
+  val CollocMinSupport = 5L
+
+  // ---------------------------------------------------------------- q87
+  /** Bigram collocation mining: rank adjacent token pairs by LIFT —
+    * c(xy)·N / (c(x)·c(y)), the PMI ordering without the log (no libm;
+    * every count is exact and < 2⁵³, so the two products and one
+    * division are correctly-rounded IEEE and bit-identical across
+    * engines). The classic phrase-detection pass a tokenizer-training
+    * pipeline runs before merging multi-word units. Scale shape: one
+    * shuffle each for bigram and unigram counts, support-pruned
+    * candidates join the (small) unigram dictionary — broadcast-able,
+    * AQE decides — and the top-k plans as TakeOrderedAndProject
+    * (partial top-k per partition, no global sort). */
+  def q87Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+    val uni = toks
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum($"c").as("n_total"))
+    val bi = toks
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(element_at(toks, i+1) AS t1, element_at(toks, i+2) AS t2))"))
+        .as("b"))
+      .select($"b.t1", $"b.t2")
+      .groupBy($"t1", $"t2").agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= CollocMinSupport)
+    bi
+      .join(uni.select($"tok".as("t1"), $"c".as("c1")), "t1")
+      .join(uni.select($"tok".as("t2"), $"c".as("c2")), "t2")
+      .crossJoin(broadcast(nTotal)) // 1-row scalar frame
+      .withColumn("lift",
+        ($"c_xy".cast("double") * $"n_total".cast("double")) /
+          ($"c1".cast("double") * $"c2".cast("double")))
+      .select($"t1", $"t2", $"c_xy", $"c1", $"c2", $"lift")
+      .orderBy($"lift".desc, $"t1", $"t2")
+      .limit(50)
+  }
+
+  // ---------------------------------------------------------------- q86
+  /** N-gram novelty attribution: which documents actually ADD content?
+    * For every distinct 3-gram the corpus-wide introducer is the minimum
+    * doc_id carrying it (ingestion order); a document's novelty is the
+    * fraction of its distinct 3-grams it introduced. Duplicates, late
+    * scrapes and template text score near 0 — the per-SOURCE rollup is
+    * the "is this feed still contributing?" signal a crawl pipeline
+    * prioritizes fetches by. Scale shape: one shuffle keyed on the
+    * shingle for the MIN, the attribution join lands on the SAME key
+    * (no new partitioning), then a per-doc and a tiny per-source agg —
+    * every fan-out is 1:1, nothing quadratic. */
+  def q86NoveltyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingleRows(s, dir, distinct = true)
+    val intro = sh.groupBy($"s").agg(min($"doc_id").as("introducer"))
+    val per = sh.join(intro, "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"doc_id" === $"introducer", 1L).otherwise(0L))
+          .as("n_introduced"))
+    docs(s, dir).select($"doc_id", $"source")
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("n_shingles", coalesce($"n_shingles", lit(0L)))
+      .withColumn("n_introduced", coalesce($"n_introduced", lit(0L)))
+      // <3-token docs carry no shingles: novelty 0, not a 0/0 ANSI abort
+      .withColumn("frac",
+        when($"n_shingles" === 0L, lit(0.0))
+          .otherwise($"n_introduced".cast("double") / $"n_shingles".cast("double")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_shingles").as("total_shingles"),
+        sum($"n_introduced").as("introduced"),
+        davg($"frac").as("avg_novelty"))
+      .orderBy($"source")
+  }
+
   // ---------------------------------------------------------------- q50
   /** Exact per-language length quantiles (p50/p90/p99 of n_chars) via the
     * nearest-rank method: k = ceil(p·n), answer = k-th smallest. Pure
@@ -905,6 +987,8 @@ object TextOps {
     "q33_fingerprint" -> (q33Fingerprint _),
     "q46_hash_sample" -> (q46HashSample _),
     "q48_repetition" -> (q48Repetition _),
+    "q86_novelty_attribution" -> (q86NoveltyAttribution _),
+    "q87_collocations" -> (q87Collocations _),
     "q50_length_quantiles" -> (q50LengthQuantiles _),
     "q51_contamination" -> (q51Contamination _),
     "q53_top_tokens" -> (q53TopTokens _),
@@ -1048,6 +1132,44 @@ object TextOps {
         |  CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
         |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS rep_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q86_novelty_attribution" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |d2 AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) sh
+        |       FROM toks WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) s FROM d2),
+        |intro AS (SELECT s, MIN(doc_id) introducer FROM e GROUP BY s),
+        |per AS (SELECT e.doc_id, COUNT(*) n_shingles,
+        |          SUM(CASE WHEN e.doc_id = intro.introducer THEN 1 ELSE 0 END)
+        |            n_introduced
+        |        FROM e JOIN intro USING (s) GROUP BY e.doc_id),
+        |f AS (SELECT d.source,
+        |        COALESCE(per.n_shingles, 0) n_shingles,
+        |        COALESCE(per.n_introduced, 0) n_introduced,
+        |        CASE WHEN COALESCE(per.n_shingles, 0) = 0 THEN 0.0
+        |             ELSE CAST(per.n_introduced AS DOUBLE) / per.n_shingles END frac
+        |      FROM documents d LEFT JOIN per USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+        |  CAST(SUM(n_introduced) AS BIGINT) AS introduced,
+        |  ${SqlDavgPub("frac")} AS avg_novelty
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q87_collocations" ->
+      s"""WITH toks AS (SELECT string_split(lower(text), ' ') t FROM documents),
+        |uni AS (SELECT unnest(t) tok FROM toks),
+        |cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) c FROM uni GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) n_total FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(len(t)-1), i -> t[i+1])) AS t1,
+        |              unnest(list_transform(range(len(t)-1), i -> t[i+2])) AS t2
+        |       FROM toks WHERE len(t) >= 2),
+        |cb AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) c_xy FROM bi
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= $CollocMinSupport)
+        |SELECT t1, t2, c_xy, u1.c AS c1, u2.c AS c2,
+        |  (CAST(c_xy AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |FROM cb JOIN cu u1 ON t1 = u1.tok JOIN cu u2 ON t2 = u2.tok
+        |CROSS JOIN n
+        |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin,
     "q83_approx_quantiles" ->
       // exact side mirrors q50's nearest-rank idiom; the GK flags are
       // literal — guaranteed TRUE by the sketch's rank-error contract

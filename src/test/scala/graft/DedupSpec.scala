@@ -311,4 +311,28 @@ class DedupSpec extends AnyFunSuite {
     // the production cap never fires on this corpus
     assert(Dedup.cappedBucketCount(sig, Dedup.MaxBandBucket) == 0L)
   }
+
+  /** q85: the BoW signature is order-INVARIANT ("c b a" ≡ "a b c") but
+    * multiset-SENSITIVE ("a a b" ≢ "a b b") — the two properties that
+    * make it catch shuffled dups without over-merging. Planted corpus:
+    * even doc_ids re-ingest reversed (only BoW collapses them), odd
+    * ones byte-identical (both signatures collapse them). */
+  test("q85 planted: order-invariant, multiset-sensitive accounting") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bowdup").toString
+    Seq(
+      (0L, "a b c", "en", "s1", 5L),  // even → reversed copy "c b a"
+      (1L, "x y z", "en", "s1", 5L),  // odd  → byte-identical copy
+      (2L, "a a b", "en", "s1", 5L),  // even → reversed "b a a", same bag
+      (3L, "a b b", "en", "s1", 5L))  // odd  → byte-identical copy
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Dedup.q85BowDedup(spark, tmp).collect()
+    assert(r.length == 1)
+    val (nRows, nExact, nBow, catchExtra) =
+      (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    // 8 rows; exact texts: abc, cba, xyz, aab, baa, abb = 6;
+    // bags: {a,b,c}, {x,y,z}, {a,a,b}, {a,b,b} = 4 — aab ≠ abb survives
+    assert((nRows, nExact, nBow, catchExtra) == ((8L, 6L, 4L, 2L)), r(0))
+  }
 }

@@ -259,6 +259,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.heavyHittersOf(empty).collect().isEmpty)
   }
 
+  /** q86: the introducer is the MINIMUM doc_id per 3-gram, so a verbatim
+    * duplicate scores novelty 0, the original keeps 1, and a doc too
+    * short to shingle contributes 0 without dividing by zero. */
+  test("q86 planted: duplicates score zero novelty, originals keep it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("novelty").toString
+    Seq(
+      (0L, "one two three four", "en", "s1", 18L), // introduces its 2 shingles
+      (1L, "one two three four", "en", "s1", 18L), // verbatim dup → 0
+      (2L, "five six seven eight", "en", "s2", 20L), // all novel → 1
+      (3L, "hi", "en", "s2", 2L)) // <3 tokens: no shingles, frac 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q86NoveltyAttribution(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("s1") == ((2L, 4L, 2L, 0.5)), got) // davg(1.0, 0.0)
+    assert(got("s2") == ((2L, 2L, 2L, 0.5)), got) // davg(1.0, 0.0-no-shingle)
+  }
+
+  /** q87: support floor respected, ranking total and recomputable. */
+  test("q87: lift ranking is total, descending, above min support") {
+    val rows = TextOps.q87Collocations(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach(r => assert(r.getLong(2) >= TextOps.CollocMinSupport))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val ok = a.getDouble(5) > b.getDouble(5) ||
+        (a.getDouble(5) == b.getDouble(5) &&
+          (a.getString(0) < b.getString(0) ||
+            (a.getString(0) == b.getString(0) &&
+              a.getString(1) < b.getString(1))))
+      assert(ok, s"rank order broken between $a and $b")
+    case _ => ()
+    }
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
