@@ -42,7 +42,8 @@ object Bench {
     "q48_repetition", "q53_top_tokens", "q54_clean_corpus",
     "q58_sequence_packing", "q60_decontam", "q65_keep_best",
     "q67_range_join", "q75_skewed_join", "q77_split_leakage",
-    "q81_heavy_hitters", "q84_rfm_segments")
+    "q81_heavy_hitters", "q84_rfm_segments",
+    "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -69,7 +70,9 @@ object Bench {
     "q58_sequence_packing" -> 0.55, "q60_decontam" -> 0.95,
     "q65_keep_best" -> 3.1, "q67_range_join" -> 0.3,
     "q75_skewed_join" -> 0.35, "q77_split_leakage" -> 3.3,
-    "q81_heavy_hitters" -> 0.5, "q84_rfm_segments" -> 0.8)
+    "q81_heavy_hitters" -> 0.5, "q84_rfm_segments" -> 0.8,
+    "q85_bow_dedup" -> 0.55, "q86_novelty_attribution" -> 0.9,
+    "q87_collocations" -> 0.55)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
