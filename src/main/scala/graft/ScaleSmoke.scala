@@ -22,7 +22,8 @@ object ScaleSmoke {
     "q34_exact_dedup", "q48_repetition", "q53_top_tokens",
     "q54_clean_corpus", "q58_sequence_packing", "q60_decontam",
     "q69_charclass", "q70_chunking", "q76_mixture_weights",
-    "q78_boilerplate", "q81_heavy_hitters")
+    "q78_boilerplate", "q81_heavy_hitters",
+    "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -87,6 +88,15 @@ object ScaleSmoke {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     require(q74scaled == q74base.map { case (k, v) => k -> v * factor },
       "event scale-up broke the transition-count invariant")
+    // q86 invariant: exact replication introduces NOTHING new — every
+    // 3-gram's introducer stays in copy 0, so per-source `introduced`
+    // is unchanged while total_shingles scales by exactly `factor`
+    val q86base = SparkEntry.queries("q86_novelty_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val q86scaled = SparkEntry.queries("q86_novelty_attribution")(spark, workDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    require(q86scaled == q86base.map { case (k, (t, i)) => k -> ((t * factor, i)) },
+      "scale-up broke the novelty-introducer invariant")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =

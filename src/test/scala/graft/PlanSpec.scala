@@ -43,6 +43,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q87: collocation top-k is TakeOrderedAndProject; scalar N broadcasts") {
+    val p = plan("q87_collocations")
+    // top-50 by lift must be a partial per-partition top-k, never a
+    // global sort of every surviving bigram
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the 1-row total-token frame joins by broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("q85: BoW signature dedup is one shuffle — no join, no window") {
+    val p = plan("q85_bow_dedup")
+    // per-row array_sort + hash then a single aggregation: any join in
+    // this plan means the signature stopped being map-side
+    assert(!p.contains("Join"), p)
+  }
+
   test("q07/q53/q71: rank filters plan a WindowGroupLimit (partial top-k)") {
     // per-partition top-k runs BEFORE the full window sort — the property
     // that keeps grouped top-k viable when a group spans many rows
@@ -170,8 +187,9 @@ class PlanSpec extends AnyFunSuite {
     "q44_ann_ivf_recall", // exact arm inside the recall computation
     "q51_contamination", // source-pair frame: cross of the SOURCE dimension
                          // only (metadata cardinality), never document rows
-    "q61_tfidf") // scalar subquery: ONE broadcast aggregate row (corpus
+    "q61_tfidf", // scalar subquery: ONE broadcast aggregate row (corpus
                  // size N), not a data frame — morally a literal
+    "q87_collocations") // same shape: one broadcast total-token-count row
 
   test("no BroadcastNestedLoopJoin outside the brute-force allow-list") {
     SparkEntry.queries.keys.foreach { name =>
