@@ -23,7 +23,8 @@ object ScaleSmoke {
     "q54_clean_corpus", "q58_sequence_packing", "q60_decontam",
     "q69_charclass", "q70_chunking", "q76_mixture_weights",
     "q78_boilerplate", "q81_heavy_hitters",
-    "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations")
+    "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
+    "q88_textrank")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -97,6 +98,16 @@ object ScaleSmoke {
       .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     require(q86scaled == q86base.map { case (k, (t, i)) => k -> ((t * factor, i)) },
       "scale-up broke the novelty-introducer invariant")
+    // q88 invariant: replication multiplies every edge weight AND every
+    // node's incident total by the same factor, which cancels exactly in
+    // the integer division ((f·A) div (f·B) = A div B) — TextRank output
+    // must be BIT-IDENTICAL on the replicated corpus
+    val q88base = SparkEntry.queries("q88_textrank")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val q88scaled = SparkEntry.queries("q88_textrank")(spark, workDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(q88base == q88scaled,
+      "scale-up changed TextRank ranks — the integer diffusion is scale-sensitive somewhere")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =

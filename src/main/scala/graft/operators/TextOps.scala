@@ -159,15 +159,13 @@ object TextOps {
     * candidates join the (small) unigram dictionary — broadcast-able,
     * AQE decides — and the top-k plans as TakeOrderedAndProject
     * (partial top-k per partition, no global sort). */
-  def q87Collocations(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus-wide adjacent-bigram counts `(t1, t2, c_xy)` — shared by the
+    * q87 collocation miner and the q88 TextRank graph. One explode + one
+    * shuffle on the pair key. */
+  private def bigramCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = docs(s, dir)
+    docs(s, dir)
       .withColumn("toks", split(lower($"text"), " "))
-    val uni = toks
-      .select(explode($"toks").as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("c"))
-    val nTotal = uni.agg(sum($"c").as("n_total"))
-    val bi = toks
       .filter(size($"toks") >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
@@ -175,6 +173,16 @@ object TextOps {
         .as("b"))
       .select($"b.t1", $"b.t2")
       .groupBy($"t1", $"t2").agg(count(lit(1)).as("c_xy"))
+  }
+
+  def q87Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uni = docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum($"c").as("n_total"))
+    val bi = bigramCounts(s, dir)
       .filter($"c_xy" >= CollocMinSupport)
     bi
       .join(uni.select($"tok".as("t1"), $"c".as("c1")), "t1")
@@ -186,6 +194,53 @@ object TextOps {
       .select($"t1", $"t2", $"c_xy", $"c1", $"c2", $"lift")
       .orderBy($"lift".desc, $"t1", $"t2")
       .limit(50)
+  }
+
+  /** Fixed TextRank iteration count for q88 — unrolled identically as
+    * CTEs in the DuckDB twin, so it must stay a small literal. */
+  val TextRankIters = 3
+
+  // ---------------------------------------------------------------- q88
+  /** TextRank keyword extraction: PageRank over the token co-occurrence
+    * graph (undirected edges = adjacent bigrams, weight = corpus count),
+    * the classic graph-based keyword scorer. All arithmetic is INTEGER:
+    * ranks are 1e6-scaled longs, each diffusion step is
+    * `150000 + Σ (r·85·w) div (100·W)` (damping 0.85 as 85/100, W = the
+    * neighbor's total incident weight), so every iteration is exact,
+    * partitioning-independent, and replayable by the oracle as
+    * [[TextRankIters]] unrolled CTEs. Overflow headroom: the binding
+    * term is one edge's product r·85·w ≈ 1e6·85·w, safe to w ≈ 10¹⁰
+    * edge occurrences (2⁶³ ≈ 9.2·10¹⁸). Scale shape: the edge list
+    * shuffles once on src per iteration and the rank frame — one row
+    * per vocabulary token, orders of magnitude smaller than the corpus
+    * — co-partitions with it; the final top-20 is a
+    * TakeOrderedAndProject. At 1000 executors each iteration is one
+    * co-partitioned join + partial agg, the labelPropagate shape with
+    * weighted diffusion instead of min. */
+  def q88TextRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = bigramCounts(s, dir)
+    val e = bc.select($"t1".as("src"), $"t2".as("dst"), $"c_xy".as("c"))
+      .union(bc.select($"t2".as("src"), $"t1".as("dst"), $"c_xy".as("c")))
+      .groupBy($"src", $"dst").agg(sum($"c").as("w"))
+    val ws = e.groupBy($"src").agg(sum($"w").as("wt"))
+    // materialize the (vocab²-bounded) edge frame ONCE: every iteration
+    // subtree references it, and without the barrier each reference
+    // recomputes the corpus scan + bigram shuffle (the q60 lesson). The
+    // rank frames stay lazy — AQE exchange reuse dedupes their nesting.
+    val ew = e.join(ws, "src").localCheckpoint() // (src, dst, w, wt)
+    var ranks = ew.select($"src".as("tok"), lit(1000000L).as("r")).distinct()
+    for (_ <- 1 to TextRankIters) {
+      ranks = ew.join(ranks, ew("src") === ranks("tok"))
+        .select($"dst", expr("(r * 85 * w) div (100 * wt)").as("contrib"))
+        .groupBy($"dst")
+        .agg((lit(150000L) + sum($"contrib")).as("r"))
+        .select($"dst".as("tok"), $"r")
+    }
+    ranks
+      .select($"tok", $"r".as("rank_scaled"))
+      .orderBy($"rank_scaled".desc, $"tok")
+      .limit(20)
   }
 
   // ---------------------------------------------------------------- q86
@@ -989,6 +1044,7 @@ object TextOps {
     "q48_repetition" -> (q48Repetition _),
     "q86_novelty_attribution" -> (q86NoveltyAttribution _),
     "q87_collocations" -> (q87Collocations _),
+    "q88_textrank" -> (q88TextRank _),
     "q50_length_quantiles" -> (q50LengthQuantiles _),
     "q51_contamination" -> (q51Contamination _),
     "q53_top_tokens" -> (q53TopTokens _),
@@ -1170,6 +1226,29 @@ object TextOps {
         |FROM cb JOIN cu u1 ON t1 = u1.tok JOIN cu u2 ON t2 = u2.tok
         |CROSS JOIN n
         |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin,
+    "q88_textrank" -> {
+      // the diffusion steps are generated from TextRankIters so the twin
+      // can never drift from the engine's iteration count
+      val steps = (1 to TextRankIters).map { i =>
+        s"""r$i AS (SELECT e.dst AS tok,
+           |  CAST(150000 + SUM((r${i - 1}.r * 85 * e.w) // (100 * ws.wt)) AS BIGINT) r
+           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.tok
+           |  JOIN ws ON e.src = ws.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT string_split(lower(text), ' ') t FROM documents),
+        |bi AS (SELECT unnest(list_transform(range(len(t)-1), i -> t[i+1])) AS t1,
+        |              unnest(list_transform(range(len(t)-1), i -> t[i+2])) AS t2
+        |       FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT t1, t2, COUNT(*) c FROM bi GROUP BY 1, 2),
+        |e AS (SELECT t1 AS src, t2 AS dst, CAST(SUM(c) AS BIGINT) w FROM
+        |      (SELECT t1, t2, c FROM bc UNION ALL SELECT t2, t1, c FROM bc) u(t1, t2, c)
+        |      GROUP BY 1, 2),
+        |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) wt FROM e GROUP BY src),
+        |r0 AS (SELECT src AS tok, CAST(1000000 AS BIGINT) r FROM ws),
+        |$steps
+        |SELECT tok, r AS rank_scaled FROM r$TextRankIters
+        |ORDER BY rank_scaled DESC, tok LIMIT 20""".stripMargin
+    },
     "q83_approx_quantiles" ->
       // exact side mirrors q50's nearest-rank idiom; the GK flags are
       // literal — guaranteed TRUE by the sketch's rank-error contract

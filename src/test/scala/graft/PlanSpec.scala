@@ -53,6 +53,27 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("q88: iteration subtrees reuse exchanges; top-20 is TakeOrdered") {
+    val df = castToImpl(SparkEntry.queries("q88_textrank")(spark, dir))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    // the edge frame is checkpointed once, so NO iteration subtree may
+    // reach back to the corpus: the FINAL adaptive plan must be free of
+    // file scans (ExistingRDD only), and the iterations must form a
+    // LINEAR stage chain — one shuffle per diffusion step (plus r0's
+    // distinct), each materialized exactly once, ranks broadcast — not
+    // a tree that re-aggregates earlier iterations per reference.
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"),
+      s"an iteration recomputes the corpus scan\n${p.take(1500)}")
+    assert(p.contains("Scan ExistingRDD"), p.take(500))
+    val shuffles = "ShuffleQueryStage".r.findAllIn(p).size
+    assert(shuffles <= TextOps.TextRankIters + 2,
+      s"$shuffles shuffle stages for ${TextOps.TextRankIters} iterations — " +
+        s"iteration subtrees are being recomputed\n${p.take(1500)}")
+  }
+
   test("q85: BoW signature dedup is one shuffle — no join, no window") {
     val p = plan("q85_bow_dedup")
     // per-row array_sort + hash then a single aggregation: any join in

@@ -295,6 +295,32 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** q88: a planted 5-spoke star graph, checked against a 12-line
+    * driver-side reference run of the SAME integer diffusion — the
+    * distributed joins must land on exactly those longs. */
+  test("q88 planted star: ranks match the integer reference bit-for-bit") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("textrank").toString
+    val spokes = (1 to 5).map(i => s"spoke$i")
+    spokes.zipWithIndex.map { case (sp, i) =>
+      (i.toLong, s"hub $sp", "en", "s1", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // reference: undirected star, w=1 per edge; W(hub)=5, W(spoke)=1
+    var hub = 1000000L
+    var spoke = 1000000L // all spokes symmetric
+    for (_ <- 1 to TextOps.TextRankIters) {
+      val h2 = 150000L + 5L * (spoke * 85L * 1L / (100L * 1L))
+      val s2_ = 150000L + hub * 85L * 1L / (100L * 5L)
+      hub = h2; spoke = s2_
+    }
+    val got = TextOps.q88TextRank(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("hub") == hub, s"hub: got ${got("hub")} want $hub")
+    spokes.foreach(sp =>
+      assert(got(sp) == spoke, s"$sp: got ${got(sp)} want $spoke"))
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
