@@ -24,7 +24,7 @@ object ScaleSmoke {
     "q69_charclass", "q70_chunking", "q76_mixture_weights",
     "q78_boilerplate", "q81_heavy_hitters",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
-    "q88_textrank")
+    "q88_textrank", "q90_source_drift")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -44,6 +44,12 @@ object ScaleSmoke {
     (0 until factor).map(k => d.withColumn("doc_id", $"doc_id" + lit(k * 10000000L)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    // embeddings replicate with the SAME id offset as documents so every
+    // replicated doc keeps its embedding row (q90 joins on vec_id=doc_id)
+    val em = graft.util.Tables(spark, sfDir, "embeddings")
+    (0 until factor).map(k => em.withColumn("vec_id", $"vec_id" + lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
     val ev = graft.util.Tables(spark, sfDir, "events")
     (0 until factor).map(k => ev
         .withColumn("event_id", $"event_id" + lit(k * 1000000000L))
@@ -108,6 +114,18 @@ object ScaleSmoke {
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     require(q88base == q88scaled,
       "scale-up changed TextRank ranks — the integer diffusion is scale-sensitive somewhere")
+    // q90 invariant: replicated docs leave every per-source centroid
+    // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
+    // +0.5)) so the drift matrix is unchanged while counts scale ×factor
+    val q90base = SparkEntry.queries("q90_source_drift")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val q90scaled = SparkEntry.queries("q90_source_drift")(spark, workDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    require(q90scaled == q90base.map { case (k, (na, nb, c)) =>
+      k -> ((na * factor, nb * factor, c)) },
+      "scale-up changed the source-drift matrix — centroid arithmetic is scale-sensitive")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =

@@ -177,6 +177,41 @@ object Dedup {
       .orderBy($"i", $"j")
   }
 
+  // ---------------------------------------------------------------- q89
+  /** ASYMMETRIC near-dup detection: containment = |A∩B| / min(|A|, |B|).
+    * A short document quoted verbatim inside a much longer one scores
+    * Jaccard |A|/|B| ≪ 0.5 — q35 never sees it — but containment 1.0:
+    * the quote-expansion / wrapper-page dup class every crawl corpus
+    * carries. Same df-capped shared-shingle join as q35 (same 100 TB
+    * viability argument, `shared` is the same capped-sub-space lower
+    * bound), one extra column pair naming which side is the contained
+    * doc. min(|A|,|B|) ≥ 1 whenever a pair exists, so the division
+    * cannot hit ANSI 0/0. */
+  def q89Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = shingleRows(s, dir, distinct = true)
+    val nDoc = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val rare = e.groupBy($"s")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf)
+      .select($"s")
+    val eRare = e.join(rare, "s")
+    eRare.as("a").join(eRare.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nDoc.select($"doc_id".as("i"), $"n".as("na")), "i")
+      .join(nDoc.select($"doc_id".as("j"), $"n".as("nb")), "j")
+      .withColumn("containment_lb",
+        $"shared".cast("double") / least($"na", $"nb").cast("double"))
+      .filter($"containment_lb" >= 0.9)
+      .withColumn("contained", when($"na" <= $"nb", $"i").otherwise($"j"))
+      .withColumn("container", when($"na" <= $"nb", $"j").otherwise($"i"))
+      .select($"i", $"j", $"shared", $"na", $"nb", $"containment_lb",
+        $"contained", $"container")
+      .orderBy($"i", $"j")
+  }
+
   // ---------------------------------------------------------------- q36
   /** MinHash+LSH near-dup pairs: 16 md5-family minhashes per doc computed
     * map-side, 4 bands × 4 rows, bucket-join on band keys, exact-Jaccard
@@ -717,6 +752,7 @@ object Dedup {
     "q34_exact_dedup" -> (q34ExactDedup _),
     "q85_bow_dedup" -> (q85BowDedup _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
+    "q89_containment" -> (q89Containment _),
     "q36_minhash_lsh" -> (q36MinHashLsh _),
     "q37_simhash" -> (q37SimHash _),
     "q49_minhash_estimate" -> (q49MinhashEstimate _),
@@ -812,6 +848,22 @@ object Dedup {
         |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard_lb
         |FROM p JOIN n na ON na.doc_id = p.i JOIN n nb ON nb.doc_id = p.j
         |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+    "q89_containment" ->
+      s"""$shingleCte,
+        |e AS (SELECT doc_id, unnest(sh) s FROM d),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM e GROUP BY doc_id),
+        |rare AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
+        |er AS (SELECT e.doc_id, e.s FROM e JOIN rare USING (s)),
+        |p AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) shared
+        |      FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT i, j, CAST(shared AS BIGINT) AS shared, na.n AS na, nb.n AS nb,
+        |  CAST(shared AS DOUBLE) / least(na.n, nb.n) AS containment_lb,
+        |  CASE WHEN na.n <= nb.n THEN i ELSE j END AS contained,
+        |  CASE WHEN na.n <= nb.n THEN j ELSE i END AS container
+        |FROM p JOIN n na ON na.doc_id = p.i JOIN n nb ON nb.doc_id = p.j
+        |WHERE CAST(shared AS DOUBLE) / least(na.n, nb.n) >= 0.9
         |ORDER BY i, j""".stripMargin,
     "q36_minhash_lsh" ->
       s"""$q36OracleCtes

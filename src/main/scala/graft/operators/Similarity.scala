@@ -507,6 +507,46 @@ object Similarity {
       .orderBy($"label")
   }
 
+  // ---------------------------------------------------------------- q90
+  /** Source-centroid embedding drift: pairwise cosine between per-SOURCE
+    * mean embeddings — the "has feed X drifted away from feed Y"
+    * monitoring matrix a corpus pipeline tracks across crawls. All
+    * heavy work is distributed and exact: quantized longs sum per
+    * (source, dim) cell (|sources|×64 cells total), centroid components
+    * round once (`floor(sv/cnt + 0.5)` — one correctly-rounded division
+    * each), and the pairwise pass is a self-join of the |sources|-row
+    * centroid frame (broadcast, DotLongs codegen) — never vector rows.
+    * Cosine = exact integer dot / (sqrt · sqrt): products ≤ ~6.4e13 per
+    * pair stay exact in doubles, sqrt/mult/div are correctly-rounded
+    * IEEE, so the DuckDB twin matches bit-for-bit. safeCos keeps a
+    * degenerate all-zero centroid at drift 0 instead of an ANSI abort. */
+  def q90SourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = emb(s, dir)
+      .join(Tables(s, dir, "documents")
+        .select($"doc_id".as("vec_id"), $"source"), "vec_id")
+      .withColumn("e", QuantizeVec($"embedding"))
+    val cents = base
+      .select($"source", posexplode($"e").as(Seq("dim", "v")))
+      .groupBy($"source", $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("c",
+        expr("CAST(floor(CAST(sv AS DOUBLE) / cnt + 0.5) AS BIGINT)"))
+      .groupBy($"source")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+          .as("ce"),
+        max($"cnt").as("n"))
+    val a = cents.select($"source".as("source_a"), $"ce".as("cea"), $"n".as("n_a"))
+    val b = cents.select($"source".as("source_b"), $"ce".as("ceb"), $"n".as("n_b"))
+    a.join(broadcast(b), $"source_a" < $"source_b")
+      .withColumn("cos_drift",
+        safeCos(DotLongs($"cea", $"ceb"),
+          sqrt(DotLongs($"cea", $"cea").cast("double")) *
+            sqrt(DotLongs($"ceb", $"ceb").cast("double"))))
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"cos_drift")
+      .orderBy($"source_a", $"source_b")
+  }
+
   // ---------------------------------------------------------------- q66
   /** Scalar-quantization audit: per-label reconstruction error of the
     * 1e-6 fixed-point quantization every similarity query here runs on —
@@ -546,6 +586,7 @@ object Similarity {
     "q47_dedup_components" -> (q47DedupComponents _),
     "q52_label_centroids" -> (q52LabelCentroids _),
     "q66_quantize_error" -> (q66QuantizeError _),
+    "q90_source_drift" -> (q90SourceDrift _),
   )
 
   private val scaledCte =
@@ -780,5 +821,27 @@ object Similarity {
         |  SELECT id, lbl FROM r)
         |SELECT MIN(lbl) AS cluster_rep, id AS member
         |FROM reach GROUP BY id ORDER BY cluster_rep, member""".stripMargin,
+    "q90_source_drift" ->
+      """WITH s AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) e
+        |  FROM embeddings),
+        |j AS (SELECT d.source, s.e FROM s JOIN documents d ON s.vec_id = d.doc_id),
+        |cell AS (SELECT source, unnest(range(len(e))) AS dim, unnest(e) AS v FROM j),
+        |cent AS (SELECT source, dim,
+        |           CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE) c,
+        |           CAST(COUNT(*) AS BIGINT) cnt
+        |         FROM cell GROUP BY source, dim),
+        |ca AS (SELECT source, list(c ORDER BY dim) ce, MAX(cnt) n
+        |       FROM cent GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  CASE WHEN sqrt(list_inner_product(a.ce, a.ce))
+        |         * sqrt(list_inner_product(b.ce, b.ce)) = 0 THEN 0.0
+        |       ELSE list_inner_product(a.ce, b.ce)
+        |         / (sqrt(list_inner_product(a.ce, a.ce))
+        |            * sqrt(list_inner_product(b.ce, b.ce)))
+        |  END AS cos_drift
+        |FROM ca a JOIN ca b ON a.source < b.source
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 }

@@ -335,4 +335,32 @@ class DedupSpec extends AnyFunSuite {
     // bags: {a,b,c}, {x,y,z}, {a,a,b}, {a,b,b} = 4 — aab ≠ abb survives
     assert((nRows, nExact, nBow, catchExtra) == ((8L, 6L, 4L, 2L)), r(0))
   }
+
+  /** q89: a 5-token doc quoted verbatim inside a 25-token doc scores
+    * containment 1.0 but Jaccard 3/23 ≈ 0.13 — the asymmetric detector
+    * must flag exactly this pair (naming the short side as contained)
+    * while symmetric q35 stays silent on it. */
+  test("q89 planted: full containment flagged where Jaccard misses it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("containment").toString
+    val quote = "alpha beta gamma delta epsilon"
+    val wrapper = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 " + quote +
+      " w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    Seq(
+      (1L, quote, "en", "s1", quote.length.toLong),
+      (2L, wrapper, "en", "s1", wrapper.length.toLong),
+      (3L, "unrelated tokens only here nothing shared", "en", "s1", 41L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q89Containment(spark, tmp).collect()
+    assert(got.length == 1, got.mkString("; "))
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(5) == 1.0, s"containment ${r.getDouble(5)}")
+    assert((r.getLong(6), r.getLong(7)) == ((1L, 2L)), "contained/container")
+    // and the symmetric Jaccard detector does NOT see this pair
+    val j = Dedup.q35NgramJaccard(spark, tmp).collect()
+    assert(!j.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L),
+      "q35 unexpectedly flagged the containment pair")
+  }
 }

@@ -210,7 +210,10 @@ class PlanSpec extends AnyFunSuite {
                          // only (metadata cardinality), never document rows
     "q61_tfidf", // scalar subquery: ONE broadcast aggregate row (corpus
                  // size N), not a data frame — morally a literal
-    "q87_collocations") // same shape: one broadcast total-token-count row
+    "q87_collocations", // same shape: one broadcast total-token-count row
+    "q90_source_drift") // q51's shape: theta self-join of the |sources|-row
+                        // centroid frame (metadata cardinality, broadcast),
+                        // never vector rows
 
   test("no BroadcastNestedLoopJoin outside the brute-force allow-list") {
     SparkEntry.queries.keys.foreach { name =>
