@@ -24,7 +24,7 @@ object ScaleSmoke {
     "q69_charclass", "q70_chunking", "q76_mixture_weights",
     "q78_boilerplate", "q81_heavy_hitters",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
-    "q88_textrank", "q90_source_drift")
+    "q88_textrank", "q90_source_drift", "q91_balance_chi2")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -126,6 +126,20 @@ object ScaleSmoke {
     require(q90scaled == q90base.map { case (k, (na, nb, c)) =>
       k -> ((na * factor, nb * factor, c)) },
       "scale-up changed the source-drift matrix — centroid arithmetic is scale-sensitive")
+    // q91 invariant: counts and marginals scale exactly ×factor; expected
+    // values scale ×factor too but through a different double association
+    // ((f·ns)·(f·nl)/(f·nt) vs f·(ns·nl/nt)) — compare to 1e-9 relative
+    val q91base = SparkEntry.queries("q91_balance_chi2")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    val q91scaled = SparkEntry.queries("q91_balance_chi2")(spark, workDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    require(q91base.keySet == q91scaled.keySet &&
+      q91base.forall { case (k, (n, e)) =>
+        val (ns, es) = q91scaled(k)
+        ns == n * factor && math.abs(es - e * factor) <= 1e-9 * math.max(1.0, e * factor)
+      }, "scale-up broke the chi-square marginal invariant")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =

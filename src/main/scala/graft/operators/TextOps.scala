@@ -200,6 +200,41 @@ object TextOps {
     * CTEs in the DuckDB twin, so it must stay a small literal. */
   val TextRankIters = 3
 
+  // ---------------------------------------------------------------- q91
+  /** Corpus-balance audit: the chi-square independence grid for
+    * (source × language) — "does every feed carry the same language
+    * mix, or is a source skewing the corpus?" Emits the FULL grid
+    * (dimension cross of source totals × language totals, zero cells
+    * included — a chi-square over observed cells only is biased), each
+    * cell with observed n, expected = nₛ·nₗ/N and its χ² contribution
+    * (O−E)²/E. Expected is computed double×double/double (NOT an int64
+    * product — nₛ·nₗ overflows long at 100 TB row counts); every step
+    * is one correctly-rounded IEEE op with the identical shape in the
+    * twin, so the rows stay hash-exact. E > 0 by construction (both
+    * marginals are positive), so no ANSI 0/0. Scale shape: one count
+    * aggregation over the corpus; everything after operates on
+    * dimension-cardinality frames (|sources| × |langs|), broadcast. */
+  def q91BalanceChi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = docs(s, dir).groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n"))
+    val bySource = cells.groupBy($"source").agg(sum($"n").as("n_source"))
+    val byLang = cells.groupBy($"lang").agg(sum($"n").as("n_lang"))
+    val total = cells.agg(sum($"n").as("n_total"))
+    bySource.crossJoin(broadcast(byLang)).crossJoin(broadcast(total))
+      .join(cells, Seq("source", "lang"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+      .withColumn("expected",
+        $"n_source".cast("double") * $"n_lang".cast("double") /
+          $"n_total".cast("double"))
+      .withColumn("chi2_contrib",
+        ($"n".cast("double") - $"expected") * ($"n".cast("double") - $"expected")
+          / $"expected")
+      .select($"source", $"lang", $"n", $"n_source", $"n_lang",
+        $"expected", $"chi2_contrib")
+      .orderBy($"source", $"lang")
+  }
+
   // ---------------------------------------------------------------- q88
   /** TextRank keyword extraction: PageRank over the token co-occurrence
     * graph (undirected edges = adjacent bigrams, weight = corpus count),
@@ -1045,6 +1080,7 @@ object TextOps {
     "q86_novelty_attribution" -> (q86NoveltyAttribution _),
     "q87_collocations" -> (q87Collocations _),
     "q88_textrank" -> (q88TextRank _),
+    "q91_balance_chi2" -> (q91BalanceChi2 _),
     "q50_length_quantiles" -> (q50LengthQuantiles _),
     "q51_contamination" -> (q51Contamination _),
     "q53_top_tokens" -> (q53TopTokens _),
@@ -1249,6 +1285,26 @@ object TextOps {
         |SELECT tok, r AS rank_scaled FROM r$TextRankIters
         |ORDER BY rank_scaled DESC, tok LIMIT 20""".stripMargin
     },
+    "q91_balance_chi2" ->
+      """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) n
+        |               FROM documents GROUP BY source, lang),
+        |bs AS (SELECT source, CAST(SUM(n) AS BIGINT) n_source FROM cells GROUP BY source),
+        |bl AS (SELECT lang, CAST(SUM(n) AS BIGINT) n_lang FROM cells GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) n_total FROM cells),
+        |grid AS (SELECT bs.source, bl.lang, bs.n_source, bl.n_lang, t.n_total,
+        |           COALESCE(cells.n, 0) AS n
+        |         FROM bs CROSS JOIN bl CROSS JOIN t
+        |         LEFT JOIN cells ON cells.source = bs.source AND cells.lang = bl.lang)
+        |SELECT source, lang, n, n_source, n_lang,
+        |  CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE) AS expected,
+        |  (CAST(n AS DOUBLE) - CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE))
+        |   * (CAST(n AS DOUBLE) - CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE))
+        |   / (CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE)) AS chi2_contrib
+        |FROM grid ORDER BY source, lang""".stripMargin,
     "q83_approx_quantiles" ->
       // exact side mirrors q50's nearest-rank idiom; the GK flags are
       // literal — guaranteed TRUE by the sketch's rank-error contract

@@ -211,9 +211,11 @@ class PlanSpec extends AnyFunSuite {
     "q61_tfidf", // scalar subquery: ONE broadcast aggregate row (corpus
                  // size N), not a data frame — morally a literal
     "q87_collocations", // same shape: one broadcast total-token-count row
-    "q90_source_drift") // q51's shape: theta self-join of the |sources|-row
+    "q90_source_drift", // q51's shape: theta self-join of the |sources|-row
                         // centroid frame (metadata cardinality, broadcast),
                         // never vector rows
+    "q91_balance_chi2") // dimension cross: |sources| × |langs| marginal
+                        // frames + one total row — metadata cardinality
 
   test("no BroadcastNestedLoopJoin outside the brute-force allow-list") {
     SparkEntry.queries.keys.foreach { name =>

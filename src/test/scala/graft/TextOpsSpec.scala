@@ -321,6 +321,38 @@ class TextOpsSpec extends AnyFunSuite {
       assert(got(sp) == spoke, s"$sp: got ${got(sp)} want $spoke"))
   }
 
+  /** q91: a perfectly balanced corpus has O = E in every cell, so every
+    * χ² contribution must be EXACTLY 0.0 (the subtraction is exact);
+    * skewing one cell makes its row and its marginals' zero cells
+    * positive. Grid must include absent (source, lang) combinations. */
+  test("q91 planted: balanced corpus scores exactly zero everywhere") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chi2").toString
+    val rows = for {
+      (src, base) <- Seq(("s1", 0L), ("s2", 100L))
+      (lng, off) <- Seq(("en", 0L), ("de", 10L))
+      k <- 0L until 3L
+    } yield (base + off + k, s"doc $k", lng, src, 5L)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q91BalanceChi2(spark, tmp).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getLong(2) == 3L && r.getDouble(5) == 3.0 &&
+        r.getDouble(6) == 0.0, r.toString)
+    }
+    // drop one lang from one source: the grid still carries the zero
+    // cell, and its contribution is its full expected count
+    val rows2 = rows.filterNot(r => r._3 == "de" && r._4 == "s2")
+    rows2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val g2 = TextOps.q91BalanceChi2(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(6)))).toMap
+    assert(g2.size == 4 && g2(("s2", "de"))._1 == 0L)
+    assert(g2(("s2", "de"))._2 > 0.0 && g2(("s1", "en"))._2 > 0.0)
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
