@@ -44,7 +44,8 @@ object Bench {
     "q67_range_join", "q75_skewed_join", "q77_split_leakage",
     "q81_heavy_hitters", "q84_rfm_segments",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
-    "q88_textrank", "q90_source_drift", "q91_balance_chi2")
+    "q88_textrank", "q90_source_drift", "q91_balance_chi2",
+    "q92_fk_audit")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -74,7 +75,8 @@ object Bench {
     "q81_heavy_hitters" -> 0.5, "q84_rfm_segments" -> 0.8,
     "q85_bow_dedup" -> 0.55, "q86_novelty_attribution" -> 0.9,
     "q87_collocations" -> 0.55, "q88_textrank" -> 1.1,
-    "q90_source_drift" -> 0.6, "q91_balance_chi2" -> 0.35)
+    "q90_source_drift" -> 0.6, "q91_balance_chi2" -> 0.35,
+    "q92_fk_audit" -> 1.5)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

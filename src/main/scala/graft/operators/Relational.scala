@@ -650,7 +650,56 @@ object Relational {
       .orderBy($"side", $"cmp")
   }
 
+  // ---------------------------------------------------------------- q92
+  /** Referential-integrity audit: one row per foreign-key constraint of
+    * the star schema (child rows, distinct keys, orphan rows, distinct
+    * non-null orphan keys) — the data-quality sweep a pipeline runs
+    * after every load, before trusting joins. Orphans are counted with
+    * a LEFT join against the DISTINCT parent-key frame (`pk IS NULL` ⇒
+    * no parent) — the same NULL semantics as a left_anti, mirrored by
+    * the twin's LEFT JOIN (a `NOT IN` twin would silently change NULL
+    * behavior). A NULL child key never matches and therefore counts as
+    * an orphan row (standard audit convention); `n_orphan_keys` counts
+    * distinct NON-null orphan keys in both engines. Scale shape: one
+    * column-pruned scan + one key-shuffle (or broadcast for dimension
+    * parents — AQE decides) per constraint; nothing carries payload
+    * columns. */
+  def q92FkAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("pk")).distinct(),
+          $"k" === $"pk", "left")
+        .agg(count(lit(1)).as("n_child"),
+          countDistinct($"k").as("n_keys"),
+          sum(when($"pk".isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+          countDistinct(when($"pk".isNull, $"k")).as("n_orphan_keys"))
+        .select(lit(name).as("constraint_name"),
+          $"n_child", $"n_keys",
+          coalesce($"n_orphan_rows", lit(0L)).as("n_orphan_rows"),
+          $"n_orphan_keys")
+    Seq(
+      audit("customer.c_nationkey->nation",
+        t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+      audit("embeddings.vec_id->documents",
+        t(s, dir, "embeddings"), "vec_id", t(s, dir, "documents"), "doc_id"),
+      audit("lineitem.l_orderkey->orders",
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      audit("lineitem.l_partkey->part",
+        t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier",
+        t(s, dir, "lineitem"), "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+      audit("orders.o_custkey->customer",
+        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"),
+      audit("supplier.s_nationkey->nation",
+        t(s, dir, "supplier"), "s_nationkey", t(s, dir, "nation"), "n_nationkey"))
+      .reduce(_ union _)
+      .orderBy($"constraint_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_fk_audit" -> (q92FkAudit _),
     "q79_reconcile" -> (q79Reconcile _),
     "q75_skewed_join" -> (q75SkewedJoin _),
     "q22_date_arith" -> (q22DateArith _),
@@ -709,6 +758,26 @@ object Relational {
         |  COUNT(*) AS n_rows,
         |  TRUE AS hll_within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q92_fk_audit" -> {
+      val cons = Seq(
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("embeddings.vec_id->documents", "embeddings", "vec_id", "documents", "doc_id"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      cons.map { case (n, ct, fk, pt, pk) =>
+        // LEFT JOIN (not NOT IN) so NULL child keys count as orphans,
+        // matching the engine's anti-join-style semantics
+        s"""SELECT '$n' AS constraint_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(COUNT(DISTINCT c.$fk) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           |  CAST(COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN c.$fk END) AS BIGINT) AS n_orphan_keys
+           |FROM $ct c LEFT JOIN (SELECT DISTINCT $pk pk FROM $pt) p ON c.$fk = p.pk""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name")
+    },
     "q79_reconcile" ->
       s"""WITH lt AS (SELECT l_orderkey, ${SqlDsum("l_extendedprice")} li_total
         |  FROM lineitem GROUP BY 1)

@@ -184,4 +184,39 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(qLoaded.groupBy("qid").count().collect()
       .forall(_.getLong(1) <= 5))
   }
+
+  /** q92: planted orphans and a NULL child key over a minimal star
+    * schema — NULL counts as an orphan ROW (it can never match a
+    * parent) but not as an orphan KEY. Real testdata has zero orphans,
+    * so these semantics only get exercised here. */
+  test("q92 planted: orphan rows and keys counted with NULL-as-orphan-row") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fkaudit").toString
+    def w(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+    w("nation", Seq(1L, 2L).toDF("n_nationkey"))
+    w("customer", Seq(
+      (10L, Some(1L)), (11L, Some(2L)), (12L, Some(3L)), // 3 = orphan
+      (13L, Some(3L)),                                   // same orphan key
+      (14L, None))                                       // NULL: orphan row only
+      .toDF("c_custkey", "c_nationkey"))
+    w("supplier", Seq((20L, 1L)).toDF("s_suppkey", "s_nationkey"))
+    w("orders", Seq((30L, 10L), (31L, 99L)).toDF("o_orderkey", "o_custkey"))
+    w("lineitem", Seq((30L, 40L, 20L), (32L, 41L, 21L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey"))
+    w("part", Seq(40L).toDF("p_partkey"))
+    w("documents", Seq(0L).toDF("doc_id"))
+    w("embeddings", Seq(0L, 5L).toDF("vec_id"))
+    val got = Relational.q92FkAudit(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (n_child, n_keys, n_orphan_rows, n_orphan_keys)
+    assert(got("customer.c_nationkey->nation") == ((5L, 3L, 3L, 1L)), got)
+    assert(got("orders.o_custkey->customer") == ((2L, 2L, 1L, 1L)), got)
+    assert(got("lineitem.l_orderkey->orders") == ((2L, 2L, 1L, 1L)), got)
+    assert(got("lineitem.l_partkey->part") == ((2L, 2L, 1L, 1L)), got)
+    assert(got("lineitem.l_suppkey->supplier") == ((2L, 2L, 1L, 1L)), got)
+    assert(got("embeddings.vec_id->documents") == ((2L, 2L, 1L, 1L)), got)
+    assert(got("supplier.s_nationkey->nation") == ((1L, 1L, 0L, 0L)), got)
+  }
 }
