@@ -74,9 +74,9 @@ object Bench {
     "q75_skewed_join" -> 0.35, "q77_split_leakage" -> 3.3,
     "q81_heavy_hitters" -> 0.5, "q84_rfm_segments" -> 0.8,
     "q85_bow_dedup" -> 0.55, "q86_novelty_attribution" -> 0.9,
-    "q87_collocations" -> 0.55, "q88_textrank" -> 1.1,
-    "q90_source_drift" -> 0.6, "q91_balance_chi2" -> 0.35,
-    "q92_fk_audit" -> 1.5)
+    "q87_collocations" -> 0.55, "q88_textrank" -> 0.8,
+    "q90_source_drift" -> 0.5, "q91_balance_chi2" -> 0.35,
+    "q92_fk_audit" -> 1.6)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
