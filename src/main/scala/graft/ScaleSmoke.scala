@@ -24,7 +24,8 @@ object ScaleSmoke {
     "q69_charclass", "q70_chunking", "q76_mixture_weights",
     "q78_boilerplate", "q81_heavy_hitters",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
-    "q88_textrank", "q90_source_drift", "q91_balance_chi2")
+    "q88_textrank", "q90_source_drift", "q91_balance_chi2",
+    "q93_triangle_census")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -140,6 +141,14 @@ object ScaleSmoke {
         val (ns, es) = q91scaled(k)
         ns == n * factor && math.abs(es - e * factor) <= 1e-9 * math.max(1.0, e * factor)
       }, "scale-up broke the chi-square marginal invariant")
+    // q93 invariant: the DISTINCT edge set of a replicated corpus is the
+    // base edge set, so the whole census row must be BIT-IDENTICAL
+    val q93base = SparkEntry.queries("q93_triangle_census")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val q93scaled = SparkEntry.queries("q93_triangle_census")(spark, workDir)
+      .collect().map(_.toString).toSeq
+    require(q93base == q93scaled,
+      "scale-up changed the triangle census — edge dedup is partition-sensitive")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =

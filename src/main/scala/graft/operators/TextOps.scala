@@ -278,6 +278,56 @@ object TextOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Token-graph triangle census: exact triangle count and global
+    * clustering coefficient (3·triangles / wedges) of the undirected
+    * bigram co-occurrence graph — the structural "is this corpus
+    * phrase-like or bag-like" diagnostic, and the third graph-analytics
+    * member next to components (q47) and PageRank (q88). Counting uses
+    * the compact-forward orientation: every edge points from its
+    * lower-(degree, name) endpoint, so each triangle materializes
+    * exactly once and the path join's fan-out is bounded by the
+    * oriented out-degree (O(√|E|)) instead of the raw degree — the
+    * property that keeps triangle joins viable on power-law graphs at
+    * 100 TB. All counts are exact longs; the one division is
+    * correctly-rounded IEEE with an identical twin shape. On this
+    * synthetic corpus the 31-token vocabulary saturates (the same graph
+    * at every SF) — the planted spec supplies the structural cases. */
+  def q93TriangleCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = bigramCounts(s, dir)
+      .filter($"t1" =!= $"t2") // repeated-token self-loops are not edges
+      .select(least($"t1", $"t2").as("a"), greatest($"t1", $"t2").as("b"))
+      .distinct()
+      .localCheckpoint() // referenced by deg/ore/edges: corpus scanned once
+    val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val ore = und
+      .join(deg.select($"n".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"n".as("b"), $"d".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"a")
+          .otherwise($"b").as("u"),
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"b")
+          .otherwise($"a").as("v"))
+      .localCheckpoint() // three self-references below; scan the corpus once
+    val tri = ore.as("e1")
+      .join(ore.as("e2"), $"e1.v" === $"e2.u")
+      .join(ore.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      // SUM over an edgeless graph is NULL in both engines — force 0
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .withColumn("global_clustering",
+        when($"n_wedges" === 0L, lit(0.0))
+          .otherwise((lit(3L) * $"n_triangles").cast("double") /
+            $"n_wedges".cast("double")))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        $"global_clustering")
+  }
+
   // ---------------------------------------------------------------- q86
   /** N-gram novelty attribution: which documents actually ADD content?
     * For every distinct 3-gram the corpus-wide introducer is the minimum
@@ -1081,6 +1131,7 @@ object TextOps {
     "q87_collocations" -> (q87Collocations _),
     "q88_textrank" -> (q88TextRank _),
     "q91_balance_chi2" -> (q91BalanceChi2 _),
+    "q93_triangle_census" -> (q93TriangleCensus _),
     "q50_length_quantiles" -> (q50LengthQuantiles _),
     "q51_contamination" -> (q51Contamination _),
     "q53_top_tokens" -> (q53TopTokens _),
@@ -1305,6 +1356,30 @@ object TextOps {
         |   / (CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)
         |      / CAST(n_total AS DOUBLE)) AS chi2_contrib
         |FROM grid ORDER BY source, lang""".stripMargin,
+    "q93_triangle_census" ->
+      """WITH toks AS (SELECT string_split(lower(text), ' ') t FROM documents),
+        |bi AS (SELECT unnest(list_transform(range(len(t)-1), i -> t[i+1])) AS t1,
+        |              unnest(list_transform(range(len(t)-1), i -> t[i+2])) AS t2
+        |       FROM toks WHERE len(t) >= 2),
+        |und AS (SELECT DISTINCT least(t1, t2) a, greatest(t1, t2) b
+        |        FROM bi WHERE t1 <> t2),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) d FROM
+        |        (SELECT a n FROM und UNION ALL SELECT b FROM und) u(n) GROUP BY n),
+        |ore AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END u,
+        |               CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END v
+        |        FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) c FROM ore e1
+        |        JOIN ore e2 ON e1.v = e2.u
+        |        JOIN ore e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |st AS (SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) n_nodes,
+        |              CAST((SELECT COUNT(*) FROM und) AS BIGINT) n_edges,
+        |              CAST(COALESCE((SELECT SUM(d*(d-1)//2) FROM deg), 0) AS BIGINT) n_wedges,
+        |              (SELECT c FROM tri) n_triangles)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN 0.0
+        |       ELSE CAST(3*n_triangles AS DOUBLE)/CAST(n_wedges AS DOUBLE)
+        |  END AS global_clustering
+        |FROM st""".stripMargin,
     "q83_approx_quantiles" ->
       // exact side mirrors q50's nearest-rank idiom; the GK flags are
       // literal — guaranteed TRUE by the sketch's rank-error contract

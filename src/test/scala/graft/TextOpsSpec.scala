@@ -353,6 +353,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g2(("s2", "de"))._2 > 0.0 && g2(("s1", "en"))._2 > 0.0)
   }
 
+  /** q93: structural cases the saturated synthetic graph can't show — a
+    * pure path has wedges but ZERO triangles; a triangle with a pendant
+    * edge has exactly one triangle and clustering 3/5. */
+  test("q93 planted: path graph counts zero triangles; pendant triangle 3/5") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tri").toString
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s1", 5L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // path a-b-c-d: 4 nodes, 3 edges, wedges at b and c = 2, 0 triangles
+    write(Seq("pa pb pc pd"))
+    val path = TextOps.q93TriangleCensus(spark, tmp).collect()(0)
+    assert((path.getLong(0), path.getLong(1), path.getLong(2),
+      path.getLong(3), path.getDouble(4)) == ((4L, 3L, 2L, 0L, 0.0)), path)
+    // triangle x-y-z (closed via two docs) plus pendant z-w:
+    // degrees x=2 y=2 z=3 w=1; wedges 1+1+3+0 = 5; one triangle; 3/5
+    write(Seq("x y z x", "z w"))
+    val t = TextOps.q93TriangleCensus(spark, tmp).collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)) ==
+      ((4L, 4L, 5L, 1L)), t)
+    assert(t.getDouble(4) == 0.6, t)
+    // a single-doc corpus with no repeated-token pairs beyond self-loops
+    // ("q q") has no edges at all — zero everything, no ANSI 0/0
+    write(Seq("q q"))
+    val z = TextOps.q93TriangleCensus(spark, tmp).collect()(0)
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3),
+      z.getDouble(4)) == ((0L, 0L, 0L, 0L, 0.0)), z)
+  }
+
   test("q64: posting length equals df and ids are sorted ascending") {
     val rows = TextOps.q64InvertedIndex(spark, dir).collect()
     assert(rows.nonEmpty)
