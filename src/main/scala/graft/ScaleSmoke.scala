@@ -25,7 +25,7 @@ object ScaleSmoke {
     "q78_boilerplate", "q81_heavy_hitters",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
-    "q93_triangle_census")
+    "q93_triangle_census", "q94_vocab_coverage")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -149,6 +149,19 @@ object ScaleSmoke {
       .collect().map(_.toString).toSeq
     require(q93base == q93scaled,
       "scale-up changed the triangle census — edge dedup is partition-sensitive")
+    // q94 invariant: replication scales every count ×factor and keeps
+    // the same top-K vocab (ties scale together), so counts scale
+    // exactly and the rate (f·a)/(f·b) is the SAME rational — rates
+    // must be bit-identical
+    val q94base = SparkEntry.queries("q94_vocab_coverage")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val q94scaled = SparkEntry.queries("q94_vocab_coverage")(spark, workDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    require(q94scaled == q94base.map { case (k, (nt, no, rate)) =>
+      k -> ((nt * factor, no * factor, rate)) },
+      "scale-up broke the vocab-coverage invariant")
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =

@@ -278,6 +278,36 @@ object TextOps {
       .limit(20)
   }
 
+  /** Vocabulary size for the q94 coverage audit — deliberately smaller
+    * than the corpus vocabulary so the OOV tail is non-empty. */
+  val VocabK = 20
+
+  // ---------------------------------------------------------------- q94
+  /** Vocabulary-coverage audit: fix the top-[[VocabK]] tokens by corpus
+    * count (ties broken on the token — a total order, so the vocab SET
+    * is deterministic) and report per-language token coverage and OOV
+    * rate — the "will this tokenizer's vocab serve every language"
+    * check run before committing to a tokenizer. Scale shape: one token
+    * count (shuffle on token), a TakeOrderedAndProject top-K, then a
+    * map-side BROADCAST membership join back onto the token stream —
+    * the corpus is never shuffled by the audit itself. */
+  def q94VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"lang", explode(split(lower($"text"), " ")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(VocabK)
+      .select($"tok", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when($"n_tokens" === 0L, lit(0.0))
+          .otherwise($"n_oov".cast("double") / $"n_tokens".cast("double")))
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- q93
   /** Token-graph triangle census: exact triangle count and global
     * clustering coefficient (3·triangles / wedges) of the undirected
@@ -1132,6 +1162,7 @@ object TextOps {
     "q88_textrank" -> (q88TextRank _),
     "q91_balance_chi2" -> (q91BalanceChi2 _),
     "q93_triangle_census" -> (q93TriangleCensus _),
+    "q94_vocab_coverage" -> (q94VocabCoverage _),
     "q50_length_quantiles" -> (q50LengthQuantiles _),
     "q51_contamination" -> (q51Contamination _),
     "q53_top_tokens" -> (q53TopTokens _),
@@ -1380,6 +1411,19 @@ object TextOps {
         |       ELSE CAST(3*n_triangles AS DOUBLE)/CAST(n_wedges AS DOUBLE)
         |  END AS global_clustering
         |FROM st""".stripMargin,
+    "q94_vocab_coverage" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) tok
+        |              FROM documents),
+        |vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) c FROM toks GROUP BY tok
+        |          ORDER BY c DESC, tok LIMIT $VocabK)),
+        |m AS (SELECT t.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END oov
+        |      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CASE WHEN COUNT(*) = 0 THEN 0.0
+        |       ELSE CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |  END AS oov_rate
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q83_approx_quantiles" ->
       // exact side mirrors q50's nearest-rank idiom; the GK flags are
       // literal — guaranteed TRUE by the sketch's rank-error contract
