@@ -184,6 +184,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  /** StreamingFkAudit: orphan child rows flag at ingestion against the
+    * static parent-key frame, the once-per-key alert state survives a
+    * restart, and a NULL foreign key flags as an orphan ROW (q92's
+    * anti-join semantics) without producing a key alert. */
+  test("streaming FK audit flags orphans once per key across a restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fk_stream")
+    val ckpt = Files.createTempDirectory("fk_stream_ckpt")
+    val keys = graft.streaming.StreamingFkAudit.parentKeys(
+      Seq(30L, 40L).toDF("o_orderkey"), "o_orderkey")
+    def row(k: String, q: Long) = s"""{"l_orderkey":$k,"qty":$q}"""
+    val schema = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("qty", LongType)))
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      graft.streaming.StreamingFkAudit
+        .orphanKeyAlerts(stream, "l_orderkey", keys)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => alerts.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    // batch 1: one matched row, one orphan key 31, one NULL key
+    Files.write(dir.resolve("b1.json"),
+      Seq(row("30", 1), row("31", 2), row("null", 3)).mkString("\n").getBytes)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    assert(alerts.toArray.toSeq == Seq(31L), s"got $alerts")
+    // the per-ROW orphan stream (batch twin) sees both 31 and the NULL row
+    val batchOrphans = graft.streaming.StreamingFkAudit.orphans(
+      Seq((Some(30L), 1L), (Some(31L), 2L), (None: Option[Long], 3L))
+        .toDF("l_orderkey", "qty"), "l_orderkey", keys).collect()
+    assert(batchOrphans.length == 2, batchOrphans.mkString("; "))
+    // restart on the same checkpoint: re-sent 31 must NOT re-alert; a
+    // new orphan key must
+    Files.write(dir.resolve("b2.json"),
+      Seq(row("31", 4), row("32", 5)).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val ids = alerts.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+      assert(ids.count(_ == 31L) == 1, s"key 31 re-alerted after restart: $ids")
+      assert(ids.contains(32L), s"post-restart orphan missed: $ids")
+    } finally q2.stop()
+  }
+
   /** §2.9 watermark semantics: event-time windows finalize when the
     * watermark passes their end, and rows older than the watermark are
     * DROPPED, not retro-added — the contract that bounds streaming agg
