@@ -214,8 +214,10 @@ class PlanSpec extends AnyFunSuite {
     "q90_source_drift", // q51's shape: theta self-join of the |sources|-row
                         // centroid frame (metadata cardinality, broadcast),
                         // never vector rows
-    "q91_balance_chi2") // dimension cross: |sources| × |langs| marginal
+    "q91_balance_chi2", // dimension cross: |sources| × |langs| marginal
                         // frames + one total row — metadata cardinality
+    "q93_triangle_census") // three 1-row aggregate frames crossed into
+                           // the single census row — morally literals
 
   test("no BroadcastNestedLoopJoin outside the brute-force allow-list") {
     SparkEntry.queries.keys.foreach { name =>
