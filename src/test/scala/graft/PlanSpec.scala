@@ -74,6 +74,26 @@ class PlanSpec extends AnyFunSuite {
         s"iteration subtrees are being recomputed\n${p.take(1500)}")
   }
 
+  test("q86: the attribution join never re-shuffles the shingle rows") {
+    // the introducer MIN and the attribution join share the shingle key.
+    // Two acceptable regimes: AQE broadcasts the (smaller) introducer
+    // frame onto the shingle rows (what fires at this size), or at scale
+    // the shuffle join reuses the MIN's exchange. What is NOT acceptable
+    // is a second independent shuffle of the full shingle-row side.
+    val df = castToImpl(SparkEntry.queries("q86_novelty_attribution")(spark, dir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val broadcastOnShingle = "BroadcastHashJoin \\[s#".r.findFirstIn(p).isDefined
+    assert(broadcastOnShingle || p.contains("ReusedExchange"),
+      s"shingle rows shuffled twice for MIN + attribution\n${p.take(1200)}")
+  }
+
+  test("q94: vocab membership is a broadcast join over a partial top-k") {
+    val p = plan("q94_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("q85: BoW signature dedup is one shuffle — no join, no window") {
     val p = plan("q85_bow_dedup")
     // per-row array_sort + hash then a single aggregation: any join in
