@@ -45,7 +45,8 @@ object Bench {
     "q81_heavy_hitters", "q84_rfm_segments",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
-    "q92_fk_audit", "q93_triangle_census", "q94_vocab_coverage")
+    "q92_fk_audit", "q93_triangle_census", "q94_vocab_coverage",
+    "q95_local_supplier_revenue")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -77,7 +78,7 @@ object Bench {
     "q87_collocations" -> 0.55, "q88_textrank" -> 0.8,
     "q90_source_drift" -> 0.5, "q91_balance_chi2" -> 0.35,
     "q92_fk_audit" -> 1.6, "q93_triangle_census" -> 0.9,
-    "q94_vocab_coverage" -> 0.5)
+    "q94_vocab_coverage" -> 0.5, "q95_local_supplier_revenue" -> 1.2)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

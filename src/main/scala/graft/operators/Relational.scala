@@ -698,7 +698,40 @@ object Relational {
       .orderBy($"constraint_name")
   }
 
+  // ---------------------------------------------------------------- q95
+  /** TPC-H Q5-shape local-supplier revenue: the classic optimizer-stress
+    * query — a six-table star join (region→nation→{customer, supplier}
+    * →orders→lineitem) with the co-location predicate `s_nationkey =
+    * c_nationkey` and a one-year date band, grouped by nation. Exists to
+    * exercise what Catalyst must get right at 100 TB: the region/nation
+    * dims fold into broadcasts, the customer/supplier joins shrink the
+    * fact side before the big l_orderkey shuffle, and the date filter
+    * pushes into the orders scan. Revenue = Σ extendedprice·(1−discount)
+    * through the scaled-long gate (the per-row double product is one
+    * correctly-rounded op; the sum is exact longs), so the twin is
+    * hash-exact. Ordered by nation name — a total order even on revenue
+    * ties. */
+  def q95LocalSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val revRow = expr(
+      "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+    t(s, dir, "region").filter($"r_name" === "ASIA")
+      .join(t(s, dir, "nation"), $"n_regionkey" === $"r_regionkey")
+      .join(t(s, dir, "customer"), $"c_nationkey" === $"n_nationkey")
+      .join(t(s, dir, "orders")
+          .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01"),
+        $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "supplier"),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg((sum(revRow).cast("double") / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_local_supplier_revenue" -> (q95LocalSupplierRevenue _),
     "q92_fk_audit" -> (q92FkAudit _),
     "q79_reconcile" -> (q79Reconcile _),
     "q75_skewed_join" -> (q75SkewedJoin _),
@@ -758,6 +791,21 @@ object Relational {
         |  COUNT(*) AS n_rows,
         |  TRUE AS hll_within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q95_local_supplier_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q92_fk_audit" -> {
       val cons = Seq(
         ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),

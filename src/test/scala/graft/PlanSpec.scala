@@ -94,6 +94,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("q95: dims broadcast and the date band pushes into the orders scan") {
+    val p = plan("q95_local_supplier_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the one-year band must reach the parquet reader, not a post-scan
+    // Filter — at 100 TB this is the difference between reading a year
+    // and reading the table
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed to the orders scan\n${p.take(1500)}")
+  }
+
   test("q85: BoW signature dedup is one shuffle — no join, no window") {
     val p = plan("q85_bow_dedup")
     // per-row array_sort + hash then a single aggregation: any join in
