@@ -223,6 +223,10 @@ object Similarity {
     var cents: Seq[(Seq[Long], Double)] = base.filter($"vec_id" < k)
       .orderBy($"vec_id").select($"e").as[Seq[Long]].collect().toSeq
       .map(withNorm)
+    // an EMPTY corpus seeds zero centroids: skip the Lloyd iterations
+    // (assignCell over zero centroids is an unresolvable empty argmax)
+    // and return the empty model — the query paths guard on it
+    if (cents.isEmpty) return cents
     for (_ <- 1 to iters) {
       val sums = base
         .withColumn("cell", assignCell(cents))
@@ -303,6 +307,11 @@ object Similarity {
   def ivfQuery(s: SparkSession, dir: String,
       cents: Seq[(Seq[Long], Double)], k: Int = 5): DataFrame = {
     import s.implicits._
+    // an index fitted on an EMPTY corpus has no centroids — the degenerate
+    // load must yield an empty result, not an unresolvable array() argmax
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("qid", "nid", "rk", "sim")
     val base = scaled(s, dir)
     val assigned = base
       .withColumn("cell", assignCell(cents))
@@ -321,6 +330,11 @@ object Similarity {
   private[graft] def ivfRecallWith(s: SparkSession, dir: String,
       cents: Seq[(Seq[Long], Double)]): DataFrame = {
     import s.implicits._
+    // empty-corpus fit ⇒ no centroids ⇒ no queries: empty report, same
+    // schema (the q44 twin's empty corpus yields zero rows identically)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("qid", "n_candidates", "n_hit", "recall")
     val base = scaled(s, dir)
     val assigned = base
       .withColumn("cell", assignCell(cents))
