@@ -58,10 +58,14 @@ object Dedup {
     * min doc_id). Hash-groupBy — one shuffle on the 128-bit key. */
   def q34ExactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir).select($"doc_id", $"lang", $"text")
-    val reingest = d.withColumn("doc_id", $"doc_id" + 1000000L)
-    val all = d.union(reingest)
+    // ONE corpus scan: the re-ingested twin differs only in doc_id, so
+    // each source row fans out to its two ids via a per-row explode —
+    // the text column is decoded (and hashed) once, not once per union
+    // branch. Same fix class as q60/q85 (VERDICT r5 #1).
+    val all = docs(s, dir).select($"doc_id", $"lang", $"text")
       .withColumn("h", md5($"text".cast("binary")))
+      .select($"lang", $"h",
+        explode(array($"doc_id", $"doc_id" + 1000000L)).as("doc_id"))
     all.groupBy($"h")
       .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"),
         min($"lang").as("lang"))
@@ -80,16 +84,21 @@ object Dedup {
     * the BoW signature catches them). Per-lang accounting shows the
     * hierarchy exact ⊂ bag-of-words. Same scale shape as q34: one
     * map-side signature per doc, one shuffle on the group-by — the
-    * array_sort is per-row, codegen'd, never a shuffle key explosion. */
+    * array_sort is per-row, codegen'd, never a shuffle key explosion.
+    * ONE corpus scan (VERDICT r5 #1): the original and its re-ingested
+    * variant are produced by a per-row 2-element explode over the same
+    * decoded text value, not by unioning two scans of the parquet —
+    * at 100 TB the double decode was the whole cost of this audit. The
+    * re-ingested doc_id shift never reaches the output (the group-by is
+    * per-lang), so only the text variant fans out. */
   def q85BowDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir).select($"doc_id", $"lang", $"text")
-    val reingest = d
-      .withColumn("text",
+    docs(s, dir).select($"doc_id", $"lang", $"text")
+      .select($"lang", explode(array(
+        $"text",
         when($"doc_id" % 2 === 0,
-          concat_ws(" ", reverse(split($"text", " ")))).otherwise($"text"))
-      .withColumn("doc_id", $"doc_id" + 1000000L)
-    d.union(reingest)
+          concat_ws(" ", reverse(split($"text", " ")))).otherwise($"text")
+      )).as("text"))
       .withColumn("h", md5($"text".cast("binary")))
       .withColumn("bow_sig",
         md5(concat_ws(" ", array_sort(split($"text", " "))).cast("binary")))

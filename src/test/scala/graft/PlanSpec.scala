@@ -110,6 +110,26 @@ class PlanSpec extends AnyFunSuite {
     // per-row array_sort + hash then a single aggregation: any join in
     // this plan means the signature stopped being map-side
     assert(!p.contains("Join"), p)
+    // VERDICT r5 #1: the re-ingested twin rows come from a per-row
+    // explode over ONE parquet scan — a second FileScan means the text
+    // column is being decoded once per union branch again
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"q85 must scan documents exactly once\n${p.take(1200)}")
+  }
+
+  test("q34: exact dedup reads the corpus once (explode, not union)") {
+    val p = plan("q34_exact_dedup")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"q34 must scan documents exactly once\n${p.take(1200)}")
+  }
+
+  test("q92: the three lineitem FK constraints melt into ONE fact scan") {
+    // VERDICT r5 #4: at 100 TB lineitem is ~95% of the audited bytes —
+    // the orderkey/partkey/suppkey audits must share a single stack()'d
+    // scan, not pay three decode passes
+    val p = plan("q92_fk_audit")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"q92 must scan lineitem exactly once\n${p.take(1500)}")
   }
 
   test("q07/q53/q71: rank filters plan a WindowGroupLimit (partial top-k)") {
