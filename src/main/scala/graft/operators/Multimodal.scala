@@ -275,14 +275,18 @@ object Multimodal {
 
     /** Walk the RIFF chunk tree and collect video-stream chunks
       * (`##dc`/`##db`) whose payload starts with a JPEG SOI marker. */
-    private[operators] def aviJpegFrames(p: Array[Byte]): Seq[Array[Byte]] = {
+    private[graft] def aviJpegFrames(p: Array[Byte]): Seq[Array[Byte]] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       def walk(start: Int, end: Int): Unit = {
         var o = start
         while (o + 8 <= end) {
-          val size = le32(p, o + 4)
+          // A corrupt 32-bit size can exceed the enclosing region (or,
+          // truncated to Int, go negative and stall the walk at a fixed
+          // offset — an executor spinning forever on one bad payload).
+          // Clamp to the region and insist on strictly forward progress.
+          val size = math.min(le32(p, o + 4), (end - (o + 8)).toLong)
           val dataStart = o + 8
-          val dataEnd = math.min(dataStart + size, end.toLong).toInt
+          val dataEnd = dataStart + size.toInt
           val isList = (p(o) == 'R'.toByte && p(o + 1) == 'I'.toByte &&
             p(o + 2) == 'F'.toByte && p(o + 3) == 'F'.toByte) ||
             (p(o) == 'L'.toByte && p(o + 1) == 'I'.toByte &&
@@ -295,7 +299,9 @@ object Multimodal {
               p(dataStart) == 0xff.toByte && p(dataStart + 1) == 0xd8.toByte) {
             out += java.util.Arrays.copyOfRange(p, dataStart, dataEnd)
           }
-          o = dataStart + (size + (size & 1L)).toInt // chunks are even-padded
+          val next = dataStart + (size + (size & 1L)).toInt // even-padded
+          if (next <= o) return // malformed size: stop, keep frames so far
+          o = next
         }
       }
       walk(12, p.length)
@@ -395,7 +401,12 @@ object Multimodal {
   /** Partition-wise batch decode: one decoder init per partition (the
     * pattern a heavyweight codec needs), constant memory per batch.
     * Dispatches on payload magic: real image decode for PNG/JPEG, the
-    * stub for everything else. */
+    * stub for everything else. The magic sniff is far wider than what the
+    * real decoders accept (float-PCM WAV, truncated GIF, AVI with no
+    * JPEG frames all pass the sniff but fail the decode), so each decode
+    * is caught per payload and degraded to the deterministic stub — one
+    * bad row must never kill a 100 TB job. The throwing `decodeOne`s stay
+    * as-is for unit tests, which assert the exact failure modes. */
   def decodeFeatures(s: SparkSession, assetsDf: DataFrame): DataFrame = {
     val rdd = assetsDf.select("doc_id", "payload").rdd.mapPartitions { it =>
       // per-partition decoder init: never spill ImageIO scratch to an
@@ -403,10 +414,14 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val p = r.getAs[Array[Byte]](1)
-        val f = if (ImageDecoder.isImage(p)) ImageDecoder.decodeOne(p)
+        val f = try {
+          if (ImageDecoder.isImage(p)) ImageDecoder.decodeOne(p)
           else if (WavDecoder.isWav(p)) WavDecoder.decodeOne(p)
           else if (VideoDecoder.isVideo(p)) VideoDecoder.decodeOne(p)
           else DecoderStub.decodeOne(p)
+        } catch {
+          case scala.util.control.NonFatal(_) => DecoderStub.decodeOne(p)
+        }
         Row(r.getLong(0), f.toSeq)
       }
     }

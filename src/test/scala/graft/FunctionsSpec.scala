@@ -246,4 +246,62 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Multimodal.VideoDecoder.decodeOne(avi).sameElements(
       Multimodal.VideoDecoder.decodeOne(avi)))
   }
+
+  /** ADVICE r5: a corrupt 32-bit chunk size (e.g. 0xFFFFFFF8, which
+    * truncates to -8 and used to yield a zero advance) must not spin the
+    * RIFF walk forever — the walk clamps to the enclosing region and
+    * bails on non-forward progress, keeping frames found so far. */
+  test("aviJpegFrames: malformed chunk sizes terminate, keep prior frames") {
+    def chunk(fourcc: String, data: Array[Byte], fakeSize: Option[Long] = None)
+        : Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc.getBytes("ISO-8859-1"))
+      val n = fakeSize.getOrElse(data.length.toLong)
+      b.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      b.write(data)
+      b.toByteArray
+    }
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    def avi(children: Array[Byte]): Array[Byte] =
+      chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ children)
+    // size 0xFFFFFFF8 → .toInt = -8 → advance 0 in the pre-fix walk
+    val spin = avi(chunk("00dc", jpeg) ++
+      chunk("00dc", new Array[Byte](4), fakeSize = Some(0xFFFFFFF8L)))
+    val frames = Multimodal.VideoDecoder.aviJpegFrames(spin)
+    assert(frames.length == 1, s"walk must terminate; got ${frames.length}")
+    assert(frames.head.sameElements(jpeg))
+    // huge-but-positive size: clamp to region, don't misparse past end
+    val over = avi(chunk("00dc", jpeg, fakeSize = Some(0x7FFFFFF0L)))
+    assert(Multimodal.VideoDecoder.aviJpegFrames(over).length == 1)
+  }
+
+  /** ADVICE r5: payloads that pass the broad magic sniff but cannot be
+    * decoded (garbage WAVE, truncated GIF, AVI without JPEG frames) must
+    * degrade to the deterministic stub per row, never abort the job. */
+  test("decodeFeatures: undecodable-but-sniffable payloads fall to the stub") {
+    import spark.implicits._
+    val badWav = "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0,0,0,0) ++
+      "WAVEgarbage-no-fmt-chunk".getBytes("ISO-8859-1")
+    val badGif = "GIF89a-truncated".getBytes("ISO-8859-1")
+    val badAvi = "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](4,0,0,0) ++
+      "AVI ".getBytes("ISO-8859-1")
+    assert(Multimodal.WavDecoder.isWav(badWav))
+    assert(Multimodal.VideoDecoder.isGif(badGif))
+    assert(Multimodal.VideoDecoder.isAvi(badAvi))
+    val df = Seq((1L, badWav), (2L, badGif), (3L, badAvi))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.size == 3)
+    for ((id, p) <- Seq(1L -> badWav, 2L -> badGif, 3L -> badAvi))
+      assert(out(id) == Multimodal.DecoderStub.decodeOne(p).toSeq,
+        s"doc $id must carry stub features")
+  }
 }
