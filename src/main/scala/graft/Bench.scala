@@ -44,9 +44,9 @@ object Bench {
     "q67_range_join", "q75_skewed_join", "q77_split_leakage",
     "q81_heavy_hitters", "q84_rfm_segments",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
-    "q88_textrank", "q90_source_drift", "q91_balance_chi2",
-    "q92_fk_audit", "q93_triangle_census", "q94_vocab_coverage",
-    "q95_local_supplier_revenue")
+    "q88_textrank", "q89_containment", "q90_source_drift",
+    "q91_balance_chi2", "q92_fk_audit", "q93_triangle_census",
+    "q94_vocab_coverage", "q95_local_supplier_revenue")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -76,6 +76,9 @@ object Bench {
     "q81_heavy_hitters" -> 0.5, "q84_rfm_segments" -> 0.8,
     "q85_bow_dedup" -> 0.55, "q86_novelty_attribution" -> 0.9,
     "q87_collocations" -> 0.55, "q88_textrank" -> 0.8,
+    // q89 promoted to headline r6 (VERDICT r5 #8); ref measured from a
+    // warm full-suite pass, same quiet-state discipline as the rest
+    "q89_containment" -> 2.0,
     "q90_source_drift" -> 0.5, "q91_balance_chi2" -> 0.35,
     "q92_fk_audit" -> 1.6, "q93_triangle_census" -> 0.9,
     "q94_vocab_coverage" -> 0.5, "q95_local_supplier_revenue" -> 1.2)
@@ -87,11 +90,30 @@ object Bench {
   private def loadavg1m: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** Fitted-index location for the IVF extras; written once (warm-up
-    * pass) and reused by both loaded-index arms. */
+  /** Mean CPU clock across cores from /proc/cpuinfo, MHz (VERDICT r5 #6:
+    * BASELINE documents a uniform ~1.25× shift whose signature is a flat
+    * 2100 MHz clock — recording the clock at both ends makes a frequency
+    * sag distinguishable from a code regression without ratio
+    * archaeology). -1 when unreadable (non-Linux). */
+  private def cpuMhz: Double =
+    try {
+      val mhz = scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .filter(_.startsWith("cpu MHz")).map(_.split(":")(1).trim.toDouble)
+        .toSeq
+      if (mhz.isEmpty) -1.0 else mhz.sum / mhz.size
+    } catch { case _: Exception => -1.0 }
+
+  /** Fitted-index location for the IVF extras. Written exactly once per
+    * MEASURING JVM (the first warm-up pass that needs it), then reused by
+    * the loaded-index arms' timed passes — never trusted from a previous
+    * process: an index left on disk by an earlier run could have been fit
+    * on regenerated testdata at the same path (or a hashCode-colliding
+    * corpus) and would silently time the serving arms against a stale
+    * model (ADVICE r5). */
+  private val ivfWrittenByThisJvm = mutable.Set[String]()
   private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
-    if (!new java.io.File(path).exists())
+    if (ivfWrittenByThisJvm.add(path))
       graft.operators.Similarity.saveIvfIndex(s, dir, path)
     path
   }
@@ -139,6 +161,16 @@ object Bench {
     "x_ivf_query_only_loaded" -> ((s, dir) => {
       graft.operators.Similarity.ivfQuery(s, dir,
         graft.operators.Similarity.loadIvfIndex(s, ivfPath(s, dir)))
+        .write.format("noop").mode("overwrite").save()
+    }),
+    // VERDICT r5 #2: the multiprobe serving arm — same loaded index,
+    // nprobe nearest cells per query (~0.96 recall vs single-probe's
+    // 0.82–0.96); its delta over x_ivf_query_only_loaded is the price
+    // of the recall fix at this SF
+    "x_ivf_multiprobe_loaded" -> ((s, dir) => {
+      graft.operators.Similarity.ivfQuery(s, dir,
+        graft.operators.Similarity.loadIvfIndex(s, ivfPath(s, dir)),
+        nprobe = graft.operators.Similarity.MultiprobeNprobe)
         .write.format("noop").mode("overwrite").save()
     }),
     // #8: amortized pipeline mode — q62/q65/q77 share ONE memoized
@@ -212,6 +244,7 @@ object Bench {
   // ------------------------------------------------------------------
   private def parentMain(sfDir: String): Unit = {
     val loadavgStart = loadavg1m
+    val cpuMhzStart = cpuMhz
     val all = headline.filter(SparkEntry.queries.contains) ++
       extras.keys.toSeq.sorted
     val best = mutable.LinkedHashMap[String, Double]()
@@ -332,7 +365,7 @@ object Bench {
       .mkString("{", ",", "}")
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = queryBest.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"loadavg_start":$loadavgStart,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"loadavg_start":$loadavgStart,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhz,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}""")
   }
 
   /** Fork one child for `names`. Right = clean completion (flags, results);

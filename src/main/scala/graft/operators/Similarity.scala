@@ -262,6 +262,38 @@ object Similarity {
     -array_max(array(structs: _*)).getField("c")
   }
 
+  /** Explode each row of `df` (needs e, nrm) into its top-p nearest
+    * centroids as `qcell` rows — the MULTIPROBE ranking. Iterated argmax:
+    * selection j is [[assignCell]]'s array_max with the j already-chosen
+    * cells masked below any real cosine (cosines are ≥ −1; the mask is
+    * −2), so selections follow exactly (cos DESC, cid ASC) — the oracle's
+    * rk ≤ p of one ROW_NUMBER ranking. Deliberately NOT an
+    * array_sort/transform one-liner: array lambda HOFs are interpreted
+    * per element in Spark (this box's deopt trigger, PlanSpec-banned on
+    * similarity paths); this is p·k codegen'd when/array_max expressions
+    * over k cosine columns computed once. Runs on the broadcast query
+    * side only — never the corpus. */
+  private def explodeProbeCells(df: DataFrame,
+      cents: Seq[(Seq[Long], Double)], p: Int): DataFrame = {
+    val pp = math.min(p, cents.length)
+    val simCols = cents.zipWithIndex.map { case ((ce, cn), c) =>
+      safeCos(DotLongs(col("e"), typedLit(ce)), col("nrm") * cn).as(s"_s$c")
+    }
+    var cur = df.select(df.columns.map(col) ++ simCols: _*)
+    for (j <- 0 until pp) {
+      val structs = cents.indices.map { c =>
+        val chosen = (0 until j).map(i => col(s"_p$i") === c)
+          .foldLeft(lit(false))(_ || _)
+        struct(when(chosen, lit(-2.0)).otherwise(col(s"_s$c")).as("s"),
+          lit(-c).as("c"))
+      }
+      cur = cur.withColumn(s"_p$j", -array_max(array(structs: _*)).getField("c"))
+    }
+    cur.withColumn("qcell",
+        explode(array((0 until pp).map(j => col(s"_p$j")): _*)))
+      .drop(cents.indices.map(c => s"_s$c") ++ (0 until pp).map(j => s"_p$j"): _*)
+  }
+
   /** IVF ANN: corpus assigned to its nearest of 16 k-means centroids
     * (deterministic 2-iteration Lloyd fit); each query probes only its
     * own cell. Recall@5 reported like q39.
@@ -305,7 +337,7 @@ object Similarity {
     * recomputes per batch. This is what build-once/query-many actually
     * runs; Bench times it against the fit+query arm. */
   def ivfQuery(s: SparkSession, dir: String,
-      cents: Seq[(Seq[Long], Double)], k: Int = 5): DataFrame = {
+      cents: Seq[(Seq[Long], Double)], k: Int = 5, nprobe: Int = 1): DataFrame = {
     import s.implicits._
     // an index fitted on an EMPTY corpus has no centroids — the degenerate
     // load must yield an empty result, not an unresolvable array() argmax
@@ -316,9 +348,12 @@ object Similarity {
     val assigned = base
       .withColumn("cell", assignCell(cents))
       .select($"vec_id", $"e", $"nrm", $"cell")
-    val q = assigned.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"),
-        $"cell".as("qcell"))
+    // each query probes its nprobe nearest cells (nprobe=1 ≡ the argmax
+    // cell): the query side fans out to |q|·nprobe broadcast rows; the
+    // corpus stays one map-side-assigned scan, so candidate volume —
+    // and only candidate volume — grows with nprobe
+    val q = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
+      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"qcell")
     cosineTopK(assigned.join(broadcast(q),
       $"vec_id" =!= $"qid" && $"cell" === $"qcell"), k)
       .orderBy($"qid", $"rk")
@@ -326,9 +361,12 @@ object Similarity {
 
   /** q44's ANN + recall report against an explicit (possibly loaded)
     * centroid model — the fit is deterministic, so the saved-index path
-    * must reproduce the inline-fit output bit for bit (spec-pinned). */
+    * must reproduce the inline-fit output bit for bit (spec-pinned).
+    * `nprobe` > 1 is the MULTIPROBE audit arm (q96): each query's
+    * candidates come from its nprobe nearest cells instead of only the
+    * argmax cell — recall rises with candidate volume, same plan shape. */
   private[graft] def ivfRecallWith(s: SparkSession, dir: String,
-      cents: Seq[(Seq[Long], Double)]): DataFrame = {
+      cents: Seq[(Seq[Long], Double)], nprobe: Int = 1): DataFrame = {
     import s.implicits._
     // empty-corpus fit ⇒ no centroids ⇒ no queries: empty report, same
     // schema (the q44 twin's empty corpus yields zero rows identically)
@@ -339,8 +377,8 @@ object Similarity {
     val assigned = base
       .withColumn("cell", assignCell(cents))
       .select($"vec_id", $"e", $"nrm", $"cell")
-    val q = assigned.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"cell".as("qcell"))
+    val q = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
+      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"qcell")
     val exact = exactTopK(base).select($"qid", $"nid")
     val annCand = assigned.join(broadcast(q),
       $"vec_id" =!= $"qid" && $"cell" === $"qcell")
@@ -348,13 +386,33 @@ object Similarity {
     val nCand = annCand.groupBy($"qid").agg(count(lit(1)).as("n_candidates"))
     val hits = exact.as("x").join(ann.as("a"), Seq("qid", "nid"), "left_semi")
       .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
-    q.select($"qid").join(nCand, Seq("qid"), "left")
+    base.filter($"vec_id" < 10).select($"vec_id".as("qid"))
+      .join(nCand, Seq("qid"), "left")
       .join(hits, Seq("qid"), "left")
       .na.fill(0L, Seq("n_candidates", "n_hit"))
       .withColumn("recall", $"n_hit".cast("double") / 5.0)
       .select($"qid", $"n_candidates", $"n_hit", $"recall")
       .orderBy($"qid")
   }
+
+  /** IVF multiprobe nprobe for q96 — 6 of 16 cells (~35% expected
+    * candidate volume). On this isotropic corpus sign-LSH measures ~0.4
+    * recall and single-probe IVF 0.82–0.96 depending on SF; six probes
+    * measures 0.96 mean recall at sf0.001 AND sf0.01 (4 probes dips to
+    * 0.88 on the tiny corpus), comfortably over the 0.9 target with
+    * margin (asserted by spec). */
+  val MultiprobeNprobe = 6
+
+  // ---------------------------------------------------------------- q96
+  /** IVF multiprobe ANN + recall@5 (VERDICT r5 #2): q44's index, but
+    * each query probes its [[MultiprobeNprobe]] nearest cells ranked by
+    * query-to-centroid cosine. The ranking is the same exact arithmetic
+    * as the assignment itself (integer dots < 2⁵³, IEEE divisions), so
+    * the DuckDB twin replays it from the unrolled-CTE fit and the whole
+    * report stays hash-exact. */
+  def q96AnnIvfMultiprobe(s: SparkSession, dir: String): DataFrame =
+    ivfRecallWith(s, dir, fitCentroids(s, dir, k = 16, iters = 2),
+      nprobe = MultiprobeNprobe)
 
   // ---------------------------------------------------------------- q47
   /** The dedup DECISION step: connected components over the ≥0.45-cosine
@@ -596,6 +654,7 @@ object Similarity {
     "q39_ann_lsh_recall" -> (q39AnnLshRecall _),
     "q43_embedding_dedup" -> (q43EmbeddingDedup _),
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
+    "q96_ann_ivf_multiprobe" -> (q96AnnIvfMultiprobe _),
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
     "q47_dedup_components" -> (q47DedupComponents _),
     "q52_label_centroids" -> (q52LabelCentroids _),
@@ -735,8 +794,12 @@ object Similarity {
   /** Full q44 twin: seeds = first 16 vectors (cid = vec_id — ids are
     * dense from 0 in the fixtures, matching `fitCentroids`' index-order
     * seeding), two unrolled Lloyd iterations, final cell assignment,
-    * same-cell candidates, ANN top-5, recall vs the exact arm. */
-  private def q44OracleSql: String =
+    * same-cell candidates, ANN top-5, recall vs the exact arm.
+    * `nprobe` > 1 is the q96 twin: the probe set is rk ≤ nprobe of the
+    * SAME final ranking CTE the assignment takes rk = 1 from. */
+  private def q44OracleSql: String = ivfOracleSql(nprobe = 1)
+
+  private def ivfOracleSql(nprobe: Int): String =
     s"""$vCte,
       |seed AS (SELECT vec_id cid, e ce FROM v WHERE vec_id < 16),
       |${sqlCentNorm("c0", "seed")},
@@ -747,11 +810,13 @@ object Similarity {
       |${sqlLloydStep(2, "cell1", "c1", "r2")},
       |${sqlCentNorm("c2", "r2")},
       |${sqlAssign("a2", "cellf", "c2")},
-      |qs AS (SELECT v.vec_id qid, v.ev qe, v.nrm qn, cf.cid qcell
-      |       FROM v JOIN cellf cf ON cf.vec_id = v.vec_id WHERE v.vec_id < 10),
+      |qs AS (SELECT v.vec_id qid, v.ev qe, v.nrm qn
+      |       FROM v WHERE v.vec_id < 10),
+      |qprobe AS (SELECT vec_id qid, cid qcell FROM a2
+      |           WHERE vec_id < 10 AND rk <= $nprobe),
       |cand AS (SELECT q.qid, x.vec_id nid
       |         FROM v x JOIN cellf cf ON cf.vec_id = x.vec_id
-      |                  JOIN qs q ON cf.cid = q.qcell AND x.vec_id <> q.qid),
+      |                  JOIN qprobe q ON cf.cid = q.qcell AND x.vec_id <> q.qid),
       |annp AS (SELECT c.qid, c.nid,
       |    CASE WHEN q.qn * x.nrm = 0 THEN 0.0
       |         ELSE list_inner_product(q.qe, x.ev) / (q.qn * x.nrm) END sim
@@ -766,6 +831,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q39_ann_lsh_recall" -> q39OracleSql,
     "q44_ann_ivf_recall" -> q44OracleSql,
+    "q96_ann_ivf_multiprobe" -> ivfOracleSql(MultiprobeNprobe),
     "q38_ann_brute" ->
       s"""$scaledCte,
         |p AS (SELECT q.vec_id qid, c.vec_id nid,

@@ -257,6 +257,7 @@ class PlanSpec extends AnyFunSuite {
     "q39_ann_lsh_recall", // contains the exact arm as recall denominator
     "q43_embedding_dedup", // brute-force oracle twin of q45
     "q44_ann_ivf_recall", // exact arm inside the recall computation
+    "q96_ann_ivf_multiprobe", // q44's shape: exact arm as denominator
     "q51_contamination", // source-pair frame: cross of the SOURCE dimension
                          // only (metadata cardinality), never document rows
     "q61_tfidf", // scalar subquery: ONE broadcast aggregate row (corpus
