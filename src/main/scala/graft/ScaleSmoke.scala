@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * count by definition, so a wall-clock ratio would measure semantics,
   * not scaling.
   *
-  * Usage: graft.ScaleSmoke <sfDir> <factor> <workDir>
+  * Usage: graft.ScaleSmoke <sfDir> <factor> <workDir> [namePrefixes]
+  * The optional 4th arg (comma-separated name prefixes) restricts the
+  * timed set for single-operator iteration; the cross-query invariant
+  * sweep only runs on unfiltered runs (it needs its specific queries).
   * Prints one JSON line:
   * {"factor":N,"queries":{name:{"base":sec,"scaled":sec,"ratio":x},...}}
   */
@@ -66,11 +69,15 @@ object ScaleSmoke {
     }
 
     // warm-up pass at base scale (codegen/classload), then timed passes
-    val allQueries = linearQueries ++ eventQueries
+    val prefixes = args.lift(3).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val allQueries = (linearQueries ++ eventQueries)
+      .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
+    require(allQueries.nonEmpty, s"no query matches filter $prefixes")
     allQueries.foreach(time(_, sfDir))
     val base = allQueries.map(n => n -> time(n, sfDir)).toMap
     val scaled = allQueries.map(n => n -> time(n, workDir)).toMap
 
+    if (prefixes.isEmpty) {
     // correctness under scale-up, not just speed: exact duplication must
     // multiply q69's per-language doc counts by exactly `factor` and
     // leave the charclass averages unchanged. Counts compare exactly;
@@ -162,6 +169,7 @@ object ScaleSmoke {
     require(q94scaled == q94base.map { case (k, (nt, no, rate)) =>
       k -> ((nt * factor, no * factor, rate)) },
       "scale-up broke the vocab-coverage invariant")
+    } // end invariant sweep (unfiltered runs only)
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
     def num(v: Double, digits: Int): String =
@@ -171,7 +179,8 @@ object ScaleSmoke {
       val ratio = scaled(n) / base(n)
       s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},"ratio":${num(ratio, 2)}}"""
     }.mkString(",")
-    println(s"""{"factor":$factor,"invariants":"ok","queries":{$qJson}}""")
+    val inv = if (prefixes.isEmpty) "ok" else "skipped"
+    println(s"""{"factor":$factor,"invariants":"$inv","queries":{$qJson}}""")
     spark.stop()
   }
 }
