@@ -396,7 +396,13 @@ object Multimodal {
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("features", ArrayType(FloatType))))
+    StructField("features", ArrayType(FloatType)),
+    // which decoder actually produced the features: "image" | "wav" |
+    // "video" | "stub". Codec-compressed payloads (H.264/VP9 — no JDK
+    // decoder, permanently out of this build's pinned-dependency scope)
+    // and per-payload decode failures are marked "stub" so downstream
+    // consumers can filter or route them without re-sniffing bytes.
+    StructField("decoder", StringType)))
 
   /** Partition-wise batch decode: one decoder init per partition (the
     * pattern a heavyweight codec needs), constant memory per batch.
@@ -414,15 +420,15 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val p = r.getAs[Array[Byte]](1)
-        val f = try {
-          if (ImageDecoder.isImage(p)) ImageDecoder.decodeOne(p)
-          else if (WavDecoder.isWav(p)) WavDecoder.decodeOne(p)
-          else if (VideoDecoder.isVideo(p)) VideoDecoder.decodeOne(p)
-          else DecoderStub.decodeOne(p)
+        val (f, d) = try {
+          if (ImageDecoder.isImage(p)) (ImageDecoder.decodeOne(p), "image")
+          else if (WavDecoder.isWav(p)) (WavDecoder.decodeOne(p), "wav")
+          else if (VideoDecoder.isVideo(p)) (VideoDecoder.decodeOne(p), "video")
+          else (DecoderStub.decodeOne(p), "stub")
         } catch {
-          case scala.util.control.NonFatal(_) => DecoderStub.decodeOne(p)
+          case scala.util.control.NonFatal(_) => (DecoderStub.decodeOne(p), "stub")
         }
-        Row(r.getLong(0), f.toSeq)
+        Row(r.getLong(0), f.toSeq, d)
       }
     }
     s.createDataFrame(rdd, decodedSchema)

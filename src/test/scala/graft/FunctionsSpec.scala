@@ -117,8 +117,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!Multimodal.ImageDecoder.isImage(textBytes))
     import spark.implicits._
     val df = Seq((1L, png), (2L, textBytes)).toDF("doc_id", "payload")
-    val out = Multimodal.decodeFeatures(spark, df).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val full = Multimodal.decodeFeatures(spark, df).collect()
+    assert(full.map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(1L -> "image", 2L -> "stub"))
+    val out = full.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     // 4 red + 4 blue pixels: mean R = B = 0.5, mean G = 0; BT.601
     // luminance red = 0.299, blue = 0.114, mean = 0.2065; quadrants
     // [top-left, top-right, bottom-left, bottom-right] = red/blue halves
@@ -157,8 +159,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!Multimodal.WavDecoder.isWav("RIFFnot a wave".getBytes("UTF-8")))
     import spark.implicits._
     val df = Seq((1L, wav)).toDF("doc_id", "payload")
-    val out = Multimodal.decodeFeatures(spark, df).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val full = Multimodal.decodeFeatures(spark, df).collect()
+    assert(full.head.getString(2) == "wav")
+    val out = full.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val amp = (1000.0 / 32768.0).toFloat
     val want = Seq(amp, amp, (3.0 / 7.0).toFloat, amp, amp, amp, amp, amp)
     out(1L).zip(want).foreach { case (g, w) =>
@@ -192,8 +195,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!Multimodal.VideoDecoder.isVideo("GIF-not-really".getBytes("UTF-8")))
     import spark.implicits._
     val df = Seq((1L, gif)).toDF("doc_id", "payload")
-    val out = Multimodal.decodeFeatures(spark, df).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val full = Multimodal.decodeFeatures(spark, df).collect()
+    assert(full.head.getString(2) == "video")
+    val out = full.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val third = (1.0 / 3.0).toFloat
     val want = Seq(0.5f, 0f, 1f, third, 0f, third, 2 * third, 1f)
     out(1L).zip(want).foreach { case (g, w) =>
@@ -235,8 +239,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!Multimodal.WavDecoder.isWav(avi)) // RIFF but not WAVE
     import spark.implicits._
     val df = Seq((1L, avi)).toDF("doc_id", "payload")
-    val out = Multimodal.decodeFeatures(spark, df).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val full = Multimodal.decodeFeatures(spark, df).collect()
+    assert(full.head.getString(2) == "video")
+    val out = full.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val (lo, hi) = (64f / 255f, 192f / 255f)
     val want = Seq((lo + hi) / 2, lo, hi, hi - lo, lo, 0f, hi, 0f)
     out(1L).zip(want).foreach { case (g, w) =>
@@ -298,10 +303,14 @@ class FunctionsSpec extends AnyFunSuite {
     val df = Seq((1L, badWav), (2L, badGif), (3L, badAvi))
       .toDF("doc_id", "payload")
     val out = Multimodal.decodeFeatures(spark, df).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getString(2)))).toMap
     assert(out.size == 3)
-    for ((id, p) <- Seq(1L -> badWav, 2L -> badGif, 3L -> badAvi))
-      assert(out(id) == Multimodal.DecoderStub.decodeOne(p).toSeq,
+    for ((id, p) <- Seq(1L -> badWav, 2L -> badGif, 3L -> badAvi)) {
+      assert(out(id)._1 == Multimodal.DecoderStub.decodeOne(p).toSeq,
         s"doc $id must carry stub features")
+      // fallback rows are marked so consumers can filter without
+      // re-sniffing payload bytes
+      assert(out(id)._2 == "stub", s"doc $id must be marked decoder=stub")
+    }
   }
 }
