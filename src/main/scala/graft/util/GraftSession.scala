@@ -15,6 +15,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generated events.ts is parquet timestamp[us] WITHOUT the
+      // isAdjustedToUTC flag; Spark 4 would infer TIMESTAMP_NTZ, which
+      // unix_micros / window / session_window reject. Reading it as the
+      // session-timezone TIMESTAMP (UTC everywhere here) keeps the
+      // engine and the DuckDB twin on identical epoch values.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
   }

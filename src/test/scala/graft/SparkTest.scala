@@ -10,6 +10,9 @@ object SparkTest {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match GraftSession: un-flagged timestamp[us] parquet reads as
+      // TIMESTAMP (UTC), not TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // transformWithState requires the RocksDB state store provider
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
