@@ -60,6 +60,34 @@ object ScaleSmoke {
         .withColumn("user_id", $"user_id" + lit(k * 1000000L)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+    // q89 corpus (r6 #7): DISJOINT-vocabulary replication — copy k's
+    // tokens carry a "_k" suffix. Exact replication would make every
+    // cross-copy duplicate pair a containment-1.0 hit (output quadratic
+    // in `factor` BY DEFINITION — the class the header excludes), while
+    // disjoint vocab keeps each copy's df profile identical, so the
+    // timed ratio measures the shared-shingle JOIN at 10× row volume
+    // with the real df distribution, and the scaled output is exactly
+    // `factor` per-copy replicas of the base pairs.
+    val q89Dir = s"$workDir/q89"
+    (0 until factor).map(k => d
+        .withColumn("doc_id", $"doc_id" + lit(k * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split($"text", " "), tk => concat(tk, lit(s"_$k"))))))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$q89Dir/documents.parquet")
+    // q92 corpus (r6 #7): FACT-only replication — lineitem rows repeat
+    // `factor`× unchanged while every parent keeps one copy, the
+    // re-loaded-fact-partition shape. Orphan/child ROW counts must scale
+    // exactly ×factor; key-distinct columns and the non-lineitem audits
+    // must not move at all.
+    val q92Dir = s"$workDir/q92"
+    val li = graft.util.Tables(spark, sfDir, "lineitem")
+    (0 until factor).map(_ => li).reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$q92Dir/lineitem.parquet")
+    Seq("orders", "part", "supplier", "customer", "nation",
+        "embeddings", "documents")
+      .foreach(n => graft.util.Tables(spark, sfDir, n)
+        .write.mode("overwrite").parquet(s"$q92Dir/$n.parquet"))
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -68,14 +96,17 @@ object ScaleSmoke {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up pass at base scale (codegen/classload), then timed passes
+    // warm-up pass at base scale (codegen/classload), then timed passes.
+    // q89/q92 run against their purpose-built scaled dirs (see above).
+    val specialDirs = Map("q89_containment" -> q89Dir, "q92_fk_audit" -> q92Dir)
     val prefixes = args.lift(3).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-    val allQueries = (linearQueries ++ eventQueries)
+    val allQueries = (linearQueries ++ eventQueries ++ specialDirs.keys.toSeq.sorted)
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
     require(allQueries.nonEmpty, s"no query matches filter $prefixes")
     allQueries.foreach(time(_, sfDir))
     val base = allQueries.map(n => n -> time(n, sfDir)).toMap
-    val scaled = allQueries.map(n => n -> time(n, workDir)).toMap
+    val scaled = allQueries.map(n =>
+      n -> time(n, specialDirs.getOrElse(n, workDir))).toMap
 
     if (prefixes.isEmpty) {
     // correctness under scale-up, not just speed: exact duplication must
@@ -169,6 +200,35 @@ object ScaleSmoke {
     require(q94scaled == q94base.map { case (k, (nt, no, rate)) =>
       k -> ((nt * factor, no * factor, rate)) },
       "scale-up broke the vocab-coverage invariant")
+    // q89 invariant: disjoint-vocab replication reproduces the base pair
+    // set exactly once per copy — copy 0 (doc_id < first offset) must be
+    // BIT-IDENTICAL to base (the planted containment pair included), and
+    // the total must be exactly factor× base
+    def q89rows(dir: String) =
+      SparkEntry.queries("q89_containment")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+    val q89base = q89rows(sfDir).toSet
+    val q89scaled = q89rows(q89Dir)
+    require(q89base.nonEmpty, "q89 base corpus has no containment pair — the planted pair is gone")
+    require(q89scaled.length == factor * q89base.size,
+      "q89 scale-up did not replicate the pair set exactly per copy")
+    require(q89scaled.filter(_._1 < 10000000L).toSet == q89base,
+      "q89 scale-up changed copy-0 pairs — the planted containment pair moved")
+    // q92 invariant: fact-only replication scales the three lineitem
+    // audits' ROW counts by exactly factor while their key-distinct
+    // columns and all non-lineitem constraints stay bit-identical
+    def q92rows(dir: String) =
+      SparkEntry.queries("q92_fk_audit")(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val q92base = q92rows(sfDir)
+    val q92scaled = q92rows(q92Dir)
+    require(q92base.keySet == q92scaled.keySet, "q92 scale-up changed the constraint set")
+    require(q92base.forall { case (k, (nc, nk, nor, nok)) =>
+      q92scaled(k) == (if (k.startsWith("lineitem.")) (nc * factor, nk, nor * factor, nok)
+        else (nc, nk, nor, nok))
+    }, "q92 scale-up broke the orphan-count invariant")
     } // end invariant sweep (unfiltered runs only)
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs

@@ -166,7 +166,10 @@ object Dedup {
     * keeps the exact uncapped `jaccard` on its (bucket-capped) candidates. */
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = shingleRows(s, dir, distinct = true)
+    // same scan barrier as q89: `e` feeds nDoc, the df cap and both join
+    // sides — checkpointed once so the text decode + shingle explode +
+    // distinct never re-plan per consumer
+    val e = shingleRows(s, dir, distinct = true).localCheckpoint(true)
     val nDoc = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val rare = e.groupBy($"s")
       .agg(count(lit(1)).as("df"))
@@ -198,7 +201,12 @@ object Dedup {
     * cannot hit ANSI 0/0. */
   def q89Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = shingleRows(s, dir, distinct = true)
+    // localCheckpoint = the scan barrier (decontamOf's pattern): `e` feeds
+    // nDoc, the df filter AND both join sides; without it each consumer
+    // re-plans the text decode + shingle explode + distinct, multiplying
+    // the corpus scan. Checkpointed once, every consumer reads the
+    // materialized shingle rows.
+    val e = shingleRows(s, dir, distinct = true).localCheckpoint(true)
     val nDoc = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val rare = e.groupBy($"s")
       .agg(count(lit(1)).as("df"))

@@ -33,7 +33,7 @@ object Similarity {
     Tables(s, dir, "embeddings")
 
   /** vec_id, e (scaled longs), nrm (double sqrt of exact integer ssq). */
-  private def scaled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scaled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     emb(s, dir)
       // quantization must go through double: a float32*literal product
@@ -64,7 +64,7 @@ object Similarity {
     * q38 (headline output) and the q39/q44 approximate arms + recall
     * denominators (VERDICT r2 #7) — the allow-listed brute-force shape
     * exists exactly once. */
-  private def cosineTopK(joined: DataFrame, k: Int): DataFrame = {
+  private[graft] def cosineTopK(joined: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("dot", DotLongs(col("qe"), col("e")))
@@ -273,7 +273,7 @@ object Similarity {
     * similarity paths); this is p·k codegen'd when/array_max expressions
     * over k cosine columns computed once. Runs on the broadcast query
     * side only — never the corpus. */
-  private def explodeProbeCells(df: DataFrame,
+  private[graft] def explodeProbeCells(df: DataFrame,
       cents: Seq[(Seq[Long], Double)], p: Int): DataFrame = {
     val pp = math.min(p, cents.length)
     val simCols = cents.zipWithIndex.map { case ((ce, cn), c) =>
@@ -336,6 +336,17 @@ object Similarity {
     * reporting is an audit tool, not something a query-many serving path
     * recomputes per batch. This is what build-once/query-many actually
     * runs; Bench times it against the fit+query arm. */
+  /** The cell-assigned corpus frame (vec_id, e, nrm, cell) — the static
+    * side every IVF query path (batch AND the streaming serve twin)
+    * probes. Assignment is map-side codegen against literal centroids. */
+  private[graft] def assignedCorpus(s: SparkSession, dir: String,
+      cents: Seq[(Seq[Long], Double)]): DataFrame = {
+    import s.implicits._
+    scaled(s, dir)
+      .withColumn("cell", assignCell(cents))
+      .select($"vec_id", $"e", $"nrm", $"cell")
+  }
+
   def ivfQuery(s: SparkSession, dir: String,
       cents: Seq[(Seq[Long], Double)], k: Int = 5, nprobe: Int = 1): DataFrame = {
     import s.implicits._
@@ -345,9 +356,7 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("qid", "nid", "rk", "sim")
     val base = scaled(s, dir)
-    val assigned = base
-      .withColumn("cell", assignCell(cents))
-      .select($"vec_id", $"e", $"nrm", $"cell")
+    val assigned = assignedCorpus(s, dir, cents)
     // each query probes its nprobe nearest cells (nprobe=1 ≡ the argmax
     // cell): the query side fans out to |q|·nprobe broadcast rows; the
     // corpus stays one map-side-assigned scan, so candidate volume —
@@ -374,9 +383,7 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("qid", "n_candidates", "n_hit", "recall")
     val base = scaled(s, dir)
-    val assigned = base
-      .withColumn("cell", assignCell(cents))
-      .select($"vec_id", $"e", $"nrm", $"cell")
+    val assigned = assignedCorpus(s, dir, cents)
     val q = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"qcell")
     val exact = exactTopK(base).select($"qid", $"nid")

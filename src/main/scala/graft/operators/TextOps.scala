@@ -378,7 +378,11 @@ object TextOps {
     * joined afterwards is doc-sized. */
   def q86NoveltyAttribution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Dedup.shingleRows(s, dir, distinct = true)
+    // localCheckpoint = the scan barrier (q60's pattern, Dedup.decontamOf):
+    // `sh` feeds both the introducer MIN and the per-doc count; without the
+    // barrier each consumer re-plans the text decode + shingle explode +
+    // the distinct's shuffle, so the corpus is scanned twice per run.
+    val sh = Dedup.shingleRows(s, dir, distinct = true).localCheckpoint(true)
     val introduced = sh.groupBy($"s").agg(min($"doc_id").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_introduced"))
     val perDoc = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** One place for the engine's recommended session settings so every entry
   * point (Verify / Bench / AprsBench / tests / the daemon) agrees:
   * shuffle parallelism sized to the machine (not the 200 default), AQE on
-  * (runtime re-plan + skew-join at scale), nanosAsLong (the events table
-  * is TIMESTAMP(NANOS)), UTC everywhere. */
+  * (runtime re-plan + skew-join at scale), nanosAsLong (legacy
+  * TIMESTAMP(NANOS) events data), inferTimestampNTZ off (current
+  * timestamp[us] events data reads as UTC TIMESTAMP), UTC everywhere. */
 object GraftSession {
   def builder(appName: String, master: Option[String] = None,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
@@ -17,7 +18,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the generated events.ts is parquet timestamp[us] WITHOUT the
       // isAdjustedToUTC flag; Spark 4 would infer TIMESTAMP_NTZ, which
-      // unix_micros / window / session_window reject. Reading it as the
+      // unix_micros (and comparisons against TIMESTAMP literals) reject —
+      // window/session_window themselves accept NTZ. Reading it as the
       // session-timezone TIMESTAMP (UTC everywhere here) keeps the
       // engine and the DuckDB twin on identical epoch values.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -18,10 +18,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in every session
-    // builder here). Truncate ns→us like DuckDB's epoch_us does and restore
-    // a proper TimestampType column.
+    // Current events.parquet is timestamp[us] without isAdjustedToUTC; with
+    // inferTimestampNTZ=false (GraftSession) it reads directly as the UTC
+    // session TIMESTAMP and no conversion is needed. The LongType branch
+    // survives only for legacy TIMESTAMP(NANOS)-generated data, where
+    // nanosAsLong yields a long that must be truncated ns→us (matching
+    // DuckDB's epoch_us) and restored to TimestampType.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

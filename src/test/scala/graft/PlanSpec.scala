@@ -86,6 +86,32 @@ class PlanSpec extends AnyFunSuite {
     assert("(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[s#"
       .r.findFirstIn(p).isEmpty,
       s"a join is keyed on the shingle column\n${p.take(1200)}")
+    // VERDICT r6 #3: the shingle frame feeds BOTH the introducer MIN and
+    // the per-doc count; it is checkpointed, so the final plan reads the
+    // materialized rows (ExistingRDD) plus exactly ONE text-free docs
+    // scan for the source rollup — a second FileScan or a text column
+    // means the decode+explode runs once per consumer again. (An executed
+    // adaptive plan prints BOTH its final and initial sections — count
+    // scans in the final section only.)
+    val pFinal = p.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(pFinal).length == 1,
+      s"q86 must scan documents exactly once\n${pFinal.take(1200)}")
+    assert(!p.contains("text:string"), p.take(1200))
+    assert(p.contains("ExistingRDD"), p.take(1200))
+  }
+
+  test("q89: shared shingle frame evaluates once — no FileScan in the plan") {
+    // VERDICT r6 #3: `e` feeds nDoc, the df cap AND both join sides. The
+    // checkpoint is the barrier; every consumer must read the
+    // materialized shingle rows, so the final plan carries NO parquet
+    // scan at all — a FileScan means a consumer re-planned the text
+    // decode + shingle explode + distinct.
+    val df = castToImpl(SparkEntry.queries("q89_containment")(spark, dir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"),
+      s"q89 re-scans the corpus — the shingle checkpoint is bypassed\n${p.take(1200)}")
+    assert(p.contains("ExistingRDD"), p.take(1200))
   }
 
   test("q94: vocab membership is a broadcast join over a partial top-k") {

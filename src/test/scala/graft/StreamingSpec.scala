@@ -587,4 +587,65 @@ class StreamingSpec extends AnyFunSuite {
       spark.catalog.dropTempView(outName)
     }
   }
+
+  /** StreamingAnnServe (VERDICT r6 #8): a stream of query vectors served
+    * against the LOADED IVF index must produce, query for query, the
+    * exact rows the batch q96 arm (ivfQuery at MultiprobeNprobe)
+    * computes — and a bounced query must resume from the offset log,
+    * re-serving exactly the unserved queries, never the served ones. */
+  test("streaming ANN serve matches the batch multiprobe arm across a restart") {
+    val sfDir = "/root/testdata/sf0.001"
+    val idxPath = Files.createTempDirectory("ann_serve_idx").toString + "/ivf"
+    graft.operators.Similarity.saveIvfIndex(spark, sfDir, idxPath)
+    val cents = graft.operators.Similarity.loadIvfIndex(spark, idxPath)
+    val corpus = graft.streaming.StreamingAnnServe.assignedCorpus(spark, sfDir, cents)
+    val streamDir = Files.createTempDirectory("ann_serve_in")
+    val ckpt = Files.createTempDirectory("ann_serve_ckpt")
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+    def writeBatch(lo: Long, hi: Long): Unit = emb
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id".as("qid"), $"embedding")
+      .write.mode("append").parquet(streamDir.toString)
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("qid LONG, embedding ARRAY<FLOAT>")
+        .parquet(streamDir.toString)
+      graft.streaming.StreamingAnnServe.candidates(stream, corpus, cents)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.StreamingAnnServe.topK(batch).collect().foreach(r =>
+            served.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    writeBatch(0L, 5L)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterB1 = served.toArray(Array.empty[(Long, Long, Long, Double)]).toSeq
+    assert(afterB1.nonEmpty && afterB1.forall(_._1 < 5L),
+      s"pre-restart batch must serve only qids 0-4: ${afterB1.map(_._1).distinct}")
+    // restart on the same checkpoint: the already-served queries must NOT
+    // re-serve (their files are in the offset log); the new ones must
+    writeBatch(5L, 10L)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val all = served.toArray(Array.empty[(Long, Long, Long, Double)]).toSeq
+      val afterRestart = all.diff(afterB1)
+      assert(afterRestart.nonEmpty && afterRestart.forall(_._1 >= 5L),
+        s"restart re-served pre-restart qids: ${afterRestart.map(_._1).distinct}")
+      // the full served set must equal the batch multiprobe arm exactly
+      val batchArm = graft.operators.Similarity.ivfQuery(spark, sfDir, cents,
+          nprobe = graft.operators.Similarity.MultiprobeNprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(all.toSet == batchArm,
+        s"streaming serve diverges from the batch q96 arm: " +
+          s"missing=${(batchArm -- all.toSet).take(3)} extra=${(all.toSet -- batchArm).take(3)}")
+      assert(all.size == all.toSet.size, "a query was served twice")
+    } finally q2.stop()
+  }
 }

@@ -32,8 +32,7 @@ class StrictModeSpec extends AnyFunSuite {
   test("streaming windowed aggregation over events (batch q14's stream twin)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("ev_stream")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.util.Tables(spark, "/root/testdata/sf0.001", "events")
     events.write.mode("overwrite").parquet(dir.toString + "/in")
     val stream = spark.readStream.schema(events.schema)
       .parquet(dir.toString + "/in")
