@@ -46,7 +46,7 @@ object Bench {
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q89_containment", "q90_source_drift",
     "q91_balance_chi2", "q92_fk_audit", "q93_triangle_census",
-    "q94_vocab_coverage", "q95_local_supplier_revenue")
+    "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -67,9 +67,10 @@ object Bench {
     "q14_time_window" -> 0.3, "q15_sessionize" -> 0.35, "q16_json" -> 0.45,
     "q30_tokens" -> 0.35, "q34_exact_dedup" -> 0.35, "q36_minhash_lsh" -> 1.9,
     "q38_ann_brute" -> 0.3, "q45_embedding_dedup_blocked" -> 1.1,
-    // q54 1.1: the reproducible steady band is 1.0-1.2 (r5's 0.9 was the
-    // best case; r6's 1.62 was fork variance — BASELINE r6/r7 section)
-    "q48_repetition" -> 0.55, "q53_top_tokens" -> 0.45, "q54_clean_corpus" -> 1.1,
+    // q54 1.0: the r7 map-side rep_frac rework (one scan, one h-shuffle,
+    // no join — plan-pinned) measures 1.01-1.02 in cold forks; the r6
+    // 1.62 was fork variance on the old 2-scan shape (BASELINE r6/r7)
+    "q48_repetition" -> 0.55, "q53_top_tokens" -> 0.45, "q54_clean_corpus" -> 1.0,
     // q60's 0.95 is the r4 single-text-decode rework's true steady state
     // (measured quiet-box r5; r3's 0.71 was the old double-scan code)
     "q58_sequence_packing" -> 0.55, "q60_decontam" -> 0.95,
@@ -88,7 +89,12 @@ object Bench {
     "q89_containment" -> 1.7,
     "q90_source_drift" -> 0.5, "q91_balance_chi2" -> 0.35,
     "q92_fk_audit" -> 1.6, "q93_triangle_census" -> 0.9,
-    "q94_vocab_coverage" -> 0.5, "q95_local_supplier_revenue" -> 1.2)
+    "q94_vocab_coverage" -> 0.5, "q95_local_supplier_revenue" -> 1.2,
+    // q97 added r7: 20-gram dup-span coverage, cold forks 1.71/1.79.
+    // (The first draft re-decoded text in the final lang join and
+    // measured 1.45-1.53; the shipped shape decodes text ONCE — ~0.2 s
+    // dearer at this SF for half the corpus decodes at scale.)
+    "q97_dup_spans" -> 1.7)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -28,7 +28,7 @@ object ScaleSmoke {
     "q78_boilerplate", "q81_heavy_hitters",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
-    "q93_triangle_census", "q94_vocab_coverage")
+    "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -200,6 +200,19 @@ object ScaleSmoke {
     require(q94scaled == q94base.map { case (k, (nt, no, rate)) =>
       k -> ((nt * factor, no * factor, rate)) },
       "scale-up broke the vocab-coverage invariant")
+    // q97 invariant: under EXACT replication every gram occurrence gains
+    // factor-1 twins, so every occurrence is duplicated — scaled n_dup
+    // must equal scaled n_grams exactly (= factor × base n_grams), and
+    // doc counts scale ×factor
+    def q97rows(dir: String) =
+      SparkEntry.queries("q97_dup_spans")(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val q97base = q97rows(sfDir)
+    val q97scaled = q97rows(workDir)
+    require(q97scaled == q97base.map { case (k, (nd, ns, ng, _)) =>
+      k -> ((nd * factor, ns * factor, ng * factor, ng * factor)) },
+      "scale-up broke the q97 every-span-duplicated invariant")
     // q89 invariant: disjoint-vocab replication reproduces the base pair
     // set exactly once per copy — copy 0 (doc_id < first offset) must be
     // BIT-IDENTICAL to base (the planted containment pair included), and

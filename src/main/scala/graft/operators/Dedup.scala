@@ -765,6 +765,61 @@ object Dedup {
       .orderBy($"cluster_rep")
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Width of a duplication SPAN: the q97 n-gram size, chosen long enough
+    * that a match is copied text, not coincidence (the substring-dedup
+    * convention of training-data curation — tens of tokens). */
+  val DupSpanWidth = 20
+
+  /** Cross-document duplicated-span coverage — the SUBSTRING-level dedup
+    * signal the doc-level family (q34/q35/q36/q89) cannot see: a span is
+    * an exact [[DupSpanWidth]]-token n-gram occurrence, and it counts as
+    * DUPLICATED when its gram occurs ≥ 2 times corpus-wide (in another
+    * document or again in the same one — both are copied text). Per
+    * language: docs, docs long enough to carry spans, span occurrences,
+    * duplicated occurrences, and the corpus duplication fraction — the
+    * "how much of this corpus is copied text" number that decides
+    * whether span-level dedup is worth running before training.
+    *
+    * Scale shape: grams are md5'd MAP-SIDE before any shuffle, so every
+    * exchange carries a fixed 32-byte key instead of a ~20-token string;
+    * the (doc, gram) count is one shuffle over occurrence volume, and
+    * everything after it is distinct-gram- or doc-sized. The occurrence
+    * frame feeds two consumers (the global gram count and the per-doc
+    * dup rollup), so it is localCheckpoint'd — the q60/q86/q89 barrier —
+    * and the dup join matches each (doc, gram) row against at most one
+    * gram row: no fan-out, no df cap needed. Per-doc span totals are a
+    * map-side expression on the lang scan, never a second text decode. */
+  def q97DupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val occ = shingleRowsOf(d.select($"doc_id", $"text"), distinct = false,
+        width = DupSpanWidth)
+      .select($"doc_id", md5($"s".cast("binary")).as("h"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val dupGrams = occ.groupBy($"h").agg(sum($"k").as("c"))
+      .filter($"c" >= 2).select($"h")
+    val dupPerDoc = occ.join(dupGrams, "h")
+      .groupBy($"doc_id").agg(sum($"k").as("nd"))
+    // per-doc span totals come from the SAME checkpointed occurrence
+    // frame (a doc's gram count is Σk), so the final lang join scans only
+    // (doc_id, lang) — text is decoded exactly once, inside the barrier
+    val perDoc = occ.groupBy($"doc_id").agg(sum($"k").as("g"))
+    d.select($"doc_id", $"lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"g".isNotNull, 1L).otherwise(0L)).as("n_spanned_docs"),
+        sum(coalesce($"g", lit(0L))).as("n_grams"),
+        sum(coalesce($"nd", lit(0L))).as("n_dup"))
+      .withColumn("dup_frac",
+        when($"n_grams" === 0, lit(0.0))
+          .otherwise($"n_dup".cast("double") / $"n_grams".cast("double")))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
     "q85_bow_dedup" -> (q85BowDedup _),
@@ -778,6 +833,7 @@ object Dedup {
     "q62_cluster_sizes" -> (q62ClusterSizes _),
     "q65_keep_best" -> (q65KeepBest _),
     "q77_split_leakage" -> (q77SplitLeakage _),
+    "q97_dup_spans" -> (q97DupSpans _),
   )
 
   private val shingleCte =
@@ -1037,6 +1093,29 @@ object Dedup {
         |SELECT i, j, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         |FROM p WHERE bit_count(xor(ha, hb)) <= 10
         |ORDER BY i, j""".stripMargin
+    },
+    "q97_dup_spans" -> {
+      val gram = (1 to DupSpanWidth).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') t FROM documents),
+        |base AS (SELECT doc_id, lang,
+        |           greatest(len(t) - ${DupSpanWidth - 1}, 0) g FROM toks),
+        |d2 AS (SELECT doc_id, list_transform(range(len(t) - ${DupSpanWidth - 1}),
+        |         i -> md5($gram)) sh
+        |       FROM toks WHERE len(t) >= $DupSpanWidth),
+        |e AS (SELECT doc_id, unnest(sh) h FROM d2),
+        |occ AS (SELECT doc_id, h, COUNT(*) k FROM e GROUP BY 1, 2),
+        |dup AS (SELECT h FROM occ GROUP BY h HAVING CAST(SUM(k) AS BIGINT) >= 2),
+        |dpd AS (SELECT occ.doc_id, CAST(SUM(k) AS BIGINT) nd
+        |        FROM occ JOIN dup USING (h) GROUP BY occ.doc_id),
+        |agg AS (SELECT lang, COUNT(*) n_docs,
+        |          CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) n_spanned_docs,
+        |          CAST(SUM(g) AS BIGINT) n_grams,
+        |          CAST(SUM(COALESCE(nd, 0)) AS BIGINT) n_dup
+        |        FROM base LEFT JOIN dpd USING (doc_id) GROUP BY lang)
+        |SELECT lang, n_docs, n_spanned_docs, n_grams, n_dup,
+        |  CASE WHEN n_grams = 0 THEN 0.0
+        |       ELSE CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_frac
+        |FROM agg ORDER BY lang""".stripMargin
     },
   )
 }

@@ -565,14 +565,22 @@ object TextOps {
     val withCanon = d
       .withColumn("h", md5($"text".cast("binary")))
       .withColumn("canon_id", min($"doc_id").over(Window.partitionBy($"h")))
-    val rep = Dedup.shingleRowsOf(d.select($"doc_id", $"text"), distinct = false)
-      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg((sum($"c") - count(lit(1))).cast("double")
-        ./(sum($"c").cast("double")).as("rep_frac"))
+    // repetition fraction MAP-SIDE (r7): the shingle multiset of one doc
+    // is per-row data, so (total − distinct)/total needs no explode, no
+    // (doc_id, shingle) shuffle and no join back — the r6 shape paid a
+    // second text scan plus two shingle-volume shuffles for a number
+    // computable where the row already is. [[graft.functions.ShingleStats]]
+    // (one codegen pass per doc, proven equal to the exploded q48 signal
+    // by spec) is the same expression the STREAMING twin (IngestClean)
+    // already uses — batch and stream now share one implementation.
+    // <3-token docs have zero shingles ⇒ 0.0.
     withCanon
-      .join(rep, Seq("doc_id"), "left") // <3-token docs: no shingles ⇒ 0.0
-      .withColumn("rf", coalesce($"rep_frac", lit(0.0)))
+      .withColumn("_ss", graft.functions.ShingleStats($"text"))
+      .withColumn("rf", when($"_ss.n_shingles" > 0,
+          ($"_ss.n_shingles" - $"_ss.n_distinct").cast("double")
+            / $"_ss.n_shingles".cast("double"))
+        .otherwise(lit(0.0)))
+      .drop("_ss")
       .withColumn("toks", split(lower($"text"), " "))
       // empty text would divide by length 0 (ANSI: a thrown error, not
       // NaN) — an empty doc is junk by definition: quality 0 ⇒ it fails
@@ -591,7 +599,7 @@ object TextOps {
           .when($"quality" < 0.52, "quality")
           .when($"bucket" >= $"rate", "sample")
           .otherwise("kept"))
-      .drop("h", "canon_id", "rep_frac", "rf", "toks", "bucket", "rate")
+      .drop("h", "canon_id", "rf", "toks", "bucket", "rate")
   }
 
   // ---------------------------------------------------------------- q57

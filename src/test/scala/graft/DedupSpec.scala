@@ -363,4 +363,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!j.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L),
       "q35 unexpectedly flagged the containment pair")
   }
+
+  /** q97 planted: a 20-token span quoted verbatim in another document and
+    * a span repeated WITHIN one document both count as duplicated
+    * occurrences; unique grams and sub-width docs contribute none. */
+  test("q97 planted: cross-doc quote and within-doc repeat both count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q97").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val span = toks("a", 20)                     // doc 1 tokens 1-20
+    val doc1 = span + " " + toks("x", 5)         // 25 toks -> 6 grams, 1 dup
+    val doc2 = toks("w", 10) + " " + span + " " + toks("v", 10)
+                                                 // 40 toks -> 21 grams, 1 dup
+    val doc3 = toks("r", 20) + " " + toks("r", 20)
+                                                 // 40 toks -> 21 grams, 2 dup
+    val doc4 = toks("s", 5)                      // sub-width: 0 grams
+    Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4))
+      .map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q97DupSpans(spark, tmp).collect()
+    assert(got.length == 1, got.mkString("; "))
+    val r = got(0)
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 4L, s"n_docs ${r.getLong(1)}")
+    assert(r.getLong(2) == 3L, s"n_spanned_docs ${r.getLong(2)}")
+    assert(r.getLong(3) == 48L, s"n_grams ${r.getLong(3)}")
+    assert(r.getLong(4) == 4L, s"n_dup ${r.getLong(4)}")
+    assert(r.getDouble(5) == 4.0 / 48.0, s"dup_frac ${r.getDouble(5)}")
+  }
 }

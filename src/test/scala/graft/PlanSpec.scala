@@ -100,6 +100,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), p.take(1200))
   }
 
+  test("q54: the cleaning cascade is one scan, one h-shuffle, no join") {
+    // r7 rework: rep_frac is computed map-side from the per-row shingle
+    // array — the old shape paid a second text scan + two shingle-volume
+    // shuffles + a join for a per-row number. The whole cascade is now
+    // scan → window(h) → project → final agg.
+    val p = plan("q54_clean_corpus")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"q54 must scan documents exactly once\n${p.take(1200)}")
+    assert(!p.contains("Join"), s"q54 must not join\n${p.take(1200)}")
+  }
+
+  test("q97: text decodes once; final plan reads the checkpoint + a text-free scan") {
+    // the occurrence frame (doc, gram-hash, k) is checkpointed and feeds
+    // all three consumers (global gram counts, per-doc dup rollup,
+    // per-doc span totals); the only parquet scan left in the final plan
+    // is the (doc_id, lang) frame — no text column anywhere
+    val p = plan("q97_dup_spans")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"q97 must scan documents exactly once\n${p.take(1200)}")
+    assert(!p.contains("text:string"), p.take(1200))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      p.take(1200))
+    assert(p.contains("ExistingRDD"), p.take(1200))
+  }
+
   test("q89: shared shingle frame evaluates once — no FileScan in the plan") {
     // VERDICT r6 #3: `e` feeds nDoc, the df cap AND both join sides. The
     // checkpoint is the barrier; every consumer must read the
