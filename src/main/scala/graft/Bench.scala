@@ -67,10 +67,11 @@ object Bench {
     "q14_time_window" -> 0.3, "q15_sessionize" -> 0.35, "q16_json" -> 0.45,
     "q30_tokens" -> 0.35, "q34_exact_dedup" -> 0.35, "q36_minhash_lsh" -> 1.9,
     "q38_ann_brute" -> 0.3, "q45_embedding_dedup_blocked" -> 1.1,
-    // q54 1.0: the r7 map-side rep_frac rework (one scan, one h-shuffle,
-    // no join — plan-pinned) measures 1.01-1.02 in cold forks; the r6
-    // 1.62 was fork variance on the old 2-scan shape (BASELINE r6/r7)
-    "q48_repetition" -> 0.55, "q53_top_tokens" -> 0.45, "q54_clean_corpus" -> 1.0,
+    // q54 0.5: the r7 map-side rep_frac rework (one scan, one h-shuffle,
+    // no join — plan-pinned) measures 0.45 in the full-suite discipline
+    // every ref uses (isolated single-query forks run ~1.0 — colder JIT);
+    // the r6 1.62 was fork variance on the old 2-scan shape (BASELINE)
+    "q48_repetition" -> 0.55, "q53_top_tokens" -> 0.45, "q54_clean_corpus" -> 0.5,
     // q60's 0.95 is the r4 single-text-decode rework's true steady state
     // (measured quiet-box r5; r3's 0.71 was the old double-scan code)
     "q58_sequence_packing" -> 0.55, "q60_decontam" -> 0.95,
@@ -90,11 +91,12 @@ object Bench {
     "q90_source_drift" -> 0.5, "q91_balance_chi2" -> 0.35,
     "q92_fk_audit" -> 1.6, "q93_triangle_census" -> 0.9,
     "q94_vocab_coverage" -> 0.5, "q95_local_supplier_revenue" -> 1.2,
-    // q97 added r7: 20-gram dup-span coverage, cold forks 1.71/1.79.
-    // (The first draft re-decoded text in the final lang join and
-    // measured 1.45-1.53; the shipped shape decodes text ONCE — ~0.2 s
-    // dearer at this SF for half the corpus decodes at scale.)
-    "q97_dup_spans" -> 1.7)
+    // q97 added r7: 20-gram dup-span coverage, 1.10 in the full-suite
+    // discipline (isolated forks 1.7). The shipped shape decodes text
+    // ONCE (plan-pinned) — a draft that re-decoded text in the lang join
+    // was ~0.2 s cheaper at this SF and was rejected for paying double
+    // corpus decodes at scale.
+    "q97_dup_spans" -> 1.1)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
