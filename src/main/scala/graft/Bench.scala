@@ -188,6 +188,35 @@ object Bench {
         nprobe = graft.operators.Similarity.MultiprobeNprobe)
         .write.format("noop").mode("overwrite").save()
     }),
+    // r7: the STREAMING serve arm — 10 query vectors arriving as a file
+    // stream, answered against the loaded index via StreamingAnnServe
+    // (stateless candidates + per-batch top-k). Its delta over
+    // x_ivf_multiprobe_loaded is the price of the streaming machinery
+    // (micro-batch planning + offset log) at this SF; fresh temp
+    // dir/checkpoint per pass so every timed pass replays the stream
+    "x_ann_serve_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val cents = graft.operators.Similarity.loadIvfIndex(s, ivfPath(s, dir))
+      val corpus = graft.streaming.StreamingAnnServe.assignedCorpus(s, dir, cents)
+      val tmp = java.nio.file.Files.createTempDirectory("ann_serve_bench")
+      val in = tmp.resolve("in").toString
+      graft.util.Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema("qid LONG, embedding ARRAY<FLOAT>")
+        .parquet(in)
+      val served = new java.util.concurrent.atomic.AtomicLong()
+      val q = graft.streaming.StreamingAnnServe.candidates(stream, corpus, cents)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          served.addAndGet(graft.streaming.StreamingAnnServe.topK(b).count()): Unit
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      corpus.unpersist()
+      require(served.get() > 0, "streaming ANN serve answered no queries")
+    }),
     // #8: amortized pipeline mode — q62/q65/q77 share ONE memoized
     // component-label pass (how a real pipeline runs them), vs the
     // headline's honest cold costs where each query pays its own pass

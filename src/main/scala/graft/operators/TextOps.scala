@@ -132,10 +132,18 @@ object TextOps {
     * scan → (doc, shingle) count → per-doc (total, distinct). */
   def q48Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.shingleRows(s, dir, distinct = false)
-      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_shingles"), count(lit(1)).as("n_distinct"))
+    // MAP-SIDE since r7: one doc's shingle multiset is per-row data, so
+    // (total, distinct) comes from the codegen ShingleStats expression —
+    // no explode, no (doc, shingle) shuffle, no aggregation at all; the
+    // only exchange left is the output sort. Spec-pinned equal to the
+    // exploded formulation; docs with <3 tokens carry no shingles and
+    // are excluded exactly as the explode dropped them (also keeps the
+    // 0/0 division unreachable under ANSI).
+    docs(s, dir)
+      .select($"doc_id", graft.functions.ShingleStats($"text").as("_ss"))
+      .select($"doc_id", $"_ss.n_shingles".as("n_shingles"),
+        $"_ss.n_distinct".as("n_distinct"))
+      .filter($"n_shingles" > 0)
       .withColumn("rep_frac",
         ($"n_shingles" - $"n_distinct").cast("double") / $"n_shingles".cast("double"))
       .select($"doc_id", $"n_shingles", $"n_distinct", $"rep_frac")

@@ -111,6 +111,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q54 must not join\n${p.take(1200)}")
   }
 
+  test("q48: repetition signal is pure map-side — no aggregate in the plan") {
+    // r7: ShingleStats computes (total, distinct) per row, so the plan
+    // is scan → project → filter → output sort; a HashAggregate means
+    // the exploded (doc, shingle) shuffle shape crept back
+    val p = plan("q48_repetition")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(800))
+    assert(!p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("Generate"), p.take(800)) // no explode either
+  }
+
   test("q97: text decodes once; final plan reads the checkpoint + a text-free scan") {
     // the occurrence frame (doc, gram-hash, k) is checkpointed and feeds
     // all three consumers (global gram counts, per-doc dup rollup,
