@@ -27,6 +27,22 @@ object TextOps {
     expr(s"CAST(size(filter($toksCol, t -> t IN ($lst))) AS BIGINT)")
   }
 
+  /** The en-stopword quality score — ONE definition shared by the batch
+    * cascade ([[stagedDocs]]/q54) and the streaming twin (IngestClean),
+    * and equal to q31's `quality` column by construction:
+    * stop_ratio·0.5 + (1 − punct_ratio)·0.5 over whitespace tokens of
+    * the lowercased text. Empty text scores 0 (junk by definition) so
+    * the length division can never hit ANSI 0/0. */
+  private[graft] def qualityExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(lower(text), " ")
+    val stopHits = size(filter(toks, t => t.isin(stopEn: _*))).cast("long")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (stopHits.cast("double") / size(toks)) * 0.5 +
+        (lit(1.0) -
+          (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+            .cast("double") / length(text)) * 0.5)
+  }
+
   // ---------------------------------------------------------------- q30
   /** Token counting per language: whitespace tokens + a BPE-ish regex
     * tokenizer (letters / digits / single punctuation). */
@@ -589,16 +605,7 @@ object TextOps {
             / $"_ss.n_shingles".cast("double"))
         .otherwise(lit(0.0)))
       .drop("_ss")
-      .withColumn("toks", split(lower($"text"), " "))
-      // empty text would divide by length 0 (ANSI: a thrown error, not
-      // NaN) — an empty doc is junk by definition: quality 0 ⇒ it fails
-      // the quality stage instead of killing the job
-      .withColumn("quality",
-        when(length($"text") === 0, lit(0.0)).otherwise(
-          (hitCount("toks", stopEn).cast("double") / size($"toks")) * 0.5 +
-            (lit(1.0) -
-              (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
-                .cast("double") / length($"text")) * 0.5))
+      .withColumn("quality", qualityExpr($"text"))
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
       .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
       .withColumn("stage",
@@ -607,7 +614,7 @@ object TextOps {
           .when($"quality" < 0.52, "quality")
           .when($"bucket" >= $"rate", "sample")
           .otherwise("kept"))
-      .drop("h", "canon_id", "rf", "toks", "bucket", "rate")
+      .drop("h", "canon_id", "rf", "bucket", "rate")
   }
 
   // ---------------------------------------------------------------- q57

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.ShingleStats
@@ -20,19 +20,6 @@ import graft.functions.ShingleStats
   */
 object IngestClean {
 
-  /** en stopword quality score, identical to TextOps.q31/q54 (incl. the
-    * empty-text guard: quality 0, not an ANSI divide-by-zero error). */
-  private def quality(text: Column): Column = {
-    val toks = split(lower(text), " ")
-    val stopHits = expr(
-      "CAST(size(filter(split(lower(text), ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
-    when(length(text) === 0, lit(0.0)).otherwise(
-      (stopHits.cast("double") / size(toks)) * 0.5 +
-        (lit(1.0) -
-          (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
-            .cast("double") / length(text)) * 0.5)
-  }
-
   /** Keeps documents that survive all four stages; adds the signal
     * columns (`rep_frac`, `quality`, `bucket`) for observability. */
   def apply(df: DataFrame, textCol: String, orderCol: String,
@@ -45,7 +32,7 @@ object IngestClean {
         when(col("_ss.n_shingles") > 0,
           (col("_ss.n_shingles") - col("_ss.n_distinct")).cast("double") /
             col("_ss.n_shingles").cast("double")).otherwise(lit(0.0)))
-      .withColumn("quality", quality(col(textCol)))
+      .withColumn("quality", graft.operators.TextOps.qualityExpr(col(textCol)))
       .withColumn("bucket", graft.util.Buckets.mod1000(idCol))
       .filter(col("rep_frac") <= maxRepFrac &&
         col("quality") >= minQuality && col("bucket") < keepPerMille)
