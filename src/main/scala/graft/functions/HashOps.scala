@@ -37,6 +37,48 @@ object HashOps {
     }
     new GenericArrayData(Array(six(0), six(6)))
   }
+
+  /** Kirsch-Mitzenmacher modulus — prime < 2^48 so i·h2 ≤ 15·2^48 never
+    * overflows a long. THE canonical definition: Dedup.MinHashP aliases
+    * this, and the [[MinHashSig]]/exploded-aggregation parity spec pins
+    * the two pipelines to identical values. */
+  val MinHashP = 281474976710597L
+
+  /** Per-ROW 16-component MinHash signature of a document's 3-gram
+    * shingle set — bit-identical to the exploded formulation
+    * (Dedup.minhashSignatures: Md5Pair per shingle + 16 min-aggregates)
+    * but computed where the row is, the shape a STREAMING operator needs
+    * (a per-doc aggregation under keyed state would shuffle; one doc's
+    * shingles always fit in memory). Returns null for <3-token docs —
+    * exactly the rows the exploded groupBy never produces. */
+  def minhashSig(s: UTF8String): ArrayData = {
+    val toks = s.toLowerCase.toString.split(" ", -1)
+    if (toks.length < 3) return null
+    val sigs = Array.fill(16)(Long.MaxValue)
+    val d = md.get()
+    var i = 0
+    while (i < toks.length - 2) {
+      d.reset()
+      val h = d.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h1 = 0L
+      var h2 = 0L
+      var k = 0
+      while (k < 6) {
+        h1 = (h1 << 8) | (h(k) & 0xffL)
+        h2 = (h2 << 8) | (h(6 + k) & 0xffL)
+        k += 1
+      }
+      var j = 0
+      while (j < 16) {
+        val v = (h1 + j * h2) % MinHashP
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
 }
 
 /** `string -> array<long>[2]`: [bytes 0-5, bytes 6-11] of md5(utf8). */
@@ -57,4 +99,28 @@ case class Md5Pair(child: Expression) extends UnaryExpression
 object Md5Pair {
   def apply(c: Column): Column =
     graft.util.Cols.column(Md5Pair(graft.util.Cols.expression(c)))
+}
+
+/** `string -> array<long>[16]` MinHash signature (null for <3-token
+  * docs). See [[HashOps.minhashSig]]. */
+case class MinHashSig(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HashOps.minhashSig(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashOps$$.MODULE$$.minhashSig($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  def apply(c: Column): Column =
+    graft.util.Cols.column(MinHashSig(graft.util.Cols.expression(c)))
 }

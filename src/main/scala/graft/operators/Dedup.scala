@@ -240,7 +240,9 @@ object Dedup {
     * Computed on EXPLODED shingles so the hashing is whole-stage-codegen'd
     * (array higher-order functions are interpreted in Spark) and the 16
     * signature mins are plain partial aggregates in one groupBy. */
-  val MinHashP = 281474976710597L // prime < 2^48; i·h2 ≤ 15·2^48 — no overflow
+  // canonical definition lives with the per-row expression twin so the
+  // exploded and streaming pipelines can never drift
+  val MinHashP: Long = graft.functions.HashOps.MinHashP
 
   /** Band-bucket membership cap (MaxShingleDf's twin for the LSH join): a
     * (band, bkey) bucket with k members contributes k²/2 candidate pairs on
@@ -315,7 +317,7 @@ object Dedup {
   }
 
   /** (doc_id, band, bkey) rows: band key b = md5("s_{4b},..,s_{4b+3}"). */
-  private def bandedOf(sig: DataFrame): DataFrame = {
+  private[graft] def bandedOf(sig: DataFrame): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
     val bandStructs = (0 until 4).map { b =>

@@ -364,6 +364,35 @@ class DedupSpec extends AnyFunSuite {
       "q35 unexpectedly flagged the containment pair")
   }
 
+  /** The per-row MinHashSig expression must be BIT-identical to the
+    * exploded batch pipeline (Md5Pair per shingle + 16 min-aggregates) —
+    * the property that lets the streaming near-dup detector share q36's
+    * signature space. <3-token docs: null signature ↔ absent row. */
+  test("MinHashSig equals the exploded minhash signatures bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with other tokens entirely here"),
+      (4L, "UPPER Case MiXeD tokens should lowercase identically"),
+      (5L, "two tokens"), // <3 toks: no shingles
+      (6L, "")).toDF("doc_id", "text")
+    val exploded = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    val perRow = docs
+      .select($"doc_id", graft.functions.MinHashSig($"text").as("sig"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq)).toMap
+    assert(perRow(5L) == null && perRow(6L) == null,
+      "sub-width docs must have null signatures")
+    assert(exploded.keySet == Set(1L, 2L, 3L, 4L))
+    exploded.foreach { case (id, sig) =>
+      assert(perRow(id) == sig, s"doc $id signature diverges")
+    }
+  }
+
   /** q97 planted: a 20-token span quoted verbatim in another document and
     * a span repeated WITHIN one document both count as duplicated
     * occurrences; unique grams and sub-width docs contribute none. */

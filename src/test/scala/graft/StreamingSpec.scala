@@ -588,6 +588,74 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingNearDup: MinHash band-bucket state survives a restart, an
+    * exact copy arriving after the bounce collides in ALL four bands
+    * against the pre-restart owner, and every streamed candidate pair is
+    * a pair the batch LSH pipeline banded together (soundness against
+    * q36's candidate space — same signatures, parity spec-pinned). */
+  test("streaming near-dup flags band collisions across a restart") {
+    val a = "the quick brown fox jumps over the lazy dog while the " +
+      "patient crane watches from a tall pine tree near the river bank today"
+    val b = "completely unrelated legal boilerplate about contracts and " +
+      "parties and obligations thereof with no overlap whatsoever at all"
+    val aNear = a.replace("today", "tonight")
+    val dir = Files.createTempDirectory("neardup_stream")
+    val ckpt = Files.createTempDirectory("neardup_ckpt")
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      graft.streaming.StreamingNearDup.candidateAlerts(stream)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r =>
+            alerts.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    Files.write(dir.resolve("b1.json"),
+      Seq(doc(1, a), doc(2, b)).mkString("\n").getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(alerts.isEmpty, s"unrelated docs must not collide: $alerts")
+    // restart on the same checkpoint: an exact copy and a near-copy arrive
+    Files.write(dir.resolve("b2.json"),
+      Seq(doc(3, aNear), doc(4, a)).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got = alerts.toArray(Array.empty[(Long, Long, Int)]).toSeq
+      // the exact copy shares every band with the PRE-restart owner
+      assert(got.filter(x => x._1 == 4L && x._2 == 1L).map(_._3).toSet
+        == Set(0, 1, 2, 3),
+        s"exact copy must collide in all 4 bands against doc 1: $got")
+      assert(!got.exists(x => x._1 == 2L || x._2 == 2L),
+        s"the unrelated doc must never alert: $got")
+      // soundness: every streamed pair is banded together by the batch
+      // pipeline over the same four documents
+      import spark.implicits._
+      val docsDf = Seq((1L, a), (2L, b), (3L, aNear), (4L, a)).toDF("doc_id", "text")
+      val banded = graft.operators.Dedup.bandedOf(
+        graft.operators.Dedup.minhashSignatures(docsDf))
+      val batchPairs = banded.as("x").join(banded.as("y"),
+          $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id", $"y.doc_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.foreach { case (i, o, _) =>
+        assert(batchPairs.contains((math.min(i, o), math.max(i, o))),
+          s"streamed pair ($i,$o) is not in the batch candidate space $batchPairs")
+      }
+    } finally q2.stop()
+  }
+
   /** StreamingAnnServe (VERDICT r6 #8): a stream of query vectors served
     * against the LOADED IVF index must produce, query for query, the
     * exact rows the batch q96 arm (ivfQuery at MultiprobeNprobe)
