@@ -300,20 +300,23 @@ object Dedup {
     (members, repDocs)
   }
 
-  /** 16 Kirsch-Mitzenmacher minhash components (s0..s15) per doc, on
-    * codegen'd exploded shingles (duplicates harmless under min) + one
-    * digest pass per shingle (graft.functions.Md5Pair) — identical values
-    * to the hex/conv SQL the oracle runs, a fraction of the work. */
+  /** 16 Kirsch-Mitzenmacher minhash components (s0..s15) per doc, via
+    * the per-ROW codegen [[graft.functions.MinHashSig]] expression (r7):
+    * one doc's shingle multiset is per-row data, so the signature needs
+    * no explode, no shingle-volume shuffle and no 16 min-aggregates —
+    * the r6 shape's (doc, shingle) exchange was the largest shuffle in
+    * the whole q36 pipeline. Bit-identical to the exploded Md5Pair
+    * formulation (parity spec) and to the hex/conv SQL the oracle runs;
+    * <3-token docs have a null signature and drop, exactly the rows the
+    * exploded groupBy never produced. */
   private[graft] def minhashSignatures(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val hashed = shingleRowsOf(d, distinct = false)
-      .withColumn("hp", graft.functions.Md5Pair($"s"))
-      .withColumn("h1", element_at($"hp", 1))
-      .withColumn("h2", element_at($"hp", 2))
-    val sigAggs = (0 until 16).map(i =>
-      min(expr(s"(h1 + $i * h2) % $MinHashP")).as(s"s$i"))
-    hashed.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val cols = $"doc_id" +: (0 until 16).map(i =>
+      element_at($"_sig", i + 1).as(s"s$i"))
+    d.withColumn("_sig", graft.functions.MinHashSig($"text"))
+      .filter($"_sig".isNotNull)
+      .select(cols: _*)
   }
 
   /** (doc_id, band, bkey) rows: band key b = md5("s_{4b},..,s_{4b+3}"). */

@@ -844,8 +844,13 @@ object TextOps {
     * size. */
   def q64InvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint = the scan barrier (q89's pattern): `e` feeds both
+    // the df count and the posting join; without it each consumer
+    // re-plans the text decode + explode + distinct. The materialized
+    // frame is only the 1/16 hash sample of distinct shingles.
     val e = Dedup.shingleRows(s, dir, distinct = true)
       .filter(substring(md5($"s".cast("binary")), 1, 1) === "0")
+      .localCheckpoint(true)
     // df filter FIRST, list aggregation after: a hot shingle (df ~ corpus
     // size) must be discarded as a cheap count, never materialized as an
     // unbounded collect_list in one aggregation group's memory

@@ -378,7 +378,17 @@ class DedupSpec extends AnyFunSuite {
       (4L, "UPPER Case MiXeD tokens should lowercase identically"),
       (5L, "two tokens"), // <3 toks: no shingles
       (6L, "")).toDF("doc_id", "text")
-    val exploded = Dedup.minhashSignatures(docs).collect()
+    // independent reference: the ORIGINAL exploded formulation (Md5Pair
+    // per shingle + 16 min-aggregates), built inline here since
+    // minhashSignatures itself now routes through MinHashSig
+    val sigAggs = (0 until 16).map(i =>
+      min(expr(s"(h1 + $i * h2) % ${Dedup.MinHashP}")).as(s"s$i"))
+    val exploded = Dedup.shingleRowsOf(docs, distinct = false)
+      .withColumn("hp", graft.functions.Md5Pair($"s"))
+      .withColumn("h1", element_at($"hp", 1))
+      .withColumn("h2", element_at($"hp", 2))
+      .groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .collect()
       .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
     val perRow = docs
       .select($"doc_id", graft.functions.MinHashSig($"text").as("sig"))

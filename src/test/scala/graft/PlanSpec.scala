@@ -121,6 +121,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p.take(800)) // no explode either
   }
 
+  test("q64: sampled shingle frame evaluates once — no FileScan in the plan") {
+    // `e` feeds the df count AND the posting join; the checkpoint is the
+    // barrier, so the final plan reads only the materialized sample
+    val df = castToImpl(SparkEntry.queries("q64_inverted_index")(spark, dir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"),
+      s"q64 re-scans the corpus — the shingle checkpoint is bypassed\n${p.take(1200)}")
+    assert(p.contains("ExistingRDD"), p.take(1200))
+  }
+
   test("q97: text decodes once; final plan reads the checkpoint + a text-free scan") {
     // the occurrence frame (doc, gram-hash, k) is checkpointed and feeds
     // all three consumers (global gram counts, per-doc dup rollup,
