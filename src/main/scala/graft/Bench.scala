@@ -65,7 +65,9 @@ object Bench {
     "q01_agg" -> 0.6, "q02_join_broadcast" -> 0.5, "q03_join_multi" -> 0.8,
     "q06_filter_pushdown" -> 0.2, "q07_window_topn" -> 0.45, "q09_topk" -> 0.15,
     "q14_time_window" -> 0.3, "q15_sessionize" -> 0.35, "q16_json" -> 0.45,
-    "q30_tokens" -> 0.35, "q34_exact_dedup" -> 0.35, "q36_minhash_lsh" -> 1.9,
+    // q36/q65/q77 re-based r7: the per-row MinHashSig rework removed the
+    // signature explode+shuffle the whole family paid (BASELINE r6/r7)
+    "q30_tokens" -> 0.35, "q34_exact_dedup" -> 0.35, "q36_minhash_lsh" -> 1.8,
     "q38_ann_brute" -> 0.3, "q45_embedding_dedup_blocked" -> 1.1,
     // q54 0.5: the r7 map-side rep_frac rework (one scan, one h-shuffle,
     // no join — plan-pinned) measures 0.45 in the full-suite discipline
@@ -75,10 +77,10 @@ object Bench {
     // q60's 0.95 is the r4 single-text-decode rework's true steady state
     // (measured quiet-box r5; r3's 0.71 was the old double-scan code)
     "q58_sequence_packing" -> 0.55, "q60_decontam" -> 0.95,
-    "q65_keep_best" -> 3.1, "q67_range_join" -> 0.3,
+    "q65_keep_best" -> 2.9, "q67_range_join" -> 0.3,
     // q75 0.45: saltedAuto's measured-skew sampling pre-pass (r7) costs
     // ~0.05-0.1 s at this SF — a deliberate feature, cause in BASELINE
-    "q75_skewed_join" -> 0.45, "q77_split_leakage" -> 3.3,
+    "q75_skewed_join" -> 0.45, "q77_split_leakage" -> 2.9,
     "q81_heavy_hitters" -> 0.5, "q84_rfm_segments" -> 0.8,
     // q86 1.0: the r7 localCheckpoint barrier trades ~0.1 s of
     // materialization here for a GUARANTEED single corpus scan at any SF

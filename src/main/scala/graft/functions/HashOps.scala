@@ -44,6 +44,41 @@ object HashOps {
     * the two pipelines to identical values. */
   val MinHashP = 281474976710597L
 
+  /** Per-ROW 60-bit SimHash of a document's DISTINCT 3-gram shingle set —
+    * bit-identical to the exploded formulation (per-shingle
+    * `conv(substring(md5_hex, 1, 15), 16, 10)` + 60 majority bit-votes):
+    * 15 hex chars are digest bytes 0-6 plus the high nibble of byte 7,
+    * big-endian. Returns null for <3-token docs (the rows the exploded
+    * groupBy never produced). */
+  def simhashSig(s: UTF8String): java.lang.Long = {
+    val toks = s.toLowerCase.toString.split(" ", -1)
+    if (toks.length < 3) return null
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](60)
+    var n = 0
+    val d = md.get()
+    var i = 0
+    while (i < toks.length - 2) {
+      val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      if (seen.add(sh)) {
+        n += 1
+        d.reset()
+        val h = d.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+        v = (v << 4) | ((h(7) & 0xffL) >>> 4)
+        var b = 0
+        while (b < 60) { counts(b) += ((v >>> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) * 2 > n) sim |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(sim)
+  }
+
   /** Per-ROW 16-component MinHash signature of a document's 3-gram
     * shingle set — bit-identical to the exploded formulation
     * (Dedup.minhashSignatures: Md5Pair per shingle + 16 min-aggregates)
@@ -123,4 +158,32 @@ case class MinHashSig(child: Expression) extends UnaryExpression
 object MinHashSig {
   def apply(c: Column): Column =
     graft.util.Cols.column(MinHashSig(graft.util.Cols.expression(c)))
+}
+
+/** `string -> long` 60-bit SimHash (null for <3-token docs). See
+  * [[HashOps.simhashSig]]. */
+case class SimHashSig(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HashOps.simhashSig(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sim")
+      s"""
+      java.lang.Long $tmp = graft.functions.HashOps$$.MODULE$$.simhashSig($c);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+  override protected def withNewChildInternal(c: Expression): SimHashSig =
+    copy(child = c)
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashSig {
+  def apply(c: Column): Column =
+    graft.util.Cols.column(SimHashSig(graft.util.Cols.expression(c)))
 }

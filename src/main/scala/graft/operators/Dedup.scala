@@ -453,24 +453,14 @@ object Dedup {
     val s = d.sparkSession
     import s.implicits._
     val (members, repDocs) = collapseExact(d, materialize = false)
-    // per-shingle 60-bit hash = first 15 hex chars of md5, as long —
-    // computed on codegen-exploded DISTINCT shingles (majority votes are
-    // over the shingle SET); the 60 votes are plain partial-aggregate
-    // bit-count sums, NOT an interpreted per-row array fold.
-    val hashed = shingleRowsOf(repDocs, distinct = true)
-      .withColumnRenamed("s", "t")
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as long)"))
-    val bitSums = (0 until 60).map(b =>
-      sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
-    val counted = hashed.groupBy($"doc_id")
-      .agg(count(lit(1)).as("cnt"), bitSums: _*)
-    // simhash bit b = majority vote of shingle-hash bits
-    val simhashSum = (0 until 60).map(b =>
-      s"if(c$b * 2 > cnt, shiftleft(cast(1 as long), $b), cast(0 as long))")
-      .mkString(" + ")
-    val withSim = counted
-      .withColumn("simhash", expr(simhashSum))
+    // per-ROW 60-bit SimHash (r7): one doc's distinct shingle set and its
+    // 60 majority votes are per-row data, so the signature is one codegen
+    // expression — no shingle explode, no (doc, shingle) shuffle, no 60
+    // bit-count aggregates. Bit-identical to the exploded hex/conv
+    // formulation (parity spec) — which is still what the oracle runs.
+    val withSim = repDocs
+      .withColumn("simhash", graft.functions.SimHashSig($"text"))
+      .filter($"simhash".isNotNull)
       .select($"doc_id", $"simhash")
     val bandStructs = (0 until 4).map(b =>
       s"struct($b as band, shiftright(simhash, ${b * 15}) & 32767 as bkey)")

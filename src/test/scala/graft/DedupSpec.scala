@@ -403,6 +403,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** SimHashSig parity: the per-row expression must equal the exploded
+    * hex/conv + majority-bit-vote formulation (the one the q37 oracle
+    * still replays) bit-for-bit, including the distinct-shingle-set vote
+    * base and the null-for-sub-width convention. */
+  test("SimHashSig equals the exploded simhash bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "one two three one two three one two three"), // repeated shingles
+      (3L, "MiXeD Case TOKENS must lowercase before hashing here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val hashed = Dedup.shingleRowsOf(docs, distinct = true)
+      .withColumnRenamed("s", "t")
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as long)"))
+    val bitSums = (0 until 60).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
+    val simhashSum = (0 until 60).map(b =>
+      s"if(c$b * 2 > cnt, shiftleft(cast(1 as long), $b), cast(0 as long))")
+      .mkString(" + ")
+    val exploded = hashed.groupBy($"doc_id")
+      .agg(count(lit(1)).as("cnt"), bitSums: _*)
+      .withColumn("simhash", expr(simhashSum))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val perRow = docs
+      .select($"doc_id", graft.functions.SimHashSig($"text").as("sh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(perRow(4L) == null, "sub-width doc must have a null simhash")
+    assert(exploded.keySet == Set(1L, 2L, 3L))
+    exploded.foreach { case (id, sim) =>
+      assert(perRow(id) == java.lang.Long.valueOf(sim), s"doc $id simhash diverges")
+    }
+  }
+
   /** q97 planted: a 20-token span quoted verbatim in another document and
     * a span repeated WITHIN one document both count as duplicated
     * occurrences; unique grams and sub-width docs contribute none. */
