@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotLongs, LineProtocolEscapeExpr, Md5Pair, PyFloatString, QuantizeVec, RollingMinHashExpr, ShingleStats, Sum128}
+import graft.functions.{DotLongs, LineProtocolEscapeExpr, Md5Pair, MinHashSig, PyFloatString, QuantizeVec, RollingMinHashExpr, ShingleStats, SimHashSig, Sum128}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so
@@ -38,6 +38,10 @@ object GraftFunctions {
       args => Md5Pair(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_stats",
       args => ShingleStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      args => MinHashSig(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_sig",
+      args => SimHashSig(args.head), "scala_udf")
   }
 }
 
@@ -73,5 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_stats"),
       info("shingle_stats", "per-doc 3-gram shingle (total, distinct) counts"),
       (args: Seq[Expression]) => ShingleStats(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "per-doc 16-component MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args.head)))
+    e.injectFunction((FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "per-doc 60-bit SimHash of the distinct shingle set"),
+      (args: Seq[Expression]) => SimHashSig(args.head)))
   }
 }

@@ -62,6 +62,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L && r.getLong(1) == 2L) // (a b a),(b a b) x2
   }
 
+  test("minhash_sig / simhash_sig callable from SQL, null for sub-width") {
+    val r = spark.sql(
+      "SELECT size(minhash_sig('a b c d e')) AS n, " +
+        "minhash_sig('a b') AS nm, " +
+        "simhash_sig('a b c d e') AS sh, " +
+        "simhash_sig('a b') AS ns").collect()(0)
+    assert(r.getInt(0) == 16)
+    assert(r.isNullAt(1), "sub-width minhash must be null")
+    assert(!r.isNullAt(2) && r.getLong(2) >= 0L && r.getLong(2) < (1L << 60))
+    assert(r.isNullAt(3), "sub-width simhash must be null")
+  }
+
   test("kernels reject wrong-width arrays at analysis time (ADVICE r2)") {
     // array<int> into dot_longs / array<double> into quantize_vec used to
     // read mismatched UnsafeArrayData widths and return garbage silently
