@@ -46,7 +46,8 @@ object Bench {
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q89_containment", "q90_source_drift",
     "q91_balance_chi2", "q92_fk_audit", "q93_triangle_census",
-    "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans")
+    "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
+    "q98_weighted_sample")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend

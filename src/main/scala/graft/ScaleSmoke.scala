@@ -28,7 +28,8 @@ object ScaleSmoke {
     "q78_boilerplate", "q81_heavy_hitters",
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
-    "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans")
+    "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans",
+    "q98_weighted_sample")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

@@ -662,6 +662,95 @@ object TextOps {
       .orderBy($"lang", $"source", $"rk")
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Sample size per language for q98's weighted sample. */
+  val WeightedK = 20
+
+  /** 2^48 — the denominator of the dyadic uniform draw u = h1/2^48. */
+  private val Pow48 = 281474976710656.0
+
+  /** Weighted stratified sampling via PRIORITY SAMPLING (Duffield–Lund–
+    * Thorup, JACM 2007): per language, each document draws a deterministic
+    * uniform u = (48-bit md5 prefix + 1)/2^48 and gets priority
+    * q = w/u with weight w = its whitespace token count; the top-k by
+    * priority are the sample, and with τ = the (k+1)-th priority,
+    * Σ max(w_i, τ) over the sample is an UNBIASED estimator of the
+    * stratum's total token count. This is the weighted complement of the
+    * sampling family: q46 samples at a rate, q82 takes a uniform exact-k,
+    * q98 takes an exact-k where long documents are proportionally more
+    * likely — the mixture-aware "sketch of the corpus" whose estimator
+    * quality is itself part of the output (est vs exact totals).
+    *
+    * Determinism: u is an exact dyadic rational; ordering by priority
+    * descending ⇔ ordering by u/w = (h1 as double)/(w as double)
+    * ascending — ONE correctly-rounded IEEE division, bit-identical in
+    * any engine (ties broken by doc_id). τ = w·2^48/h1 is two
+    * correctly-rounded ops in fixed order; the estimator is floor-scaled
+    * to 1e6-longs BEFORE summing (the scaled-long gate) so the per-lang
+    * sum is exact integer arithmetic, order-free, hash-exact. A stratum
+    * with ≤ k documents has no (k+1)-th priority: τ is NULL, every doc
+    * is sampled, and the "estimate" is exactly the total (err_frac 0).
+    *
+    * Scale shape: the top-(k+1) per language plans as WindowGroupLimit —
+    * each task pre-prunes to k+1 rows per group BEFORE the shuffle, so
+    * the window never sorts more than (k+1)·#langs·#partitions rows.
+    * The ranked frame is localCheckpoint'd (≤ (k+1)·#langs rows) so τ
+    * and the sample don't re-run the scan+window; the exact per-lang
+    * totals are a second deliberately separate pass — a 3-column pruned
+    * scan into a map-side partial agg is cheaper at 100 TB than
+    * materializing a per-row barrier just to share one md5 call. All
+    * post-window joins are broadcast (#langs-row frames). */
+  /** (doc_id, lang, tok, h1) weighted-sampling frame — the map-side
+    * projection both the ranker and the exact-totals pass consume. */
+  private def weightedBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("tok"),
+        (expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 12), 16, 10) as long)") + lit(1L)).as("h1"))
+      .filter($"tok" > 0)
+  }
+
+  /** Pre-checkpoint top-(k+1)-per-language frame — exposed so PlanSpec
+    * can pin the WindowGroupLimit partial-top-k shape, which the
+    * localCheckpoint barrier in [[q98WeightedSample]] hides from the
+    * final plan. */
+  private[graft] def weightedRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang")
+      .orderBy(($"h1".cast("double") / $"tok".cast("double")).asc, $"doc_id".asc)
+    weightedBase(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= WeightedK + 1)
+  }
+
+  def q98WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = weightedBase(s, dir)
+    val ranked = weightedRanked(s, dir).localCheckpoint()
+    val tau = ranked.filter($"rk" === WeightedK + 1)
+      .select($"lang",
+        ($"tok".cast("double") * lit(Pow48) / $"h1".cast("double")).as("tau"))
+    val totals = base.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
+    val sel = ranked.filter($"rk" <= WeightedK)
+      .join(broadcast(tau), Seq("lang"), "left")
+      .withColumn("est_w6",
+        floor(when($"tau".isNull, $"tok".cast("double"))
+          .otherwise(greatest($"tok".cast("double"), $"tau")) * lit(1000000.0))
+          .cast("long"))
+    val est = sel.groupBy($"lang").agg(sum($"est_w6").as("est_total6"))
+    sel.join(broadcast(totals), Seq("lang"))
+      .join(broadcast(est), Seq("lang"))
+      .withColumn("err_frac",
+        abs($"est_total6" - $"total_tokens" * lit(1000000L)).cast("double") /
+          ($"total_tokens" * lit(1000000L)).cast("double"))
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id", $"tok",
+        $"est_w6", $"n_docs", $"total_tokens", $"est_total6", $"err_frac")
+      .orderBy($"lang", $"rk")
+  }
+
   // ---------------------------------------------------------------- q58
   /** Sequence packing: greedily pack documents (in stable doc_id order,
     * per language) into 8192-token context windows by start offset — the
@@ -1187,6 +1276,7 @@ object TextOps {
     "q80_snapshot_diff" -> (q80SnapshotDiff _),
     "q81_heavy_hitters" -> (q81HeavyHitters _),
     "q82_stratified_eval" -> (q82StratifiedEval _),
+    "q98_weighted_sample" -> (q98WeightedSample _),
     "q83_approx_quantiles" -> (q83ApproxQuantiles _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -1243,6 +1333,41 @@ object TextOps {
         |SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id
         |FROM r WHERE rk <= $EvalK
         |ORDER BY lang, source, rk""".stripMargin,
+    "q98_weighted_sample" -> {
+      // 48-bit md5-prefix integer: the q46 hexInt pattern over 12 nibbles
+      val hex48 =
+        "list_reduce(list_transform(range(12), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+      val kk = WeightedK
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+        |    ($hex48) + 1 AS h1
+        |  FROM documents),
+        |b2 AS (SELECT * FROM base WHERE tok > 0),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |         ORDER BY CAST(h1 AS DOUBLE) / CAST(tok AS DOUBLE) ASC,
+        |                  doc_id ASC) AS rk
+        |       FROM b2),
+        |tau AS (SELECT lang,
+        |          CAST(tok AS DOUBLE) * 281474976710656.0 / CAST(h1 AS DOUBLE) AS tau
+        |        FROM rk WHERE rk = ${kk + 1}),
+        |tot AS (SELECT lang, COUNT(*) AS n_docs,
+        |          CAST(SUM(tok) AS BIGINT) AS total_tokens
+        |        FROM b2 GROUP BY lang),
+        |sel AS (SELECT r.lang, r.rk, r.doc_id, r.tok,
+        |          CAST(floor((CASE WHEN t.tau IS NULL THEN CAST(r.tok AS DOUBLE)
+        |                 ELSE greatest(CAST(r.tok AS DOUBLE), t.tau) END)
+        |               * 1000000.0) AS BIGINT) AS est_w6
+        |        FROM rk r LEFT JOIN tau t USING (lang) WHERE r.rk <= $kk),
+        |est AS (SELECT lang, CAST(SUM(est_w6) AS BIGINT) AS est_total6
+        |        FROM sel GROUP BY lang)
+        |SELECT s.lang, CAST(s.rk AS BIGINT) AS rk, s.doc_id, s.tok, s.est_w6,
+        |  t.n_docs, t.total_tokens, e.est_total6,
+        |  CAST(abs(e.est_total6 - t.total_tokens * 1000000) AS DOUBLE)
+        |    / CAST(t.total_tokens * 1000000 AS DOUBLE) AS err_frac
+        |FROM sel s JOIN tot t USING (lang) JOIN est e USING (lang)
+        |ORDER BY lang, rk""".stripMargin
+    },
     "q76_mixture_weights" ->
       s"""WITH c AS (SELECT source, COUNT(*) n_docs,
         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))*10000 + 0.5) AS BIGINT)

@@ -213,6 +213,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q71_kmv_distinct").contains("WindowGroupLimit"))
     // exact-k stratified eval selection keeps ≤ k rows per cell per task
     assert(plan("q82_stratified_eval").contains("WindowGroupLimit"))
+    // q98's priority-sampling top-(k+1) must be the same partial shape —
+    // pinned on the pre-checkpoint frame (the barrier hides it from the
+    // final plan), which must also be a single pruned corpus scan
+    val p98 = castToImpl(TextOps.weightedRanked(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(p98.contains("WindowGroupLimit"), p98.take(800))
+    assert("FileScan".r.findAllIn(p98).length == 1, p98.take(800))
+    assert(p98.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      p98.take(800))
   }
 
   /** The 100 TB join mechanism the small fixtures never trigger by size:

@@ -279,6 +279,89 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got("s2") == ((2L, 2L, 2L, 0.5)), got) // davg(1.0, 0.0-no-shingle)
   }
 
+  /** q98: priority sampling checked against a driver-side reference run
+    * of the SAME arithmetic (48-bit md5 uniform, one IEEE division for
+    * the rank key, τ from the (k+1)-th priority, floor-scaled estimator)
+    * — the distributed WindowGroupLimit + broadcast joins must land on
+    * exactly those longs. A stratum with ≤ k docs takes the τ-less path:
+    * everything sampled, estimate EXACTLY the total. */
+  test("q98 planted: sample and estimator match the driver reference") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("wsample").toString
+    // "aa": 30 docs, token counts 1..30 (doc i has i+1 tokens) → τ path;
+    // "bb": 3 docs → exact path
+    val aa = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(i + 1)("w").mkString(" "), "aa", "s1", 10L)
+    }
+    val bb = (100 until 103).map { i =>
+      (i.toLong, Seq.fill(7)("x").mkString(" "), "bb", "s1", 10L)
+    }
+    (aa ++ bb).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // driver reference (same ops, same order)
+    def h1Of(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(12), 16) + 1L
+    }
+    def tokOf(text: String): Long = text.trim.split("\\s+").length.toLong
+    val k = TextOps.WeightedK
+    val docsRef = (aa ++ bb).map { case (id, text, lang, _, _) =>
+      (lang, id, tokOf(text), h1Of(id))
+    }
+    val want = docsRef.groupBy(_._1).flatMap { case (lang, ds) =>
+      val ranked = ds.sortBy { case (_, id, tok, h1) =>
+        (h1.toDouble / tok.toDouble, id)
+      }
+      val tau = ranked.drop(k).headOption
+        .map { case (_, _, tok, h1) => tok.toDouble * 281474976710656.0 / h1.toDouble }
+      ranked.take(k).zipWithIndex.map { case ((_, id, tok, _), i) =>
+        val estW = tau.fold(tok.toDouble)(t => math.max(tok.toDouble, t))
+        (lang, (i + 1).toLong, id, tok, math.floor(estW * 1000000.0).toLong)
+      }
+    }.toSet
+
+    val got = TextOps.q98WeightedSample(spark, tmp).collect()
+    val gotSet = got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+    assert(gotSet == want,
+      s"sample mismatch:\n extra=${gotSet -- want}\n missing=${want -- gotSet}")
+    // τ-less stratum: estimate is EXACTLY the total, err_frac exactly 0
+    val bbRows = got.filter(_.getString(0) == "bb")
+    assert(bbRows.length == 3)
+    bbRows.foreach { r =>
+      assert(r.getLong(7) == r.getLong(6) * 1000000L,
+        s"bb est_total6 ${r.getLong(7)} != total*1e6 ${r.getLong(6) * 1000000L}")
+      assert(r.getDouble(8) == 0.0)
+    }
+    // τ stratum: per-lang constants consistent, estimator floors at τ ⇒
+    // every est_w6 ≥ the true weight's scaling
+    val aaRows = got.filter(_.getString(0) == "aa")
+    assert(aaRows.length == k)
+    assert(aaRows.map(_.getLong(6)).distinct.sameElements(Array(465L))) // Σ 1..30
+    aaRows.foreach(r => assert(r.getLong(4) >= r.getLong(3) * 1000000L))
+  }
+
+  /** q98 on the real corpus: weighted selection must skew the sample
+    * toward long documents — the sampled mean token count exceeds the
+    * stratum mean in every language (deterministic given the data). */
+  test("q98: sample is length-biased and the estimator lands near truth") {
+    val got = TextOps.q98WeightedSample(spark, dir).collect()
+    assert(got.nonEmpty)
+    val byLang = got.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val sampleMean = rows.map(_.getLong(3)).sum.toDouble / rows.length
+      val stratumMean =
+        rows.head.getLong(6).toDouble / rows.head.getLong(5).toDouble
+      assert(sampleMean > stratumMean,
+        s"$lang: weighted sample mean $sampleMean ≤ stratum mean $stratumMean")
+      assert(rows.head.getDouble(8) < 0.5,
+        s"$lang: estimator err_frac ${rows.head.getDouble(8)} ≥ 0.5")
+    }
+  }
+
   /** q87: support floor respected, ranking total and recomputable. */
   test("q87: lift ranking is total, descending, above min support") {
     val rows = TextOps.q87Collocations(spark, dir).collect()
