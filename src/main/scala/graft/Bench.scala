@@ -47,7 +47,7 @@ object Bench {
     "q88_textrank", "q89_containment", "q90_source_drift",
     "q91_balance_chi2", "q92_fk_audit", "q93_triangle_census",
     "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
-    "q98_weighted_sample")
+    "q98_weighted_sample", "q99_span_strip")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -99,7 +99,12 @@ object Bench {
     // ONCE (plan-pinned) — a draft that re-decoded text in the lang join
     // was ~0.2 s cheaper at this SF and was rejected for paying double
     // corpus decodes at scale.
-    "q97_dup_spans" -> 1.1)
+    "q97_dup_spans" -> 1.1,
+    // q98/q99 added late-r7, measured in a warmed fork (q97 read 1.14 in
+    // the same child, matching its ref): priority sampling is two pruned
+    // scans + a tiny window; span-strip pays the q97 gram shuffle plus
+    // the rebuild projection
+    "q98_weighted_sample" -> 0.7, "q99_span_strip" -> 1.4)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

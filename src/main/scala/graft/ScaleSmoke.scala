@@ -29,7 +29,7 @@ object ScaleSmoke {
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
     "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans",
-    "q98_weighted_sample")
+    "q98_weighted_sample", "q99_span_strip")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -214,6 +214,22 @@ object ScaleSmoke {
     require(q97scaled == q97base.map { case (k, (nd, ns, ng, _)) =>
       k -> ((nd * factor, ns * factor, ng * factor, ng * factor)) },
       "scale-up broke the q97 every-span-duplicated invariant")
+    // q99 invariant: copy-0 docs have the minimal (doc_id, pos) key for
+    // every gram they had in the base corpus, so their strip output is
+    // BIT-IDENTICAL to base; every replica doc long enough to carry
+    // grams is fully covered by dup starts and strips to nothing
+    def q99rows(dir: String) =
+      SparkEntry.queries("q99_span_strip")(spark, dir).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(5))))
+    val q99base = q99rows(sfDir).toMap
+    val q99scaled = q99rows(workDir)
+    require(q99scaled.filter(_._1 < 10000000L).toMap == q99base,
+      "q99 scale-up changed copy-0 strips — first-occurrence keys moved")
+    q99scaled.filter(_._1 >= 10000000L).foreach { case (id, (_, n, rm, _)) =>
+      require(n < graft.operators.Dedup.DupSpanWidth || rm == n,
+        s"q99 replica doc $id not fully stripped ($rm of $n tokens)")
+    }
     // q89 invariant: disjoint-vocab replication reproduces the base pair
     // set exactly once per copy — copy 0 (doc_id < first offset) must be
     // BIT-IDENTICAL to base (the planted containment pair included), and

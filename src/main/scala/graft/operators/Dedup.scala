@@ -815,6 +815,85 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- q99
+  /** Duplicated-span STRIPPING — the ACTIVE transform behind q97's
+    * accounting (the "deduplicating training data" substring rewrite):
+    * every occurrence of a duplicated [[DupSpanWidth]]-token n-gram
+    * EXCEPT the corpus-wide first keeps nothing — tokens covered by any
+    * non-first occurrence are removed, and the document is rebuilt from
+    * the surviving tokens. "First" is the globally deterministic
+    * (doc_id, position) minimum per gram, encoded as ONE integer key
+    * doc_id·10⁹+pos so the winner is a plain MIN aggregate (no window
+    * over the gram group). Output per document: token counts before and
+    * after, and the md5 of the rebuilt text — the transform is verified
+    * byte-exactly without shipping the text.
+    *
+    * Scale shape: gram occurrences are md5'd map-side (32-byte keys on
+    * every exchange, never 20-token strings); the occurrence frame feeds
+    * the first-key MIN and the mark-back join, so it is localCheckpoint'd
+    * (the q97 barrier); the join matches each occurrence against exactly
+    * one gram row — no fan-out. Duplicate start positions collapse to a
+    * per-doc sorted array (bounded by doc length), and the rebuild is a
+    * single array projection on a second pruned corpus scan — coverage
+    * testing is O(|doc| · #dup-starts) per row, bounded because document
+    * length is bounded, never a corpus-sized blowup. */
+  /** `(doc_id, …, toks, n)` span-strip base: every column of `d` except
+    * `text`, plus the whitespace token array and its length. Shared by
+    * the batch strip (q99) and the ingestion-time twin
+    * ([[graft.streaming.StreamingSpanStrip]]). */
+  private[graft] def spanBase(d: DataFrame): DataFrame =
+    d.withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .drop("text")
+
+  /** `(doc_id, pos, h)` — one row per [[DupSpanWidth]]-gram occurrence of
+    * a [[spanBase]] frame, gram md5'd map-side so no exchange ever
+    * carries a 20-token string. */
+  private[graft] def gramOccurrences(base: DataFrame): DataFrame = {
+    val W = DupSpanWidth
+    base.filter(col("n") >= W)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - $W)")).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("pos"),
+        md5(expr(s"concat_ws(' ', slice(toks, i + 1, $W))").cast("binary")).as("h"))
+  }
+
+  /** Rebuild each document of `base` minus the tokens covered by its
+    * `starts` dup-start array (`(doc_id, sts)`; docs absent from `starts`
+    * keep everything). Adds `n_kept` and `stripped_md5`, drops the token
+    * array. Coverage testing is O(|doc| · #dup-starts) per row — bounded
+    * because document length is bounded, never corpus-sized. */
+  private[graft] def stripByStarts(base: DataFrame, starts: DataFrame): DataFrame = {
+    val W = DupSpanWidth
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("sts", coalesce(col("sts"), expr("array()")))
+      .withColumn("keep", expr(
+        s"filter(sequence(0L, n - 1L), p -> NOT exists(sts, st -> p >= st AND p < st + $W))"))
+      .withColumn("n_kept", size(col("keep")).cast("long"))
+      .withColumn("stripped_md5", md5(expr(
+        "concat_ws(' ', transform(keep, p -> element_at(toks, cast(p + 1 as int))))")
+        .cast("binary")))
+      .drop("toks", "sts", "keep")
+  }
+
+  def q99SpanStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = spanBase(docs(s, dir).select($"doc_id", $"lang", $"text"))
+    val occ = gramOccurrences(base)
+      .withColumn("k", $"doc_id" * lit(1000000000L) + $"pos")
+      .localCheckpoint(true)
+    val firstKey = occ.groupBy($"h").agg(min($"k").as("fk"))
+    val starts = occ.join(firstKey, "h")
+      .filter($"k" =!= $"fk")
+      .groupBy($"doc_id").agg(sort_array(collect_list($"pos")).as("sts"))
+    stripByStarts(base, starts)
+      .select($"doc_id", $"lang", $"n".as("n_tok"),
+        ($"n" - $"n_kept").as("n_removed"),
+        ($"n_kept".cast("double") / $"n".cast("double")).as("kept_frac"),
+        $"stripped_md5")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
     "q85_bow_dedup" -> (q85BowDedup _),
@@ -829,6 +908,7 @@ object Dedup {
     "q65_keep_best" -> (q65KeepBest _),
     "q77_split_leakage" -> (q77SplitLeakage _),
     "q97_dup_spans" -> (q97DupSpans _),
+    "q99_span_strip" -> (q99SpanStrip _),
   )
 
   private val shingleCte =
@@ -1111,6 +1191,36 @@ object Dedup {
         |  CASE WHEN n_grams = 0 THEN 0.0
         |       ELSE CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_frac
         |FROM agg ORDER BY lang""".stripMargin
+    },
+    "q99_span_strip" -> {
+      val W = DupSpanWidth
+      val gram = (1 to W).map(k => s"t[CAST(i AS INTEGER)+$k]").mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id, lang,
+        |              regexp_split_to_array(trim(text), '\\s+') t FROM documents),
+        |b AS (SELECT doc_id, lang, t, CAST(len(t) AS BIGINT) n FROM tk),
+        |d2 AS (SELECT doc_id, list_transform(range(len(t) - ${W - 1}),
+        |         i -> md5($gram)) sh
+        |       FROM tk WHERE len(t) >= $W),
+        |e AS (SELECT doc_id, CAST(unnest(range(len(sh))) AS BIGINT) pos,
+        |        unnest(sh) h FROM d2),
+        |ok AS (SELECT doc_id, pos, h, doc_id * 1000000000 + pos AS k FROM e),
+        |fo AS (SELECT h, MIN(k) AS fk FROM ok GROUP BY h),
+        |dup AS (SELECT o.doc_id, o.pos FROM ok o JOIN fo f USING (h)
+        |        WHERE o.k <> f.fk),
+        |st AS (SELECT doc_id, list_sort(list(pos)) AS sts FROM dup GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.lang, b.t, b.n,
+        |        COALESCE(s.sts, CAST([] AS BIGINT[])) AS sts
+        |      FROM b LEFT JOIN st s USING (doc_id)),
+        |k2 AS (SELECT doc_id, lang, n, t,
+        |        list_filter(range(n),
+        |          p -> len(list_filter(sts, q -> p >= q AND p < q + $W)) = 0) AS keep
+        |       FROM j)
+        |SELECT doc_id, lang, n AS n_tok,
+        |  CAST(n - len(keep) AS BIGINT) AS n_removed,
+        |  CAST(len(keep) AS DOUBLE) / CAST(n AS DOUBLE) AS kept_frac,
+        |  md5(COALESCE(array_to_string(list_transform(keep,
+        |    p -> t[CAST(p AS INTEGER) + 1]), ' '), '')) AS stripped_md5
+        |FROM k2 ORDER BY doc_id""".stripMargin
     },
   )
 }

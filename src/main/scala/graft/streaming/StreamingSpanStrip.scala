@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Ingestion-time duplicated-span stripping — q99's continuous twin: every
+  * incoming document is rewritten with the tokens of any span already
+  * present in the REFERENCE corpus removed (an incoming occurrence of an
+  * existing gram is by definition non-first, so under q99's
+  * keep-the-first rule it strips entirely). The batch q99 remains the
+  * authority for within-corpus and within-batch duplication; this is the
+  * at-the-door filter that stops already-known text from ever entering
+  * the working set — the continuous complement, exactly as
+  * StreamingDedup is to q34 and StreamDecontam to q60.
+  *
+  * Shape: per-doc gram explode is the same stateless map-side md5 as the
+  * batch path; the membership check is a stream-static equi-join on the
+  * 32-byte gram hash (stateless); the per-doc start collection and the
+  * rebuild run INSIDE each micro-batch via [[strippedBatch]] (foreachBatch
+  * — a document is contained in one batch, so no cross-batch state is
+  * needed and a restart re-derives everything from the source offsets).
+  * State: none. The static gram frame is the big side at 100 TB — it is
+  * a broadcast-unfriendly but shuffle-joinable distinct-gram table, and
+  * the stream side of each micro-batch is small, so the planner's
+  * stream-static hash join puts the batch on the build side.
+  */
+object StreamingSpanStrip {
+
+  /** Static side: the DISTINCT gram-hash set of the reference corpus
+    * (`(doc_id, text)` rows). Cached — the static side of a stream-static
+    * join re-evaluates every micro-batch, and this one is provably
+    * identical across the query's lifetime. */
+  def corpusGrams(corpusDocs: DataFrame): DataFrame =
+    Dedup.gramOccurrences(Dedup.spanBase(corpusDocs))
+      .select(col("h")).distinct().cache()
+
+  /** Strip one micro-batch (`(doc_id, text)` rows) against the corpus
+    * gram set: plain batch semantics inside foreachBatch. Output one row
+    * per incoming doc: (doc_id, n_tok, n_removed, stripped_md5) —
+    * identical strip arithmetic to q99 (shared [[Dedup.stripByStarts]]),
+    * so a doc whose every span is known strips to the empty string and
+    * a gram-free doc passes through untouched. */
+  def strippedBatch(batchDocs: DataFrame, grams: DataFrame): DataFrame = {
+    val base = Dedup.spanBase(batchDocs.select(col("doc_id"), col("text")))
+    val starts = Dedup.gramOccurrences(base)
+      .join(grams, "h") // stream-static: stateless
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("pos"))).as("sts"))
+    Dedup.stripByStarts(base, starts)
+      .select(col("doc_id"), col("n").as("n_tok"),
+        (col("n") - col("n_kept")).as("n_removed"), col("stripped_md5"))
+  }
+}

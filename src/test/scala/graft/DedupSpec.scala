@@ -468,4 +468,41 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(4) == 4L, s"n_dup ${r.getLong(4)}")
     assert(r.getDouble(5) == 4.0 / 48.0, s"dup_frac ${r.getDouble(5)}")
   }
+
+  /** q99: the strip keeps the corpus-wide FIRST occurrence of every
+    * duplicated span and removes the tokens of every other occurrence —
+    * checked byte-exactly via md5 of the rebuilt text against
+    * driver-computed expectations, including full-document removal and
+    * within-document period-20 repetition. */
+  test("q99 planted: non-first span occurrences stripped, first kept") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q99").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val span = toks("a", 20)
+    val doc1 = span + " " + toks("x", 5)               // first owner of span
+    val doc2 = toks("w", 10) + " " + span + " " + toks("v", 10) // quote at pos 10
+    val doc3 = toks("r", 20) + " " + toks("r", 20)     // self-repeat at pos 20
+    val doc4 = toks("s", 5)                            // sub-width: untouched
+    val doc5 = span                                    // verbatim gram-only doc
+    Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4), (5L, doc5))
+      .map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val want = Map( // doc_id -> (n_tok, n_removed, stripped_md5)
+      1L -> ((25L, 0L, m(doc1))),
+      2L -> ((40L, 20L, m(toks("w", 10) + " " + toks("v", 10)))),
+      3L -> ((40L, 20L, m(toks("r", 20)))),
+      4L -> ((5L, 0L, m(doc4))),
+      5L -> ((20L, 20L, m(""))))
+    val got = Dedup.q99SpanStrip(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    assert(got == want,
+      s"strip mismatch:\n got=$got\n want=$want")
+    val fracs = Dedup.q99SpanStrip(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(fracs(5L) == 0.0 && fracs(1L) == 1.0 && fracs(2L) == 0.5)
+  }
 }

@@ -146,6 +146,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), p.take(1200))
   }
 
+  test("q99: one rebuild scan; occurrence side reads the checkpoint only") {
+    // the gram-occurrence frame is checkpointed and feeds both the
+    // first-key MIN and the mark-back join, so the final plan carries
+    // exactly ONE parquet scan — the token-rebuild projection; a second
+    // FileScan means the gram explode re-planned
+    val p = plan("q99_span_strip")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"q99 must scan documents exactly once\n${p.take(1200)}")
+    assert(p.contains("ExistingRDD"), p.take(1200))
+  }
+
   test("q89: shared shingle frame evaluates once — no FileScan in the plan") {
     // VERDICT r6 #3: `e` feeds nDoc, the df cap AND both join sides. The
     // checkpoint is the barrier; every consumer must read the

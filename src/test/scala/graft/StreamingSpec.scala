@@ -184,6 +184,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  /** StreamingSpanStrip: incoming docs are rewritten with corpus-known
+    * spans removed, with EXACTLY q99's strip arithmetic (shared rebuild),
+    * across a checkpoint restart — a quoting doc strips to its novel
+    * tokens, a fully-known doc strips to the empty string, a novel or
+    * sub-width doc passes through untouched. */
+  test("streaming span strip rewrites quoted spans at ingestion") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spanstrip")
+    val ckpt = Files.createTempDirectory("spanstrip_ckpt")
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val span = toks("a", 20)
+    val grams = graft.streaming.StreamingSpanStrip.corpusGrams(
+      Seq((100L, span + " " + toks("x", 5))).toDF("doc_id", "text"))
+    def doc(idx: Int, text: String) = s"""{"doc_id":$idx,"text":"$text"}"""
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.StreamingSpanStrip.strippedBatch(batch.toDF(), grams)
+            .collect().foreach(r => out.put(r.getLong(0),
+              (r.getLong(1), r.getLong(2), r.getString(3))))
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    // batch 1: a quote of the corpus span inside novel text + a novel doc
+    Files.write(dir.resolve("b1.json"), Seq(
+      doc(1, toks("w", 3) + " " + span + " " + toks("v", 4)),
+      doc(2, toks("q", 25))).mkString("\n").getBytes)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    assert(out.get(1L) == ((27L, 20L, m(toks("w", 3) + " " + toks("v", 4)))),
+      s"quoting doc: ${out.get(1L)}")
+    assert(out.get(2L) == ((25L, 0L, m(toks("q", 25)))),
+      s"novel doc must pass untouched: ${out.get(2L)}")
+    // restart on the same checkpoint: a fully-known doc strips to "",
+    // a sub-width doc passes through
+    Files.write(dir.resolve("b2.json"), Seq(
+      doc(3, span), doc(4, toks("z", 4))).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(out.get(3L) == ((20L, 20L, m(""))), s"known doc: ${out.get(3L)}")
+      assert(out.get(4L) == ((4L, 0L, m(toks("z", 4)))), s"sub-width: ${out.get(4L)}")
+    } finally q2.stop()
+  }
+
   /** StreamingFkAudit: orphan child rows flag at ingestion against the
     * static parent-key frame, the once-per-key alert state survives a
     * restart, and a NULL foreign key flags as an orphan ROW (q92's
