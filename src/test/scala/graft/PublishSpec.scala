@@ -117,6 +117,48 @@ class PublishSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
   }
 
+  /** Dynamic partition pruning: when the partition column arrives
+    * through a JOIN instead of a literal filter, the fact scan must be
+    * pruned at RUNTIME from the broadcast dim side — the 100 TB
+    * mechanism for "join the corpus to this quarter's language list"
+    * queries, where a static filter doesn't exist at plan time. The
+    * scan's PartitionFilters must carry a dynamicpruning expression and
+    * the result must match the statically-pruned equivalent. */
+  test("dim-side filter dynamically prunes fact partitions through a join") {
+    publishOnce()
+    import spark.implicits._
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    val saved = keys.map(k => k -> c.get(k))
+    try {
+      // the cost gate compares estimated pruned bytes against the DPP
+      // subquery overhead — a kilobyte-sized fixture never clears it, so
+      // raise the assumed filter ratio to prove the PLAN SHAPE engages;
+      // at production scale the real stats clear the default gate
+      c.set(keys(0), "false")
+      c.set(keys(1), "10000")
+      // the dim must be a real source: a LocalRelation's filter is
+      // constant-folded away at plan time, leaving no selective
+      // predicate for the pruning rule to find
+      val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+      Seq(("en", 1L), ("de", 2L), ("fr", 3L), ("es", 4L), ("ja", 5L))
+        .toDF("lang", "grp").write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir)
+      val q = spark.table("docs_pub")
+        .join(dim.filter($"grp" === 1L), "lang")
+        .groupBy($"lang").count()
+      val p = plan(q).toLowerCase
+      assert(p.contains("dynamicpruning"),
+        s"no runtime partition pruning in the plan:\n${plan(q).take(1500)}")
+      val rows = q.collect()
+      val want = spark.table("docs_pub").filter($"lang" === "en").count()
+      assert(rows.length == 1 && rows(0).getString(0) == "en" &&
+        rows(0).getLong(1) == want)
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
+
   /** VERDICT r4 #6: q80's production shape — diff two REAL published
     * snapshots. Each side is ONE bucketed scan, the content-hash FULL
     * OUTER join reuses the bucket distribution (no shuffle exchange
