@@ -40,6 +40,46 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(max <= 10000 / n * 2, s"max per-salt share $max")
   }
 
+  /** AQE's OptimizeSkewedJoin is the RUNTIME complement of the explicit
+    * salting utility: when actual shuffle-partition sizes (not estimates)
+    * reveal a hot key at execution time, the skewed partition is split
+    * into sub-reads and the other side's matching partition replicated —
+    * no plan-time knowledge needed. The test lowers the size thresholds
+    * so a megabyte-scale fixture trips the same detector a multi-GB
+    * partition trips in production, and pins `skew=true` in the FINAL
+    * adaptive plan. Together with the salting utility this covers both
+    * regimes: known-hot keys (salt at plan time, q75) and discovered-hot
+    * keys (AQE splits at run time). */
+  test("AQE splits a runtime-discovered skewed partition (skew=true)") {
+    import spark.implicits._
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> c.get(k))
+    try {
+      c.set(keys(0), "-1")          // force a sort-merge join
+      c.set(keys(1), "32768")       // 32 KB counts as skewed here
+      c.set(keys(2), "16384")
+      c.set(keys(3), "2")
+      c.set(keys(4), "false")       // keep partition boundaries visible
+      val skewed = ((1L to 200000L).map(i => (7L, i)) ++
+        (1L to 2000L).map(i => (i % 37, -i))).toDF("k", "payload")
+      val modest = (0L to 40L).map(i => (i, s"name$i")).toDF("k", "name")
+      val joined = skewed.join(modest, "k")
+      // collect (not count) so THIS frame's adaptive plan is the one
+      // finalized — every row matches exactly one dim row
+      assert(joined.collect().length == 200000 + 2000)
+      val p = castToImpl(joined).queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${p.take(1500)}")
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("inputs already carrying _salt are rejected, not clobbered") {
     import spark.implicits._
     val withSalt = Seq((1L, 0L)).toDF("k", "_salt")
