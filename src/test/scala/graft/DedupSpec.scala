@@ -505,4 +505,56 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(fracs(5L) == 0.0 && fracs(1L) == 1.0 && fracs(2L) == 0.5)
   }
+
+  /** q99 property: on seeded-random corpora built from a shared phrase
+    * pool (so cross- and within-doc span duplication arises naturally),
+    * the distributed strip must match a 20-line brute-force driver model
+    * of the same rule — first occurrence by (doc_id, pos) kept, covered
+    * tokens removed — md5-for-md5 on every document. */
+  test("q99 property: random corpora match the brute-force model") {
+    import spark.implicits._
+    val W = Dedup.DupSpanWidth
+    val rnd = new scala.util.Random(20260814L)
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (trial <- 1 to 4) {
+      // phrase pool: 6 phrases of 8-30 tokens over a tiny vocab
+      val pool = (1 to 6).map(pi =>
+        (1 to (8 + rnd.nextInt(23))).map(_ => s"t${rnd.nextInt(9)}p$pi"))
+      val docs = (0 until 25).map { id =>
+        val phrases = (1 to (1 + rnd.nextInt(3)))
+          .flatMap(_ => pool(rnd.nextInt(pool.length)))
+        val unique = (1 to rnd.nextInt(6)).map(_ => s"u${id}x${rnd.nextInt(100)}")
+        (id.toLong, (phrases ++ unique).mkString(" "))
+      }
+      // brute-force model of the q99 rule
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val occ = docs.flatMap { case (id, _) =>
+        val tk = toks(id)
+        (0 to tk.length - W).map(p => (tk.slice(p, p + W).mkString(" "), id, p))
+      }
+      val firstOf = occ.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min
+      }
+      val want = docs.map { case (id, _) =>
+        val tk = toks(id)
+        val dupStarts = (0 to tk.length - W)
+          .filter(p => firstOf(tk.slice(p, p + W).mkString(" ")) != ((id, p)))
+        val covered = dupStarts.flatMap(p => p until p + W).toSet
+        val kept = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        id -> ((tk.length.toLong, (tk.length - kept.length).toLong,
+          m(kept.mkString(" "))))
+      }.toMap
+      val tmp = java.nio.file.Files.createTempDirectory(s"q99prop$trial").toString
+      docs.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = Dedup.q99SpanStrip(spark, tmp).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+      assert(got == want, s"trial $trial mismatch: " +
+        (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+          .map(k => s"$k: got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+    }
+  }
 }

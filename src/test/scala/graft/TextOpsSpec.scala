@@ -344,6 +344,66 @@ class TextOpsSpec extends AnyFunSuite {
     aaRows.foreach(r => assert(r.getLong(4) >= r.getLong(3) * 1000000L))
   }
 
+  /** q98 property: seeded-random corpora (varying strata sizes straddling
+    * k, skewed weight distributions) must match the driver reference on
+    * the full output — sample membership, ranks, estimator values and
+    * totals — for every stratum shape. */
+  test("q98 property: random corpora match the driver reference") {
+    import spark.implicits._
+    def h1Of(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(12), 16) + 1L
+    }
+    val k = TextOps.WeightedK
+    val rnd = new scala.util.Random(4204L)
+    for (trial <- 1 to 3) {
+      // strata deliberately straddle k: below, at, just above, far above
+      val sizes = Seq("sm" -> (1 + rnd.nextInt(k - 1)), "eq" -> k,
+        "ju" -> (k + 1 + rnd.nextInt(3)), "bg" -> (2 * k + rnd.nextInt(40)))
+      var next = trial * 100000L
+      val docs = sizes.flatMap { case (lang, n) =>
+        (1 to n).map { _ =>
+          next += 1
+          // skewed weights: mostly short docs, occasional heavy ones
+          val tok = if (rnd.nextInt(5) == 0) 200 + rnd.nextInt(800)
+            else 1 + rnd.nextInt(30)
+          (next, Seq.fill(tok)("w").mkString(" "), lang, "s1", 10L)
+        }
+      }
+      val want = docs.groupBy(_._3).flatMap { case (lang, ds) =>
+        val withKeys = ds.map(d => (d._1, d._2.trim.split("\\s+").length.toLong))
+          .map { case (id, tok) => (id, tok, h1Of(id)) }
+        val ranked = withKeys.sortBy { case (id, tok, h1) =>
+          (h1.toDouble / tok.toDouble, id)
+        }
+        val tau = ranked.drop(k).headOption
+          .map { case (_, tok, h1) => tok.toDouble * 281474976710656.0 / h1.toDouble }
+        val nDocs = ds.length.toLong
+        val total = withKeys.map(_._2).sum
+        val sel = ranked.take(k).zipWithIndex.map { case ((id, tok, _), i) =>
+          val estW = tau.fold(tok.toDouble)(t => math.max(tok.toDouble, t))
+          (lang, (i + 1).toLong, id, tok, math.floor(estW * 1000000.0).toLong)
+        }
+        val estTotal = sel.map(_._5).sum
+        val err = math.abs(estTotal - total * 1000000L).toDouble /
+          (total * 1000000L).toDouble
+        sel.map { case (l, rk, id, tok, e6) =>
+          (l, rk, id, tok, e6, nDocs, total, estTotal, err)
+        }
+      }.toSet
+      val tmp = java.nio.file.Files.createTempDirectory(s"q98prop$trial").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = TextOps.q98WeightedSample(spark, tmp).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getDouble(8))).toSet
+      assert(got == want, s"trial $trial:\n extra=${got -- want}\n missing=${want -- got}")
+    }
+  }
+
   /** q98 on the real corpus: weighted selection must skew the sample
     * toward long documents — the sampled mean token count exceeds the
     * stratum mean in every language (deterministic given the data). */
