@@ -667,7 +667,7 @@ object TextOps {
   val WeightedK = 20
 
   /** 2^48 — the denominator of the dyadic uniform draw u = h1/2^48. */
-  private val Pow48 = 281474976710656.0
+  private[graft] val Pow48 = 281474976710656.0
 
   /** Weighted stratified sampling via PRIORITY SAMPLING (Duffield–Lund–
     * Thorup, JACM 2007): per language, each document draws a deterministic
@@ -700,16 +700,22 @@ object TextOps {
     * scan into a map-side partial agg is cheaper at 100 TB than
     * materializing a per-row barrier just to share one md5 call. All
     * post-window joins are broadcast (#langs-row frames). */
-  /** (doc_id, lang, tok, h1) weighted-sampling frame — the map-side
+  /** (doc_id, lang, tok, h1, pri) weighted-sampling projection over any
+    * `(doc_id, lang, text)` frame — ONE definition of the draw and the
+    * rank key, shared by the batch sampler (q98) and the streaming twin
+    * ([[graft.streaming.StreamingWeightedSample]]), which is what makes
+    * their samples provably identical on the same corpus. */
+  private[graft] def weightedProjection(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tok"),
+      (expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 12), 16, 10) as long)") + lit(1L)).as("h1"))
+      .filter(col("tok") > 0)
+      .withColumn("pri", col("h1").cast("double") / col("tok").cast("double"))
+
+  /** (doc_id, lang, tok, h1, pri) weighted-sampling frame — the map-side
     * projection both the ranker and the exact-totals pass consume. */
-  private def weightedBase(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir)
-      .select($"doc_id", $"lang",
-        size(split(trim($"text"), "\\s+")).cast("long").as("tok"),
-        (expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 12), 16, 10) as long)") + lit(1L)).as("h1"))
-      .filter($"tok" > 0)
-  }
+  private def weightedBase(s: SparkSession, dir: String): DataFrame =
+    weightedProjection(docs(s, dir).select(col("doc_id"), col("lang"), col("text")))
 
   /** Pre-checkpoint top-(k+1)-per-language frame — exposed so PlanSpec
     * can pin the WindowGroupLimit partial-top-k shape, which the
@@ -718,8 +724,7 @@ object TextOps {
   private[graft] def weightedRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"lang")
-      .orderBy(($"h1".cast("double") / $"tok".cast("double")).asc, $"doc_id".asc)
+    val w = Window.partitionBy($"lang").orderBy($"pri".asc, $"doc_id".asc)
     weightedBase(s, dir)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= WeightedK + 1)

@@ -239,6 +239,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  /** StreamingWeightedSample: after the last document, the bounded
+    * per-language reservoir must equal batch q98 BIT-FOR-BIT on the same
+    * corpus — sample membership, ranks and estimator values — across a
+    * checkpoint restart (the reservoir state carries over, so documents
+    * streamed before the bounce still compete with those after). */
+  test("streaming weighted reservoir converges to the batch q98 sample") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wres")
+    val ckpt = Files.createTempDirectory("wres_ckpt")
+    val corpusDir = Files.createTempDirectory("wres_corpus").toString
+    val rnd = new scala.util.Random(77L)
+    val docs = (0 until 60).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val tok = 1 + rnd.nextInt(50)
+      (1000L + i, Seq.fill(tok)("w").mkString(" "), lang)
+    }
+    docs.map { case (id, t, l) => (id, t, l, "s1", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    def json(d: (Long, String, String)) =
+      s"""{"doc_id":${d._1},"text":"${d._2}","lang":"${d._3}"}"""
+    // latest emission wins per (lang, rk) — update-mode lattice
+    val latest = new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long, Long, Long)]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      graft.streaming.StreamingWeightedSample.sample(stream)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => latest.put((r.getString(0), r.getLong(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update").start()
+    }
+    // first 25 docs, then a restart, then the rest (+ one re-send, which
+    // must be idempotent in the reservoir)
+    Files.write(dir.resolve("b1.json"),
+      docs.take(25).map(json).mkString("\n").getBytes)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    Files.write(dir.resolve("b2.json"),
+      (docs.drop(25) :+ docs.head).map(json).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val gotSet = {
+      import scala.jdk.CollectionConverters._
+      latest.asScala.map { case ((l, rk), (id, tok, e6, et6)) =>
+        (l, rk, id, tok, e6, et6) }.toSet
+    }
+    val want = graft.operators.TextOps.q98WeightedSample(spark, corpusDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(7))).toSet
+    assert(gotSet == want,
+      s"reservoir != batch:\n extra=${gotSet -- want}\n missing=${want -- gotSet}")
+  }
+
   /** StreamingFkAudit: orphan child rows flag at ingestion against the
     * static parent-key frame, the once-per-key alert state survives a
     * restart, and a NULL foreign key flags as an orphan ROW (q92's
