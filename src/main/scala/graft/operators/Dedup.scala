@@ -879,6 +879,10 @@ object Dedup {
   def q99SpanStrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = spanBase(docs(s, dir).select($"doc_id", $"lang", $"text"))
+    // encoded first-occurrence key: valid while doc_id < 2^63/10^9 ≈
+    // 9.2e9 and doc length < 10^9 tokens; a corpus beyond ~10^10
+    // documents widens this to min(struct(doc_id, pos)) (Spark orders
+    // structs lexicographically) at the cost of a fatter shuffle key
     val occ = gramOccurrences(base)
       .withColumn("k", $"doc_id" * lit(1000000000L) + $"pos")
       .localCheckpoint(true)

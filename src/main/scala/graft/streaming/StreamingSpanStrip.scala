@@ -36,6 +36,25 @@ object StreamingSpanStrip {
     Dedup.gramOccurrences(Dedup.spanBase(corpusDocs))
       .select(col("h")).distinct().cache()
 
+  /** Build-once/query-many (the IVF-persistence story for text): deriving
+    * the gram set is a FULL corpus decode + explode + distinct — at
+    * 100 TB that must happen once per corpus version, not once per
+    * serving restart. Persist it h-bucketed + sorted, so every later
+    * membership join reads buckets in place (the CorpusPublisher
+    * contract) and a restarted stripper pays only a table load. */
+  def saveGramIndex(corpusDocs: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    Dedup.gramOccurrences(Dedup.spanBase(corpusDocs))
+      .select(col("h")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "h").sortBy("h")
+      .format("parquet").saveAsTable(table)
+
+  /** The loaded index IS the `grams` frame [[strippedBatch]] consumes —
+    * spec-proven to strip identically to the inline [[corpusGrams]]. */
+  def loadGramIndex(s: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    s.table(table)
+
   /** Strip one micro-batch (`(doc_id, text)` rows) against the corpus
     * gram set: plain batch semantics inside foreachBatch. Output one row
     * per incoming doc: (doc_id, n_tok, n_removed, stripped_md5) —
