@@ -47,7 +47,7 @@ object Bench {
     "q88_textrank", "q89_containment", "q90_source_drift",
     "q91_balance_chi2", "q92_fk_audit", "q93_triangle_census",
     "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
-    "q98_weighted_sample", "q99_span_strip")
+    "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -104,7 +104,12 @@ object Bench {
     // the same child, matching its ref): priority sampling is two pruned
     // scans + a tiny window; span-strip pays the q97 gram shuffle plus
     // the rebuild projection
-    "q98_weighted_sample" -> 0.7, "q99_span_strip" -> 1.4)
+    "q98_weighted_sample" -> 0.7, "q99_span_strip" -> 1.4,
+    // q100 added r7: 12 BPE merge rules = 12 inherently sequential
+    // argmax round-trips over the checkpointed word-vocab frame; the
+    // cost is per-iteration job overhead, not data volume (isolated
+    // fork 2.2)
+    "q100_bpe_merges" -> 1.8)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

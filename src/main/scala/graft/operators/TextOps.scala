@@ -1275,7 +1275,130 @@ object TextOps {
       .orderBy($"tok")
   }
 
+  // --------------------------------------------------------------- q100
+  /** Number of BPE merge rules q100 learns. */
+  val BpeMerges = 12
+
+  /** q100: distributed BPE tokenizer training — learn the first
+    * [[BpeMerges]] byte-pair-encoding merge rules over the corpus.
+    *
+    * The scalable formulation is the classic word-vocabulary one: pair
+    * statistics are computed over DISTINCT words weighted by frequency,
+    * never over raw corpus positions. The corpus is scanned ONCE (the
+    * word count); every merge iteration then runs over the checkpointed
+    * vocab frame, whose size is |vocab|, not |corpus| — at 100 TB the
+    * text is read a single time and the iterations touch only the
+    * (billions-at-most) distinct-word frame, partial-agg'd map-side to
+    * the (symbol, symbol) pair space.
+    *
+    * Representation: each word is a sequence of space-flanked symbols
+    * (`' s '` each, so consecutive symbols are separated by TWO spaces)
+    * ending in the `</w>` end-of-word marker. A merge of (a, b) is the
+    * codegen string replace `' a  b ' → ' ab '` — left-to-right
+    * non-overlapping, which IS greedy BPE pair application ('a a a'
+    * merges to ('aa', 'a')), and the per-symbol flanking spaces make a
+    * mid-token false match impossible while keeping each remaining
+    * symbol's own flanks intact for the next scan. The argmax merge is
+    * chosen with the deterministic tie-break (count DESC, a ASC, b ASC)
+    * via orderBy+limit(1) — TakeOrderedAndProject, no global sort — and
+    * the only driver-side data is that single row per iteration.
+    *
+    * Output: one row per learned rule (it, sym_a, sym_b, merged,
+    * pair_count) — integer counts and string ops only, so the unrolled
+    * per-stage DuckDB twin is hash-exact. Learning stops early if the
+    * pair space runs dry (tiny corpora); the twin's empty-merge CTE
+    * cascade mirrors that exactly. */
+  def q100BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    // ' c1  c2  ...  cN  </w> ' — every symbol flanked by its own spaces
+    val v0 = words.select(
+      concat(
+        expr("array_join(transform(sequence(1, length(word))," +
+          " i -> concat(' ', substring(word, i, 1), ' ')), '')"),
+        lit(" </w> ")).as("seq"),
+      $"cnt")
+    // the barrier: without it every iteration re-plans the corpus scan
+    var v = v0.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var dry = false
+    while (k <= BpeMerges && !dry) {
+      val best = v
+        .select(split(trim($"seq"), "  ").as("arr"), $"cnt")
+        .filter(size($"arr") >= 2) // sequence(1,0) would DESCEND, not empty
+        .select(explode(expr(
+          "transform(sequence(1, size(arr)-1)," +
+            " i -> struct(arr[i-1] AS a, arr[i] AS b))")).as("p"), $"cnt")
+        .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"cnt").as("c"))
+        .orderBy($"c".desc, $"a".asc, $"b".asc)
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val r = best(0)
+        val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((k.toLong, a, b, c))
+        v = v.select(
+          replace($"seq", lit(s" $a  $b "), lit(s" $a$b ")).as("seq"), $"cnt")
+        // re-barrier every 4th merge: the in-between replaces are narrow
+        // codegen projections over the last checkpoint (cheap to re-run
+        // once in the next pair count), while a per-iteration checkpoint
+        // would pay a materialization JOB each merge — measured ~1 s of
+        // pure job overhead at sf0.1
+        if (k % 4 == 0) v = v.localCheckpoint(true)
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("it", "sym_a", "sym_b", "pair_count")
+      .select($"it", $"sym_a", $"sym_b",
+        concat($"sym_a", $"sym_b").as("merged"), $"pair_count")
+      .orderBy($"it")
+  }
+
+  /** The q100 twin: [[BpeMerges]] unrolled (pairs → argmax → apply)
+    * stages. Each stage's merge table is data-dependent (CROSS JOIN of
+    * the 1-row argmax), so no literals are interpolated; an empty stage
+    * (dry pair space, or an empty corpus) empties every later stage,
+    * matching the Spark side's early stop. The CTEs are MATERIALIZED:
+    * each stage is referenced twice (pairs + apply), so inlining would
+    * re-evaluate the chain 2^k times — measured as a 10-minute melt at
+    * k=12 vs 0.5 s materialized. */
+  private def bpeOracleSql(k: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""v0 AS MATERIALIZED (
+      |  SELECT array_to_string(list_transform(range(length(word)),
+      |           i -> ' ' || substr(word, CAST(i AS INTEGER)+1, 1) || ' '), '')
+      |         || ' </w> ' AS seq, cnt
+      |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) cnt
+      |        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |              FROM documents)
+      |        WHERE word <> '' GROUP BY word))""".stripMargin
+    for (i <- 1 to k) {
+      ctes += s"""p$i AS MATERIALIZED (
+        |  SELECT arr[CAST(i AS INTEGER)+1] AS a, arr[CAST(i AS INTEGER)+2] AS b,
+        |         SUM(cnt) AS c
+        |  FROM (SELECT unnest(range(len(arr)-1)) AS i, arr, cnt
+        |        FROM (SELECT string_split(trim(seq), '  ') AS arr, cnt FROM v${i - 1}))
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""m$i AS MATERIALIZED (
+        |  SELECT $i AS it, a, b, c FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      ctes += s"""v$i AS MATERIALIZED (
+        |  SELECT replace(seq, ' ' || m.a || '  ' || m.b || ' ',
+        |                 ' ' || m.a || m.b || ' ') AS seq, cnt
+        |  FROM v${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") + s"""
+      |SELECT CAST(it AS BIGINT) AS it, a AS sym_a, b AS sym_b,
+      |       a || b AS merged, CAST(c AS BIGINT) AS pair_count
+      |FROM ($union) ORDER BY it""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_bpe_merges" -> (q100BpeMerges _),
     "q76_mixture_weights" -> (q76MixtureWeights _),
     "q78_boilerplate" -> (q78Boilerplate _),
     "q80_snapshot_diff" -> (q80SnapshotDiff _),
@@ -1316,6 +1439,7 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q100_bpe_merges" -> bpeOracleSql(BpeMerges),
     "q81_heavy_hitters" ->
       // the exact threshold set the MG-candidate + verify pipeline must
       // land on regardless of its internal sketch state

@@ -536,4 +536,97 @@ class TextOpsSpec extends AnyFunSuite {
       assert(ids.distinct == ids, s"shingle '${r.getString(0)}' dup ids")
     }
   }
+
+  // ------------------------------------------------------------- q100
+  private def bpeCorpus(texts: Seq[String]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def runBpe(texts: Seq[String]): Seq[(Long, String, String, String, Long)] =
+    TextOps.q100BpeMerges(spark, bpeCorpus(texts)).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  /** Driver reference: classic word-vocab BPE with greedy left-to-right
+    * pair application and the (count DESC, a ASC, b ASC) tie-break. */
+  private def refBpe(texts: Seq[String], k: Int): Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>") -> ws.length.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= k && !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + cnt
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), c) = pairs.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((it.toLong, a, b, a + b, c))
+        vocab = vocab.groupBy { case (syms, _) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) { // greedy left-to-right, non-overlapping
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += a + b; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector
+        }.map { case (syms, g) => syms -> g.values.sum }
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Planted vocab {hug:3, pug:2}: it1 ties (u,g) vs (g,</w>) at 5 and
+    * the a-ASC tie-break must pick (g,</w>); learning runs dry after 4
+    * merges, well before the BpeMerges=12 budget — early stop pinned. */
+  test("q100 planted: merge sequence, tie-break, early stop") {
+    val got = runBpe(Seq("hug hug pug", "pug hug"))
+    assert(got == Seq(
+      (1L, "g", "</w>", "g</w>", 5L),
+      (2L, "u", "g</w>", "ug</w>", 5L),
+      (3L, "h", "ug</w>", "hug</w>", 3L),
+      (4L, "p", "ug</w>", "pug</w>", 2L)), got)
+  }
+
+  /** 'aaa': the (a,a) pair counts at BOTH adjacent positions (4 across
+    * two words) but greedy left-to-right application merges only the
+    * first — ('aa','a'), never ('a','aa') or double-merge. */
+  test("q100: greedy non-overlapping application on repeated symbols") {
+    val got = runBpe(Seq("aaa aaa"))
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "</w>", "a</w>", 2L),
+      (3L, "aa", "a</w>", "aaa</w>", 2L)), got)
+  }
+
+  test("q100 property: matches the driver reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val alphabet = "abcd"
+      val texts = Seq.fill(5 + rnd.nextInt(5)) {
+        Seq.fill(3 + rnd.nextInt(8)) {
+          Seq.fill(1 + rnd.nextInt(5))(
+            alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+      }
+      val got = runBpe(texts)
+      val want = refBpe(texts, TextOps.BpeMerges)
+      assert(got == want, s"trial $trial corpus=$texts")
+    }
+  }
 }
