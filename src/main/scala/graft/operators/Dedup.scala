@@ -619,6 +619,97 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  // --------------------------------------------------------------- q101
+  /** q101: Bloom-filter decontamination — the broadcast-sketch SCALE arm
+    * of q60, same split (doc_id buckets < 100 = eval, ≥ 100 = train) and
+    * the SAME exact answer.
+    *
+    * q60's shape shuffles every train shingle into the equi-join against
+    * the eval set. At 100 TB that shuffle carries the whole training
+    * corpus's shingle volume. This arm instead:
+    *
+    *  1. builds ONE Bloom sketch of the distinct eval shingles with the
+    *     engine's own `BloomFilterAggregate` (distributed partial
+    *     sketches OR-merged; xxhash64 keys) — a driver-sized binary
+    *     (MBs, fpp ≪ 1% at the sized capacity) fetched once;
+    *  2. pre-filters the train shingles MAP-SIDE with the codegen
+    *     `might_contain` literal — no false negatives, so every truly
+    *     contaminated shingle survives;
+    *  3. runs q60's exact equi-join on the SURVIVORS ONLY — the shuffle
+    *     now carries (true hits + a hash-sized trickle of false
+    *     positives) instead of the corpus.
+    *
+    * The output is q60's per-language exact accounting (hash-exact vs
+    * the same DuckDB twin — the sketch can only shrink the join INPUT,
+    * never the result) plus `bloom_fp_le_5pct`, a Spark-computed
+    * invariant over the sketch's false-positive doc rate that the twin
+    * predicts literally (q19/q83 pattern: the bloom bitset is
+    * engine-internal, its guarantee is not — and Spark's bloom is
+    * seed-fixed, so the flag is deterministic). */
+  def q101BloomDecontam(s: SparkSession, dir: String): DataFrame =
+    bloomDecontamOf(docs(s, dir))
+
+  /** Sketch capacity: sized for the eval split's distinct shingles.
+    * Generous sizing keeps fpp ≪ the 5%-flag bound; at real scale this
+    * is the one knob (bloom bytes ≈ 1.2 B per item at 1% fpp). */
+  val BloomCapacity = 4000000L
+
+  def bloomDecontamOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    // one text decode, one shingle frame, split after (the q60 barrier)
+    val sh = shingleRowsOf(d.select($"doc_id", $"text"),
+        distinct = true, width = DecontamWidth)
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+      .localCheckpoint(true)
+    val evalSh = sh.filter($"bucket" < 100).select($"s").distinct()
+    val trainSh = sh.filter($"bucket" >= 100).select($"doc_id", $"s")
+    val bloomBin = evalSh.agg(graft.util.Cols.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(graft.util.Cols.expression($"s"))), BloomCapacity)
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // empty eval split → null sketch → nothing can be contaminated
+    val mightContain: Column =
+      if (bloomBin == null) lit(false)
+      else graft.util.Cols.column(new BloomFilterMightContain(
+        Literal(bloomBin, BinaryType),
+        new XxHash64(Seq(graft.util.Cols.expression($"s")))))
+    // candidate docs: bloom-flagged shingles only (map-side shrink)
+    val candSh = trainSh.filter(mightContain)
+    val candDocs = candSh.select($"doc_id").distinct()
+      .withColumn("cand", lit(1L))
+    // exact hits from the SURVIVORS — no false negatives, so this is
+    // exactly q60's join, on a fraction of the input
+    val hits = candSh.join(evalSh, "s")
+      .select($"doc_id").distinct()
+      .withColumn("cont", lit(1L))
+    d.select($"doc_id", $"lang")
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+      .filter($"bucket" >= 100)
+      .select($"doc_id", $"lang")
+      .join(hits, Seq("doc_id"), "left")
+      .join(candDocs, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce($"cont", lit(0L))).as("n_contaminated"),
+        sum(coalesce($"cand", lit(0L))).as("n_cand"))
+      .withColumn("contam_frac",
+        $"n_contaminated".cast("double") / $"n_train")
+      // fp docs = bloom-flagged but not contaminated; rate over the
+      // CLEAN population (0/0-guarded: all-contaminated → zero fps)
+      .withColumn("bloom_fp_le_5pct",
+        when($"n_train" === $"n_contaminated", lit(true))
+          .otherwise(($"n_cand" - $"n_contaminated").cast("double") /
+            ($"n_train" - $"n_contaminated") <= 0.05))
+      .select($"lang", $"n_train", $"n_contaminated", $"contam_frac",
+        $"bloom_fp_le_5pct")
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- q62
   /** Per-document component labels for the q36 near-dup graph, computed
     * the scale-safe way: label propagation runs over REPRESENTATIVE
@@ -908,6 +999,7 @@ object Dedup {
     "q49_minhash_estimate" -> (q49MinhashEstimate _),
     "q56_incremental_dedup" -> (q56IncrementalDedup _),
     "q60_decontam" -> (q60Decontam _),
+    "q101_bloom_decontam" -> (q101BloomDecontam _),
     "q62_cluster_sizes" -> (q62ClusterSizes _),
     "q65_keep_best" -> (q65KeepBest _),
     "q77_split_leakage" -> (q77SplitLeakage _),
@@ -1041,6 +1133,30 @@ object Dedup {
         |    AS n_contaminated,
         |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) AS contam_frac
+        |FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
+        |WHERE b.bucket >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q101_bloom_decontam" -> {
+      // q60's exact twin (the sketch only shrinks the join INPUT) plus
+      // the literal bloom invariant the q19/q83 pattern predicts
+      val sh = (1 to DecontamWidth).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH b AS (SELECT doc_id, lang, text, ${sqlBucket("doc_id")} AS bucket FROM documents),
+        |toks AS (SELECT doc_id, lang, bucket, string_split(lower(text), ' ') t FROM b),
+        |d AS (SELECT doc_id, lang, bucket,
+        |        list_distinct(list_transform(range(len(t)-${DecontamWidth - 1}),
+        |          i -> $sh)) sh
+        |      FROM toks WHERE len(t) >= $DecontamWidth),
+        |e AS (SELECT doc_id, lang, bucket, unnest(sh) s FROM d),
+        |evs AS (SELECT DISTINCT s FROM e WHERE bucket < 100),
+        |hits AS (SELECT DISTINCT e.doc_id FROM e JOIN evs USING (s)
+        |         WHERE bucket >= 100)
+        |SELECT lang, COUNT(*) AS n_train,
+        |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS contam_frac,
+        |  TRUE AS bloom_fp_le_5pct
         |FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
         |WHERE b.bucket >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin

@@ -208,6 +208,51 @@ class DedupSpec extends AnyFunSuite {
       out(0).toString)
   }
 
+  /** q101 must be q60 EXACTLY (the bloom can only shrink the join
+    * input, never the result) with the fp invariant standing — on the
+    * planted corpus and on the real sf0.001 tables. */
+  test("q101 bloom arm equals q60 exactly, fp invariant true") {
+    import spark.implicits._
+    val ids = (0L until 200L)
+    val evalId = ids.find(bucketOf(_) < 100).get
+    val trainIds = ids.filter(bucketOf(_) >= 100).take(3)
+    val evalText = "one two three four five six seven eight"
+    val rows = Seq(
+      (evalId, "en", evalText),
+      (trainIds(0), "en", "prefix words then " + evalText),
+      (trainIds(1), "en", "alpha beta gamma delta epsilon zeta eta"),
+      (trainIds(2), "en", "red green blue cyan magenta yellow black"))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val exact = Dedup.decontamOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bloom = Dedup.bloomDecontamOf(df).collect()
+    assert(bloom.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == exact.toSeq)
+    bloom.foreach(r => assert(r.getBoolean(4), r.toString))
+
+    val dir = "/root/testdata/sf0.001"
+    val q60 = Dedup.q60Decontam(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val q101 = Dedup.q101BloomDecontam(spark, dir).collect()
+    assert(q101.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == q60.toSeq)
+    q101.foreach(r => assert(r.getBoolean(4), r.toString))
+  }
+
+  /** An EMPTY eval split means a null sketch — nothing may flag, and
+    * the query must not NPE (the r3 degenerate-input rule). */
+  test("q101 with an empty eval split: null sketch, zero contamination") {
+    import spark.implicits._
+    val trainIds = (0L until 200L).filter(bucketOf(_) >= 100).take(3)
+    val rows = trainIds.map(id =>
+      (id, "en", s"doc $id alpha beta gamma delta epsilon"))
+    val out = Dedup.bloomDecontamOf(rows.toDF("doc_id", "lang", "text"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 0, out(0))
+    assert(out(0).getBoolean(4), out(0))
+  }
+
   /** The component queries must survive the mega-cluster too: label
     * propagation runs over REPRESENTATIVE pairs (1 rep here), never the
     * 499,500 expanded intra pairs — O(members) label expansion, not

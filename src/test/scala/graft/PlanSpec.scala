@@ -386,6 +386,18 @@ class PlanSpec extends AnyFunSuite {
       p.take(800)) // the checkpointed shingle rows
   }
 
+  test("q101: bloom literal pre-filters the probe side, text decoded once") {
+    // the scale-arm contract: the shingle equi-join's train side is
+    // gated by the codegen might_contain literal (map-side shrink
+    // BEFORE the shuffle), and — as q60 — the checkpointed shingle
+    // frame means no text column survives into the final plan
+    val p = plan("q101_bloom_decontam")
+    assert(p.contains("might_contain"), p.take(800))
+    assert(!p.contains("text:string"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      p.take(800))
+  }
+
   test("q45: blocked dedup is an equi-join on grid cells, no BNLJ") {
     val p = plan("q45_embedding_dedup_blocked")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
