@@ -654,12 +654,38 @@ object Dedup {
     * is the one knob (bloom bytes ≈ 1.2 B per item at 1% fpp). */
   val BloomCapacity = 4000000L
 
+  /** Driver-fetched Bloom sketch of a DataFrame's `colName` string
+    * column, built with the engine's own distributed
+    * `BloomFilterAggregate` (partial sketches OR-merged; xxhash64 keys).
+    * Null when the frame is empty — see [[bloomGate]]. Shared by q101
+    * and [[graft.streaming.StreamDecontam]]'s bloom arm. */
+  def bloomOf(d: DataFrame, colName: String,
+      capacity: Long = BloomCapacity): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    d.agg(graft.util.Cols.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(graft.util.Cols.expression(d(colName)))), capacity)
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** The codegen `might_contain(sketch-literal, xxhash64(c))` gate for a
+    * sketch built by [[bloomOf]]; a null sketch (empty build side) means
+    * nothing can match. No false negatives ever — the gate may only
+    * SHRINK a downstream exact join's input, never change its result. */
+  def bloomGate(bloomBin: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    if (bloomBin == null) lit(false)
+    else graft.util.Cols.column(new BloomFilterMightContain(
+      Literal(bloomBin, BinaryType),
+      new XxHash64(Seq(graft.util.Cols.expression(c)))))
+  }
+
   def bloomDecontamOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
     // one text decode, one shingle frame, split after (the q60 barrier)
     val sh = shingleRowsOf(d.select($"doc_id", $"text"),
         distinct = true, width = DecontamWidth)
@@ -667,17 +693,8 @@ object Dedup {
       .localCheckpoint(true)
     val evalSh = sh.filter($"bucket" < 100).select($"s").distinct()
     val trainSh = sh.filter($"bucket" >= 100).select($"doc_id", $"s")
-    val bloomBin = evalSh.agg(graft.util.Cols.column(
-        new BloomFilterAggregate(
-          new XxHash64(Seq(graft.util.Cols.expression($"s"))), BloomCapacity)
-          .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
     // empty eval split → null sketch → nothing can be contaminated
-    val mightContain: Column =
-      if (bloomBin == null) lit(false)
-      else graft.util.Cols.column(new BloomFilterMightContain(
-        Literal(bloomBin, BinaryType),
-        new XxHash64(Seq(graft.util.Cols.expression($"s")))))
+    val mightContain: Column = bloomGate(bloomOf(evalSh, "s"), $"s")
     // candidate docs: bloom-flagged shingles only (map-side shrink)
     val candSh = trainSh.filter(mightContain)
     val candDocs = candSh.select($"doc_id").distinct()

@@ -37,4 +37,28 @@ object StreamDecontam {
       .join(evalSh, "s") // stream-static equi-join: stateless
       .select(col("doc_id"), col("s").as("evidence"))
       .dropDuplicates("doc_id")
+
+  /** Driver-built Bloom sketch of the eval shingle set, for
+    * [[alertsBloom]]. Built ONCE at query-construction time (the eval
+    * suite is static for the query's lifetime, same contract as
+    * [[evalShingles]]' cache) — a few MB literal compiled into the
+    * stream's codegen, not re-evaluated per micro-batch. */
+  def bloomSketch(evalSh: DataFrame): Array[Byte] =
+    Dedup.bloomOf(evalSh, "s")
+
+  /** q101's map-side shrink applied at the stream door: every incoming
+    * shingle is gated by the codegen `might_contain` literal BEFORE the
+    * stream-static join, so each micro-batch joins only (true hits +
+    * a hash-sized trickle of false positives) against the eval set
+    * instead of its whole shingle volume. No false negatives — alert
+    * output is bit-identical to [[alerts]]; at scale this is what keeps
+    * the per-batch join probe proportional to contamination, not to
+    * ingest rate × document length. */
+  def alertsBloom(stream: DataFrame, evalSh: DataFrame,
+      bloom: Array[Byte]): DataFrame =
+    Dedup.shingleRowsOf(stream, distinct = false, width = Dedup.DecontamWidth)
+      .filter(Dedup.bloomGate(bloom, col("s")))
+      .join(evalSh, "s") // exact check on the survivors only
+      .select(col("doc_id"), col("s").as("evidence"))
+      .dropDuplicates("doc_id")
 }

@@ -576,6 +576,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** The q101 bloom arm at the stream door: identical alerts to the
+    * exact-join path (no false negatives; false positives die in the
+    * exact join on the survivors), on the same batch sequence — incl. a
+    * clean doc that must NEVER alert and the once-per-doc guarantee. */
+  test("streaming bloom decontamination alerts match the exact path") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("decontam_bloom_stream")
+    val outName = "decontam_bloom_out"
+    val leak = "zero one two three four five six"
+    val evalSh = graft.streaming.StreamDecontam.evalShingles(
+      Seq((100L, leak)).toDF("doc_id", "text"))
+    val bloom = graft.streaming.StreamDecontam.bloomSketch(evalSh)
+    assert(bloom != null, "non-empty eval set must sketch")
+    def doc(idx: Int, text: String) = s"""{"doc_id":$idx,"text":"$text"}"""
+    Files.write(dir.resolve("b1.json"),
+      Seq(doc(0, "intro then " + leak), doc(1, "totally clean text here now ok"))
+        .mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val q = graft.streaming.StreamDecontam.alertsBloom(stream, evalSh, bloom)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.resolve("b2.json"),
+        Seq(doc(0, "intro then " + leak), doc(2, leak + " verbatim tail"))
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+      val alerts = spark.table(outName).collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+      assert(alerts == Seq(0L, 2L), s"alerts $alerts")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+    // an EMPTY eval suite sketches to null; the gate closes and the
+    // stream plan must still build (degenerate-input rule)
+    val emptySh = graft.streaming.StreamDecontam.evalShingles(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(graft.streaming.StreamDecontam.bloomSketch(emptySh) == null)
+  }
+
   /** Ingestion-time exact dedup: the first copy of each distinct text is
     * kept, later copies (same batch or later batches) drop via keyed
     * state. Batch execution of the same operator must agree. */
