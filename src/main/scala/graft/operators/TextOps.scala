@@ -756,6 +756,93 @@ object TextOps {
       .orderBy($"lang", $"rk")
   }
 
+  // --------------------------------------------------------------- q102
+  /** Hashed feature-bucket count for importance weighting: the q46/q57
+    * md5-hex family applied to a TOKEN (tokens are already strings, so
+    * no to-string cast), mod [[DsirBuckets]]. */
+  val DsirBuckets = 256
+  /** Fixed-point scale of the per-bucket target/source ratio. */
+  val DsirScale = 1000000L
+  /** Selected documents per language. */
+  val DsirK = 5
+
+  /** q102: DSIR-style data selection by hashed importance weighting
+    * (after Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score each TRAIN document by how
+    * target-like its hashed unigram distribution is, and keep the
+    * per-language top-[[DsirK]]. Target = the q60/q101 eval split
+    * (doc_id bucket < 100), source = the train split.
+    *
+    * Departure from the paper, deliberately: the per-token weight is the
+    * smoothed count RATIO (add-half) in exact fixed-point integer
+    * arithmetic —
+    *   R[b] = ⌊SCALE · (2·ct_b+1)(2·Ts+K) / ((2·cs_b+1)(2·Tt+K))⌋
+    * — and a document scores Σ_tokens R[bucket(token)], i.e. the
+    * arithmetic mean of ratios rather than the paper's log-space
+    * product. `ln` is library-dependent in the last ulp (the q61/q87
+    * rule), so log-space scores cannot be oracle-exact across engines;
+    * integer ratios can, and they induce the same "looks like the
+    * target" ordering signal. R[b] is bounded by SCALE·(2·Ts+K)/3 (a
+    * train doc's bucket has cs_b ≥ 1), so a doc score fits a long
+    * comfortably below ~10^18 corpus tokens; the 100 TB path swaps in
+    * the q42 int128 sum, same oracle.
+    *
+    * Scale shape: ONE corpus scan → token explode → partial-agged
+    * group-by on (doc, bucket) — the only data-volume shuffle, carrying
+    * ≤ [[DsirBuckets]] rows per doc, not its token stream. The K×2
+    * bucket-count table is a driver-sized collect (256 cells); the ratio
+    * table goes back as a 256-long ARRAY LITERAL compiled into codegen —
+    * no join anywhere in the plan. Final per-language top-k is the
+    * rank-then-filter WindowGroupLimit shape (each task keeps ≤ k rows
+    * per language before the shuffle). */
+  def q102DsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirOf(docs(s, dir))
+
+  def dsirOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = DsirBuckets
+    // (doc, lang, doc-bucket, feature-bucket) → token count; checkpoint:
+    // both the global cells and the scoring pass consume this frame, and
+    // the barrier guarantees ONE text decode + ONE explode (q101 rule)
+    val perDoc = d.select($"doc_id", $"lang",
+        graft.util.Buckets.mod1000("doc_id").as("db"),
+        explode(split(lower($"text"), " ")).as("tok"))
+      .withColumn("fb", expr(
+        s"cast(conv(substring(md5(cast(tok as binary)), 1, 8), 16, 10) as long) % $K"))
+      .groupBy($"doc_id", $"lang", $"db", $"fb")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // K×2 cells — driver-sized by construction, independent of corpus
+    val cells = perDoc.groupBy($"fb")
+      .agg(sum(when($"db" < 100, $"c").otherwise(0L)).as("ct"),
+        sum(when($"db" >= 100, $"c").otherwise(0L)).as("cs"))
+      .collect()
+    val tt = cells.map(_.getLong(1)).sum
+    val ts = cells.map(_.getLong(2)).sum
+    // exact BigInt ratio per bucket (floor; all factors positive);
+    // untouched buckets get the ct=cs=0 formula value — formula-
+    // consistent, and unreachable anyway (no token maps there)
+    def ratio(ct: Long, cs: Long): Long =
+      ((BigInt(DsirScale) * (2 * BigInt(ct) + 1) * (2 * BigInt(ts) + K)) /
+        ((2 * BigInt(cs) + 1) * (2 * BigInt(tt) + K))).toLong
+    val rArr = Array.fill(K)(ratio(0L, 0L))
+    cells.foreach(r => rArr(r.getLong(0).toInt) =
+      ratio(r.getLong(1), r.getLong(2)))
+    val rLookup = array(rArr.map(lit(_)).toIndexedSeq: _*)
+    val w = Window.partitionBy($"lang")
+      .orderBy($"dsir_score".desc, $"doc_id".asc)
+    perDoc.filter($"db" >= 100)
+      .withColumn("rv", element_at(rLookup, ($"fb" + 1).cast("int")))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c" * $"rv").as("dsir_score"), sum($"c").as("n_tokens"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= DsirK)
+      .select($"lang", $"rk", $"doc_id", $"n_tokens", $"dsir_score")
+      .orderBy($"lang", $"rk")
+  }
+
   // ---------------------------------------------------------------- q58
   /** Sequence packing: greedily pack documents (in stable doc_id order,
     * per language) into 8192-token context windows by start offset — the
@@ -1405,6 +1492,7 @@ object TextOps {
     "q81_heavy_hitters" -> (q81HeavyHitters _),
     "q82_stratified_eval" -> (q82StratifiedEval _),
     "q98_weighted_sample" -> (q98WeightedSample _),
+    "q102_dsir_weights" -> (q102DsirWeights _),
     "q83_approx_quantiles" -> (q83ApproxQuantiles _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -1496,6 +1584,40 @@ object TextOps {
         |    / CAST(t.total_tokens * 1000000 AS DOUBLE) AS err_frac
         |FROM sel s JOIN tot t USING (lang) JOIN est e USING (lang)
         |ORDER BY lang, rk""".stripMargin
+    },
+    "q102_dsir_weights" -> {
+      // doc bucket: the shared q46/q57 8-nibble md5 idiom over the id;
+      // feature bucket: the same idiom over the TOKEN (already VARCHAR)
+      val dbHex =
+        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
+      val fbHex =
+        s"list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % $DsirBuckets"
+      val K = DsirBuckets
+      // HUGEINT // is floor division on positives — exactly the BigInt /
+      s"""WITH b AS (SELECT doc_id, lang, $dbHex AS db,
+        |  string_split(lower(text), ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, lang, db, unnest(t) AS tok FROM b),
+        |tb AS (SELECT doc_id, lang, db, $fbHex AS fb FROM tok),
+        |pd AS (SELECT doc_id, lang, db, fb, COUNT(*) AS c
+        |       FROM tb GROUP BY doc_id, lang, db, fb),
+        |cells AS (SELECT fb,
+        |    SUM(CASE WHEN db < 100 THEN c ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN db >= 100 THEN c ELSE 0 END) AS cs
+        |  FROM pd GROUP BY fb),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM cells),
+        |r AS (SELECT fb,
+        |    (CAST($DsirScale AS HUGEINT) * (2*ct+1) * (2*ts+$K))
+        |      // ((2*cs+1) * (2*tt+$K)) AS rv
+        |  FROM cells, tot),
+        |ds AS (SELECT doc_id, lang,
+        |    CAST(SUM(c * rv) AS BIGINT) AS dsir_score,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens
+        |  FROM pd JOIN r USING (fb) WHERE db >= 100 GROUP BY doc_id, lang),
+        |rk AS (SELECT lang, doc_id, n_tokens, dsir_score,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY dsir_score DESC, doc_id ASC) AS rk FROM ds)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens, dsir_score
+        |FROM rk WHERE rk <= $DsirK ORDER BY lang, rk""".stripMargin
     },
     "q76_mixture_weights" ->
       s"""WITH c AS (SELECT source, COUNT(*) n_docs,

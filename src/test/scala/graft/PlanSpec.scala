@@ -398,6 +398,18 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("q102: ratio lookup is a literal array — zero joins, group-limit top-k") {
+    // the scale contract: the 256-bucket ratio table rides into codegen
+    // as an array literal (driver-sized collect, no join anywhere), the
+    // heavy frame behind the checkpoint barrier carries (doc, bucket)
+    // counts — never the token stream or the text column — and the
+    // per-language top-k is rank-limited before the shuffle
+    val p = plan("q102_dsir_weights")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("text:string"), p.take(800))
+  }
+
   test("q45: blocked dedup is an equi-join on grid cells, no BNLJ") {
     val p = plan("q45_embedding_dedup_blocked")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

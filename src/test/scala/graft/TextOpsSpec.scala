@@ -404,6 +404,83 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** q102: the distributed hashed-ratio scoring must land on EXACTLY the
+    * longs a driver-side run of the same integer arithmetic produces
+    * (md5 buckets, BigInt add-half ratios, per-doc sums, top-k ties by
+    * doc_id), and the target-like train doc must outrank the off-target
+    * ones — the selection signal the operator exists for. */
+  test("q102 planted: scores match the driver reference, target-like doc wins") {
+    import spark.implicits._
+    def hex8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def dbOf(id: Long): Long = hex8(id.toString) % 1000L
+    def fbOf(tok: String): Long = hex8(tok) % TextOps.DsirBuckets
+    val ids = (0L until 400L)
+    val evalIds = ids.filter(dbOf(_) < 100).take(2)
+    val trainIds = ids.filter(dbOf(_) >= 100).take(8)
+    val target = "alpha beta gamma delta epsilon"
+    val off = "uno dos tres cuatro cinco"
+    val docs = evalIds.map(id => (id, "en", target + " zeta eta")) ++
+      Seq((trainIds(0), "en", off + " seis"),
+        (trainIds(1), "en", target + " theta"), // target-like → must win
+        (trainIds(2), "en", off + " siete ocho"),
+        (trainIds(3), "es", off),
+        (trainIds(4), "es", target)) // target-like in es
+    val df = docs.toDF("doc_id", "lang", "text")
+
+    // driver reference: same tokenization, same buckets, same BigInt math
+    val K = TextOps.DsirBuckets
+    val tokRows = docs.flatMap { case (id, lang, text) =>
+      text.toLowerCase.split(" ", -1).map(t => (id, lang, dbOf(id), fbOf(t)))
+    }
+    val cells = tokRows.groupBy(_._4).map { case (fb, rs) =>
+      fb -> ((rs.count(_._3 < 100).toLong, rs.count(_._3 >= 100).toLong))
+    }
+    val tt = cells.values.map(_._1).sum
+    val ts = cells.values.map(_._2).sum
+    def ratio(ct: Long, cs: Long): Long =
+      ((BigInt(TextOps.DsirScale) * (2 * BigInt(ct) + 1) * (2 * BigInt(ts) + K)) /
+        ((2 * BigInt(cs) + 1) * (2 * BigInt(tt) + K))).toLong
+    val want = tokRows.filter(_._3 >= 100).groupBy(r => (r._1, r._2))
+      .map { case ((id, lang), rs) =>
+        val score = rs.map(r => ratio(cells(r._4)._1, cells(r._4)._2)).sum
+        (lang, id, rs.size.toLong, score)
+      }.toSeq.groupBy(_._1).flatMap { case (lang, ds) =>
+        ds.sortBy(d => (-d._4, d._2)).take(TextOps.DsirK).zipWithIndex
+          .map { case ((l, id, n, sc), i) => (l, (i + 1).toLong, id, n, sc) }
+      }.toSet
+
+    val got = TextOps.dsirOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want, s"extra=${got -- want}\n missing=${want -- got}")
+    // the selection signal: target-like docs rank first in both langs
+    val top = got.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(top("en") == trainIds(1) && top("es") == trainIds(4), top)
+  }
+
+  /** q102 with NO eval split (tt = 0): the smoothed formula stays
+    * defined, every train doc still scores, output is deterministic —
+    * the degenerate-input rule. */
+  test("q102 with an empty target split still ranks deterministically") {
+    import spark.implicits._
+    def dbOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1000L
+    }
+    val trainIds = (0L until 400L).filter(dbOf(_) >= 100).take(3)
+    val df = trainIds.map(id => (id, "en", s"w$id common words here"))
+      .toDF("doc_id", "lang", "text")
+    val a = TextOps.dsirOf(df).collect().map(_.toString).toSeq
+    val b = TextOps.dsirOf(df).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a.size == 3 && a == b)
+  }
+
   /** q98 on the real corpus: weighted selection must skew the sample
     * toward long documents — the sampled mean token count exceeds the
     * stratum mean in every language (deterministic given the data). */
