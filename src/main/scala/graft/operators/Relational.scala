@@ -252,6 +252,60 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- q103
+  /** Micros per gap-fill bucket (1 hour). */
+  val GapfillHourUs: Long = 3600L * 1000000L
+
+  /** q103: dense time-series gap-fill — InfluxQL's
+    * `GROUP BY time(1h), tag fill(...)` semantics (the query surface of
+    * the database the reference pipes APRS telemetry into;
+    * `__main__.py:233-260` builds the `packet` measurement these
+    * dashboards read). q14 buckets only the hours that HAVE events; a
+    * dashboard
+    * needs every hour of the range, with the two standard fill modes in
+    * one result: `fill(0)` for the count/sum columns and
+    * `fill(previous)` (LOCF) for the hourly mean, per event_type over
+    * the global [min,max] hour span (hours before a type's first
+    * observation stay NULL, as InfluxDB's `previous` does).
+    *
+    * Scale shape: events collapse map-side to (hour, type) buckets
+    * FIRST — the only scan of the fact table, checkpointed; everything
+    * after (bounds agg, tag list, grid explode, left join, LOCF window)
+    * runs on the TIME-RANGE-sized bucket frame, independent of event
+    * volume. The grid is tags × sequence(lo..hi) via a generator, not a
+    * cartesian join; the LOCF window partitions by type over at most
+    * #hours rows — ten years of hourly buckets is 87,600 rows per tag,
+    * driver-free and spill-proof at any event rate. */
+  def q103Gapfill(s: SparkSession, dir: String): DataFrame =
+    gapfillOf(t(s, dir, "events"))
+
+  def gapfillOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val base = ev
+      .withColumn("h", expr(s"unix_micros(ts) div ${GapfillHourUs}L"))
+      .groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"),
+        davg($"value").as("mean_value"))
+      .localCheckpoint(true)
+    // global hour bounds: a 2-long driver agg over the bucket frame
+    val b = base.agg(min($"h"), max($"h")).collect()(0)
+    val (lo, hi) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
+    // tag values come from the data (empty corpus → empty grid → empty
+    // result, schema-stable), hours are the INCLUSIVE global span
+    val grid = base.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(lo), lit(hi))).as("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("h", "event_type"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+      .withColumn("sum_value", coalesce($"sum_value", lit(0.0)))
+      .withColumn("mean_prev", last($"mean_value", ignoreNulls = true).over(w))
+      .select(tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
+        $"event_type", $"n", $"sum_value", $"mean_prev")
+      .orderBy($"wstart", $"event_type")
+  }
+
   // ---------------------------------------------------------------- q16
   /** Semi-structured JSON extraction from the props payload column —
     * mirrors the reference's sparse-dict field probing (SURVEY §1.1) in
@@ -799,6 +853,7 @@ object Relational {
     "q12_rollup" -> (q12Rollup _),
     "q13_cube" -> (q13Cube _),
     "q14_time_window" -> (q14TimeWindow _),
+    "q103_gapfill" -> (q103Gapfill _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_json" -> (q16Json _),
     "q17_asof" -> (q17AsOf _),
@@ -1111,6 +1166,29 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY wstart, event_type""".stripMargin,
+    "q103_gapfill" ->
+      // `//` truncates where Spark's `div` floors — identical on the
+      // positive epoch hours here; generate_series is INCLUSIVE on both
+      // ends, matching sequence(lo, hi)
+      s"""WITH b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h, event_type,
+        |    COUNT(*) AS n, ${SqlDsum("value")} AS sum_value,
+        |    ${SqlDavg("value")} AS mean_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+        |grid AS (SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM b) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g),
+        |j AS (SELECT g.h, g.event_type, COALESCE(b.n, CAST(0 AS BIGINT)) AS n,
+        |    COALESCE(b.sum_value, 0.0) AS sum_value, b.mean_value
+        |  FROM grid g LEFT JOIN b USING (h, event_type)),
+        |f AS (SELECT h, event_type, n, sum_value,
+        |    last_value(mean_value IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS mean_prev
+        |  FROM j)
+        |SELECT strftime(make_timestamp(h * ${GapfillHourUs}), '%Y-%m-%d %H:%M:%S')
+        |    AS wstart, event_type, n, sum_value, mean_prev
+        |FROM f ORDER BY wstart, event_type""".stripMargin,
     "q15_sessionize" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (SELECT user_id,

@@ -410,6 +410,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text:string"), p.take(800))
   }
 
+  test("q103: fact volume stays behind the checkpoint; grid join is equi, no BNLJ") {
+    // the events table is scanned exactly once, eagerly, into the
+    // (hour, type) bucket checkpoint — the returned plan must run
+    // entirely on the bucket frame (no FileScan at all), and the
+    // grid-to-bucket fill must be an equi-join, never a nested loop
+    val p = plan("q103_gapfill")
+    assert(!p.contains("FileScan"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
   test("q45: blocked dedup is an equi-join on grid cells, no BNLJ") {
     val p = plan("q45_embedding_dedup_blocked")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

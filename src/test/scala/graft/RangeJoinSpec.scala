@@ -87,6 +87,40 @@ class RangeJoinSpec extends AnyFunSuite {
 
   /** A corpus with an empty funnel step must report conv 0, not die on
     * a 0/0 division (the empty-doc ANSI lesson, applied to q73). */
+  /** q103 planted: a two-tag corpus with interior gaps and a late-
+    * starting tag — every fill mode's defining case: fill(0) on counts,
+    * LOCF carry-through on the mean, NULL before a tag's first
+    * observation, and the grid spanning the GLOBAL hour range for every
+    * tag. */
+  test("q103 gap-fill: fill(0), LOCF, and pre-first-observation NULLs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    // tag a: hours 100 (two events) and 103; tag b: hour 102 only
+    val rows = Seq(
+      (100L, "a", 2.5), (100L, "a", 3.5), (103L, "a", 10.0),
+      (102L, "b", 7.0))
+    val ev = rows.toDF("h", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("h") * hUs)).drop("h")
+    val got = Relational.gapfillOf(ev).collect()
+      .map(r => (r.getString(0).substring(11, 13).toLong, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(got.size == 8, s"grid must be 4 hours x 2 tags: $got")
+    assert(got((4L, "a")) == ((2L, 6.0, 3.0))) // 100 h = 04:00 day 5
+    assert(got((5L, "a")) == ((0L, 0.0, 3.0))) // gap: fill(0) + LOCF
+    assert(got((6L, "a")) == ((0L, 0.0, 3.0)))
+    assert(got((7L, "a")) == ((1L, 10.0, 10.0)))
+    assert(got((4L, "b")) == ((0L, 0.0, null))) // before first obs: NULL
+    assert(got((5L, "b")) == ((0L, 0.0, null)))
+    assert(got((6L, "b")) == ((1L, 7.0, 7.0)))
+    assert(got((7L, "b")) == ((0L, 0.0, 7.0))) // trailing LOCF
+    // empty input: schema-stable empty output, no NPE on the bounds agg
+    val empty = Relational.gapfillOf(ev.limit(0))
+    assert(empty.collect().isEmpty && empty.columns.toSeq ==
+      Seq("wstart", "event_type", "n", "sum_value", "mean_prev"))
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
