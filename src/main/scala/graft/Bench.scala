@@ -47,7 +47,8 @@ object Bench {
     "q88_textrank", "q89_containment", "q90_source_drift",
     "q91_balance_chi2", "q92_fk_audit", "q93_triangle_census",
     "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
-    "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges")
+    "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
+    "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend

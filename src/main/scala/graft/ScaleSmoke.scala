@@ -29,14 +29,15 @@ object ScaleSmoke {
     "q85_bow_dedup", "q86_novelty_attribution", "q87_collocations",
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
     "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans",
-    "q98_weighted_sample", "q99_span_strip")
+    "q98_weighted_sample", "q99_span_strip", "q101_bloom_decontam",
+    "q102_dsir_weights")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
     * transitions replicate per-copy. Exercises the window/sessionize/lag
     * shapes the documents table can't. */
   private val eventQueries = Seq(
-    "q14_time_window", "q15_sessionize", "q74_transitions")
+    "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

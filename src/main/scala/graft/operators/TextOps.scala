@@ -1445,6 +1445,51 @@ object TextOps {
       .orderBy($"it")
   }
 
+  // --------------------------------------------------------------- q104
+  /** q104: ENCODE the corpus with the q100-trained tokenizer — the apply
+    * side of BPE training, and the number a data pipeline actually
+    * budgets with (token counts under the real tokenizer, not the
+    * whitespace proxy). Per language: word instances, baseline symbol
+    * count (characters + the `</w>` marker — the 0-merge encoding), the
+    * symbol count after the [[BpeMerges]] learned rules, and their ratio
+    * (the learned compression).
+    *
+    * Scale shape: the rules are [[BpeMerges]] driver-side strings (the
+    * q100 argmax rows), so APPLICATION is a pure projection — the merge
+    * chain folds into ONE codegen expression of nested `replace` calls
+    * over the space-flanked symbol encoding, applied directly to the
+    * per-(lang, word) frame: no join, no iteration, no shuffle beyond
+    * the word-count group-by and the per-language rollup. Encoding cost
+    * is |distinct (lang, word)|, not corpus positions — the same
+    * word-vocabulary economics as training. (A pipeline would train
+    * once and reuse the rules; this registered query re-learns them so
+    * the oracle can re-derive the identical rules data-dependently.) */
+  def q104BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = q100BpeMerges(s, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val lw = docs(s, dir)
+      .select($"lang", explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+    val seq0 = concat(
+      expr("array_join(transform(sequence(1, length(word))," +
+        " i -> concat(' ', substring(word, i, 1), ' ')), '')"),
+      lit(" </w> "))
+    // sequential left-to-right merge application — the fold nests 12
+    // literal replaces into one whole-stage-codegen projection
+    val enc = rules.foldLeft(seq0) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
+    lw.withColumn("n_sym", size(split(trim(enc), "  ")).cast("long"))
+      .groupBy($"lang")
+      .agg(sum($"cnt").as("n_words"),
+        sum($"cnt" * (length($"word") + 1).cast("long")).as("tokens_char"),
+        sum($"cnt" * $"n_sym").as("tokens_bpe"))
+      .withColumn("compression",
+        $"tokens_bpe".cast("double") / $"tokens_char".cast("double"))
+      .orderBy($"lang")
+  }
+
   /** The q100 twin: [[BpeMerges]] unrolled (pairs → argmax → apply)
     * stages. Each stage's merge table is data-dependent (CROSS JOIN of
     * the 1-row argmax), so no literals are interpolated; an empty stage
@@ -1454,6 +1499,17 @@ object TextOps {
     * re-evaluate the chain 2^k times — measured as a 10-minute melt at
     * k=12 vs 0.5 s materialized. */
   private def bpeOracleSql(k: Int): String = {
+    val ctes = bpeLearnCtes(k)
+    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") + s"""
+      |SELECT CAST(it AS BIGINT) AS it, a AS sym_a, b AS sym_b,
+      |       a || b AS merged, CAST(c AS BIGINT) AS pair_count
+      |FROM ($union) ORDER BY it""".stripMargin
+  }
+
+  /** The learn-side CTE cascade (v0, then p/m/v per stage) shared by the
+    * q100 twin and q104's apply chain. */
+  private def bpeLearnCtes(k: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     ctes += s"""v0 AS MATERIALIZED (
       |  SELECT array_to_string(list_transform(range(length(word)),
@@ -1477,15 +1533,48 @@ object TextOps {
         |                 ' ' || m.a || m.b || ' ') AS seq, cnt
         |  FROM v${i - 1} CROSS JOIN m$i m)""".stripMargin
     }
-    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    ctes.toSeq
+  }
+
+  /** The q104 twin: the shared learn cascade re-derives the rules
+    * data-dependently, then a per-(lang, word) apply chain re-encodes
+    * the vocabulary. Each apply stage LEFT JOINs its 1-row merge table
+    * ON TRUE so a DRY stage (empty `m_i`) passes the encoding through
+    * unchanged — mirroring the Spark side's shorter fold — where the
+    * learn chain's CROSS JOIN would empty everything downstream. */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes ++= bpeLearnCtes(k)
+    ctes += s"""lw AS MATERIALIZED (
+      |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |        FROM documents)
+      |  WHERE word <> '' GROUP BY lang, word)""".stripMargin
+    ctes += s"""e0 AS MATERIALIZED (
+      |  SELECT lang, word, cnt,
+      |    array_to_string(list_transform(range(length(word)),
+      |      i -> ' ' || substr(word, CAST(i AS INTEGER)+1, 1) || ' '), '')
+      |    || ' </w> ' AS seq
+      |  FROM lw)""".stripMargin
+    for (i <- 1 to k)
+      ctes += s"""e$i AS MATERIALIZED (
+        |  SELECT lang, word, cnt,
+        |    CASE WHEN m.a IS NULL THEN seq
+        |         ELSE replace(seq, ' ' || m.a || '  ' || m.b || ' ',
+        |                      ' ' || m.a || m.b || ' ') END AS seq
+        |  FROM e${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     "WITH " + ctes.mkString(",\n") + s"""
-      |SELECT CAST(it AS BIGINT) AS it, a AS sym_a, b AS sym_b,
-      |       a || b AS merged, CAST(c AS BIGINT) AS pair_count
-      |FROM ($union) ORDER BY it""".stripMargin
+      |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |  CAST(SUM(cnt * (length(word) + 1)) AS BIGINT) AS tokens_char,
+      |  CAST(SUM(cnt * len(string_split(trim(seq), '  '))) AS BIGINT) AS tokens_bpe,
+      |  CAST(SUM(cnt * len(string_split(trim(seq), '  '))) AS DOUBLE)
+      |    / CAST(SUM(cnt * (length(word) + 1)) AS DOUBLE) AS compression
+      |FROM e$k GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_bpe_merges" -> (q100BpeMerges _),
+    "q104_bpe_encode" -> (q104BpeEncode _),
     "q76_mixture_weights" -> (q76MixtureWeights _),
     "q78_boilerplate" -> (q78Boilerplate _),
     "q80_snapshot_diff" -> (q80SnapshotDiff _),
@@ -1528,6 +1617,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q100_bpe_merges" -> bpeOracleSql(BpeMerges),
+    "q104_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
     "q81_heavy_hitters" ->
       // the exact threshold set the MG-candidate + verify pipeline must
       // land on regardless of its internal sketch state

@@ -706,4 +706,64 @@ class TextOpsSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial corpus=$texts")
     }
   }
+
+  /** Driver reference for q104: greedy left-to-right application of the
+    * learned rules to one word, returning its final symbol count. */
+  private def refEncodeLen(w: String, rules: Seq[(String, String)]): Long = {
+    var syms: Vector[String] = w.map(_.toString).toVector :+ "</w>"
+    rules.foreach { case (a, b) =>
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          merged += a + b; i += 2
+        } else { merged += syms(i); i += 1 }
+      }
+      syms = merged.toVector
+    }
+    syms.length.toLong
+  }
+
+  /** q104: per-language accounting must match the driver reference
+    * (rules learned globally by refBpe, applied greedily per word) on a
+    * multi-language corpus that runs DRY before the 12-merge budget —
+    * the apply chain must pass through the missing stages unchanged. */
+  test("q104 planted: encoding accounting matches the driver reference") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_enc").toString
+    val docs = Seq(
+      (0L, "hug hug pug", "en"), (1L, "pug hug", "en"),
+      (2L, "gug pug", "es"))
+    docs.map { case (i, t, l) => (i, t, l, "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rules = refBpe(docs.map(_._2), TextOps.BpeMerges)
+      .map(m => (m._2, m._3))
+    assert(rules.length < TextOps.BpeMerges, "corpus must run dry for this spec")
+    val want = docs.groupBy(_._3).map { case (lang, ds) =>
+      val words = ds.flatMap(_._2.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      val nWords = words.length.toLong
+      val tokChar = words.map(w => (w.length + 1).toLong).sum
+      val tokBpe = words.map(refEncodeLen(_, rules)).sum
+      (lang, nWords, tokChar, tokBpe, tokBpe.toDouble / tokChar.toDouble)
+    }.toSet
+    val got = TextOps.q104BpeEncode(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == want, s"extra=${got -- want}\n missing=${want -- got}")
+    // the whole point: merges only ever shrink the encoding
+    got.foreach(r => assert(r._4 <= r._3 && r._5 <= 1.0 && r._5 > 0.0, r))
+  }
+
+  /** q104 on the real corpus: 12 learned merges must strictly compress
+    * every language (the corpus shares high-frequency character pairs). */
+  test("q104: learned merges compress the real corpus") {
+    val got = TextOps.q104BpeEncode(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) < r.getLong(2),
+        s"${r.getString(0)}: no compression (${r.getLong(3)} vs ${r.getLong(2)})")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0, r)
+    }
+  }
 }
