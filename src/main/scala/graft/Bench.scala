@@ -48,7 +48,8 @@ object Bench {
     "q91_balance_chi2", "q92_fk_audit", "q93_triangle_census",
     "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
-    "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill")
+    "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
+    "q104_bpe_encode")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -110,7 +111,16 @@ object Bench {
     // argmax round-trips over the checkpointed word-vocab frame; the
     // cost is per-iteration job overhead, not data volume (isolated
     // fork 2.2)
-    "q100_bpe_merges" -> 1.8)
+    "q100_bpe_merges" -> 1.8,
+    // q101-q104 refs are CONSERVATIVE: measured late-r7 on the 2100 MHz
+    // degraded-clock box mode (cpu_mhz telemetry; BASELINE r5/r7 —
+    // uniform ~1.25x vs the 2600 MHz steady state the other refs use).
+    // q101 after its shape rework reads at parity with q60 in the same
+    // fork (1.64 vs 1.68) — the sketch only pays off in shuffle VOLUME,
+    // which this SF can't show. q104 re-learns q100's merges (~1.9 of
+    // its 2.45) then encodes the vocab in one projection.
+    "q101_bloom_decontam" -> 1.7, "q102_dsir_weights" -> 1.3,
+    "q103_gapfill" -> 0.6, "q104_bpe_encode" -> 2.5)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -30,7 +30,7 @@ object ScaleSmoke {
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
     "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q101_bloom_decontam",
-    "q102_dsir_weights")
+    "q102_dsir_weights", "q104_bpe_encode")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

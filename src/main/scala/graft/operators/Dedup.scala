@@ -649,10 +649,18 @@ object Dedup {
   def q101BloomDecontam(s: SparkSession, dir: String): DataFrame =
     bloomDecontamOf(docs(s, dir))
 
-  /** Sketch capacity: sized for the eval split's distinct shingles.
-    * Generous sizing keeps fpp ≪ the 5%-flag bound; at real scale this
-    * is the one knob (bloom bytes ≈ 1.2 B per item at 1% fpp). */
-  val BloomCapacity = 4000000L
+  /** Fallback sketch capacity when no estimate is available (the
+    * streaming arm's default). [[bloomDecontamOf]] right-sizes instead:
+    * a fixed generous capacity costs a multi-MB literal broadcast into
+    * every probe stage's task binary regardless of data (measured 3.6 MB
+    * and ~3 s of pure serialization overhead at sf0.1 with 4M). */
+  val BloomCapacity = 400000L
+
+  /** Bits per expected item for right-sized sketches: at 2× capacity
+    * headroom this lands ~14 hash functions and a per-item fpp near
+    * 4e-8, so even a 1000-shingle document's any-shingle FP probability
+    * stays far under the 5% flag bound. */
+  val BloomBitsPerItem = 20L
 
   /** Driver-fetched Bloom sketch of a DataFrame's `colName` string
     * column, built with the engine's own distributed
@@ -661,11 +669,12 @@ object Dedup {
     * and [[graft.streaming.StreamDecontam]]'s bloom arm. */
   def bloomOf(d: DataFrame, colName: String,
       capacity: Long = BloomCapacity): Array[Byte] = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     d.agg(graft.util.Cols.column(
         new BloomFilterAggregate(
-          new XxHash64(Seq(graft.util.Cols.expression(d(colName)))), capacity)
+          new XxHash64(Seq(graft.util.Cols.expression(d(colName)))),
+          Literal(capacity), Literal(capacity * BloomBitsPerItem))
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
   }
@@ -691,25 +700,33 @@ object Dedup {
         distinct = true, width = DecontamWidth)
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
       .localCheckpoint(true)
+    // the distinct eval set is materialized ONCE — the sketch build and
+    // the exact join both consume it (benchmark-suite-sized by the
+    // split's construction, so the barrier is cheap)
     val evalSh = sh.filter($"bucket" < 100).select($"s").distinct()
+      .localCheckpoint(true)
     val trainSh = sh.filter($"bucket" >= 100).select($"doc_id", $"s")
+    // right-size the sketch from the HLL estimate (deterministic:
+    // merged HLL registers are max-per-register, order-independent) —
+    // the literal's size tracks the eval set instead of a fixed
+    // worst-case capacity
+    val est = math.max(1024L,
+      evalSh.agg(approx_count_distinct($"s")).head.getLong(0))
     // empty eval split → null sketch → nothing can be contaminated
-    val mightContain: Column = bloomGate(bloomOf(evalSh, "s"), $"s")
-    // candidate docs: bloom-flagged shingles only (map-side shrink)
-    val candSh = trainSh.filter(mightContain)
-    val candDocs = candSh.select($"doc_id").distinct()
+    val mightContain: Column = bloomGate(bloomOf(evalSh, "s", 2 * est), $"s")
+    // ONE pass over the bloom survivors: candidacy (cand) and the exact
+    // check (cont) fall out of the same LEFT join + per-doc aggregate —
+    // no false negatives, so cont is exactly q60's join result
+    val flagged = trainSh.filter(mightContain)
+      .join(evalSh.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(max(coalesce($"hit", lit(0L))).as("cont"))
       .withColumn("cand", lit(1L))
-    // exact hits from the SURVIVORS — no false negatives, so this is
-    // exactly q60's join, on a fraction of the input
-    val hits = candSh.join(evalSh, "s")
-      .select($"doc_id").distinct()
-      .withColumn("cont", lit(1L))
     d.select($"doc_id", $"lang")
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
       .filter($"bucket" >= 100)
       .select($"doc_id", $"lang")
-      .join(hits, Seq("doc_id"), "left")
-      .join(candDocs, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_train"),
         sum(coalesce($"cont", lit(0L))).as("n_contaminated"),
