@@ -279,15 +279,25 @@ object Relational {
   def q103Gapfill(s: SparkSession, dir: String): DataFrame =
     gapfillOf(t(s, dir, "events"))
 
-  def gapfillOf(ev: DataFrame): DataFrame = {
+  def gapfillOf(ev: DataFrame): DataFrame =
+    gapfillFromBuckets(hourBuckets(ev))
+
+  /** The (hour, type) downsample — ONE schema shared by the batch path
+    * and [[graft.streaming.StreamingDownsample]] (the continuous-query
+    * role), so the gap-fill below runs identically over either. */
+  def hourBuckets(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val base = ev
-      .withColumn("h", expr(s"unix_micros(ts) div ${GapfillHourUs}L"))
+    ev.withColumn("h", expr(s"unix_micros(ts) div ${GapfillHourUs}L"))
       .groupBy($"h", $"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"),
         davg($"value").as("mean_value"))
-      .localCheckpoint(true)
+  }
+
+  def gapfillFromBuckets(buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val base = buckets.localCheckpoint(true)
     // global hour bounds: a 2-long driver agg over the bucket frame
     val b = base.agg(min($"h"), max($"h")).collect()(0)
     val (lo, hi) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))

@@ -444,6 +444,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingDownsample + the SHARED gap-fill (q103's lambda pair —
+    * InfluxDB's continuous query + fill() workflow): hour buckets
+    * finalized by the watermark, fed through gapfillFromBuckets, must
+    * equal the batch q103 on the same events BIT-FOR-BIT; the
+    * not-yet-finalized bucket is absent until the watermark passes. */
+  test("streaming downsample + shared gap-fill equals the batch q103") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("downsample_stream")
+    val outName = "downsample_out"
+    val hUs = graft.operators.Relational.GapfillHourUs
+    def ev(h: Long, frac: Double, tag: String, v: Double) =
+      s"""{"us":${(h * hUs + (frac * hUs).toLong)},"event_type":"$tag","value":$v}"""
+    // the q103 planted shape: tag a at hours 100 (twice) and 103, tag b
+    // at hour 102 — plus a later flush event whose watermark finalizes
+    // every real bucket
+    Files.write(dir.resolve("b1.json"), Seq(
+      ev(100, 0.1, "a", 2.5), ev(100, 0.6, "a", 3.5),
+      ev(103, 0.2, "a", 10.0), ev(102, 0.4, "b", 7.0))
+      .mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.StreamingDownsample.buckets(stream)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark after b1 = max ts − 10 s ≈ hour 103.2: the hour-100
+      // and hour-102 buckets finalize, the hour-103 bucket stays OPEN
+      assert(spark.table(outName).count() == 2)
+      assert(spark.table(outName).filter(col("h") === 103L).count() == 0,
+        "the open hour-103 bucket must not emit before the watermark passes")
+      Files.write(dir.resolve("b2.json"),
+        Seq(ev(200, 0.5, "zz", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val rollup = spark.table(outName).filter(col("event_type") =!= "zz")
+      assert(rollup.count() == 3, "all three real buckets must finalize")
+      val got = graft.operators.Relational.gapfillFromBuckets(rollup)
+        .collect().map(_.toString).toSeq
+      val batchEv = Seq(
+        (100L * hUs + (0.1 * hUs).toLong, "a", 2.5),
+        (100L * hUs + (0.6 * hUs).toLong, "a", 3.5),
+        (103L * hUs + (0.2 * hUs).toLong, "a", 10.0),
+        (102L * hUs + (0.4 * hUs).toLong, "b", 7.0))
+        .toDF("us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val want = graft.operators.Relational.gapfillOf(batchEv)
+        .collect().map(_.toString).toSeq
+      assert(got == want, s"\n got=$got\n want=$want")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** StreamAttribution: stream-STREAM windowed join — purchases match a
     * preceding click by the same user within the horizon; outside the
     * horizon (or wrong user) never joins. */
