@@ -49,7 +49,7 @@ object Bench {
     "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
-    "q104_bpe_encode")
+    "q104_bpe_encode", "q105_anomaly_hours")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -120,7 +120,11 @@ object Bench {
     // which this SF can't show. q104 re-learns q100's merges (~1.9 of
     // its 2.45) then encodes the vocab in one projection.
     "q101_bloom_decontam" -> 1.7, "q102_dsir_weights" -> 1.3,
-    "q103_gapfill" -> 0.6, "q104_bpe_encode" -> 2.5)
+    "q103_gapfill" -> 0.6, "q104_bpe_encode" -> 2.5,
+    // q105 pays the q103 grid (isolated 2100 MHz fork 1.2: ~0.9 of it
+    // is the shared bucket+grid build) plus two median windows over the
+    // time-range-sized frame
+    "q105_anomaly_hours" -> 1.2)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -37,7 +37,8 @@ object ScaleSmoke {
     * transitions replicate per-copy. Exercises the window/sessionize/lag
     * shapes the documents table can't. */
   private val eventQueries = Seq(
-    "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill")
+    "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill",
+    "q105_anomaly_hours")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -29,6 +29,21 @@ object Relational {
   private def sq(x: String) = s"CAST(FLOOR($x*10000 + 0.5) AS BIGINT)"
   private def SqlDsum(x: String) = s"CAST(SUM(${sq(x)}) AS DOUBLE)/10000.0"
   private def SqlDavg(x: String) = s"CAST(SUM(${sq(x)}) AS DOUBLE)/10000.0/COUNT($x)"
+
+  /** Shared DuckDB CTEs: the dense (hour, type) gap-fill grid `j`
+    * consumed by both the q103 and q105 twins. */
+  private def gapfillGridCtes: String =
+    s"""b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h, event_type,
+      |    COUNT(*) AS n, ${SqlDsum("value")} AS sum_value,
+      |    ${SqlDavg("value")} AS mean_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+      |grid AS (SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM b) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g),
+      |j AS (SELECT g.h, g.event_type, COALESCE(b.n, CAST(0 AS BIGINT)) AS n,
+      |    COALESCE(b.sum_value, 0.0) AS sum_value, b.mean_value
+      |  FROM grid g LEFT JOIN b USING (h, event_type))""".stripMargin
   private def SqlRevenue(p: String, d: String) =
     s"CAST(SUM(${sq(p)}*(10000 - ${sq(d)})) AS DOUBLE)/100000000.0"
   private def SqlProdSum(p: String, d: String) =
@@ -314,6 +329,56 @@ object Relational {
       .select(tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
         $"event_type", $"n", $"sum_value", $"mean_prev")
       .orderBy($"wstart", $"event_type")
+  }
+
+  // --------------------------------------------------------------- q105
+  /** MAD multiplier for the anomaly threshold. */
+  val AnomalyK3 = 3L
+
+  /** q105: telemetry anomaly hours — the alerting layer a dashboard
+    * stack runs over the q103 rollup (the reference's telemetry lands
+    * in InfluxDB precisely to be monitored): per event_type, flag every
+    * hour whose event count deviates from the type's median by more
+    * than [[AnomalyK3]]× the MAD (median absolute deviation — the
+    * robust spread statistic a spiky feed doesn't poison the way a
+    * stddev is poisoned by its own outliers). Runs over the DENSE
+    * gap-filled grid, so a silent-feed DROPOUT hour (n = 0) flags
+    * exactly like a spike — the case a sparse group-by can never see.
+    * A constant feed has MAD 0 and then ANY deviation flags.
+    *
+    * All-integer arithmetic: counts, exact lower-median (nearest rank
+    * (cnt+1) div 2 — the selected VALUE is order-convention-free, it is
+    * the k-th smallest of a multiset), absolute deviations, one integer
+    * multiply. Scale shape: everything runs on q103's time-range-sized
+    * bucket grid (checkpointed once); the per-type median windows
+    * partition over at most #hours rows, and the median/MAD frames are
+    * #types rows — broadcast back. */
+  def q105AnomalyHours(s: SparkSession, dir: String): DataFrame =
+    anomalyHoursOf(t(s, dir, "events"))
+
+  def anomalyHoursOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val g = gapfillFromBuckets(hourBuckets(ev))
+      .select($"wstart", $"event_type", $"n")
+      .localCheckpoint(true)
+    def lowerMedian(d: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy($"event_type")
+        .orderBy(col(valueCol).asc, $"wstart".asc)
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("cnt_t",
+          count(lit(1)).over(Window.partitionBy($"event_type")))
+        .filter($"rn" === expr("(cnt_t + 1) div 2"))
+        .select($"event_type", col(valueCol).as(outCol))
+    }
+    val med = lowerMedian(g, "n", "med_n")
+    val dev = g.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"n" - $"med_n"))
+    val mad = lowerMedian(dev, "dev", "mad_n")
+    dev.join(broadcast(mad), "event_type")
+      .filter($"dev" > lit(AnomalyK3) * $"mad_n")
+      .select($"event_type", $"wstart", $"n", $"med_n", $"mad_n")
+      .orderBy($"event_type", $"wstart")
   }
 
   // ---------------------------------------------------------------- q16
@@ -864,6 +929,7 @@ object Relational {
     "q13_cube" -> (q13Cube _),
     "q14_time_window" -> (q14TimeWindow _),
     "q103_gapfill" -> (q103Gapfill _),
+    "q105_anomaly_hours" -> (q105AnomalyHours _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_json" -> (q16Json _),
     "q17_asof" -> (q17AsOf _),
@@ -1180,17 +1246,7 @@ object Relational {
       // `//` truncates where Spark's `div` floors — identical on the
       // positive epoch hours here; generate_series is INCLUSIVE on both
       // ends, matching sequence(lo, hi)
-      s"""WITH b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h, event_type,
-        |    COUNT(*) AS n, ${SqlDsum("value")} AS sum_value,
-        |    ${SqlDavg("value")} AS mean_value
-        |  FROM events GROUP BY 1, 2),
-        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
-        |grid AS (SELECT t.event_type, g.h
-        |  FROM (SELECT DISTINCT event_type FROM b) t
-        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g),
-        |j AS (SELECT g.h, g.event_type, COALESCE(b.n, CAST(0 AS BIGINT)) AS n,
-        |    COALESCE(b.sum_value, 0.0) AS sum_value, b.mean_value
-        |  FROM grid g LEFT JOIN b USING (h, event_type)),
+      s"""WITH $gapfillGridCtes,
         |f AS (SELECT h, event_type, n, sum_value,
         |    last_value(mean_value IGNORE NULLS) OVER (PARTITION BY event_type
         |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1199,6 +1255,29 @@ object Relational {
         |SELECT strftime(make_timestamp(h * ${GapfillHourUs}), '%Y-%m-%d %H:%M:%S')
         |    AS wstart, event_type, n, sum_value, mean_prev
         |FROM f ORDER BY wstart, event_type""".stripMargin,
+    "q105_anomaly_hours" ->
+      // the lower-median rank picks a VALUE of the multiset, so the
+      // within-ties order convention cannot matter; (cnt+1)//2 on
+      // positive counts == Spark's (cnt_t + 1) div 2
+      s"""WITH $gapfillGridCtes,
+        |med AS (SELECT event_type, n AS med_n FROM (
+        |    SELECT event_type, n,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n ASC, h ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM j)
+        |  WHERE rn = (cnt + 1) // 2),
+        |d AS (SELECT j.event_type, j.h, j.n, m.med_n, abs(j.n - m.med_n) AS dev
+        |  FROM j JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, dev AS mad_n FROM (
+        |    SELECT event_type, dev,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev ASC, h ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM d)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type,
+        |  strftime(make_timestamp(d.h * ${GapfillHourUs}), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  d.n, d.med_n, m2.mad_n
+        |FROM d JOIN mad m2 USING (event_type)
+        |WHERE d.dev > ${AnomalyK3} * m2.mad_n
+        |ORDER BY event_type, wstart""".stripMargin,
     "q15_sessionize" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (SELECT user_id,

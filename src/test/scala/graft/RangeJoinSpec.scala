@@ -121,6 +121,32 @@ class RangeJoinSpec extends AnyFunSuite {
       Seq("wstart", "event_type", "n", "sum_value", "mean_prev"))
   }
 
+  /** q105 planted: a steady feed with one SPIKE hour and one silent
+    * DROPOUT hour — the dropout only exists on the dense grid (n = 0
+    * has no event rows), which is the reason q105 runs over the q103
+    * fill. MAD 0 on the otherwise-constant feed means any deviation
+    * flags; the constant tag must not flag at all. */
+  test("q105 flags spike and dropout hours against median/MAD") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    // tag a: 2 events/hour for hours 100..119, except hour 110 has 9
+    // (spike) and hour 115 has none (dropout); tag b: constant 1/hour
+    val rows =
+      (100L to 119L).filter(_ != 115L).flatMap { h =>
+        val k = if (h == 110L) 9 else 2
+        (0 until k).map(i => (h * hUs + i * 1000L, "a", 1.0))
+      } ++ (100L to 119L).map(h => (h * hUs, "b", 1.0))
+    val ev = rows.toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = Relational.anomalyHoursOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // hour 110 = 14:00 of day 5, hour 115 = 19:00; med 2, mad 0
+    assert(got.toSeq == Seq(
+      ("a", "14", 9L, 2L, 0L), ("a", "19", 0L, 2L, 0L)), got.toSeq)
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
