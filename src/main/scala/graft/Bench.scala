@@ -49,7 +49,7 @@ object Bench {
     "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
-    "q104_bpe_encode", "q105_anomaly_hours")
+    "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -124,7 +124,9 @@ object Bench {
     // q105 pays the q103 grid (isolated 2100 MHz fork 1.2: ~0.9 of it
     // is the shared bucket+grid build) plus two median windows over the
     // time-range-sized frame
-    "q105_anomaly_hours" -> 1.2)
+    "q105_anomaly_hours" -> 1.2,
+    // q106: the q103 grid + one window pass per type (isolated 1.14)
+    "q106_series_transforms" -> 1.2)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

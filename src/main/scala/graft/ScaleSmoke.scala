@@ -38,7 +38,7 @@ object ScaleSmoke {
     * shapes the documents table can't. */
   private val eventQueries = Seq(
     "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill",
-    "q105_anomaly_hours")
+    "q105_anomaly_hours", "q106_series_transforms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -381,6 +381,45 @@ object Relational {
       .orderBy($"event_type", $"wstart")
   }
 
+  // --------------------------------------------------------------- q106
+  /** Moving-average window width (hours). */
+  val MovingAvgHours = 3
+
+  /** q106: the InfluxQL per-series TRANSFORM family over the dense
+    * grid — `difference()`, `non_negative_derivative()` (per-hour
+    * buckets, so the unit divisor is 1) and `moving_average(3)`, the
+    * three functions a telemetry dashboard layers on a downsampled
+    * series. Each per event_type in hour order on q103's gap-filled
+    * grid (a dropout hour differentiates like any other value — the
+    * dense-grid property again).
+    *
+    * Exactness: diff/nnd are integer lags; the moving average
+    * re-derives each sum_value's scaled long (`floor(x·1e4 + 0.5)` —
+    * exact, the value IS a scaled long divided once), sums the
+    * integers over the 3-row frame, and divides once — so the window
+    * average is bit-identical across engines regardless of frame
+    * iteration, the OracleSafe rule applied to a window. Scale shape:
+    * one window pass per type over the time-range-sized grid, nothing
+    * touches raw events after the q103 bucket collapse. */
+  def q106SeriesTransforms(s: SparkSession, dir: String): DataFrame =
+    seriesTransformsOf(t(s, dir, "events"))
+
+  def seriesTransformsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val g = gapfillFromBuckets(hourBuckets(ev))
+    val w = Window.partitionBy($"event_type").orderBy($"wstart".asc)
+    val wMa = w.rowsBetween(-(MovingAvgHours - 1), Window.currentRow)
+    val sumScaled = floor($"sum_value" * lit(10000.0) + lit(0.5)).cast("long")
+    g.withColumn("diff_n", $"n" - lag($"n", 1).over(w))
+      .withColumn("nnd_n", when($"diff_n" >= 0, $"diff_n"))
+      .withColumn("ma_sum",
+        sum(sumScaled).over(wMa).cast("double") / lit(10000.0) /
+          count(lit(1)).over(wMa))
+      .select($"event_type", $"wstart", $"n", $"diff_n", $"nnd_n", $"ma_sum")
+      .orderBy($"event_type", $"wstart")
+  }
+
   // ---------------------------------------------------------------- q16
   /** Semi-structured JSON extraction from the props payload column —
     * mirrors the reference's sparse-dict field probing (SURVEY §1.1) in
@@ -930,6 +969,7 @@ object Relational {
     "q14_time_window" -> (q14TimeWindow _),
     "q103_gapfill" -> (q103Gapfill _),
     "q105_anomaly_hours" -> (q105AnomalyHours _),
+    "q106_series_transforms" -> (q106SeriesTransforms _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_json" -> (q16Json _),
     "q17_asof" -> (q17AsOf _),
@@ -1278,6 +1318,27 @@ object Relational {
         |FROM d JOIN mad m2 USING (event_type)
         |WHERE d.dev > ${AnomalyK3} * m2.mad_n
         |ORDER BY event_type, wstart""".stripMargin,
+    "q106_series_transforms" ->
+      // the moving average re-derives the scaled long per row (exact —
+      // sum_value IS a scaled long divided once) and sums integers over
+      // the frame, so frame iteration order cannot matter
+      s"""WITH $gapfillGridCtes,
+        |f AS (SELECT event_type,
+        |    strftime(make_timestamp(h * ${GapfillHourUs}), '%Y-%m-%d %H:%M:%S')
+        |      AS wstart, h, n, sum_value FROM j),
+        |t AS (SELECT event_type, wstart, n,
+        |    n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY h) AS diff_n,
+        |    CAST(SUM(CAST(floor(sum_value * 10000.0 + 0.5) AS BIGINT))
+        |        OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN ${MovingAvgHours - 1} PRECEDING AND CURRENT ROW)
+        |        AS DOUBLE) / 10000.0
+        |      / COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN ${MovingAvgHours - 1} PRECEDING AND CURRENT ROW)
+        |      AS ma_sum
+        |  FROM f)
+        |SELECT event_type, wstart, n, diff_n,
+        |  CASE WHEN diff_n >= 0 THEN diff_n END AS nnd_n, ma_sum
+        |FROM t ORDER BY event_type, wstart""".stripMargin,
     "q15_sessionize" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (SELECT user_id,

@@ -147,6 +147,35 @@ class RangeJoinSpec extends AnyFunSuite {
       ("a", "14", 9L, 2L, 0L), ("a", "19", 0L, 2L, 0L)), got.toSeq)
   }
 
+  /** q106 planted: difference / non-negative-derivative / 3-hour moving
+    * average over a series with a spike, a dropout hour and a flat
+    * tail — first-row NULL diff, NULL nnd on the negative edge, and the
+    * windowed average ramping through partial frames. */
+  test("q106 transforms: diff, nnd and moving average on the dense grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    // counts per hour 100..104: 2, 5, 0 (dropout), 3, 3; value 1.0 each
+    val counts = Seq(100L -> 2, 101L -> 5, 103L -> 3, 104L -> 3)
+    val rows = counts.flatMap { case (h, k) =>
+      (0 until k).map(i => (h * hUs + i * 1000L, "a", 1.0)) }
+    val ev = rows.toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = Relational.seriesTransformsOf(ev).collect().map { r =>
+      (r.getString(1).substring(11, 13),
+        r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        r.getDouble(5))
+    }.toSeq
+    assert(got == Seq(
+      ("04", 2L, null, null, 2.0),
+      ("05", 5L, 3L, 3L, 3.5),
+      ("06", 0L, -5L, null, 7.0 / 3),
+      ("07", 3L, 3L, 3L, 8.0 / 3),
+      ("08", 3L, 0L, 0L, 2.0)), got)
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
