@@ -49,7 +49,8 @@ object Bench {
     "q94_vocab_coverage", "q95_local_supplier_revenue", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
-    "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms")
+    "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms",
+    "q107_semantic_dedup")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -126,7 +127,11 @@ object Bench {
     // time-range-sized frame
     "q105_anomaly_hours" -> 1.2,
     // q106: the q103 grid + one window pass per type (isolated 1.14)
-    "q106_series_transforms" -> 1.2)
+    "q106_series_transforms" -> 1.2,
+    // q107: the q44 Lloyd fit (2 driver-coordinated rounds) + the
+    // within-cell pair join — reads next to q45's 1.59 in the same
+    // fork, trading q45's even grid for learned cells
+    "q107_semantic_dedup" -> 1.7)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

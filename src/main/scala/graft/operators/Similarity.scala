@@ -206,6 +206,55 @@ object Similarity {
       .orderBy($"i", $"j")
   }
 
+  // --------------------------------------------------------------- q107
+  /** q107: SemDeDup-style semantic deduplication (after Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication") — the LEARNED-cluster variant of q43/q45:
+    * embeddings are k-means-clustered (the exact deterministic IVF fit
+    * q44 already oracles), pairwise cosine runs WITHIN clusters only,
+    * and the keep-one rule removes every vector that duplicates a
+    * lower-id member of its cluster. Where q45 bounds the exact
+    * all-pairs cost by even grid blocking, SemDeDup bounds it
+    * semantically: O(Σ|cell|²) with cells that shrink as k grows with
+    * the corpus — the published web-scale trade (cross-cluster dups are
+    * deliberately forfeited; the q43 brute twin measures exactly what
+    * that forfeits on this corpus). Per-cell accounting output: vectors,
+    * dup pairs, vectors the keep-one rule removes.
+    *
+    * Scale shape: assignment is the map-side codegen argmax against
+    * literal centroids (no shuffle); the only data shuffle is the
+    * within-cell self-join keyed on the cell id; the fit's driver
+    * traffic is k×64 cells per Lloyd round. Hash-exact twin: the shared
+    * unrolled-Lloyd CTEs end in the same `cellf` assignment. */
+  /** The q44-fit cluster id per vector — q107's clustering, exposed for
+    * the exactly-the-co-clustered-brute-pairs spec. */
+  private[graft] def cellAssignments(s: SparkSession, dir: String): DataFrame = {
+    val cents = fitCentroids(s, dir, k = 16, iters = 2)
+    val base = scaled(s, dir)
+    // empty corpus: zero centroids — the frame is empty, keep it typed
+    if (cents.isEmpty) base.withColumn("cell", lit(0))
+    else base.withColumn("cell", assignCell(cents))
+  }
+
+  def q107SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asg = cellAssignments(s, dir).select($"cell", $"vec_id", $"e", $"nrm")
+      .localCheckpoint(true)
+    val a = asg.select($"cell", $"vec_id".as("i"), $"e".as("ea"), $"nrm".as("na"))
+    val b = asg.select($"cell", $"vec_id".as("j"), $"e".as("eb"), $"nrm".as("nb"))
+    val dup = a.join(b, Seq("cell")).filter($"i" < $"j")
+      .withColumn("cosine", safeCos(DotLongs($"ea", $"eb"), $"na" * $"nb"))
+      .filter($"cosine" >= 0.45)
+    val pairStats = dup.groupBy($"cell")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"j").as("n_removed"))
+    asg.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+      .join(pairStats, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_removed"))
+      .select($"cell".cast("long").as("cell"), $"n_vecs", $"n_pairs",
+        $"n_removed")
+      .orderBy($"cell")
+  }
+
   // ---------------------------------------------------------------- q44
   /** Deterministic k-means centroids for the IVF index: seeds = the
     * first k vectors, then `iters` Lloyd iterations. Per-dimension sums
@@ -663,6 +712,7 @@ object Similarity {
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
     "q96_ann_ivf_multiprobe" -> (q96AnnIvfMultiprobe _),
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
+    "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q47_dedup_components" -> (q47DedupComponents _),
     "q52_label_centroids" -> (q52LabelCentroids _),
     "q66_quantize_error" -> (q66QuantizeError _),
@@ -806,9 +856,11 @@ object Similarity {
     * SAME final ranking CTE the assignment takes rk = 1 from. */
   private def q44OracleSql: String = ivfOracleSql(nprobe = 1)
 
-  private def ivfOracleSql(nprobe: Int): String =
-    s"""$vCte,
-      |seed AS (SELECT vec_id cid, e ce FROM v WHERE vec_id < 16),
+  /** The deterministic 2-iteration Lloyd fit as CTEs, ending in the
+    * final assignment `cellf (vec_id, cid)` — shared by the q44/q96
+    * twins and q107's within-cluster dedup. */
+  private def ivfFitCtes: String =
+    s"""seed AS (SELECT vec_id cid, e ce FROM v WHERE vec_id < 16),
       |${sqlCentNorm("c0", "seed")},
       |${sqlAssign("a0", "cell0", "c0")},
       |${sqlLloydStep(1, "cell0", "c0", "r1")},
@@ -816,7 +868,11 @@ object Similarity {
       |${sqlAssign("a1", "cell1", "c1")},
       |${sqlLloydStep(2, "cell1", "c1", "r2")},
       |${sqlCentNorm("c2", "r2")},
-      |${sqlAssign("a2", "cellf", "c2")},
+      |${sqlAssign("a2", "cellf", "c2")}""".stripMargin
+
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""$vCte,
+      |$ivfFitCtes,
       |qs AS (SELECT v.vec_id qid, v.ev qe, v.nrm qn
       |       FROM v WHERE v.vec_id < 10),
       |qprobe AS (SELECT vec_id qid, cid qcell FROM a2
@@ -853,6 +909,24 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q43_embedding_dedup" -> pairwiseDedupSql,
     "q45_embedding_dedup_blocked" -> pairwiseDedupSql,
+    "q107_semantic_dedup" ->
+      s"""$vCte,
+        |$ivfFitCtes,
+        |asg AS (SELECT v.vec_id, v.ev, v.nrm, cf.cid AS cell
+        |  FROM v JOIN cellf cf ON cf.vec_id = v.vec_id),
+        |dup AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |         ELSE list_inner_product(a.ev, b.ev) / (a.nrm * b.nrm) END)
+        |    >= 0.45),
+        |ps AS (SELECT cell, COUNT(*) AS n_pairs,
+        |    COUNT(DISTINCT j) AS n_removed FROM dup GROUP BY cell),
+        |vs AS (SELECT cell, COUNT(*) AS n_vecs FROM asg GROUP BY cell)
+        |SELECT CAST(vs.cell AS BIGINT) AS cell, vs.n_vecs,
+        |  COALESCE(ps.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+        |  COALESCE(ps.n_removed, CAST(0 AS BIGINT)) AS n_removed
+        |FROM vs LEFT JOIN ps USING (cell)
+        |ORDER BY cell""".stripMargin,
     "q52_label_centroids" ->
       """WITH s AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) e

@@ -307,6 +307,35 @@ class RangeJoinSpec extends AnyFunSuite {
     * schema — NULL counts as an orphan ROW (it can never match a
     * parent) but not as an orphan KEY. Real testdata has zero orphans,
     * so these semantics only get exercised here. */
+  /** q107 semantics, exactly: the within-cluster dedup must find
+    * PRECISELY the q43 brute pairs whose endpoints share a k-means
+    * cell — no more (exact cosine on the survivors), no fewer (the
+    * within-cell join is exhaustive) — with n_removed = the distinct
+    * higher ids per cell and the vector counts partitioning the corpus. */
+  test("q107 finds exactly the co-clustered brute pairs") {
+    val brute = Similarity.q43EmbeddingDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cellOf = Similarity.cellAssignments(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getInt(r.fieldIndex("cell"))).toMap
+    val coClustered = brute.filter { case (i, j) => cellOf(i) == cellOf(j) }
+    val wantPairs = coClustered.groupBy(p => cellOf(p._1).toLong)
+      .map { case (c, ps) => c -> ((ps.length.toLong, ps.map(_._2).distinct.length.toLong)) }
+    val got = Similarity.q107SemanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == cellOf.size, "vector counts must partition the corpus")
+    got.foreach { case (cell, _, nPairs, nRemoved) =>
+      val (wp, wr) = wantPairs.getOrElse(cell, (0L, 0L))
+      assert(nPairs == wp && nRemoved == wr,
+        s"cell $cell: got ($nPairs, $nRemoved) want ($wp, $wr)")
+    }
+    assert(got.map(_._3).sum == coClustered.length.toLong)
+    // the forfeited cross-cluster pairs are the documented trade; on
+    // this at-threshold isotropic corpus some dup pairs must still
+    // co-cluster, or the operator would be vacuous here
+    assert(coClustered.nonEmpty && brute.length >= coClustered.length)
+  }
+
   test("q92 planted: orphan rows and keys counted with NULL-as-orphan-row") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("fkaudit").toString
