@@ -362,6 +362,19 @@ object Relational {
     val g = gapfillFromBuckets(hourBuckets(ev))
       .select($"wstart", $"event_type", $"n")
       .localCheckpoint(true)
+    val dev = g.join(broadcast(medianThresholds(g)), "event_type")
+      .withColumn("dev", abs($"n" - $"med_n"))
+    dev.filter($"dev" > lit(AnomalyK3) * $"mad_n")
+      .select($"event_type", $"wstart", $"n", $"med_n", $"mad_n")
+      .orderBy($"event_type", $"wstart")
+  }
+
+  /** Per-type (med_n, mad_n) thresholds from a dense (wstart,
+    * event_type, n) grid — q105's statistic, shared with
+    * [[graft.streaming.StreamingAnomaly]]'s at-the-door alerting. */
+  private[graft] def medianThresholds(g: DataFrame): DataFrame = {
+    val s = g.sparkSession
+    import s.implicits._
     def lowerMedian(d: DataFrame, valueCol: String, outCol: String): DataFrame = {
       val w = Window.partitionBy($"event_type")
         .orderBy(col(valueCol).asc, $"wstart".asc)
@@ -374,11 +387,8 @@ object Relational {
     val med = lowerMedian(g, "n", "med_n")
     val dev = g.join(broadcast(med), "event_type")
       .withColumn("dev", abs($"n" - $"med_n"))
-    val mad = lowerMedian(dev, "dev", "mad_n")
-    dev.join(broadcast(mad), "event_type")
-      .filter($"dev" > lit(AnomalyK3) * $"mad_n")
-      .select($"event_type", $"wstart", $"n", $"med_n", $"mad_n")
-      .orderBy($"event_type", $"wstart")
+    lowerMedian(dev, "dev", "mad_n").join(med, "event_type")
+      .select($"event_type", $"med_n", $"mad_n")
   }
 
   // --------------------------------------------------------------- q106

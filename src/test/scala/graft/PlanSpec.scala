@@ -422,6 +422,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(800))
   }
 
+  test("q104: rule application is a pure projection — zero joins") {
+    // the learned merges are driver-side strings folded into one
+    // nested-replace codegen projection over the (lang, word) frame
+    val p = plan("q104_bpe_encode")
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("q105/q106: nothing touches raw events past the grid checkpoint") {
+    // both run entirely on the time-range-sized bucket grid: no
+    // FileScan in the returned plan, no nested-loop join anywhere,
+    // windows present; q105's median/MAD frames come back broadcast
+    for (name <- Seq("q105_anomaly_hours", "q106_series_transforms")) {
+      val p = plan(name)
+      assert(!p.contains("FileScan"), s"$name: ${p.take(400)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name: ${p.take(400)}")
+      assert(p.contains("Window"), s"$name: ${p.take(400)}")
+    }
+    assert(plan("q105_anomaly_hours").contains("BroadcastHashJoin"))
+  }
+
+  test("q107: within-cell pair join is an equi-join, assignment map-side") {
+    // the fit + assignment happen eagerly behind the checkpoint; the
+    // returned plan is the cell-keyed self-join (never a nested loop)
+    // plus broadcast accounting joins
+    val p = plan("q107_semantic_dedup")
+    assert(!p.contains("FileScan"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q45: blocked dedup is an equi-join on grid cells, no BNLJ") {
     val p = plan("q45_embedding_dedup_blocked")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

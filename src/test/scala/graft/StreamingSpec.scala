@@ -502,6 +502,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingAnomaly: a finalized spike bucket breaching the
+    * historical median/MAD band alerts exactly once; an in-band bucket
+    * stays silent. Thresholds come from q105's own statistic over the
+    * planted history. */
+  test("streaming anomaly alerts on spike buckets against q105 thresholds") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("anomaly_stream")
+    val outName = "anomaly_out"
+    val hUs = graft.operators.Relational.GapfillHourUs
+    // history: tag a steady 2/hour for hours 100..109 → med 2, mad 0
+    val hist = (100L to 109L).flatMap(h =>
+      Seq((h * hUs, "a", 1.0), (h * hUs + 1000L, "a", 1.0)))
+      .toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val thr = graft.streaming.StreamingAnomaly.thresholds(hist)
+    assert(thr.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(("a", 2L, 0L)))
+    def ev(h: Long, i: Int) = s"""{"us":${h * hUs + i * 1000L},"event_type":"a","value":1.0}"""
+    // live: hour 200 in-band (2 events), hour 201 spike (6 events)
+    Files.write(dir.resolve("b1.json"),
+      ((0 until 2).map(ev(200L, _)) ++ (0 until 6).map(ev(201L, _)))
+        .mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.StreamingAnomaly.alerts(stream, thr)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush so both live buckets finalize
+      Files.write(dir.resolve("b2.json"), ev(300L, 0).getBytes)
+      q.processAllAvailable()
+      val got = spark.table(outName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("a", 201L, 6L)),
+        s"exactly the spike bucket must alert: $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+      thr.unpersist()
+    }
+  }
+
   /** StreamAttribution: stream-STREAM windowed join — purchases match a
     * preceding click by the same user within the horizon; outside the
     * horizon (or wrong user) never joins. */
