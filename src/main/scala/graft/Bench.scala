@@ -113,25 +113,20 @@ object Bench {
     // cost is per-iteration job overhead, not data volume (isolated
     // fork 2.2)
     "q100_bpe_merges" -> 1.8,
-    // q101-q104 refs are CONSERVATIVE: measured late-r7 on the 2100 MHz
-    // degraded-clock box mode (cpu_mhz telemetry; BASELINE r5/r7 —
-    // uniform ~1.25x vs the 2600 MHz steady state the other refs use).
-    // q101 after its shape rework reads at parity with q60 in the same
-    // fork (1.64 vs 1.68) — the sketch only pays off in shuffle VOLUME,
-    // which this SF can't show. q104 re-learns q100's merges (~1.9 of
-    // its 2.45) then encodes the vocab in one projection.
-    "q101_bloom_decontam" -> 1.7, "q102_dsir_weights" -> 1.3,
-    "q103_gapfill" -> 0.6, "q104_bpe_encode" -> 2.5,
-    // q105 pays the q103 grid (isolated 2100 MHz fork 1.2: ~0.9 of it
-    // is the shared bucket+grid build) plus two median windows over the
-    // time-range-sized frame
-    "q105_anomaly_hours" -> 1.2,
-    // q106: the q103 grid + one window pass per type (isolated 1.14)
-    "q106_series_transforms" -> 1.2,
-    // q107: the q44 Lloyd fit (2 driver-coordinated rounds) + the
-    // within-cell pair join — reads next to q45's 1.59 in the same
-    // fork, trading q45's even grid for learned cells
-    "q107_semantic_dedup" -> 1.7)
+    // q101-q107 refs: the r7 full-suite-discipline readings, taken on
+    // the 2100 MHz degraded-clock box mode (cpu_mhz telemetry; BASELINE
+    // r5/r7 — so these are CONSERVATIVE vs a 2600 MHz box). q101 after
+    // its shape rework reads at parity with q60 in the same fork — the
+    // sketch pays off in shuffle VOLUME, which this SF can't show.
+    // q104 re-learns q100's merges (~70% of its cost) then encodes the
+    // vocab in one projection. q105/q106 mostly pay the shared q103
+    // bucket+grid build. q107 = the q44 Lloyd fit + within-cell pairs,
+    // reading next to q45's even-grid arm.
+    "q101_bloom_decontam" -> 1.3, "q102_dsir_weights" -> 0.95,
+    "q103_gapfill" -> 0.4, "q104_bpe_encode" -> 1.8,
+    "q105_anomaly_hours" -> 0.65,
+    "q106_series_transforms" -> 0.5,
+    "q107_semantic_dedup" -> 0.9)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -239,6 +239,33 @@ class DedupSpec extends AnyFunSuite {
     q101.foreach(r => assert(r.getBoolean(4), r.toString))
   }
 
+  /** q101 property: on seeded random corpora (small shared vocabulary →
+    * heavy cross-split shingle overlap, exercising dense bloom hits)
+    * the sketch arm's accounting must equal the exact arm's, every
+    * trial, with the fp invariant standing. */
+  test("q101 property: bloom arm equals q60 on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    for (trial <- 1 to 3) {
+      val vocab = Vector("ash", "birch", "cedar", "elm", "fir", "gum",
+        "hazel", "ivy", "juniper", "kapok")
+      val docs = (0 until 60).map { i =>
+        val n = 5 + rnd.nextInt(15)
+        (trial * 1000L + i,
+          if (rnd.nextBoolean()) "en" else "es",
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val exact = Dedup.decontamOf(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val bloom = Dedup.bloomDecontamOf(df).collect()
+      assert(bloom.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq == exact, s"trial $trial")
+      bloom.foreach(r => assert(r.getBoolean(4), s"trial $trial: $r"))
+    }
+  }
+
   /** An EMPTY eval split means a null sketch — nothing may flag, and
     * the query must not NPE (the r3 degenerate-input rule). */
   test("q101 with an empty eval split: null sketch, zero contamination") {

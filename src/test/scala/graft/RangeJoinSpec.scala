@@ -176,6 +176,50 @@ class RangeJoinSpec extends AnyFunSuite {
       ("08", 3L, 0L, 0L, 2.0)), got)
   }
 
+  /** q106 property: seeded random sparse series (random holes, random
+    * per-hour event counts and 2-decimal values) must match a driver
+    * model of the same grid + lag + scaled-long window arithmetic. */
+  test("q106 property: random sparse series match the driver model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    val rnd = new scala.util.Random(909L)
+    for (trial <- 1 to 3) {
+      val tags = Seq("a", "b", "c")
+      val hours = 100L to (105L + rnd.nextInt(6))
+      val data: Seq[(String, Long, Seq[Double])] = for {
+        t <- tags; h <- hours if rnd.nextInt(3) > 0 // ~1/3 dropout holes
+      } yield (t, h, Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(1000) / 100.0))
+      val ev = data.flatMap { case (t, h, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (h * hUs + i * 1000L, t, v) } }
+        .toDF("us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val present = data.map(d => (d._1, d._2) -> d._3).toMap
+      val lo = data.map(_._2).min
+      val hi = data.map(_._2).max
+      val want = data.map(_._1).distinct.sorted.flatMap { t =>
+        val rows = (lo to hi).map { h =>
+          val vs = present.getOrElse((t, h), Seq.empty)
+          (h, vs.size.toLong,
+            vs.map(v => math.floor(v * 10000.0 + 0.5).toLong).sum)
+        }
+        rows.zipWithIndex.map { case ((_, n, _), i) =>
+          val diff = if (i == 0) None else Some(n - rows(i - 1)._2)
+          val win = rows.slice(math.max(0, i - 2), i + 1)
+          (t, n, diff, diff.filter(_ >= 0),
+            win.map(_._3).sum.toDouble / 10000.0 / win.size)
+        }
+      }
+      val got = Relational.seriesTransformsOf(ev).collect().map { r =>
+        (r.getString(0), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getDouble(5))
+      }.toSeq
+      assert(got == want, s"trial $trial:\n got=$got\n want=$want")
+    }
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

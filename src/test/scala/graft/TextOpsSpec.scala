@@ -404,37 +404,20 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
-  /** q102: the distributed hashed-ratio scoring must land on EXACTLY the
-    * longs a driver-side run of the same integer arithmetic produces
-    * (md5 buckets, BigInt add-half ratios, per-doc sums, top-k ties by
-    * doc_id), and the target-like train doc must outrank the off-target
-    * ones — the selection signal the operator exists for. */
-  test("q102 planted: scores match the driver reference, target-like doc wins") {
-    import spark.implicits._
-    def hex8(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.take(8), 16)
-    }
-    def dbOf(id: Long): Long = hex8(id.toString) % 1000L
-    def fbOf(tok: String): Long = hex8(tok) % TextOps.DsirBuckets
-    val ids = (0L until 400L)
-    val evalIds = ids.filter(dbOf(_) < 100).take(2)
-    val trainIds = ids.filter(dbOf(_) >= 100).take(8)
-    val target = "alpha beta gamma delta epsilon"
-    val off = "uno dos tres cuatro cinco"
-    val docs = evalIds.map(id => (id, "en", target + " zeta eta")) ++
-      Seq((trainIds(0), "en", off + " seis"),
-        (trainIds(1), "en", target + " theta"), // target-like → must win
-        (trainIds(2), "en", off + " siete ocho"),
-        (trainIds(3), "es", off),
-        (trainIds(4), "es", target)) // target-like in es
-    val df = docs.toDF("doc_id", "lang", "text")
+  private def dsirHex8(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+  private def dsirDbOf(id: Long): Long = dsirHex8(id.toString) % 1000L
 
-    // driver reference: same tokenization, same buckets, same BigInt math
+  /** Driver reference for q102: same tokenization, same md5 buckets,
+    * same BigInt add-half ratio arithmetic, same top-k tie-break. */
+  private def dsirRef(docs: Seq[(Long, String, String)]): Set[(String, Long, Long, Long, Long)] = {
     val K = TextOps.DsirBuckets
+    def fbOf(tok: String): Long = dsirHex8(tok) % K
     val tokRows = docs.flatMap { case (id, lang, text) =>
-      text.toLowerCase.split(" ", -1).map(t => (id, lang, dbOf(id), fbOf(t)))
+      text.toLowerCase.split(" ", -1).map(t => (id, lang, dsirDbOf(id), fbOf(t)))
     }
     val cells = tokRows.groupBy(_._4).map { case (fb, rs) =>
       fb -> ((rs.count(_._3 < 100).toLong, rs.count(_._3 >= 100).toLong))
@@ -444,7 +427,7 @@ class TextOpsSpec extends AnyFunSuite {
     def ratio(ct: Long, cs: Long): Long =
       ((BigInt(TextOps.DsirScale) * (2 * BigInt(ct) + 1) * (2 * BigInt(ts) + K)) /
         ((2 * BigInt(cs) + 1) * (2 * BigInt(tt) + K))).toLong
-    val want = tokRows.filter(_._3 >= 100).groupBy(r => (r._1, r._2))
+    tokRows.filter(_._3 >= 100).groupBy(r => (r._1, r._2))
       .map { case ((id, lang), rs) =>
         val score = rs.map(r => ratio(cells(r._4)._1, cells(r._4)._2)).sum
         (lang, id, rs.size.toLong, score)
@@ -452,7 +435,28 @@ class TextOpsSpec extends AnyFunSuite {
         ds.sortBy(d => (-d._4, d._2)).take(TextOps.DsirK).zipWithIndex
           .map { case ((l, id, n, sc), i) => (l, (i + 1).toLong, id, n, sc) }
       }.toSet
+  }
 
+  /** q102: the distributed hashed-ratio scoring must land on EXACTLY the
+    * longs a driver-side run of the same integer arithmetic produces
+    * (md5 buckets, BigInt add-half ratios, per-doc sums, top-k ties by
+    * doc_id), and the target-like train doc must outrank the off-target
+    * ones — the selection signal the operator exists for. */
+  test("q102 planted: scores match the driver reference, target-like doc wins") {
+    import spark.implicits._
+    val ids = (0L until 400L)
+    val evalIds = ids.filter(dsirDbOf(_) < 100).take(2)
+    val trainIds = ids.filter(dsirDbOf(_) >= 100).take(8)
+    val target = "alpha beta gamma delta epsilon"
+    val off = "uno dos tres cuatro cinco"
+    val docs = evalIds.map(id => (id, "en", target + " zeta eta")) ++
+      Seq((trainIds(0), "en", off + " seis"),
+        (trainIds(1), "en", target + " theta"), // target-like → must win
+        (trainIds(2), "en", off + " siete ocho"),
+        (trainIds(3), "es", off),
+        (trainIds(4), "es", target)) // target-like in es
+    val df = docs.toDF("doc_id", "lang", "text")
+    val want = dsirRef(docs)
     val got = TextOps.dsirOf(df).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
@@ -460,6 +464,31 @@ class TextOpsSpec extends AnyFunSuite {
     // the selection signal: target-like docs rank first in both langs
     val top = got.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
     assert(top("en") == trainIds(1) && top("es") == trainIds(4), top)
+  }
+
+  /** q102 property: seeded random corpora (zipfy vocab, random langs,
+    * strata straddling DsirK) must match the driver reference on the
+    * full output every trial. */
+  test("q102 property: random corpora match the driver reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4711L)
+    for (trial <- 1 to 3) {
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa", "rare1", "rare2")
+      val docs = (0 until 80).map { i =>
+        val n = 3 + rnd.nextInt(12)
+        // zipfy: low indices much likelier
+        val toks = Seq.fill(n)(vocab(
+          math.min(rnd.nextInt(vocab.size), rnd.nextInt(vocab.size))))
+        (trial * 10000L + i, if (rnd.nextBoolean()) "en" else "es",
+          toks.mkString(" "))
+      }
+      val got = TextOps.dsirOf(docs.toDF("doc_id", "lang", "text"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == dsirRef(docs), s"trial $trial")
+    }
   }
 
   /** q102 with NO eval split (tt = 0): the smoothed formula stays
