@@ -662,19 +662,45 @@ object Dedup {
     * stays far under the 5% flag bound. */
   val BloomBitsPerItem = 20L
 
+  /** Hard ceiling on sketch capacity: past this the bitset literal
+    * (bits/8 bytes, shipped in every probe stage's task binary) stops
+    * being broadcast-practical (~250 MB at 100M items × 20 bits). An
+    * eval/benchmark suite this large should be decontaminated in
+    * partitions, not one sketch — fail loudly rather than degrade
+    * silently. */
+  val BloomMaxItems = 100000000L
+
   /** Driver-fetched Bloom sketch of a DataFrame's `colName` string
     * column, built with the engine's own distributed
     * `BloomFilterAggregate` (partial sketches OR-merged; xxhash64 keys).
     * Null when the frame is empty — see [[bloomGate]]. Shared by q101
-    * and [[graft.streaming.StreamDecontam]]'s bloom arm. */
+    * and [[graft.streaming.StreamDecontam]]'s bloom arm.
+    *
+    * Spark 4 silently CLAMPS the aggregate's numItems/numBits to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (defaults 4M / 67.1M — `Math.min` in the lazy vals, no error), so
+    * past ~1.7M items at 20 bits/item the documented fpp — and q101's
+    * oracle-predicted fp invariant — would quietly degrade. Raise the
+    * session confs to fit the request before building, and refuse
+    * outright past [[BloomMaxItems]]. */
   def bloomOf(d: DataFrame, colName: String,
       capacity: Long = BloomCapacity): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(capacity <= BloomMaxItems,
+      s"bloom capacity $capacity exceeds BloomMaxItems=$BloomMaxItems — " +
+        "partition the eval set instead of one sketch")
+    val bits = capacity * BloomBitsPerItem
+    val conf = d.sparkSession.conf
+    def raise(key: String, needed: Long): Unit =
+      if (conf.getOption(key).forall(_.toLong < needed))
+        conf.set(key, needed.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", capacity)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     d.agg(graft.util.Cols.column(
         new BloomFilterAggregate(
           new XxHash64(Seq(graft.util.Cols.expression(d(colName)))),
-          Literal(capacity), Literal(capacity * BloomBitsPerItem))
+          Literal(capacity), Literal(bits))
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
   }

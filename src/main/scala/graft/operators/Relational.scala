@@ -420,7 +420,7 @@ object Relational {
     val g = gapfillFromBuckets(hourBuckets(ev))
     val w = Window.partitionBy($"event_type").orderBy($"wstart".asc)
     val wMa = w.rowsBetween(-(MovingAvgHours - 1), Window.currentRow)
-    val sumScaled = floor($"sum_value" * lit(10000.0) + lit(0.5)).cast("long")
+    val sumScaled = slong($"sum_value")
     g.withColumn("diff_n", $"n" - lag($"n", 1).over(w))
       .withColumn("nnd_n", when($"diff_n" >= 0, $"diff_n"))
       .withColumn("ma_sum",

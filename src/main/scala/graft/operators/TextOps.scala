@@ -809,8 +809,7 @@ object TextOps {
     val perDoc = d.select($"doc_id", $"lang",
         graft.util.Buckets.mod1000("doc_id").as("db"),
         explode(split(lower($"text"), " ")).as("tok"))
-      .withColumn("fb", expr(
-        s"cast(conv(substring(md5(cast(tok as binary)), 1, 8), 16, 10) as long) % $K"))
+      .withColumn("fb", graft.util.Buckets.modN("tok", K))
       .groupBy($"doc_id", $"lang", $"db", $"fb")
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)

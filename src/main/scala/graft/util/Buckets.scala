@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions.expr
   * using exactly this expression. DuckDB twin: the `hexInt % 1000`
   * list_reduce in the oracle SQL. */
 object Buckets {
-  def mod1000(idCol: String): Column = expr(
-    s"cast(conv(substring(md5(cast(cast($idCol as string) as binary)), 1, 8), 16, 10) as long) % 1000")
+  def mod1000(idCol: String): Column = modN(idCol, 1000)
+
+  /** The same first-8-hex-chars-of-md5 idiom over an arbitrary modulus —
+    * q102's 256-bucket token features share the hash family (and its
+    * cross-engine guarantee) rather than hand-copying the expression.
+    * For a string column the inner to-string cast is the identity, so
+    * one definition serves ids and tokens alike. */
+  def modN(c: String, n: Int): Column = expr(
+    s"cast(conv(substring(md5(cast(cast($c as string) as binary)), 1, 8), 16, 10) as long) % $n")
 }

@@ -239,6 +239,22 @@ class DedupSpec extends AnyFunSuite {
     q101.foreach(r => assert(r.getBoolean(4), r.toString))
   }
 
+  /** Spark clamps BloomFilterAggregate at maxNumItems=4M /
+    * maxNumBits=67.1M with a silent Math.min — bloomOf must raise the
+    * session confs so a >4M-capacity request actually gets its bits
+    * (serialized sketch larger than the default ceiling's 8.4 MB
+    * bitset), and must refuse past the broadcast-practical hard cap. */
+  test("bloomOf lifts Spark's silent sketch clamp; refuses past the cap") {
+    import spark.implicits._
+    val d = Seq("x").toDF("s")
+    val bin = Dedup.bloomOf(d, "s", capacity = 5000000L)
+    assert(bin != null && bin.length > 67108864 / 8,
+      s"sketch ${bin.length} B — the 67.1M-bit default clamp was not lifted")
+    intercept[IllegalArgumentException] {
+      Dedup.bloomOf(d, "s", capacity = Dedup.BloomMaxItems + 1)
+    }
+  }
+
   /** q101 property: on seeded random corpora (small shared vocabulary →
     * heavy cross-split shingle overlap, exercising dense bloom hits)
     * the sketch arm's accounting must equal the exact arm's, every
