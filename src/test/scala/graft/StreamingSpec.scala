@@ -502,6 +502,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingDownsample across a checkpoint restart: buckets finalized
+    * before the bounce are not re-emitted after it (offset log + window
+    * state checkpoint together), and post-restart data lands in new
+    * buckets — the rollup table stays append-exact. */
+  test("streaming downsample state survives a restart without re-emission") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("downsample_restart")
+    val ckpt = Files.createTempDirectory("downsample_restart_ckpt")
+    val hUs = graft.operators.Relational.GapfillHourUs
+    def ev(h: Long, i: Int) =
+      s"""{"us":${h * hUs + i * 1000L},"event_type":"a","value":1.0}"""
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+        .withColumn("ts", timestamp_micros(col("us")))
+      graft.streaming.StreamingDownsample.buckets(stream)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => out.add((r.getLong(0), r.getLong(2))))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    // b1: hour 100 (3 events); b2: hour 102 — watermark finalizes 100
+    Files.write(dir.resolve("b1.json"),
+      (0 until 3).map(ev(100L, _)).mkString("\n").getBytes)
+    Files.write(dir.resolve("b2.json"), ev(102L, 0).getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(out.toArray(Array.empty[(Long, Long)]).toSeq == Seq((100L, 3L)),
+      s"pre-restart rollup: $out")
+    // restart on the same checkpoint; b3 finalizes hour 102 — hour 100
+    // must NOT re-emit
+    Files.write(dir.resolve("b3.json"), ev(200L, 0).getBytes)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got = out.toArray(Array.empty[(Long, Long)]).toSeq
+      assert(got == Seq((100L, 3L), (102L, 1L)),
+        s"post-restart rollup must append exactly hour 102: $got")
+    } finally q2.stop()
+  }
+
   /** StreamingAnomaly: a finalized spike bucket breaching the
     * historical median/MAD band alerts exactly once; an in-band bucket
     * stays silent. Thresholds come from q105's own statistic over the
