@@ -798,21 +798,28 @@ object TextOps {
   def q102DsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirOf(docs(s, dir))
 
-  def dsirOf(d: DataFrame): DataFrame = {
+  /** The [[DsirBuckets]]-long target/source ratio table from a corpus's
+    * eval/train split — exact BigInt arithmetic over the driver-sized
+    * cell collect. Exposed for [[graft.streaming.StreamingSelect]],
+    * which scores INCOMING documents against a historical model. */
+  def dsirRatios(d: DataFrame): Array[Long] =
+    dsirRatiosOf(dsirPerDoc(d))
+
+  private def dsirPerDoc(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val K = DsirBuckets
-    // (doc, lang, doc-bucket, feature-bucket) → token count; checkpoint:
-    // both the global cells and the scoring pass consume this frame, and
-    // the barrier guarantees ONE text decode + ONE explode (q101 rule)
-    val perDoc = d.select($"doc_id", $"lang",
+    d.select($"doc_id", $"lang",
         graft.util.Buckets.mod1000("doc_id").as("db"),
         explode(split(lower($"text"), " ")).as("tok"))
-      .withColumn("fb", graft.util.Buckets.modN("tok", K))
+      .withColumn("fb", graft.util.Buckets.modN("tok", DsirBuckets))
       .groupBy($"doc_id", $"lang", $"db", $"fb")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+  }
+
+  private def dsirRatiosOf(perDoc: DataFrame): Array[Long] = {
+    val s = perDoc.sparkSession
+    import s.implicits._
+    val K = DsirBuckets
     // K×2 cells — driver-sized by construction, independent of corpus
     val cells = perDoc.groupBy($"fb")
       .agg(sum(when($"db" < 100, $"c").otherwise(0L)).as("ct"),
@@ -829,6 +836,18 @@ object TextOps {
     val rArr = Array.fill(K)(ratio(0L, 0L))
     cells.foreach(r => rArr(r.getLong(0).toInt) =
       ratio(r.getLong(1), r.getLong(2)))
+    rArr
+  }
+
+  def dsirOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (doc, lang, doc-bucket, feature-bucket) → token count; checkpoint:
+    // both the global cells and the scoring pass consume this frame, and
+    // the barrier guarantees ONE text decode + ONE explode (q101 rule)
+    val perDoc = dsirPerDoc(d).localCheckpoint(true)
+    val rArr = dsirRatiosOf(perDoc)
     val rLookup = array(rArr.map(lit(_)).toIndexedSeq: _*)
     val w = Window.partitionBy($"lang")
       .orderBy($"dsir_score".desc, $"doc_id".asc)

@@ -19,6 +19,11 @@ object Buckets {
     * cross-engine guarantee) rather than hand-copying the expression.
     * For a string column the inner to-string cast is the identity, so
     * one definition serves ids and tokens alike. */
-  def modN(c: String, n: Int): Column = expr(
-    s"cast(conv(substring(md5(cast(cast($c as string) as binary)), 1, 8), 16, 10) as long) % $n")
+  def modN(c: String, n: Int): Column = expr(sqlModN(c, n))
+
+  /** The raw SQL form, for call sites that need the idiom INSIDE a SQL
+    * lambda (StreamingSelect's per-row aggregate) where a Column can't
+    * reach — same single-definition guarantee. */
+  def sqlModN(c: String, n: Int): String =
+    s"cast(conv(substring(md5(cast(cast($c as string) as binary)), 1, 8), 16, 10) as long) % $n"
 }

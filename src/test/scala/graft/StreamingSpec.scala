@@ -502,6 +502,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingSelect: incoming docs scored against the static DSIR
+    * ratio model must land on exactly the driver-model longs — the same
+    * triangle TextOpsSpec closes for batch (batch == driver model), so
+    * door and warehouse scores agree. Stateless: a re-sent doc
+    * re-scores identically. */
+  test("streaming DSIR scoring matches the driver model per document") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("select_stream")
+    val outName = "select_out"
+    def hex8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8), 16)
+    }
+    // history: ids spanning both splits, two vocabularies
+    val ids = (0L until 400L)
+    val evalIds = ids.filter(id => hex8(id.toString) % 1000L < 100).take(3)
+    val trainIds = ids.filter(id => hex8(id.toString) % 1000L >= 100).take(5)
+    val target = "alpha beta gamma delta"
+    val off = "uno dos tres cuatro"
+    val hist = (evalIds.map((_, "en", target)) ++
+      trainIds.map((_, "en", off))).toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextOps.dsirRatios(hist)
+    // live docs: one target-like, one off-target, one mixed
+    val live = Seq((9001L, "en", target + " eps"),
+      (9002L, "en", off + " seis"), (9003L, "es", "alpha uno"))
+    def model(text: String): Long =
+      text.toLowerCase.split(" ", -1)
+        .map(t => r((hex8(t) % r.length).toInt)).sum
+    Files.write(dir.resolve("b1.json"), live.map { case (id, l, t) =>
+      s"""{"doc_id":$id,"lang":"$l","text":"$t"}""" }.mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val q = graft.streaming.StreamingSelect.scores(stream, r)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(outName).collect()
+        .map(row => row.getLong(0) -> ((row.getLong(2), row.getLong(3)))).toMap
+      live.foreach { case (id, _, t) =>
+        val toks = t.split(" ", -1).length.toLong
+        assert(got(id) == ((toks, model(t))),
+          s"doc $id: got ${got(id)} want (${toks}, ${model(t)})")
+      }
+      // the selection signal survives the door: target-like > off-target
+      // per token (lengths equal here)
+      assert(got(9001L)._2 > got(9002L)._2, got)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** StreamingDownsample across a checkpoint restart: buckets finalized
     * before the bounce are not re-emitted after it (offset log + window
     * state checkpoint together), and post-restart data lands in new
