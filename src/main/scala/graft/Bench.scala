@@ -156,6 +156,7 @@ object Bench {
     * corpus) and would silently time the serving arms against a stale
     * model (ADVICE r5). */
   private val ivfWrittenByThisJvm = mutable.Set[String]()
+  private val bpeWrittenByThisJvm = mutable.Set[String]()
   private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
     if (ivfWrittenByThisJvm.add(path))
@@ -284,6 +285,19 @@ object Bench {
       try q.processAllAvailable() finally q.stop()
       grams.unpersist()
       require(stripped.get() > 0, "streaming span strip stripped nothing")
+    }),
+    // r7: the tokenizer's build-once/encode-many arm — the warm-up pass
+    // writes the BPE model if this JVM hasn't (same per-JVM freshness
+    // rule as the IVF index); timed passes pay ONLY model load + the
+    // single-projection encode. Its delta under q104 is the learning
+    // cost a pipeline amortizes across re-encodes.
+    "x_bpe_encode_loaded" -> ((s, dir) => {
+      val path = s"/tmp/graft-bench-bpe-${Integer.toHexString(dir.hashCode)}"
+      if (bpeWrittenByThisJvm.add(path))
+        graft.operators.TextOps.saveBpeModel(s, dir, path)
+      graft.operators.TextOps.bpeEncodeWith(s, dir,
+          graft.operators.TextOps.loadBpeRules(s, path))
+        .write.format("noop").mode("overwrite").save()
     }),
     // #8: amortized pipeline mode — q62/q65/q77 share ONE memoized
     // component-label pass (how a real pipeline runs them), vs the

@@ -1479,13 +1479,35 @@ object TextOps {
     * per-(lang, word) frame: no join, no iteration, no shuffle beyond
     * the word-count group-by and the per-language rollup. Encoding cost
     * is |distinct (lang, word)|, not corpus positions — the same
-    * word-vocabulary economics as training. (A pipeline would train
-    * once and reuse the rules; this registered query re-learns them so
-    * the oracle can re-derive the identical rules data-dependently.) */
-  def q104BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    * word-vocabulary economics as training. (A pipeline trains once and
+    * reuses the rules — [[saveBpeModel]]/[[loadBpeRules]] +
+    * [[bpeEncodeWith]] are that path, loaded-vs-inline equality
+    * spec-pinned; this registered query re-learns so the oracle can
+    * re-derive the identical rules data-dependently.) */
+  def q104BpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeWith(s, dir, q100BpeMerges(s, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Persist the learned merge table — the IVF-persistence story for
+    * the tokenizer: training scans the corpus and iterates; a serving
+    * or re-encode job must not re-learn. The model is the q100 output
+    * verbatim (ordered rules + their pair counts). */
+  def saveBpeModel(s: SparkSession, dir: String, path: String): Unit =
+    q100BpeMerges(s, dir).write.mode("overwrite").parquet(path)
+
+  /** Ordered merge rules from a [[saveBpeModel]] table. */
+  def loadBpeRules(s: SparkSession, path: String): Seq[(String, String)] = {
     import s.implicits._
-    val rules = q100BpeMerges(s, dir).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    s.read.parquet(path).orderBy($"it")
+      .select($"sym_a", $"sym_b").as[(String, String)].collect().toSeq
+  }
+
+  /** The encode pass against an explicit rule list — shared by q104
+    * (which learns inline) and the loaded-model serving arm (which must
+    * produce IDENTICAL accounting, spec-pinned). */
+  def bpeEncodeWith(s: SparkSession, dir: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
     val lw = docs(s, dir)
       .select($"lang", explode(split(trim(lower($"text")), "\\s+")).as("word"))
       .filter($"word" =!= "")

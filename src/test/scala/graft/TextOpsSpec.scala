@@ -795,4 +795,20 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0, r)
     }
   }
+
+  /** The persisted BPE model round-trips: encode with the LOADED rules
+    * must equal the inline-learned q104 bit-for-bit (the IVF
+    * loaded-vs-inline discipline applied to the tokenizer). */
+  test("q104: encoding with the saved+loaded model equals inline") {
+    val path = java.nio.file.Files.createTempDirectory("bpe_model")
+      .resolve("model").toString
+    TextOps.saveBpeModel(spark, dir, path)
+    val rules = TextOps.loadBpeRules(spark, path)
+    assert(rules.nonEmpty && rules.size <= TextOps.BpeMerges)
+    val loaded = TextOps.bpeEncodeWith(spark, dir, rules)
+      .collect().map(_.toString).toSeq
+    val inline = TextOps.q104BpeEncode(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(loaded == inline)
+  }
 }
