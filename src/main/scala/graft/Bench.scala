@@ -50,7 +50,7 @@ object Bench {
     "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
     "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms",
-    "q107_semantic_dedup")
+    "q107_semantic_dedup", "q108_rolling_users")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -126,7 +126,10 @@ object Bench {
     "q103_gapfill" -> 0.4, "q104_bpe_encode" -> 1.8,
     "q105_anomaly_hours" -> 0.65,
     "q106_series_transforms" -> 0.5,
-    "q107_semantic_dedup" -> 0.9)
+    "q107_semantic_dedup" -> 0.9,
+    // q108: the (hour, user) dedup shuffle + the bounded 24x cover-set
+    // replication's countDistinct (isolated 2100 MHz fork 1.85)
+    "q108_rolling_users" -> 1.6)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -38,7 +38,7 @@ object ScaleSmoke {
     * shapes the documents table can't. */
   private val eventQueries = Seq(
     "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill",
-    "q105_anomaly_hours", "q106_series_transforms")
+    "q105_anomaly_hours", "q106_series_transforms", "q108_rolling_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -146,6 +146,18 @@ object ScaleSmoke {
       .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     require(q86scaled == q86base.map { case (k, (t, i)) => k -> ((t * factor, i)) },
       "scale-up broke the novelty-introducer invariant")
+    // q101 invariant: the bloom sketch arm must equal the exact q60
+    // accounting AT SCALE too (no false negatives, fps die in the exact
+    // join) — the equality the sketch's whole existence rests on
+    val q60s = SparkEntry.queries("q60_decontam")(spark, workDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val q101s = SparkEntry.queries("q101_bloom_decontam")(spark, workDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    require(q101s == q60s,
+      "scale-up broke bloom-vs-exact decontamination equality")
     // q88 invariant: replication multiplies every edge weight AND every
     // node's incident total by the same factor, which cancels exactly in
     // the integer division ((f·A) div (f·B) = A div B) — TextRank output

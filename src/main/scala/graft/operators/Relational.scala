@@ -430,6 +430,55 @@ object Relational {
       .orderBy($"event_type", $"wstart")
   }
 
+  // --------------------------------------------------------------- q108
+  /** Rolling window width in hours (24 h ending at each grid hour). */
+  val RollingHours = 24
+
+  /** q108: rolling distinct users — per grid hour, the EXACT count of
+    * distinct users active in the [[RollingHours]]-hour window ending
+    * there (the rolling-DAU shape), next to the plain per-hour
+    * distinct. Sliding DISTINCT does not compose from per-bucket
+    * results (distinct is not sum-decomposable), so the scalable exact
+    * shape is cover-set replication: dedup to (hour, user) pairs FIRST
+    * — the only frame that carries event volume, one shuffle — then
+    * replicate each pair to the ≤ [[RollingHours]] windows it covers
+    * (bounded fan-out, independent of event rate) and count distinct
+    * per window. The window-over-sets alternative buffers a full
+    * day of raw user ids per grid hour per partition — unbounded.
+    * Computed over the q103-style global dense grid, so quiet hours
+    * report their true 0 / decaying tail. */
+  def q108RollingUsers(s: SparkSession, dir: String): DataFrame =
+    rollingUsersOf(t(s, dir, "events"))
+
+  def rollingUsersOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val hu = ev.select(
+        expr(s"unix_micros(ts) div ${GapfillHourUs}L").as("h"), $"user_id")
+      .distinct()
+      .localCheckpoint(true)
+    val b = hu.agg(min($"h"), max($"h")).collect()(0)
+    if (b.isNullAt(0))
+      return hu.sparkSession.emptyDataFrame
+        .withColumn("wstart", lit("")).withColumn("n_users_1h", lit(0L))
+        .withColumn("n_users_24h", lit(0L))
+        .select($"wstart", $"n_users_1h", $"n_users_24h")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val grid = s.range(lo, hi + 1).select($"id".as("w"))
+    val hourly = hu.groupBy($"h".as("w"))
+      .agg(countDistinct($"user_id").as("n1"))
+    val roll = hu.select(explode(sequence($"h",
+        least($"h" + (RollingHours - 1), lit(hi)))).as("w"), $"user_id")
+      .groupBy($"w")
+      .agg(countDistinct($"user_id").as("n24"))
+    grid.join(hourly, Seq("w"), "left")
+      .join(roll, Seq("w"), "left")
+      .select(tsStr(timestamp_micros($"w" * lit(GapfillHourUs))).as("wstart"),
+        coalesce($"n1", lit(0L)).as("n_users_1h"),
+        coalesce($"n24", lit(0L)).as("n_users_24h"))
+      .orderBy($"wstart")
+  }
+
   // ---------------------------------------------------------------- q16
   /** Semi-structured JSON extraction from the props payload column —
     * mirrors the reference's sparse-dict field probing (SURVEY §1.1) in
@@ -980,6 +1029,7 @@ object Relational {
     "q103_gapfill" -> (q103Gapfill _),
     "q105_anomaly_hours" -> (q105AnomalyHours _),
     "q106_series_transforms" -> (q106SeriesTransforms _),
+    "q108_rolling_users" -> (q108RollingUsers _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_json" -> (q16Json _),
     "q17_asof" -> (q17AsOf _),
@@ -1349,6 +1399,24 @@ object Relational {
         |SELECT event_type, wstart, n, diff_n,
         |  CASE WHEN diff_n >= 0 THEN diff_n END AS nnd_n, ma_sum
         |FROM t ORDER BY event_type, wstart""".stripMargin,
+    "q108_rolling_users" ->
+      // the range join replays the cover-set semantics: a (hour, user)
+      // pair contributes to every window ending within RollingHours
+      s"""WITH hu AS (SELECT DISTINCT epoch_us(ts) // ${GapfillHourUs} AS h,
+        |    user_id FROM events),
+        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hu),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS w FROM bounds),
+        |h1 AS (SELECT h AS w, COUNT(DISTINCT user_id) AS n1
+        |  FROM hu GROUP BY h),
+        |r AS (SELECT g.w, COUNT(DISTINCT hu.user_id) AS n24
+        |  FROM grid g JOIN hu ON hu.h BETWEEN g.w - ${RollingHours - 1} AND g.w
+        |  GROUP BY g.w)
+        |SELECT strftime(make_timestamp(g.w * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  COALESCE(h1.n1, CAST(0 AS BIGINT)) AS n_users_1h,
+        |  COALESCE(r.n24, CAST(0 AS BIGINT)) AS n_users_24h
+        |FROM grid g LEFT JOIN h1 USING (w) LEFT JOIN r USING (w)
+        |ORDER BY wstart""".stripMargin,
     "q15_sessionize" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (SELECT user_id,

@@ -220,6 +220,36 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** q108 planted: overlap dedup across hours inside the window, the
+    * 24-hour boundary falling off exactly, a dead zone reporting 0, and
+    * an isolated revival hour. */
+  test("q108 rolling distinct users: window boundary and dead-zone exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    val rows = Seq( // (hour, user)
+      (100L, 1L), (100L, 1L), (100L, 2L), // dup event: still 2 distinct
+      (110L, 2L), (110L, 3L), // user 2 overlaps hour 100's set
+      (140L, 4L))
+    val ev = rows.zipWithIndex.map { case ((h, u), i) =>
+      (h * hUs + i * 1000L, u) }
+      .toDF("us", "user_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = Relational.rollingUsersOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 41, s"grid must span 100..140: ${got.length}")
+    val byHour = got.zipWithIndex.map { case (r, i) => (100L + i) -> r }.toMap
+    def n(h: Long) = (byHour(h)._2, byHour(h)._3)
+    assert(n(100L) == ((2L, 2L)))  // {1,2}
+    assert(n(109L) == ((0L, 2L)))  // still {1,2}
+    assert(n(110L) == ((2L, 3L)))  // {1,2,3} — user 2 deduplicates
+    assert(n(123L) == ((0L, 3L)))  // hour 100 still inside the window
+    assert(n(124L) == ((0L, 2L)))  // hour 100 just fell off: {2,3}
+    assert(n(133L) == ((0L, 2L)))  // hour 110 last covered here
+    assert(n(134L) == ((0L, 0L)))  // dead zone
+    assert(n(140L) == ((1L, 1L)))  // revival
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
