@@ -559,6 +559,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingRollingUsers: within-hour duplicate users collapse via
+    * the dedup→window-agg stateful chain, finalized counts equal the
+    * batch q108 per-hour arm on the same events, and the open hour
+    * stays unemitted until the watermark passes. */
+  test("streaming hourly distinct users equals the batch per-hour arm") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rolling_stream")
+    val outName = "rolling_out"
+    val hUs = graft.operators.Relational.GapfillHourUs
+    def ev(h: Long, u: Long, i: Int) =
+      s"""{"us":${h * hUs + i * 1000L},"user_id":$u}"""
+    // hour 100: users 1,1,2 (dup event) → 2; hour 101: users 2,3 → 2
+    Files.write(dir.resolve("b1.json"), Seq(
+      ev(100L, 1L, 0), ev(100L, 1L, 1), ev(100L, 2L, 2),
+      ev(101L, 2L, 0), ev(101L, 3L, 1)).mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("user_id", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.StreamingRollingUsers.hourlyDistinct(stream)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush event finalizes both real hours
+      Files.write(dir.resolve("b2.json"), ev(200L, 9L, 0).getBytes)
+      q.processAllAvailable()
+      val got = spark.table(outName).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(100L -> 2L, 101L -> 2L),
+        s"hour 200 must stay open, dups must collapse: $got")
+      // parity with the batch arm on the same finalized hours
+      val batch = graft.operators.Relational.rollingUsersOf(
+        Seq((100L * hUs, 1L), (100L * hUs + 1000L, 1L),
+          (100L * hUs + 2000L, 2L), (101L * hUs, 2L), (101L * hUs + 1000L, 3L))
+          .toDF("us", "user_id")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+        .collect().map(r => r.getString(0).substring(11, 13).toLong -> r.getLong(1))
+        .toMap
+      assert(got.map { case (h, n) => (h % 24) -> n } == batch,
+        s"stream $got vs batch $batch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
   /** StreamingDownsample across a checkpoint restart: buckets finalized
     * before the bounce are not re-emitted after it (offset log + window
     * state checkpoint together), and post-restart data lands in new
