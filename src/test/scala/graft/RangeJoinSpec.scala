@@ -250,6 +250,79 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(n(140L) == ((1L, 1L)))  // revival
   }
 
+  /** q105 property: random sparse series with planted spikes must
+    * match a driver model of the same dense-grid + lower-median/MAD
+    * integer arithmetic — flags, medians and MADs all exact. */
+  test("q105 property: random series match the driver median/MAD model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    val rnd = new scala.util.Random(313L)
+    for (trial <- 1 to 3) {
+      val tags = Seq("a", "b")
+      val hours = 100L to (110L + rnd.nextInt(8))
+      val data = for { t <- tags; h <- hours if rnd.nextInt(4) > 0 }
+        yield (t, h, 1 + (if (rnd.nextInt(6) == 0) 5 + rnd.nextInt(20)
+          else rnd.nextInt(3)))
+      val ev = data.flatMap { case (t, h, k) =>
+        (0 until k).map(i => (h * hUs + i * 1000L, t, 1.0)) }
+        .toDF("us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      // driver model
+      val present = data.map(d => (d._1, d._2) -> d._3.toLong).toMap
+      val lo = data.map(_._2).min
+      val hi = data.map(_._2).max
+      def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+      val want = data.map(_._1).distinct.sorted.flatMap { t =>
+        val ns = (lo to hi).map(h => h -> present.getOrElse((t, h), 0L))
+        val med = lowerMedian(ns.map(_._2))
+        val mad = lowerMedian(ns.map(n => math.abs(n._2 - med)))
+        ns.collect { case (h, n) if math.abs(n - med) > 3 * mad =>
+          (t, h, n, med, mad) }
+      }
+      val got = Relational.anomalyHoursOf(ev).collect().map { r =>
+        val h = java.time.LocalDateTime.parse(r.getString(1).replace(' ', 'T'))
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L
+        (r.getString(0), h, r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toSeq
+      assert(got == want, s"trial $trial:\n got=$got\n want=$want")
+    }
+  }
+
+  /** q108 property: random (hour, user) activity must match a driver
+    * model of the dedup + cover-set rolling distinct, including window
+    * clipping at the grid's high end. */
+  test("q108 property: random activity matches the driver rolling model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    val rnd = new scala.util.Random(515L)
+    for (trial <- 1 to 3) {
+      val hours = 100L to (100L + 30 + rnd.nextInt(20))
+      val data = for { h <- hours; _ <- 0 until rnd.nextInt(4) }
+        yield (h, rnd.nextInt(8).toLong)
+      if (data.nonEmpty) {
+        val ev = data.zipWithIndex.map { case ((h, u), i) =>
+          (h * hUs + i * 1000L, u) }
+          .toDF("us", "user_id")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        val lo = data.map(_._1).min
+        val hi = data.map(_._1).max
+        val byHour = data.groupBy(_._1).map { case (h, xs) =>
+          h -> xs.map(_._2).toSet }
+        val want = (lo to hi).map { w =>
+          val n1 = byHour.getOrElse(w, Set.empty).size.toLong
+          val n24 = (math.max(lo, w - (Relational.RollingHours - 1)) to w)
+            .flatMap(h => byHour.getOrElse(h, Set.empty)).toSet.size.toLong
+          (n1, n24)
+        }
+        val got = Relational.rollingUsersOf(ev).collect()
+          .map(r => (r.getLong(1), r.getLong(2))).toSeq
+        assert(got == want, s"trial $trial:\n got=$got\n want=$want")
+      }
+    }
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
