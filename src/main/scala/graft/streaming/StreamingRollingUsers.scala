@@ -8,11 +8,20 @@ import graft.operators.Relational
 /** Streaming hourly DISTINCT-user buckets — the at-the-door arm of
   * q108's rolling-DAU. Raw `count(distinct)` is unsupported inside a
   * streaming aggregation, so the exact shape is the stateful-chain
-  * idiom: `dropDuplicates` on the (user, hour) pair FIRST (keyed state
-  * that expires with the watermark — each pair held only until its
-  * hour finalizes), then an ordinary 1-hour window count over the
-  * first-occurrence rows. State tracks (active users × open hours),
-  * never history.
+  * idiom: `dropDuplicates` on the (user, hour) pair FIRST, then an
+  * ordinary 1-hour window count over the first-occurrence rows.
+  *
+  * Two load-bearing details (both review findings): the event time is
+  * truncated to its hour EPOCH-ALIGNED (`unix_micros div hour` — the
+  * same arithmetic as the batch q108, so a fractional-offset session
+  * timezone can't desynchronize the dedup key from the window bucket),
+  * and the truncation happens BEFORE `withWatermark`, so the
+  * watermarked attribute itself is the dedup key — Spark's dedup
+  * operator only evicts state when a key carries the event-time
+  * watermark metadata, which an alias over a derived column does not.
+  * With this ordering each (user, hour) entry is freed once the
+  * watermark passes its hour: state = active users × OPEN hours, never
+  * history (asserted on the operator metrics in the spec).
   *
   * The honest lambda split, third edition: the 24-hour ROLLING arm
   * stays batch (q108's cover-set replication over the rollup) — a
@@ -26,10 +35,12 @@ object StreamingRollingUsers {
   def hourlyDistinct(events: DataFrame,
       watermark: String = "10 seconds"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .withColumn("hts", date_trunc("hour", col("ts")))
+      .withColumn("hts", expr(
+        s"timestamp_micros((unix_micros(ts) div ${Relational.GapfillHourUs}L)" +
+          s" * ${Relational.GapfillHourUs}L)"))
+      .withWatermark("hts", watermark)
       .dropDuplicates("user_id", "hts")
-      .groupBy(window(col("ts"), "1 hour"))
+      .groupBy(window(col("hts"), "1 hour"))
       .agg(count(lit(1)).as("n_users_1h"))
       .select(
         expr(s"unix_micros(window.start) div ${Relational.GapfillHourUs}L")

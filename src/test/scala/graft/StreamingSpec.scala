@@ -592,6 +592,13 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(100L -> 2L, 101L -> 2L),
         s"hour 200 must stay open, dups must collapse: $got")
+      // state EVICTS with the watermark (the review finding): after
+      // hours 100/101 finalize, only the open hour-200 entries remain —
+      // 4 original (user, hour) pairs must not linger in the dedup store
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 3,
+        s"dedup/agg state did not evict finalized hours: $stateRows rows")
       // parity with the batch arm on the same finalized hours
       val batch = graft.operators.Relational.rollingUsersOf(
         Seq((100L * hUs, 1L), (100L * hUs + 1000L, 1L),
