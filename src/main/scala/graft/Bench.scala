@@ -50,7 +50,7 @@ object Bench {
     "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
     "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms",
-    "q107_semantic_dedup", "q108_rolling_users")
+    "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -129,7 +129,11 @@ object Bench {
     "q107_semantic_dedup" -> 0.9,
     // q108: the (hour, user) dedup shuffle + the bounded 24x cover-set
     // replication's countDistinct (isolated 2100 MHz fork 1.85)
-    "q108_rolling_users" -> 1.6)
+    "q108_rolling_users" -> 1.6,
+    // q109: time-range-QUADRATIC pair space (720 hours -> 1.3M pairs)
+    // through one globally range-partitioned rank (isolated 3.16 —
+    // the per-type-window draft read 4.96 at type-count parallelism)
+    "q109_theil_sen" -> 3.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -38,7 +38,8 @@ object ScaleSmoke {
     * shapes the documents table can't. */
   private val eventQueries = Seq(
     "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill",
-    "q105_anomaly_hours", "q106_series_transforms", "q108_rolling_users")
+    "q105_anomaly_hours", "q106_series_transforms", "q108_rolling_users",
+    "q109_theil_sen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -479,6 +479,67 @@ object Relational {
       .orderBy($"wstart")
   }
 
+  // --------------------------------------------------------------- q109
+  /** q109: Theil–Sen robust trend per series — the slope estimate a
+    * spiky telemetry feed can't poison (the median of all pairwise
+    * slopes tolerates up to ~29% outliers, where least squares breaks
+    * on one): per event_type over the dense hourly grid, slope_ab =
+    * (n_b − n_a)/(h_b − h_a) for every hour pair a<b, and the trend is
+    * the exact lower-median slope. Reported per type with the pair
+    * count and a rising/falling/flat class.
+    *
+    * Determinism: each slope is ONE double division of exact integers —
+    * correctly rounded, so bit-identical across engines — and the
+    * median SELECTS a value (ordered by (slope, h_a, h_b); the rank
+    * arithmetic is the q105 integer convention), never sums. Scale
+    * shape: the pair space is quadratic in the TIME RANGE (hours²/2 per
+    * type — 259k pairs at this SF's 720-hour grid, 3.8G at ten years
+    * hourly), never in event volume: everything runs on the
+    * checkpointed bucket grid, and the self-join is an equi-join on the
+    * type key. A multi-decade deployment would sample pairs
+    * (the classic Theil–Sen scaling move) — same plan shape. */
+  def q109TheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenOf(t(s, dir, "events"))
+
+  def theilSenOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val g = gapfillFromBuckets(hourBuckets(ev))
+      .select($"event_type",
+        expr(s"unix_micros(to_timestamp(wstart)) div ${GapfillHourUs}L").as("h"),
+        $"n")
+      .localCheckpoint(true)
+    // the dense grid gives every type the SAME hour count, so the pair
+    // count — and the median's rank — are analytic: one tiny driver
+    // count replaces a whole second window pass over the pair space
+    val nH = g.select($"h").distinct().count()
+    if (nH < 2) return g.sparkSession.emptyDataFrame
+      .withColumn("event_type", lit("")).withColumn("n_pairs", lit(0L))
+      .withColumn("trend_slope", lit(0.0)).withColumn("trend", lit(""))
+      .select($"event_type", $"n_pairs", $"trend_slope", $"trend")
+    val nPairs = nH * (nH - 1) / 2
+    val medRank = (nPairs + 1) / 2
+    val a = g.select($"event_type", $"h".as("ha"), $"n".as("na"))
+    val b = g.select($"event_type", $"h".as("hb"), $"n".as("nb"))
+    val pairs = a.join(b, Seq("event_type")).filter($"ha" < $"hb")
+      .withColumn("slope",
+        ($"nb" - $"na").cast("double") / ($"hb" - $"ha").cast("double"))
+    // per-type rank WITHOUT a per-type window (whose parallelism caps
+    // at the type count — the q58/q84 lesson): one globally
+    // range-partitioned rank over (type, slope, ha, hb); every type
+    // holds exactly nPairs rows, so the within-type rank is
+    // (rn − 1) mod nPairs + 1 — the median rows fall out of one
+    // partition-parallel sort
+    withGlobalRank(pairs.select($"event_type", $"ha", $"hb", $"slope"),
+        Seq($"event_type".asc, $"slope".asc, $"ha".asc, $"hb".asc), "rn")
+      .filter(expr(s"(rn - 1) % ${nPairs}L + 1 = ${medRank}L"))
+      .select($"event_type", lit(nPairs).as("n_pairs"),
+        $"slope".as("trend_slope"),
+        when($"slope" > 0, "rising").when($"slope" < 0, "falling")
+          .otherwise("flat").as("trend"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------- q16
   /** Semi-structured JSON extraction from the props payload column —
     * mirrors the reference's sparse-dict field probing (SURVEY §1.1) in
@@ -1030,6 +1091,7 @@ object Relational {
     "q105_anomaly_hours" -> (q105AnomalyHours _),
     "q106_series_transforms" -> (q106SeriesTransforms _),
     "q108_rolling_users" -> (q108RollingUsers _),
+    "q109_theil_sen" -> (q109TheilSen _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_json" -> (q16Json _),
     "q17_asof" -> (q17AsOf _),
@@ -1417,6 +1479,24 @@ object Relational {
         |  COALESCE(r.n24, CAST(0 AS BIGINT)) AS n_users_24h
         |FROM grid g LEFT JOIN h1 USING (w) LEFT JOIN r USING (w)
         |ORDER BY wstart""".stripMargin,
+    "q109_theil_sen" ->
+      // every slope is one double division of exact integers; the
+      // median SELECTS under the (slope, ha, hb) order — q105's rank
+      s"""WITH $gapfillGridCtes,
+        |p AS (SELECT a.event_type, a.h AS ha, b.h AS hb,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+        |  FROM j a JOIN j b ON a.event_type = b.event_type AND a.h < b.h),
+        |m AS (SELECT event_type, cnt, slope FROM (
+        |    SELECT event_type, slope, ha, hb,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY slope ASC, ha ASC, hb ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM p)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+        |  slope AS trend_slope,
+        |  CASE WHEN slope > 0 THEN 'rising' WHEN slope < 0 THEN 'falling'
+        |       ELSE 'flat' END AS trend
+        |FROM m ORDER BY event_type""".stripMargin,
     "q15_sessionize" ->
       """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (SELECT user_id,

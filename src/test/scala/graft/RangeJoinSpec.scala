@@ -323,6 +323,30 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** q109 planted: the defining Theil–Sen property — a clean unit
+    * slope with ONE massive spike hour still reports slope exactly 1.0
+    * (the 19 outlier pairs sit in the tails, the median lands in the
+    * 171-pair run of exact 1.0 slopes), where least squares would be
+    * dragged far off; a constant tag reports 0.0/flat. */
+  test("q109 Theil-Sen: one spike hour cannot move the median slope") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    val rows =
+      (100L to 119L).flatMap { h =>
+        val k = if (h == 110L) 1000 else (h - 95L).toInt // unit trend + spike
+        (0 until k).map(i => (h * hUs + i * 1000L, "a", 1.0))
+      } ++ (100L to 119L).flatMap(h =>
+        (0 until 3).map(i => (h * hUs + i * 1000L, "b", 1.0)))
+    val ev = rows.toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = Relational.theilSenOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(got("a") == ((190L, 1.0, "rising")), got)
+    assert(got("b") == ((190L, 0.0, "flat")), got)
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
