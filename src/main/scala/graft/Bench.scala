@@ -131,9 +131,11 @@ object Bench {
     // replication's countDistinct (isolated 2100 MHz fork 1.85)
     "q108_rolling_users" -> 1.6,
     // q109: time-range-QUADRATIC pair space (720 hours -> 1.3M pairs)
-    // through one globally range-partitioned rank (isolated 3.16 —
-    // the per-type-window draft read 4.96 at type-count parallelism)
-    "q109_theil_sen" -> 3.0)
+    // through one globally range-partitioned rank over the CHECKPOINTED
+    // pair frame (isolated 2.45; the per-type-window draft read 4.96 at
+    // type-count parallelism, the un-checkpointed rank 3.16 — the
+    // zipWithIndex offsets job re-ran the quadratic join)
+    "q109_theil_sen" -> 2.2)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -312,23 +312,36 @@ object Relational {
   def gapfillFromBuckets(buckets: DataFrame): DataFrame = {
     val s = buckets.sparkSession
     import s.implicits._
+    val (j, _, _) = denseGrid(buckets)
+    val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.withColumn("mean_prev", last($"mean_value", ignoreNulls = true).over(w))
+      .select(tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
+        $"event_type", $"n", $"sum_value", $"mean_prev")
+      .orderBy($"wstart", $"event_type")
+  }
+
+  /** The pre-format dense grid — (h, event_type, n fill-0, sum_value
+    * fill-0, mean_value) over the INCLUSIVE global hour span, plus its
+    * bounds (already collected for the grid, so callers never re-derive
+    * them). q103 formats and LOCFs it; q109 consumes the numeric `h`
+    * directly — parsing the session-timezone-formatted wstart back
+    * would silently collapse DST-duplicated local hours on a non-UTC
+    * session (review finding). Tag values come from the data, so an
+    * empty corpus yields an empty, schema-stable grid. */
+  private[graft] def denseGrid(buckets: DataFrame): (DataFrame, Long, Long) = {
+    val s = buckets.sparkSession
+    import s.implicits._
     val base = buckets.localCheckpoint(true)
     // global hour bounds: a 2-long driver agg over the bucket frame
     val b = base.agg(min($"h"), max($"h")).collect()(0)
     val (lo, hi) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
-    // tag values come from the data (empty corpus → empty grid → empty
-    // result, schema-stable), hours are the INCLUSIVE global span
     val grid = base.select($"event_type").distinct()
       .select($"event_type", explode(sequence(lit(lo), lit(hi))).as("h"))
-    val w = Window.partitionBy($"event_type").orderBy($"h".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(base, Seq("h", "event_type"), "left")
+    val j = grid.join(base, Seq("h", "event_type"), "left")
       .withColumn("n", coalesce($"n", lit(0L)))
       .withColumn("sum_value", coalesce($"sum_value", lit(0.0)))
-      .withColumn("mean_prev", last($"mean_value", ignoreNulls = true).over(w))
-      .select(tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
-        $"event_type", $"n", $"sum_value", $"mean_prev")
-      .orderBy($"wstart", $"event_type")
+    (j, lo, hi)
   }
 
   // --------------------------------------------------------------- q105
@@ -504,33 +517,35 @@ object Relational {
   def theilSenOf(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val g = gapfillFromBuckets(hourBuckets(ev))
-      .select($"event_type",
-        expr(s"unix_micros(to_timestamp(wstart)) div ${GapfillHourUs}L").as("h"),
-        $"n")
-      .localCheckpoint(true)
-    // the dense grid gives every type the SAME hour count, so the pair
-    // count — and the median's rank — are analytic: one tiny driver
-    // count replaces a whole second window pass over the pair space
-    val nH = g.select($"h").distinct().count()
-    if (nH < 2) return g.sparkSession.emptyDataFrame
-      .withColumn("event_type", lit("")).withColumn("n_pairs", lit(0L))
-      .withColumn("trend_slope", lit(0.0)).withColumn("trend", lit(""))
-      .select($"event_type", $"n_pairs", $"trend_slope", $"trend")
+    val (grid, lo, hi) = denseGrid(hourBuckets(ev))
+    val g = grid.select($"event_type", $"h", $"n")
+    // the dense grid gives every type the SAME hour count — and the
+    // bounds are already on the driver — so the pair count and the
+    // median's rank are analytic: no counting job, no second window
+    val nH = hi - lo + 1
+    val empty = g.filter(lit(false))
+      .select($"event_type", lit(0L).as("n_pairs"),
+        lit(0.0).as("trend_slope"), lit("").as("trend"))
+    if (nH < 2) return empty
     val nPairs = nH * (nH - 1) / 2
     val medRank = (nPairs + 1) / 2
     val a = g.select($"event_type", $"h".as("ha"), $"n".as("na"))
     val b = g.select($"event_type", $"h".as("hb"), $"n".as("nb"))
+    // checkpoint the pair frame: withGlobalRank's zipWithIndex offsets
+    // job plus the consuming action would otherwise run the quadratic
+    // join lineage twice (review finding)
     val pairs = a.join(b, Seq("event_type")).filter($"ha" < $"hb")
       .withColumn("slope",
         ($"nb" - $"na").cast("double") / ($"hb" - $"ha").cast("double"))
+      .select($"event_type", $"ha", $"hb", $"slope")
+      .localCheckpoint(true)
     // per-type rank WITHOUT a per-type window (whose parallelism caps
     // at the type count — the q58/q84 lesson): one globally
     // range-partitioned rank over (type, slope, ha, hb); every type
     // holds exactly nPairs rows, so the within-type rank is
     // (rn − 1) mod nPairs + 1 — the median rows fall out of one
     // partition-parallel sort
-    withGlobalRank(pairs.select($"event_type", $"ha", $"hb", $"slope"),
+    withGlobalRank(pairs,
         Seq($"event_type".asc, $"slope".asc, $"ha".asc, $"hb".asc), "rn")
       .filter(expr(s"(rn - 1) % ${nPairs}L + 1 = ${medRank}L"))
       .select($"event_type", lit(nPairs).as("n_pairs"),

@@ -345,6 +345,15 @@ class RangeJoinSpec extends AnyFunSuite {
         ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
     assert(got("a") == ((190L, 1.0, "rising")), got)
     assert(got("b") == ((190L, 0.0, "flat")), got)
+    // the nH<2 degenerate branch: a single-hour corpus has no pairs —
+    // empty result, schema identical to the main path (review finding:
+    // the oracle corpora always span many hours, so only a spec can
+    // pin this branch)
+    val one = Relational.theilSenOf(
+      Seq((100L * hUs, "a", 1.0)).toDF("us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+    assert(one.collect().isEmpty && one.columns.toSeq ==
+      Seq("event_type", "n_pairs", "trend_slope", "trend"))
   }
 
   test("q73 funnel with no signups yields zero counts, no division error") {
