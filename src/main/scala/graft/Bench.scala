@@ -50,7 +50,8 @@ object Bench {
     "q98_weighted_sample", "q99_span_strip", "q100_bpe_merges",
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
     "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms",
-    "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen")
+    "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen",
+    "q110_theil_sen_sampled")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -135,7 +136,12 @@ object Bench {
     // pair frame (isolated 2.45; the per-type-window draft read 4.96 at
     // type-count parallelism, the un-checkpointed rank 3.16 — the
     // zipWithIndex offsets job re-ran the quadratic join)
-    "q109_theil_sen" -> 2.2)
+    "q109_theil_sen" -> 2.2,
+    // q110 added r8: the sampled arm sorts 200‰ of the pair space but
+    // pays the md5 keep-hash on EVERY candidate pair — at this SF the
+    // hash dominates what the smaller sort saves (isolated 2100 MHz
+    // fork 2.7); the win is shuffle/sort VOLUME at multi-decade ranges
+    "q110_theil_sen_sampled" -> 2.6)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
@@ -500,7 +506,18 @@ object Bench {
       .mkString("{", ",", "}")
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = queryBest.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"loadavg_start":$loadavgStart,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhz,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"loadavg_start":$loadavgStart,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhz,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}"""
+    println(line)
+    // the driver's BENCH_r*.json snapshot truncates sbt's stdout tail
+    // (r7 shipped with "parsed": null) — persist the whole reading to a
+    // file in the repo so every round's per-query times are
+    // machine-readable in the snapshot regardless of console truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
   }
 
   /** Fork one child for `names`. Right = clean completion (flags, results);

@@ -508,11 +508,78 @@ object Relational {
     * shape: the pair space is quadratic in the TIME RANGE (hours²/2 per
     * type — 259k pairs at this SF's 720-hour grid, 3.8G at ten years
     * hourly), never in event volume: everything runs on the
-    * checkpointed bucket grid, and the self-join is an equi-join on the
-    * type key. A multi-decade deployment would sample pairs
-    * (the classic Theil–Sen scaling move) — same plan shape. */
+    * checkpointed bucket grid. The pair GENERATION must not be keyed on
+    * event_type alone — that caps the quadratic stage at #types tasks
+    * (one task materializing 3.8G pairs at the ten-year example), so
+    * the self-join equi-joins on (event_type, hour-bucket pair): hours
+    * are cut into [[TheilSenBuckets]] ranges and the a-side is
+    * replicated to its ≤B partner buckets (the q67/q45 replication
+    * idiom) — identical pair set, #types × B(B+1)/2 join keys. A
+    * multi-decade deployment would additionally sample pairs — see
+    * [[theilSenSampledOf]]. */
   def q109TheilSen(s: SparkSession, dir: String): DataFrame =
     theilSenOf(t(s, dir, "events"))
+
+  /** Hour-range fan-out of the quadratic pair generation: each hour
+    * bucket-pair (ba ≤ bb) is one join key, so generation parallelism
+    * is #types × B(B+1)/2 instead of #types. */
+  private[graft] val TheilSenBuckets = 16L
+
+  /** The (event_type, ha, hb, slope) pair frame for the inclusive hour
+    * span [lo, hi] of grid `g` — checkpointed, because the consumer
+    * (withGlobalRank's offsets job + the action) would otherwise run
+    * the quadratic lineage twice (review finding). Exposed for the
+    * parallelism spec pin. With `samplePermille` set, pairs are
+    * deterministically hash-thinned BEFORE the slope/checkpoint (the
+    * q46 md5 idiom over the pair identity), so only the sampled
+    * fraction is ever materialized, shuffled or sorted. */
+  private[graft] def theilSenPairs(g: DataFrame, lo: Long, hi: Long,
+      samplePermille: Option[Long] = None): DataFrame = {
+    val s = g.sparkSession
+    import s.implicits._
+    val nH = hi - lo + 1
+    val B = math.min(TheilSenBuckets, nH)
+    // floor, not Column./ alone: that's double division (values here
+    // stay < 2^53 and ≥ 1/nH from any integer, so the floor is exact)
+    def bk(h: org.apache.spark.sql.Column) =
+      least(floor((h - lo) * B / nH), lit(B - 1))
+    // every pair (ha < hb) lands in exactly one bucket cell
+    // (bk(ha), bk(hb)): the a-side replicates forward to [ba, B), the
+    // b-side back to [0, bb] — grid-sized input × ≤B replication, far
+    // smaller than the quadratic output it fans out
+    val a = g.select($"event_type", $"h".as("ha"), $"n".as("na"),
+        bk($"h").as("ba"))
+      .select($"event_type", $"ha", $"na", $"ba",
+        explode(sequence($"ba", lit(B - 1))).as("bb"))
+    val b = g.select($"event_type", $"h".as("hb"), $"n".as("nb"),
+        bk($"h").as("bb"))
+      .select($"event_type", $"hb", $"nb", $"bb",
+        explode(sequence(lit(0L), $"bb")).as("ba"))
+    // explicit numbered repartition on the full key: whichever join
+    // strategy the planner picks (broadcast at small SF, shuffle at
+    // scale), the generate stage runs over hash(type, ba, bb)
+    // partitions — never the #types-task shape this replaces. The
+    // explicit count matters: AQE coalesces a column-only repartition
+    // back to one partition off the grid-sized shuffle WRITE, blind to
+    // the quadratic blow-up the join emits downstream
+    val P = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val keep = samplePermille match {
+      // pair identity hash — engine-portable (the shared Buckets md5
+      // family), so the keep-set is identical under any partitioning,
+      // any B, and in the DuckDB twin
+      case Some(r) => expr(graft.util.Buckets.sqlModN(
+        "concat(event_type, ':', ha, ':', hb)", 1000)) < lit(r)
+      case None => lit(true)
+    }
+    a.repartition(P, $"event_type", $"ba", $"bb")
+      .join(b, Seq("event_type", "ba", "bb"))
+      .filter($"ha" < $"hb")
+      .filter(keep)
+      .withColumn("slope",
+        ($"nb" - $"na").cast("double") / ($"hb" - $"ha").cast("double"))
+      .select($"event_type", $"ha", $"hb", $"slope")
+      .localCheckpoint(true)
+  }
 
   def theilSenOf(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
@@ -529,16 +596,7 @@ object Relational {
     if (nH < 2) return empty
     val nPairs = nH * (nH - 1) / 2
     val medRank = (nPairs + 1) / 2
-    val a = g.select($"event_type", $"h".as("ha"), $"n".as("na"))
-    val b = g.select($"event_type", $"h".as("hb"), $"n".as("nb"))
-    // checkpoint the pair frame: withGlobalRank's zipWithIndex offsets
-    // job plus the consuming action would otherwise run the quadratic
-    // join lineage twice (review finding)
-    val pairs = a.join(b, Seq("event_type")).filter($"ha" < $"hb")
-      .withColumn("slope",
-        ($"nb" - $"na").cast("double") / ($"hb" - $"ha").cast("double"))
-      .select($"event_type", $"ha", $"hb", $"slope")
-      .localCheckpoint(true)
+    val pairs = theilSenPairs(g, lo, hi)
     // per-type rank WITHOUT a per-type window (whose parallelism caps
     // at the type count — the q58/q84 lesson): one globally
     // range-partitioned rank over (type, slope, ha, hb); every type
@@ -549,6 +607,56 @@ object Relational {
         Seq($"event_type".asc, $"slope".asc, $"ha".asc, $"hb".asc), "rn")
       .filter(expr(s"(rn - 1) % ${nPairs}L + 1 = ${medRank}L"))
       .select($"event_type", lit(nPairs).as("n_pairs"),
+        $"slope".as("trend_slope"),
+        when($"slope" > 0, "rising").when($"slope" < 0, "falling")
+          .otherwise("flat").as("trend"))
+      .orderBy($"event_type")
+  }
+
+  // --------------------------------------------------------------- q110
+  /** q110: sampled Theil–Sen — the multi-decade arm the exact q109
+    * docstring promises. The pair space is hash-thinned at
+    * [[TheilSenSampleRate]]‰ on the PAIR IDENTITY (md5 of
+    * type:ha:hb — the q46 deterministic-sampling idiom), so the
+    * materialized/shuffled/sorted volume is rate × hours²/2 while the
+    * keep-set stays identical across engines, partitionings and
+    * re-runs. The reported trend is the exact lower-median of the
+    * SAMPLED slopes (classic sampled Theil–Sen: a √rate-converging
+    * estimator of the full median — RangeJoinSpec pins its deviation
+    * against the exact arm). Sampled counts vary per type, so the
+    * median rank comes from a types-sized count frame broadcast onto
+    * the same globally range-partitioned rank — still no per-type
+    * window, still one distributed sort. */
+  def q110TheilSenSampled(s: SparkSession, dir: String): DataFrame =
+    theilSenSampledOf(t(s, dir, "events"))
+
+  private[graft] val TheilSenSampleRate = 200L // ‰ of the pair space
+
+  def theilSenSampledOf(ev: DataFrame,
+      ratePermille: Long = TheilSenSampleRate): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (grid, lo, hi) = denseGrid(hourBuckets(ev))
+    val g = grid.select($"event_type", $"h", $"n")
+    val nH = hi - lo + 1
+    val empty = g.filter(lit(false))
+      .select($"event_type", lit(0L).as("n_pairs"),
+        lit(0.0).as("trend_slope"), lit("").as("trend"))
+    if (nH < 2) return empty
+    val pairs = theilSenPairs(g, lo, hi, Some(ratePermille))
+    // per-type sampled count + rank offset: a ≤#types-row frame (the
+    // unpartitioned window is over series KEYS, never data), broadcast
+    // back onto the global rank; within-type rank = rn − off. A type
+    // whose sample came up empty carries no rows — as in the twin.
+    val w = Window.orderBy($"event_type".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookup = pairs.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum($"cnt").over(w), lit(0L)))
+    withGlobalRank(pairs,
+        Seq($"event_type".asc, $"slope".asc, $"ha".asc, $"hb".asc), "rn")
+      .join(broadcast(lookup), Seq("event_type"))
+      .filter(expr("rn - off = (cnt + 1) div 2"))
+      .select($"event_type", $"cnt".as("n_pairs"),
         $"slope".as("trend_slope"),
         when($"slope" > 0, "rising").when($"slope" < 0, "falling")
           .otherwise("flat").as("trend"))
@@ -1107,6 +1215,7 @@ object Relational {
     "q106_series_transforms" -> (q106SeriesTransforms _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
+    "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_json" -> (q16Json _),
     "q17_asof" -> (q17AsOf _),
@@ -1501,6 +1610,29 @@ object Relational {
         |p AS (SELECT a.event_type, a.h AS ha, b.h AS hb,
         |    CAST(b.n - a.n AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
         |  FROM j a JOIN j b ON a.event_type = b.event_type AND a.h < b.h),
+        |m AS (SELECT event_type, cnt, slope FROM (
+        |    SELECT event_type, slope, ha, hb,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY slope ASC, ha ASC, hb ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM p)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+        |  slope AS trend_slope,
+        |  CASE WHEN slope > 0 THEN 'rising' WHEN slope < 0 THEN 'falling'
+        |       ELSE 'flat' END AS trend
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q110_theil_sen_sampled" ->
+      // the q109 twin thinned by the shared 8-nibble md5 idiom over the
+      // pair identity type:ha:hb — keep-set identical to the engine's
+      s"""WITH $gapfillGridCtes,
+        |p AS (SELECT a.event_type, a.h AS ha, b.h AS hb,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+        |  FROM j a JOIN j b ON a.event_type = b.event_type AND a.h < b.h
+        |  WHERE list_reduce(list_transform(range(8), ii ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(a.event_type ||
+        |        ':' || CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR)),
+        |        CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1),
+        |    (x,y) -> x*16 + y) % 1000 < $TheilSenSampleRate),
         |m AS (SELECT event_type, cnt, slope FROM (
         |    SELECT event_type, slope, ha, hb,
         |      ROW_NUMBER() OVER (PARTITION BY event_type

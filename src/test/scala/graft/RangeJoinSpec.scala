@@ -356,6 +356,59 @@ class RangeJoinSpec extends AnyFunSuite {
       Seq("event_type", "n_pairs", "trend_slope", "trend"))
   }
 
+  /** q109 scale pin (the r7 verdict's one weak): the quadratic pair
+    * GENERATION must fan out past the event-type count — the bucketed
+    * (type, ba, bb) equi-join spreads the hours² work over
+    * #types × B(B+1)/2 keys, where the old type-keyed join capped at
+    * #types tasks. Pinned: >#types partitions carry pair data, AND the
+    * bucketed generation emits exactly the naive pair set. */
+  test("q109 pair generation parallelizes past the type count") {
+    import spark.implicits._
+    val hours = 100L to 199L
+    val grid = (for { t <- Seq("a", "b"); h <- hours }
+      yield (t, h, h * 2 + h % 7)).toDF("event_type", "h", "n")
+    val pairs = Relational.theilSenPairs(grid, hours.head, hours.last)
+    val withData = pairs.rdd
+      .mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).collect().sum
+    assert(withData > 2, s"pair stage carried data in only $withData partitions")
+    val got = pairs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = (for {
+      t <- Seq("a", "b"); ha <- hours; hb <- hours if ha < hb
+      na = ha * 2 + ha % 7; nb = hb * 2 + hb % 7
+    } yield (t, ha, hb, (nb - na).toDouble / (hb - ha).toDouble)).toSet
+    assert(got == want,
+      s"pair set mismatch: ${got.size} generated vs ${want.size} expected")
+  }
+
+  /** q110 planted: the sampled arm is a median over a deterministic
+    * ~rate‰ hash-subset of the pair space — on a near-linear series its
+    * estimate must land within the pairwise-slope spread of the exact
+    * q109 median, and the keep-set size must be rate-scaled. */
+  test("q110 sampled Theil-Sen tracks the exact median") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    // n(h) = h - 99 events in hour h: slopes cluster tightly around 1
+    val rows = (100L to 159L).flatMap { h =>
+      (0 until (h - 99L).toInt).map(i => (h * hUs + i * 1000L, "a", 1.0))
+    }
+    val ev = rows.toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val exact = Relational.theilSenOf(ev).collect().head
+    val sampled = Relational.theilSenSampledOf(ev).collect().head
+    val nAll = exact.getLong(1)
+    val nSub = sampled.getLong(1)
+    // deterministic hash keep-set: rate-scaled within a loose 2x band
+    val expect = nAll * Relational.TheilSenSampleRate / 1000
+    assert(nSub > expect / 2 && nSub < expect * 2,
+      s"sampled $nSub of $nAll pairs, expected ~$expect")
+    assert(math.abs(sampled.getDouble(2) - exact.getDouble(2)) <= 0.5,
+      s"sampled median ${sampled.getDouble(2)} vs exact ${exact.getDouble(2)}")
+    assert(sampled.getString(3) == exact.getString(3))
+  }
+
   test("q73 funnel with no signups yields zero counts, no division error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
