@@ -25,6 +25,17 @@ object Verify {
     val spark = graft.util.GraftSession
       .builder("graft-verify", Some(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r7: the time-series DuckDB twins (q103/q105/q106/q109/q110)
+    // use DuckDB's TRUNCATING `//` for the hour bucket where Spark uses
+    // flooring `div` — identical only for non-negative epochs. Enforce
+    // the assumption here so a future pre-1970 dataset fails loudly at
+    // the gate instead of surfacing as an opaque hash mismatch.
+    val minTs = graft.util.Tables(spark, sfDir, "events")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.expr("unix_micros(ts)"))).head
+    require(minTs.isNullAt(0) || minTs.getLong(0) >= 0L,
+      s"events.ts has pre-1970 timestamps (min ${minTs.getLong(0)} µs): " +
+        "the oracle twins' // truncation diverges from Spark's div there")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -692,17 +692,33 @@ object Dedup {
         "partition the eval set instead of one sketch")
     val bits = capacity * BloomBitsPerItem
     val conf = d.sparkSession.conf
-    def raise(key: String, needed: Long): Unit =
-      if (conf.getOption(key).forall(_.toLong < needed))
-        conf.set(key, needed.toString)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", capacity)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
-    d.agg(graft.util.Cols.column(
+    // raise the clamp against the EFFECTIVE value (conf.get falls back
+    // to the engine default — comparing only an explicitly-set value
+    // could WRITE a value below the 4M/67.1M defaults and shrink the
+    // clamp for Spark's own injected runtime blooms), never lower it,
+    // and restore the prior state after the build so the session-global
+    // conf carries no trace of this sketch (review finding)
+    val raised = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> capacity,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits)
+      .flatMap { case (key, needed) =>
+        val prior = conf.getOption(key)
+        val effective =
+          try conf.get(key).toLong
+          catch { case _: NumberFormatException => Long.MinValue }
+        if (effective < needed) { conf.set(key, needed.toString); Some(key -> prior) }
+        else None
+      }
+    try d.agg(graft.util.Cols.column(
         new BloomFilterAggregate(
           new XxHash64(Seq(graft.util.Cols.expression(d(colName)))),
           Literal(capacity), Literal(bits))
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
+    finally raised.foreach { case (key, prior) =>
+      try prior.fold(conf.unset(key))(v => conf.set(key, v))
+      catch { case _: Exception => () } // a pre-broken prior value stays the user's
+    }
   }
 
   /** The codegen `might_contain(sketch-literal, xxhash64(c))` gate for a

@@ -42,9 +42,17 @@ object StreamDecontam {
     * [[alertsBloom]]. Built ONCE at query-construction time (the eval
     * suite is static for the query's lifetime, same contract as
     * [[evalShingles]]' cache) — a few MB literal compiled into the
-    * stream's codegen, not re-evaluated per micro-batch. */
-  def bloomSketch(evalSh: DataFrame): Array[Byte] =
-    Dedup.bloomOf(evalSh, "s")
+    * stream's codegen, not re-evaluated per micro-batch. Right-sized
+    * from the HLL distinct estimate exactly like the batch arm
+    * (`Dedup.bloomDecontamOf`): a fixed fallback capacity would
+    * silently degrade the fpp — and alertsBloom's join-shrink
+    * guarantee — on an eval suite larger than it (review finding). */
+  def bloomSketch(evalSh: DataFrame): Array[Byte] = {
+    val est = math.max(1024L,
+      evalSh.agg(org.apache.spark.sql.functions
+        .approx_count_distinct(col("s"))).head.getLong(0))
+    Dedup.bloomOf(evalSh, "s", 2 * est)
+  }
 
   /** q101's map-side shrink applied at the stream door: every incoming
     * shingle is gated by the codegen `might_contain` literal BEFORE the

@@ -45,9 +45,23 @@ object StreamingNearDup {
     * downstream dedups or scores by collision count (more shared bands ⇒
     * higher estimated similarity, the standard LSH amplification read).
     * `stream` carries (idCol, textCol); <3-token docs have no signature
-    * and never alert. */
+    * and never alert.
+    *
+    * `ttl` (opt-in, VERDICT r7 #5): without it the (band, bkey) store
+    * grows with distinct buckets forever; with it an idle bucket's owner
+    * expires `ttl` after its last traffic (idle-TTL — every touch
+    * re-arms, the TelemetryTWS calibration convention). The recall
+    * trade is explicit: an evicted bucket silently re-admits its next
+    * member as a NEW owner, so a near-copy arriving later than `ttl`
+    * after its original raises no alert — acceptable exactly when the
+    * deployment is entitled to forget content that old (the batch q36
+    * pipeline over the full corpus remains the exhaustive verifier).
+    * TTL needs processing-time timeouts, under which the query
+    * self-triggers no-data batches to fire expirations — poll the sink
+    * rather than relying on processAllAvailable() (TelemetryTWS note). */
   def candidateAlerts(stream: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      ttl: Option[java.time.Duration] = None): DataFrame = {
     val s = stream.sparkSession
     import s.implicits._
     val banded = stream
@@ -57,24 +71,31 @@ object StreamingNearDup {
         explode(expr(s"array($bandStructs)")).as("x"))
       .select($"doc_id", $"x.band".as("band"), $"x.bkey".as("bkey"))
       .as[(Long, Int, String)]
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey { case (_, band, bkey) => (band, bkey) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        collide)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        collide(ttl.map(_.toMillis)))
       .toDF("doc_id", "owner_id", "band", "bkey")
   }
 
   /** Bucket state transition: the FIRST batch to touch a bucket elects
     * the owner (minimum doc_id within that batch — deterministic under
-    * any within-batch arrival order); the owner never changes afterwards,
-    * so every later arrival — including one with a smaller id — alerts
-    * against it (stream semantics: first content in wins, like
-    * StreamingDedup). A re-sent owner never alerts. */
-  private def collide(key: (Int, String), rows: Iterator[(Long, Int, String)],
+    * any within-batch arrival order); the owner never changes afterwards
+    * (until TTL eviction, when configured), so every later arrival —
+    * including one with a smaller id — alerts against it (stream
+    * semantics: first content in wins, like StreamingDedup). A re-sent
+    * owner never alerts. */
+  private def collide(ttlMs: Option[Long])(key: (Int, String),
+      rows: Iterator[(Long, Int, String)],
       state: GroupState[Long]): Iterator[(Long, Long, Int, String)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val ids = rows.map(_._1).toArray.sorted
     val owner = if (state.exists) state.get else ids.head
     if (!state.exists) state.update(owner)
+    ttlMs.foreach(state.setTimeoutDuration) // every touch re-arms (idle-TTL)
     ids.iterator.filter(_ != owner).map(id => (id, owner, key._1, key._2))
   }
 }

@@ -247,9 +247,23 @@ class DedupSpec extends AnyFunSuite {
   test("bloomOf lifts Spark's silent sketch clamp; refuses past the cap") {
     import spark.implicits._
     val d = Seq("x").toDF("s")
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val bin = Dedup.bloomOf(d, "s", capacity = 5000000L)
     assert(bin != null && bin.length > 67108864 / 8,
       s"sketch ${bin.length} B — the 67.1M-bit default clamp was not lifted")
+    // ADVICE r7: the raise is scoped to the build — after it, the
+    // session's effective clamp is back at the engine default, not the
+    // 5M the sketch needed (no residue widening Spark's own injected
+    // runtime blooms)
+    assert(spark.conf.get(itemsKey).toLong == 4000000L &&
+      spark.conf.get(bitsKey).toLong == 67108864L,
+      "bloomOf left the session bloom-clamp confs raised")
+    // a small capacity must never write a value below the engine
+    // default (the old getOption comparison did exactly that)
+    Dedup.bloomOf(d, "s", capacity = 1000L)
+    assert(spark.conf.get(itemsKey).toLong >= 4000000L,
+      "small sketch shrank the engine's default bloom clamp")
     intercept[IllegalArgumentException] {
       Dedup.bloomOf(d, "s", capacity = Dedup.BloomMaxItems + 1)
     }
