@@ -39,7 +39,7 @@ object ScaleSmoke {
   private val eventQueries = Seq(
     "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill",
     "q105_anomaly_hours", "q106_series_transforms", "q108_rolling_users",
-    "q109_theil_sen")
+    "q109_theil_sen", "q110_theil_sen_sampled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -274,6 +274,92 @@ object ScaleSmoke {
       q92scaled(k) == (if (k.startsWith("lineitem.")) (nc * factor, nk, nor * factor, nok)
         else (nc, nk, nor, nok))
     }, "q92 scale-up broke the orphan-count invariant")
+    // time-series family invariants (VERDICT r7 #7): replication leaves
+    // the hour GRID unchanged (same timestamps, same types), so every
+    // count-derived statistic must scale ×factor exactly (integer
+    // arithmetic end to end) or to 1e-9 (a double re-association), and
+    // every SELECTED set — flagged anomaly hours, the median pair —
+    // must not move at all.
+    def relEq(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // q103: same grid keys; n ×factor exact; dsum/davg re-associate
+    // ((f·S)/1e4 vs f·(S/1e4)) so sums compare to 1e-9 and the LOCF
+    // means — identical replicated values — must match base to 1e-9
+    def q103rows(dir: String) =
+      SparkEntry.queries("q103_gapfill")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), optD(r, 4)))).toMap
+    val q103b = q103rows(sfDir)
+    val q103s = q103rows(workDir)
+    require(q103b.keySet == q103s.keySet && q103b.forall {
+      case (k, (n, sv, mp)) =>
+        val (ns, svs, mps) = q103s(k)
+        ns == n * factor && relEq(svs, sv * factor) &&
+          ((mp, mps) match {
+            case (None, None) => true
+            case (Some(x), Some(y)) => relEq(y, x)
+            case _ => false
+          })
+    }, "scale-up broke the q103 gap-fill invariant")
+    // q105: uniform ×factor scaling multiplies median and MAD by exactly
+    // factor (integer rank-select over integers) and the dev > 3·mad
+    // comparison is exact for both — the flagged-hour SET must be
+    // identical with every statistic ×factor
+    def q105rows(dir: String) =
+      SparkEntry.queries("q105_anomaly_hours")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val q105b = q105rows(sfDir)
+    val q105s = q105rows(workDir)
+    require(q105s == q105b.map { case (k, (n, med, mad)) =>
+      k -> ((n * factor, med * factor, mad * factor)) },
+      "scale-up changed the q105 flagged-hour set or its statistics")
+    // q106: diff/nnd are integer lags (×factor exact, nulls in place);
+    // the scaled-long moving average re-associates → 1e-9
+    def q106rows(dir: String) =
+      SparkEntry.queries("q106_series_transforms")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), optL(r, 3), optL(r, 4), r.getDouble(5)))).toMap
+    val q106b = q106rows(sfDir)
+    val q106s = q106rows(workDir)
+    require(q106b.keySet == q106s.keySet && q106b.forall {
+      case (k, (n, df, nn, ma)) =>
+        val (ns, dfs, nns, mas) = q106s(k)
+        ns == n * factor && dfs == df.map(_ * factor) &&
+          nns == nn.map(_ * factor) && relEq(mas, ma * factor)
+    }, "scale-up broke the q106 transform invariant")
+    // q108 (the VERDICT-named invariant): copies carry DISJOINT user
+    // ids, so both rolling distinct counts scale by exactly ×factor —
+    // an EXACT equality, no tolerance
+    def q108rows(dir: String) =
+      SparkEntry.queries("q108_rolling_users")(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val q108b = q108rows(sfDir)
+    val q108s = q108rows(workDir)
+    require(q108s == q108b.map { case (k, (n1, n24)) =>
+      k -> ((n1 * factor, n24 * factor)) },
+      "scale-up broke the q108 user-disjoint rolling-distinct invariant")
+    // q109/q110: every pairwise slope is (f·Δn)/Δh = f·(Δn/Δh) — order
+    // and ties among slopes are preserved as reals, so the SELECTED
+    // median pair is stable (double ulp-ties aside, covered by 1e-9),
+    // n_pairs is grid-derived (identical), and the trend class follows
+    // the exact sign
+    def tsRows(name: String, dir: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    Seq("q109_theil_sen", "q110_theil_sen_sampled").foreach { name =>
+      val b = tsRows(name, sfDir)
+      val sc = tsRows(name, workDir)
+      require(b.keySet == sc.keySet && b.forall { case (k, (np, sl, tr)) =>
+        val (nps, sls, trs) = sc(k)
+        nps == np && relEq(sls, sl * factor) && trs == tr
+      }, s"scale-up broke the $name median-slope invariant")
+    }
     } // end invariant sweep (unfiltered runs only)
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs
