@@ -51,7 +51,7 @@ object Bench {
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
     "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms",
     "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen",
-    "q110_theil_sen_sampled")
+    "q110_theil_sen_sampled", "q111_ann_ivf_pq")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -141,7 +141,14 @@ object Bench {
     // pays the md5 keep-hash on EVERY candidate pair — at this SF the
     // hash dominates what the smaller sort saves (isolated 2100 MHz
     // fork 2.7); the win is shuffle/sort VOLUME at multi-decade ranges
-    "q110_theil_sen_sampled" -> 2.6)
+    "q110_theil_sen_sampled" -> 2.6,
+    // q111 added r8: coarse fit + per-subspace residual codebook fit +
+    // encode + ADC shortlist + exact re-rank + the exact recall arm —
+    // the audit pipeline, not the serving path (that is
+    // x_ivfpq_serve_loaded: 1.35 isolated vs multiprobe's 1.11 — the
+    // compressed scan's win is volume, invisible at 12k vectors).
+    // Isolated 2100 MHz fork 4.45.
+    "q111_ann_ivf_pq" -> 4.2)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
@@ -172,10 +179,17 @@ object Bench {
     * model (ADVICE r5). */
   private val ivfWrittenByThisJvm = mutable.Set[String]()
   private val bpeWrittenByThisJvm = mutable.Set[String]()
+  private val pqWrittenByThisJvm = mutable.Set[String]()
   private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
     if (ivfWrittenByThisJvm.add(path))
       graft.operators.Similarity.saveIvfIndex(s, dir, path)
+    path
+  }
+  private def pqPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = s"/tmp/graft-bench-pq-${Integer.toHexString(dir.hashCode)}"
+    if (pqWrittenByThisJvm.add(path))
+      graft.operators.Similarity.savePqIndex(s, dir, path)
     path
   }
 
@@ -232,6 +246,16 @@ object Bench {
       graft.operators.Similarity.ivfQuery(s, dir,
         graft.operators.Similarity.loadIvfIndex(s, ivfPath(s, dir)),
         nprobe = graft.operators.Similarity.MultiprobeNprobe)
+        .write.format("noop").mode("overwrite").save()
+    }),
+    // r8 (VERDICT r7 #4): the COMPRESSED serving arm — IVF-PQ top-k
+    // from the saved index (codes + rnrm scan, shortlist-sized
+    // true-vector fetch). Its delta vs x_ivf_multiprobe_loaded is the
+    // price/win of serving from 8-byte codes instead of 512-byte
+    // vectors at this SF (the win is scan VOLUME, which grows with
+    // corpus size; the LUT build is per-query constant work).
+    "x_ivfpq_serve_loaded" -> ((s, dir) => {
+      graft.operators.Similarity.pqServeQuery(s, dir, pqPath(s, dir))
         .write.format("noop").mode("overwrite").save()
     }),
     // r7: the STREAMING serve arm — 10 query vectors arriving as a file

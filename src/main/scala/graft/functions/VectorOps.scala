@@ -42,6 +42,14 @@ object VectorOps {
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
     acc
   }
+
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = a.getLong(i) - b.getLong(i); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `array<float>` -> `array<long>` at 1e-6 fixed point. Declared input
@@ -84,5 +92,29 @@ case class DotLongs(left: Expression, right: Expression)
 object DotLongs {
   def apply(a: Column, b: Column): Column =
     graft.util.Cols.column(DotLongs(
+      graft.util.Cols.expression(a), graft.util.Cols.expression(b)))
+}
+
+/** Elementwise difference of two `array<long>` columns — the PQ residual
+  * kernel (x − coarse-centroid), same codegen-loop rationale as
+  * [[DotLongs]] (a `zip_with` lambda would run interpreted per element
+  * on the hottest similarity path). */
+case class SubLongs(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps$$.MODULE$$.sub($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubLongs =
+    copy(left = l, right = r)
+  override def prettyName: String = "sub_longs"
+}
+
+object SubLongs {
+  def apply(a: Column, b: Column): Column =
+    graft.util.Cols.column(SubLongs(
       graft.util.Cols.expression(a), graft.util.Cols.expression(b)))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotLongs, QuantizeVec}
+import graft.functions.{DotLongs, QuantizeVec, SubLongs}
 import graft.util.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -470,6 +470,295 @@ object Similarity {
     ivfRecallWith(s, dir, fitCentroids(s, dir, k = 16, iters = 2),
       nprobe = MultiprobeNprobe)
 
+  // --------------------------------------------------------------- q111
+  /** IVF-PQ geometry: 64 dims → [[PqSubspaces]] subspaces of
+    * [[PqSubDim]], [[PqCodes]] codes per subspace codebook (8-byte code
+    * per vector — a 64× compression of the 8×64-byte long vectors a
+    * scan otherwise reads), ADC shortlist of [[PqShortlist]] re-ranked
+    * exactly. */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+  val PqIters = 2
+  val PqShortlist = 60
+
+  private def dotL(a: Seq[Long], b: Seq[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+  private def ssqL(a: Seq[Long]): Long = dotL(a, a)
+
+  private def subVec(v: Seq[Long], u: Int): Seq[Long] =
+    v.slice(u * PqSubDim, (u + 1) * PqSubDim)
+  private def subCol(u: Int): org.apache.spark.sql.Column =
+    slice(col("e"), u * PqSubDim + 1, PqSubDim)
+
+  /** Coarse-centroid subvector lookup per subspace, by cell — literal
+    * model constants indexed map-side. */
+  private def centSubs(cents: Seq[(Seq[Long], Double)]): Seq[Seq[Seq[Long]]] =
+    (0 until PqSubspaces).map(u => cents.map(c => subVec(c._1, u)))
+
+  /** The per-subspace RESIDUAL columns `_r0.._r7` (x − coarse centroid,
+    * exact longs via the codegen [[SubLongs]] kernel) over an
+    * [[assignedCorpus]] frame. */
+  private def residualCols(asg: DataFrame,
+      cents: Seq[(Seq[Long], Double)]): DataFrame = {
+    val cs = centSubs(cents)
+    asg.select(col("vec_id") +: col("cell") +:
+      (0 until PqSubspaces).map(u => SubLongs(subCol(u),
+        element_at(typedLit(cs(u)), col("cell") + 1)).as(s"_r$u")): _*)
+  }
+
+  /** Integer L2 code assignment for one subspace: argmin over codes of
+    * ‖r − c‖² ⇔ argmax of 2·(r·c) − ‖c‖² — pure long arithmetic, no
+    * doubles anywhere, ties to the LOWEST code (the assignCell
+    * convention). k codegen'd [[DotLongs]] against literal codes. */
+  private def pqCodeCol(r: org.apache.spark.sql.Column,
+      book: Seq[Seq[Long]]): org.apache.spark.sql.Column = {
+    val structs = book.zipWithIndex.map { case (c, ci) =>
+      struct((DotLongs(r, typedLit(c)) * lit(2L) - lit(ssqL(c))).as("s"),
+        lit(-ci).as("c"))
+    }
+    (-array_max(array(structs: _*)).getField("c")).cast("int")
+  }
+
+  /** Deterministic per-subspace PQ codebooks over the RESIDUALS of the
+    * coarse assignment (classic IVF-PQ: quantize what the coarse cell
+    * doesn't explain). Same driver-coordinated machinery as
+    * [[fitCentroids]]: seeds = the first [[PqCodes]] vectors' residual
+    * subvectors, per-iteration per-(subspace, code, dim) sums are exact
+    * integer aggregates (one job fits ALL subspaces — m×ks×subdim =
+    * 1024 cells to the driver per iteration), quantized means, empty
+    * codes keep their previous vector. Assignment is all-integer L2, so
+    * the fit is bit-stable under any partitioning and replayable in the
+    * DuckDB twin. Returns codebooks(u)(code) = subdim longs. */
+  private[graft] def fitPqCodebooks(s: SparkSession, dir: String,
+      cents: Seq[(Seq[Long], Double)],
+      iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
+    import s.implicits._
+    if (cents.isEmpty) return Seq.empty
+    // the fit re-scans per iteration: materialize the residual frame
+    // once (the theilSen/q89 checkpoint discipline)
+    val resid = residualCols(assignedCorpus(s, dir, cents), cents)
+      .localCheckpoint(true)
+    val seedRows = resid.filter($"vec_id" < PqCodes)
+      .orderBy($"vec_id").collect()
+    if (seedRows.isEmpty) return Seq.empty
+    var books: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map { u =>
+      seedRows.map(r => r.getSeq[Long](r.fieldIndex(s"_r$u")).toSeq).toSeq
+    }
+    for (_ <- 1 to iters) {
+      val sums = resid.select(explode(array((0 until PqSubspaces).map(u =>
+          struct(lit(u).as("u"), pqCodeCol(col(s"_r$u"), books(u)).as("code"),
+            col(s"_r$u").as("r"))): _*)).as("x"))
+        .select($"x.u".as("u"), $"x.code".as("code"),
+          posexplode($"x.r").as(Seq("dim", "v")))
+        .groupBy($"u", $"code", $"dim")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (book, u) =>
+        book.zipWithIndex.map { case (old, c) =>
+          byKey.get((u, c)) match {
+            case Some(rows) =>
+              val dims = rows.map(r => (r.getInt(2), math.floor(
+                r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong)).toMap
+              (0 until PqSubDim).map(d => dims.getOrElse(d, 0L))
+            case None => old
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ-encode an assigned corpus: (vec_id, cell, codes array<int>,
+    * rnrm). `codes(u)` is the subspace-u residual code; `rnrm` is the
+    * RECONSTRUCTION's exact norm — ‖cent + r̂‖² expands to
+    * ssq(cent) + 2·Σᵤ cent_u·ĉ_u + Σᵤ ssq(ĉ_u), every term a literal
+    * model constant looked up by (cell, code) map-side, summed as
+    * longs, one sqrt. Encode once, serve many: the served scan reads 8
+    * int codes + one double instead of 64 longs. */
+  private[graft] def pqEncode(asg: DataFrame, cents: Seq[(Seq[Long], Double)],
+      books: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val cs = centSubs(cents)
+    val ssqCent: Seq[Long] = cents.map(c => ssqL(c._1))
+    // cdot(u)(cell)(code) = cent-subvector · codebook vector
+    val cdot: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map(u =>
+      cs(u).map(cu => books(u).map(b => dotL(cu, b))))
+    val cssq: Seq[Seq[Long]] = books.map(_.map(ssqL))
+    val withCodes = residualCols(asg, cents)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until PqSubspaces).map(u =>
+          pqCodeCol(col(s"_r$u"), books(u)).as(s"_c$u")): _*)
+    val rnrm2 = (0 until PqSubspaces).map { u =>
+      element_at(element_at(typedLit(cdot(u)), col("cell") + 1),
+        col(s"_c$u") + 1) * lit(2L) +
+        element_at(typedLit(cssq(u)), col(s"_c$u") + 1)
+    }.reduce(_ + _) + element_at(typedLit(ssqCent), col("cell") + 1)
+    withCodes
+      .withColumn("codes",
+        array((0 until PqSubspaces).map(u => col(s"_c$u")): _*))
+      .withColumn("rnrm", sqrt(rnrm2.cast("double")))
+      .select(col("vec_id"), col("cell"), col("codes"), col("rnrm"))
+  }
+
+  /** q111: IVF-PQ ANN + recall@5 — the compressed-index member of the
+    * similarity family (the published scale move after IVF: at 100 TB
+    * of embeddings the candidate scan must not read full vectors).
+    * Pipeline: coarse probe ([[explodeProbeCells]], the q96 multiprobe
+    * ranking) → ASYMMETRIC-DISTANCE shortlist over the encoded corpus
+    * (approx dot = q·cent_cell + Σᵤ LUTᵤ[codeᵤ]; the LUT is 8×16
+    * exact-integer dots per query, driver-built from the 10 query
+    * vectors — model-sized — and broadcast, so each candidate row costs
+    * 8 lookups + adds, ZERO multiplications) → top-[[PqShortlist]] per
+    * query → exact re-rank of the shortlist's TRUE vectors via the one
+    * allow-listed [[cosineTopK]]. Report schema = q44/q96
+    * (n_candidates = the shortlist the exact arm re-ranked). Every step
+    * is exact integer arithmetic + correctly-rounded sqrt/div, so the
+    * DuckDB twin replays fit, encode, ADC and re-rank hash-exact. */
+  def q111AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cents = fitCentroids(s, dir, k = 16, iters = 2)
+    ivfPqRecall(s, dir, cents, fitPqCodebooks(s, dir, cents))
+  }
+
+  /** Persist the full compressed index: coarse centroids, per-subspace
+    * codebooks, and the PQ-ENCODED corpus (vec_id, cell, 8 int codes,
+    * rnrm — the 64×-smaller frame a serving scan reads instead of raw
+    * vectors). Build once; [[pqServeQuery]] pays only load + ADC +
+    * shortlist-sized true-vector fetch. */
+  def savePqIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    import s.implicits._
+    val cents = fitCentroids(s, dir, k = 16, iters = 2)
+    val books = fitPqCodebooks(s, dir, cents)
+    cents.zipWithIndex.map { case ((e, nrm), cid) => (cid, e, nrm) }
+      .toDF("cid", "e", "nrm").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/cents")
+    books.zipWithIndex
+      .flatMap { case (book, u) => book.zipWithIndex.map { case (bv, c) => (u, c, bv) } }
+      .toDF("u", "code", "bv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/books")
+    val enc =
+      if (cents.isEmpty || books.isEmpty)
+        Seq.empty[(Long, Int, Seq[Int], Double)]
+          .toDF("vec_id", "cell", "codes", "rnrm")
+      else pqEncode(assignedCorpus(s, dir, cents), cents, books)
+    enc.write.mode("overwrite").parquet(s"$indexPath/enc")
+  }
+
+  def loadPqIndex(s: SparkSession, indexPath: String)
+      : (Seq[(Seq[Long], Double)], Seq[Seq[Seq[Long]]]) = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexPath/cents").orderBy($"cid")
+      .select($"e", $"nrm").as[(Seq[Long], Double)].collect().toIndexedSeq
+    val flat = s.read.parquet(s"$indexPath/books").orderBy($"u", $"code")
+      .select($"u", $"code", $"bv").as[(Int, Int, Seq[Long])].collect()
+    val books =
+      if (flat.isEmpty) Seq.empty[Seq[Seq[Long]]]
+      else (0 until PqSubspaces).map(u =>
+        flat.filter(_._1 == u).sortBy(_._2).map(_._3).toSeq)
+    (cents, books)
+  }
+
+  /** The production IVF-PQ serving path: (qid, nid, rk, sim) top-k from
+    * a SAVED index — candidate generation scans only the encoded frame
+    * (codes + rnrm), true vectors are fetched for the shortlist alone.
+    * Bench times this against the uncompressed multiprobe serve. */
+  def pqServeQuery(s: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nprobe: Int = MultiprobeNprobe,
+      shortlist: Int = PqShortlist): DataFrame = {
+    import s.implicits._
+    val (cents, books) = loadPqIndex(s, indexPath)
+    if (cents.isEmpty || books.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("qid", "nid", "rk", "sim")
+    val enc = s.read.parquet(s"$indexPath/enc")
+    pqAnn(scaled(s, dir), enc, cents, books, nprobe, shortlist, k)
+      .orderBy($"qid", $"rk")
+  }
+
+  private[graft] def ivfPqRecall(s: SparkSession, dir: String,
+      cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
+      nprobe: Int = MultiprobeNprobe,
+      shortlist: Int = PqShortlist): DataFrame = {
+    import s.implicits._
+    if (cents.isEmpty || books.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("qid", "n_candidates", "n_hit", "recall")
+    val base = scaled(s, dir)
+    val enc = pqEncode(assignedCorpus(s, dir, cents), cents, books)
+    // ONE shortlist materialization (10×shortlist rows) feeds both the
+    // re-rank and the candidate count — the ADC scan must not run twice
+    val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist)
+      .localCheckpoint(true)
+    val qs = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
+    val ann = cosineTopK(sl.join(base, "vec_id").join(broadcast(qs), "qid"),
+        k = 5).select($"qid", $"nid")
+    val nCand = sl.groupBy($"qid").agg(count(lit(1)).as("n_candidates"))
+    val exact = exactTopK(base).select($"qid", $"nid")
+    val hits = exact.as("x").join(ann.as("a"), Seq("qid", "nid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    base.filter($"vec_id" < 10).select($"vec_id".as("qid"))
+      .join(nCand, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / 5.0)
+      .select($"qid", $"n_candidates", $"n_hit", $"recall")
+      .orderBy($"qid")
+  }
+
+  /** The ADC shortlist: (qid, vec_id) of the top-`shortlist` encoded
+    * candidates per query by approximate cosine. The corpus side reads
+    * ONLY the encoded frame. */
+  private def pqShortlist(base: DataFrame, enc: DataFrame,
+      cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
+      nprobe: Int, shortlist: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val qprobe = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
+      .select($"vec_id".as("qid"), $"qcell")
+    // per-query LUTs: 10 query vectors → driver (query-side,
+    // model-sized), exact integer dots against every codebook vector
+    // and every coarse centroid
+    val qrows = base.filter($"vec_id" < 10).orderBy($"vec_id")
+      .select($"vec_id", $"e", $"nrm").collect()
+      .map { r =>
+        val qe = r.getSeq[Long](1).toSeq
+        (r.getLong(0),
+          (0 until PqSubspaces).map(u =>
+            books(u).map(b => dotL(subVec(qe, u), b))),
+          cents.map(c => dotL(qe, c._1)),
+          r.getDouble(2))
+      }.toSeq
+    val lut = qrows.toDF("qid", "lut", "qcent", "qn")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"asim".desc, $"vec_id".asc)
+    val adot = element_at($"qcent", ($"cell" + 1).cast("int")) +
+      (0 until PqSubspaces).map(u =>
+        element_at(element_at($"lut", u + 1),
+          element_at($"codes", u + 1) + 1)).reduce(_ + _)
+    enc.join(broadcast(qprobe),
+        enc("cell") === qprobe("qcell") && enc("vec_id") =!= qprobe("qid"))
+      .join(broadcast(lut), "qid")
+      .withColumn("asim", safeCos(adot, $"qn" * $"rnrm"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= shortlist)
+      .select($"qid", $"vec_id")
+  }
+
+  /** Shortlist → exact re-rank: fetch the TRUE vectors of shortlisted
+    * ids only (a shortlist-sized semi-join against the full corpus —
+    * the fetch a compressed index pays instead of scanning vectors). */
+  private[graft] def pqAnn(base: DataFrame, enc: DataFrame,
+      cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist)
+    val qs = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
+    cosineTopK(sl.join(base, "vec_id").join(broadcast(qs), "qid"), k)
+  }
+
   // ---------------------------------------------------------------- q47
   /** The dedup DECISION step: connected components over the ≥0.45-cosine
     * pair graph, canonical representative = min vec_id per component —
@@ -711,6 +1000,7 @@ object Similarity {
     "q43_embedding_dedup" -> (q43EmbeddingDedup _),
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
     "q96_ann_ivf_multiprobe" -> (q96AnnIvfMultiprobe _),
+    "q111_ann_ivf_pq" -> (q111AnnIvfPq _),
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q47_dedup_components" -> (q47DedupComponents _),
@@ -870,6 +1160,104 @@ object Similarity {
       |${sqlCentNorm("c2", "r2")},
       |${sqlAssign("a2", "cellf", "c2")}""".stripMargin
 
+  // ---- q111 twin scaffolding ------------------------------------------
+  /** One PQ code assignment as SQL: per (vec_id, u), rank codebook rows
+    * by the integer L2 score 2·(r·c) − ‖c‖² DESC, code ASC —
+    * `pqCodeCol`'s argmax/tie-break exactly (every product < 2⁵³, so the
+    * DOUBLE list_inner_product is exact). */
+  private def pqAssignSql(aName: String, cName: String, book: String): String =
+    s"""$aName AS (SELECT ru.vec_id, ru.u, b.code,
+      |    ROW_NUMBER() OVER (PARTITION BY ru.vec_id, ru.u ORDER BY
+      |      2*list_inner_product(list_transform(ru.rv, x -> CAST(x AS DOUBLE)),
+      |                           list_transform(b.bv, x -> CAST(x AS DOUBLE)))
+      |      - list_inner_product(list_transform(b.bv, x -> CAST(x AS DOUBLE)),
+      |                           list_transform(b.bv, x -> CAST(x AS DOUBLE))) DESC,
+      |      b.code ASC) rk
+      |  FROM ru JOIN $book b USING (u)),
+      |$cName AS (SELECT vec_id, u, code FROM $aName WHERE rk = 1)""".stripMargin
+
+  /** One PQ Lloyd update as SQL: exact per-(subspace, code, dim) BIGINT
+    * sums over the residuals, quantized mean, empty codes keep the
+    * previous vector — `fitPqCodebooks`' update exactly. */
+  private def pqUpdateSql(i: Int, cellSrc: String, prev: String,
+      out: String): String =
+    s"""ps$i AS (SELECT u, code, CAST(r.d AS INTEGER) AS d,
+      |    SUM(rv[CAST(r.d AS INTEGER)+1]) sv, COUNT(*) cnt
+      |  FROM ru JOIN $cellSrc USING (vec_id, u), range($PqSubDim) AS r(d)
+      |  GROUP BY 1, 2, 3),
+      |pm$i AS (SELECT u, code,
+      |    list(CAST(floor(CAST(sv AS DOUBLE)/cnt + 0.5) AS BIGINT) ORDER BY d) bv
+      |  FROM ps$i GROUP BY 1, 2),
+      |$out AS (SELECT p.u, p.code, COALESCE(pm$i.bv, p.bv) bv
+      |  FROM $prev p LEFT JOIN pm$i USING (u, code))""".stripMargin
+
+  /** Full q111 twin: the coarse fit (`ivfFitCtes`, shared with
+    * q44/q96/q107), per-(vector, subspace) integer residuals, the
+    * 2-iteration per-subspace codebook fit unrolled, final codes, the
+    * reconstruction x̂ = cent + ĉ per subspace (its ssq and q·x̂ are the
+    * same exact integers as the engine's (cell, code) lookup-table
+    * expansion), ADC shortlist of rk ≤ [[PqShortlist]], exact re-rank
+    * of the shortlist, recall vs the exact arm. */
+  private def ivfPqOracleSql: String =
+    s"""$vCte,
+      |$ivfFitCtes,
+      |qprobe AS (SELECT vec_id qid, cid qcell FROM a2
+      |           WHERE vec_id < 10 AND rk <= $MultiprobeNprobe),
+      |ru AS (SELECT v.vec_id, CAST(r.u AS INTEGER) AS u,
+      |    list_transform(range($PqSubDim), d ->
+      |      v.e[CAST(r.u AS INTEGER)*$PqSubDim + CAST(d AS INTEGER) + 1]
+      |      - c2.ce[CAST(r.u AS INTEGER)*$PqSubDim + CAST(d AS INTEGER) + 1]) AS rv
+      |  FROM v JOIN cellf cf USING (vec_id) JOIN c2 ON c2.cid = cf.cid,
+      |       range($PqSubspaces) AS r(u)),
+      |pbook0 AS (SELECT u, vec_id AS code, rv AS bv FROM ru
+      |           WHERE vec_id < $PqCodes),
+      |${pqAssignSql("pa1", "pcell1", "pbook0")},
+      |${pqUpdateSql(1, "pcell1", "pbook0", "pbook1")},
+      |${pqAssignSql("pa2", "pcell2", "pbook1")},
+      |${pqUpdateSql(2, "pcell2", "pbook1", "pbook2")},
+      |${pqAssignSql("paf", "pcodes", "pbook2")},
+      |pxh AS (SELECT pc.vec_id, pc.u,
+      |    list_transform(range($PqSubDim), d ->
+      |      c2.ce[pc.u*$PqSubDim + CAST(d AS INTEGER) + 1]
+      |      + b.bv[CAST(d AS INTEGER)+1]) AS xh
+      |  FROM pcodes pc JOIN cellf cf USING (vec_id)
+      |       JOIN c2 ON c2.cid = cf.cid
+      |       JOIN pbook2 b ON b.u = pc.u AND b.code = pc.code),
+      |prn AS (SELECT vec_id, sqrt(CAST(SUM(list_inner_product(
+      |      list_transform(xh, x -> CAST(x AS DOUBLE)),
+      |      list_transform(xh, x -> CAST(x AS DOUBLE)))) AS DOUBLE)) rnrm
+      |  FROM pxh GROUP BY vec_id),
+      |pcand AS (SELECT qp.qid, cf.vec_id AS nid
+      |  FROM cellf cf JOIN qprobe qp
+      |    ON cf.cid = qp.qcell AND cf.vec_id <> qp.qid),
+      |padot AS (SELECT pc.qid, pc.nid,
+      |    SUM(list_inner_product(
+      |      list_transform(list_transform(range($PqSubDim), d ->
+      |        q.e[xh.u*$PqSubDim + CAST(d AS INTEGER) + 1]), x -> CAST(x AS DOUBLE)),
+      |      list_transform(xh.xh, x -> CAST(x AS DOUBLE)))) adot
+      |  FROM pcand pc JOIN pxh xh ON xh.vec_id = pc.nid
+      |       JOIN v q ON q.vec_id = pc.qid
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT qid, nid FROM (
+      |    SELECT pd.qid, pd.nid,
+      |      ROW_NUMBER() OVER (PARTITION BY pd.qid ORDER BY
+      |        CASE WHEN q.nrm * rn.rnrm = 0 THEN 0.0
+      |             ELSE pd.adot / (q.nrm * rn.rnrm) END DESC,
+      |        pd.nid ASC) rk
+      |    FROM padot pd JOIN prn rn ON rn.vec_id = pd.nid
+      |         JOIN v q ON q.vec_id = pd.qid)
+      |  WHERE rk <= $PqShortlist),
+      |annp AS (SELECT c.qid, c.nid,
+      |    CASE WHEN q.nrm * x.nrm = 0 THEN 0.0
+      |         ELSE list_inner_product(q.ev, x.ev) / (q.nrm * x.nrm) END sim
+      |  FROM cand c JOIN v x ON x.vec_id = c.nid JOIN v q ON q.vec_id = c.qid),
+      |ann AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rk
+      |    FROM annp) WHERE rk <= 5),
+      |$exactArmCte,
+      |$recallReportSql""".stripMargin
+
   private def ivfOracleSql(nprobe: Int): String =
     s"""$vCte,
       |$ivfFitCtes,
@@ -895,6 +1283,7 @@ object Similarity {
     "q39_ann_lsh_recall" -> q39OracleSql,
     "q44_ann_ivf_recall" -> q44OracleSql,
     "q96_ann_ivf_multiprobe" -> ivfOracleSql(MultiprobeNprobe),
+    "q111_ann_ivf_pq" -> ivfPqOracleSql,
     "q38_ann_brute" ->
       s"""$scaledCte,
         |p AS (SELECT q.vec_id qid, c.vec_id nid,

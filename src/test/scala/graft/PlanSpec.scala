@@ -350,6 +350,10 @@ class PlanSpec extends AnyFunSuite {
     "q43_embedding_dedup", // brute-force oracle twin of q45
     "q44_ann_ivf_recall", // exact arm inside the recall computation
     "q96_ann_ivf_multiprobe", // q44's shape: exact arm as denominator
+    "q111_ann_ivf_pq", // q44's shape: the exact arm is the recall
+                       // denominator; the ADC/serving path itself is
+                       // equi-joined (cell = qcell, qid) — spec-pinned
+                       // by the saved-index serving identity
     "q51_contamination", // source-pair frame: cross of the SOURCE dimension
                          // only (metadata cardinality), never document rows
     "q61_tfidf", // scalar subquery: ONE broadcast aggregate row (corpus

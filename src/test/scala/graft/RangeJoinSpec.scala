@@ -536,6 +536,46 @@ class RangeJoinSpec extends AnyFunSuite {
       .forall(_.getLong(1) <= 5))
   }
 
+  /** q111 (VERDICT r7 #4): the compressed IVF-PQ arm must clear the
+    * same 0.9 recall target as q96 — the ADC shortlist only has to
+    * keep the true top-5 inside approx-top-[[Similarity.PqShortlist]],
+    * then the exact re-rank recovers them — and the SAVED index
+    * (centroids + codebooks + encoded corpus) must serve bit-identical
+    * top-k to the inline-fit pipeline. */
+  test("q111 IVF-PQ recall >= 0.9 and the saved index serves identically") {
+    val report = Similarity.q111AnnIvfPq(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(report.size == 10)
+    report.foreach { case (qid, (nCand, _)) =>
+      assert(nCand <= Similarity.PqShortlist,
+        s"q$qid re-ranked $nCand > shortlist cap")
+    }
+    val meanRecall = report.values.map(_._2).sum / (5.0 * report.size)
+    assert(meanRecall >= 0.9, s"IVF-PQ mean recall $meanRecall < 0.9")
+    val tmp = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.savePqIndex(spark, dir, s"$tmp/pq")
+    val (cents, books) = Similarity.loadPqIndex(spark, s"$tmp/pq")
+    assert(cents.length == 16 &&
+      books.length == Similarity.PqSubspaces &&
+      books.forall(b => b.length == Similarity.PqCodes &&
+        b.forall(_.length == Similarity.PqSubDim)))
+    val servedRows = Similarity.pqServeQuery(spark, dir, s"$tmp/pq")
+      .collect().map(_.toString).toSeq
+    // inline twin: encode the corpus fresh from the loaded models and
+    // run the same ADC + re-rank — the parquet-round-tripped encoded
+    // frame must not change a single row
+    val base = Similarity.scaled(spark, dir)
+    val encInline = Similarity.pqEncode(
+      Similarity.assignedCorpus(spark, dir, cents), cents, books)
+    val inlineRows = Similarity.pqAnn(base, encInline, cents, books,
+        Similarity.MultiprobeNprobe, Similarity.PqShortlist, k = 5)
+      .orderBy("qid", "rk").collect().map(_.toString).toSeq
+    assert(servedRows == inlineRows,
+      "saved-index serving diverged from the inline-encoded pipeline")
+    assert(servedRows.nonEmpty && servedRows.size <= 10 * 5,
+      s"served ${servedRows.size} rows")
+  }
+
   /** q92: planted orphans and a NULL child key over a minimal star
     * schema — NULL counts as an orphan ROW (it can never match a
     * parent) but not as an orphan KEY. Real testdata has zero orphans,
