@@ -706,6 +706,43 @@ object Similarity {
       .orderBy($"qid")
   }
 
+  // --------------------------------------------------------------- q112
+  /** q112: PQ distortion audit — the q66 quantization-error story for
+    * the compressed index: per subspace, the exact integer sum/max of
+    * squared residual-quantization error ‖r − ĉ‖² (= r·r − 2·r·ĉ + ĉ·ĉ,
+    * every term a codegen integer dot or a model constant) over the
+    * whole corpus, plus the mean as one double division. The number
+    * that tells an operator whether the codebooks fit THEIR data before
+    * they trust the ADC shortlist — and the audit a re-fit is judged
+    * by. One scan, one 8-way explode (subspace-keyed partial agg), no
+    * joins. */
+  def q112PqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = fitCentroids(s, dir, k = 16, iters = 2)
+    val books = fitPqCodebooks(s, dir, cents)
+    if (cents.isEmpty || books.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Long)]
+        .toDF("subspace", "n_vecs", "sse", "mse", "max_se")
+    val cssq: Seq[Seq[Long]] = books.map(_.map(ssqL))
+    val resid = residualCols(assignedCorpus(s, dir, cents), cents)
+    val seCols = (0 until PqSubspaces).map { u =>
+      val r = col(s"_r$u")
+      val code = pqCodeCol(r, books(u))
+      val bvec = element_at(typedLit(books(u)), code + 1)
+      struct(lit(u.toLong).as("subspace"),
+        (DotLongs(r, r) - DotLongs(r, bvec) * lit(2L) +
+          element_at(typedLit(cssq(u)), code + 1)).as("se"))
+    }
+    resid.select(explode(array(seCols: _*)).as("x"))
+      .select($"x.subspace".as("subspace"), $"x.se".as("se"))
+      .groupBy($"subspace")
+      .agg(count(lit(1)).as("n_vecs"), sum($"se").as("sse"),
+        max($"se").as("max_se"))
+      .withColumn("mse", $"sse".cast("double") / $"n_vecs")
+      .select($"subspace", $"n_vecs", $"sse", $"mse", $"max_se")
+      .orderBy($"subspace")
+  }
+
   /** The ADC shortlist: (qid, vec_id) of the top-`shortlist` encoded
     * candidates per query by approximate cosine. The corpus side reads
     * ONLY the encoded frame. */
@@ -1001,6 +1038,7 @@ object Similarity {
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
     "q96_ann_ivf_multiprobe" -> (q96AnnIvfMultiprobe _),
     "q111_ann_ivf_pq" -> (q111AnnIvfPq _),
+    "q112_pq_distortion" -> (q112PqDistortion _),
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q47_dedup_components" -> (q47DedupComponents _),
@@ -1198,12 +1236,12 @@ object Similarity {
     * same exact integers as the engine's (cell, code) lookup-table
     * expansion), ADC shortlist of rk ≤ [[PqShortlist]], exact re-rank
     * of the shortlist, recall vs the exact arm. */
-  private def ivfPqOracleSql: String =
-    s"""$vCte,
-      |$ivfFitCtes,
-      |qprobe AS (SELECT vec_id qid, cid qcell FROM a2
-      |           WHERE vec_id < 10 AND rk <= $MultiprobeNprobe),
-      |ru AS (SELECT v.vec_id, CAST(r.u AS INTEGER) AS u,
+  /** The residual frame + 2-iteration codebook fit + final codes as
+    * CTEs — shared by the q111 and q112 twins (requires `v`, `cellf`,
+    * `c2` from `ivfFitCtes`). Ends in `pcodes (vec_id, u, code)` and
+    * `pbook2 (u, code, bv)`. */
+  private def pqFitCtes: String =
+    s"""ru AS (SELECT v.vec_id, CAST(r.u AS INTEGER) AS u,
       |    list_transform(range($PqSubDim), d ->
       |      v.e[CAST(r.u AS INTEGER)*$PqSubDim + CAST(d AS INTEGER) + 1]
       |      - c2.ce[CAST(r.u AS INTEGER)*$PqSubDim + CAST(d AS INTEGER) + 1]) AS rv
@@ -1215,7 +1253,14 @@ object Similarity {
       |${pqUpdateSql(1, "pcell1", "pbook0", "pbook1")},
       |${pqAssignSql("pa2", "pcell2", "pbook1")},
       |${pqUpdateSql(2, "pcell2", "pbook1", "pbook2")},
-      |${pqAssignSql("paf", "pcodes", "pbook2")},
+      |${pqAssignSql("paf", "pcodes", "pbook2")}""".stripMargin
+
+  private def ivfPqOracleSql: String =
+    s"""$vCte,
+      |$ivfFitCtes,
+      |qprobe AS (SELECT vec_id qid, cid qcell FROM a2
+      |           WHERE vec_id < 10 AND rk <= $MultiprobeNprobe),
+      |$pqFitCtes,
       |pxh AS (SELECT pc.vec_id, pc.u,
       |    list_transform(range($PqSubDim), d ->
       |      c2.ce[pc.u*$PqSubDim + CAST(d AS INTEGER) + 1]
@@ -1284,6 +1329,27 @@ object Similarity {
     "q44_ann_ivf_recall" -> q44OracleSql,
     "q96_ann_ivf_multiprobe" -> ivfOracleSql(MultiprobeNprobe),
     "q111_ann_ivf_pq" -> ivfPqOracleSql,
+    "q112_pq_distortion" ->
+      // ‖r − ĉ‖² expanded (r·r − 2·r·ĉ + ĉ·ĉ) — the engine's exact
+      // integers; the HUGEINT SUM casts back to BIGINT (< 2⁶³), the
+      // mean is the same one division of the same exact integer
+      s"""$vCte,
+        |$ivfFitCtes,
+        |$pqFitCtes,
+        |perr AS (SELECT ru.u,
+        |    CAST(list_inner_product(list_transform(ru.rv, x -> CAST(x AS DOUBLE)),
+        |                            list_transform(ru.rv, x -> CAST(x AS DOUBLE)))
+        |      - 2*list_inner_product(list_transform(ru.rv, x -> CAST(x AS DOUBLE)),
+        |                             list_transform(b.bv, x -> CAST(x AS DOUBLE)))
+        |      + list_inner_product(list_transform(b.bv, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(b.bv, x -> CAST(x AS DOUBLE))) AS BIGINT) se
+        |  FROM ru JOIN pcodes pc USING (vec_id, u)
+        |       JOIN pbook2 b ON b.u = ru.u AND b.code = pc.code)
+        |SELECT CAST(u AS BIGINT) AS subspace, COUNT(*) AS n_vecs,
+        |  CAST(SUM(se) AS BIGINT) AS sse,
+        |  CAST(CAST(SUM(se) AS BIGINT) AS DOUBLE) / COUNT(*) AS mse,
+        |  CAST(MAX(se) AS BIGINT) AS max_se
+        |FROM perr GROUP BY u ORDER BY subspace""".stripMargin,
     "q38_ann_brute" ->
       s"""$scaledCte,
         |p AS (SELECT q.vec_id qid, c.vec_id nid,

@@ -576,6 +576,42 @@ class RangeJoinSpec extends AnyFunSuite {
       s"served ${servedRows.size} rows")
   }
 
+  /** q112 planted-free exactness: the per-subspace distortion report
+    * must equal a brute-force driver recomputation (argmin over ALL
+    * codes per residual — an independent evaluation path from the
+    * engine's codegen argmax-of-negated-score). */
+  test("q112 distortion equals a driver-computed argmin reference") {
+    val got = Similarity.q112PqDistortion(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("pqdist").toString
+    Similarity.savePqIndex(spark, dir, s"$tmp/pq")
+    val (cents, books) = Similarity.loadPqIndex(spark, s"$tmp/pq")
+    val rows = Similarity.assignedCorpus(spark, dir, cents).collect()
+    def ssq(a: Seq[Long]) = a.map(x => x * x).sum
+    val acc = Array.fill(Similarity.PqSubspaces)((0L, 0L, 0L)) // n, sse, max
+    rows.foreach { r =>
+      val e = r.getSeq[Long](1)
+      val cell = r.getInt(3)
+      for (u <- 0 until Similarity.PqSubspaces) {
+        val lo = u * Similarity.PqSubDim
+        val res = (0 until Similarity.PqSubDim).map(d =>
+          e(lo + d) - cents(cell)._1(lo + d))
+        val se = books(u).map(c =>
+          ssq(res.zip(c).map { case (x, y) => x - y })).min
+        val (n, s, m) = acc(u)
+        acc(u) = (n + 1, s + se, math.max(m, se))
+      }
+    }
+    assert(got.keySet == acc.indices.map(_.toLong).toSet)
+    acc.zipWithIndex.foreach { case ((n, sse, mx), u) =>
+      val (gn, gsse, gmse, gmax) = got(u.toLong)
+      assert(gn == n && gsse == sse && gmax == mx,
+        s"subspace $u: got ($gn,$gsse,$gmax) want ($n,$sse,$mx)")
+      assert(math.abs(gmse - sse.toDouble / n) <= 1e-9 * math.max(1.0, gmse))
+    }
+  }
+
   /** q92: planted orphans and a NULL child key over a minimal star
     * schema — NULL counts as an orphan ROW (it can never match a
     * parent) but not as an orphan KEY. Real testdata has zero orphans,
