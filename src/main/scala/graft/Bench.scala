@@ -287,6 +287,38 @@ object Bench {
       corpus.unpersist()
       require(served.get() > 0, "streaming ANN serve answered no queries")
     }),
+    // r8: the streaming COMPRESSED serve arm — the q111 twin of
+    // x_ann_serve_stream: 10 query vectors as a file stream answered
+    // against the saved PQ index's encoded corpus (ADC candidates in
+    // the stream plan, shortlist + exact re-rank per batch). Its delta
+    // vs x_ivfpq_serve_loaded is the streaming machinery price.
+    "x_pq_serve_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val path = pqPath(s, dir)
+      val (cents, books) = graft.operators.Similarity.loadPqIndex(s, path)
+      val enc = graft.streaming.StreamingPqServe.encodedCorpus(s, path)
+      val base = graft.operators.Similarity.scaled(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("pq_serve_bench")
+      val in = tmp.resolve("in").toString
+      graft.util.Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema("qid LONG, embedding ARRAY<FLOAT>")
+        .parquet(in)
+      val servedN = new java.util.concurrent.atomic.AtomicLong()
+      val q = graft.streaming.StreamingPqServe
+        .adcCandidates(stream, enc, cents, books)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          servedN.addAndGet(graft.streaming.StreamingPqServe
+            .serveBatch(b.toDF(), base).count()): Unit
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      enc.unpersist()
+      require(servedN.get() > 0, "streaming PQ serve answered no queries")
+    }),
     // late-r7: ingestion-time span stripping — 200 docs (half of them
     // re-sends of corpus text, the worst realistic mix) replayed as a
     // file stream against the corpus gram set. Prices the at-the-door

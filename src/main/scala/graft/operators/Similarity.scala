@@ -55,7 +55,7 @@ object Similarity {
     * zero ABORTS the query — one bad row must not kill a similarity
     * sweep. Zero cosine keeps such rows below every ≥-threshold filter
     * and at the bottom of every top-k. */
-  private def safeCos(dot: org.apache.spark.sql.Column,
+  private[graft] def safeCos(dot: org.apache.spark.sql.Column,
       den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(den === 0.0, lit(0.0)).otherwise(dot.cast("double") / den)
 
