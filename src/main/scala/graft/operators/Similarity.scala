@@ -530,17 +530,34 @@ object Similarity {
     * codes keep their previous vector. Assignment is all-integer L2, so
     * the fit is bit-stable under any partitioning and replayable in the
     * DuckDB twin. Returns codebooks(u)(code) = subdim longs. */
+  /** With `samplePermille` set, the codebooks are fit on a
+    * deterministic md5 hash-sample of the corpus (the q46 family) —
+    * the 100 TB fit shape: codebook QUALITY converges with sample
+    * size long before corpus size (classic PQ practice: train on
+    * ~100k–1M vectors), so the iterated frame — and its checkpoint —
+    * is sample-sized instead of a second copy of the corpus. Seeds are
+    * the sample's lowest vec_ids. The ENCODE still covers every
+    * vector; only the training set shrinks. */
   private[graft] def fitPqCodebooks(s: SparkSession, dir: String,
       cents: Seq[(Seq[Long], Double)],
-      iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
+      iters: Int = PqIters,
+      samplePermille: Option[Long] = None): Seq[Seq[Seq[Long]]] = {
     import s.implicits._
     if (cents.isEmpty) return Seq.empty
+    val fitSet = samplePermille match {
+      case Some(r) => assignedCorpus(s, dir, cents)
+        .filter(graft.util.Buckets.modN("vec_id", 1000) < r)
+      case None => assignedCorpus(s, dir, cents)
+    }
     // the fit re-scans per iteration: materialize the residual frame
-    // once (the theilSen/q89 checkpoint discipline)
-    val resid = residualCols(assignedCorpus(s, dir, cents), cents)
+    // once (the theilSen/q89 checkpoint discipline; sample-sized when
+    // samplePermille is set)
+    val resid = residualCols(fitSet, cents)
       .localCheckpoint(true)
-    val seedRows = resid.filter($"vec_id" < PqCodes)
-      .orderBy($"vec_id").collect()
+    // seeds: the PqCodes lowest-id members of the fit set (= vec_id <
+    // PqCodes for the full fit on dense-id fixtures — the oracle's
+    // convention)
+    val seedRows = resid.orderBy($"vec_id").limit(PqCodes).collect()
     if (seedRows.isEmpty) return Seq.empty
     var books: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map { u =>
       seedRows.map(r => r.getSeq[Long](r.fieldIndex(s"_r$u")).toSeq).toSeq

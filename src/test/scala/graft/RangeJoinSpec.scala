@@ -574,6 +574,17 @@ class RangeJoinSpec extends AnyFunSuite {
       "saved-index serving diverged from the inline-encoded pipeline")
     assert(servedRows.nonEmpty && servedRows.size <= 10 * 5,
       s"served ${servedRows.size} rows")
+    // the 100 TB fit shape: codebooks trained on a deterministic
+    // hash-SAMPLE of the corpus (the iterated frame is sample-sized,
+    // not a second corpus copy) must still clear the recall target —
+    // codebook quality converges with sample size, not corpus size
+    val sampledBooks = Similarity.fitPqCodebooks(spark, dir, cents,
+      samplePermille = Some(500L))
+    val sampledReport = Similarity.ivfPqRecall(spark, dir, cents, sampledBooks)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sampledRecall = sampledReport.values.sum / (5.0 * sampledReport.size)
+    assert(sampledRecall >= 0.9,
+      s"sampled-fit (500 permille) recall $sampledRecall < 0.9")
   }
 
   /** q112 planted-free exactness: the per-subspace distortion report
