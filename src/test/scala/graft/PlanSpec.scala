@@ -481,7 +481,8 @@ class PlanSpec extends AnyFunSuite {
   test("similarity hot paths use no array HOF lambdas") {
     import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
     Seq("q38_ann_brute", "q39_ann_lsh_recall", "q43_embedding_dedup",
-        "q44_ann_ivf_recall", "q45_embedding_dedup_blocked")
+        "q44_ann_ivf_recall", "q45_embedding_dedup_blocked",
+        "q111_ann_ivf_pq", "q112_pq_distortion")
       .foreach { name =>
         val analyzed = castToImpl(SparkEntry.queries(name)(spark, dir))
           .queryExecution.analyzed
@@ -490,5 +491,15 @@ class PlanSpec extends AnyFunSuite {
         }
         assert(hofs.isEmpty, s"$name still contains interpreted HOFs")
       }
+  }
+
+  test("q112: the distortion audit is one scan, no joins") {
+    // codes + squared error are map-side model-constant lookups over
+    // the residual columns; the only exchange is the subspace-keyed
+    // partial aggregation (+ the output sort)
+    val p = plan("q112_pq_distortion")
+    assert(!p.contains("Join"), p.take(800))
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"q112 reads the corpus $scans times:\n${p.take(800)}")
   }
 }
