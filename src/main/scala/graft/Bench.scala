@@ -138,17 +138,18 @@ object Bench {
     // zipWithIndex offsets job re-ran the quadratic join)
     "q109_theil_sen" -> 2.2,
     // q110 added r8: the sampled arm sorts 200‰ of the pair space but
-    // pays the md5 keep-hash on EVERY candidate pair — at this SF the
-    // hash dominates what the smaller sort saves (isolated 2100 MHz
-    // fork 2.7); the win is shuffle/sort VOLUME at multi-decade ranges
-    "q110_theil_sen_sampled" -> 2.6,
+    // pays the md5 keep-hash on EVERY candidate pair; the win is
+    // shuffle/sort VOLUME at multi-decade ranges. Ref re-based from the
+    // provisional isolated 2.7 to the closing full-suite-discipline
+    // reading (1.58, quiet 2100 MHz box, contended [])
+    "q110_theil_sen_sampled" -> 1.7,
     // q111 added r8: coarse fit + per-subspace residual codebook fit +
     // encode + ADC shortlist + exact re-rank + the exact recall arm —
     // the audit pipeline, not the serving path (that is
-    // x_ivfpq_serve_loaded: 1.35 isolated vs multiprobe's 1.11 — the
-    // compressed scan's win is volume, invisible at 12k vectors).
-    // Isolated 2100 MHz fork 4.45.
-    "q111_ann_ivf_pq" -> 4.2)
+    // x_ivfpq_serve_loaded: 1.11 vs multiprobe's 1.09 in the closing
+    // run — the compressed scan's win is volume, invisible at 12k
+    // vectors). Closing full-suite reading 3.79 (isolated fork 4.45).
+    "q111_ann_ivf_pq" -> 3.9)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
