@@ -30,7 +30,7 @@ object ScaleSmoke {
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
     "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q101_bloom_decontam",
-    "q102_dsir_weights", "q104_bpe_encode")
+    "q102_dsir_weights", "q104_bpe_encode", "q112_pq_distortion")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -360,6 +360,26 @@ object ScaleSmoke {
         nps == np && relEq(sls, sl * factor) && trs == tr
       }, s"scale-up broke the $name median-slope invariant")
     }
+    // q112: replicated vectors are identical content, so every fit
+    // stage's per-cell/per-code integer sums scale ×factor EXACTLY and
+    // their quantized means — hence the coarse centroids, assignments,
+    // residuals AND codebooks — are bit-identical (seeds are the
+    // lowest ids = copy 0's). The audit must therefore report n_vecs
+    // and sse ×factor exactly (pure longs) with max_se unchanged; mse
+    // is the same rational (f·S)/(f·N) but the f·S long→double cast
+    // rounds past 2⁵³, so it compares to 1e-9, not bit-exactly
+    def q112rows(dir: String) =
+      SparkEntry.queries("q112_pq_distortion")(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val q112b = q112rows(sfDir)
+    val q112s = q112rows(workDir)
+    require(q112b.keySet == q112s.keySet && q112b.forall {
+      case (u, (n, sse, mse, mx)) =>
+        val (ns, sses, mses, mxs) = q112s(u)
+        ns == n * factor && sses == sse * factor && mxs == mx &&
+          relEq(mses, mse)
+    }, "scale-up broke the q112 model-stability invariant — the PQ fit is partition- or volume-sensitive somewhere")
     } // end invariant sweep (unfiltered runs only)
     // Locale.ROOT: the f interpolator's default-locale decimal separator
     // would emit "0,98" (invalid JSON) on non-dot-decimal JVMs

@@ -220,6 +220,56 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** q110 property: random sparse series must match a driver model that
+    * replays the WHOLE sampled pipeline — the dense grid, the md5 pair
+    * keep-set (same hash family as the engine's sqlModN), the slope
+    * division, and the (slope, ha, hb) lower-median selection. */
+  test("q110 property: random series match the driver sampled-median model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hUs = Relational.GapfillHourUs
+    def mod1000(sx: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 3) {
+      val tags = Seq("a", "b", "c")
+      val hours = 100L to (130L + rnd.nextInt(20))
+      val data = for { t <- tags; h <- hours if rnd.nextInt(4) > 0 }
+        yield (t, h, 1 + rnd.nextInt(5))
+      val ev = data.flatMap { case (t, h, k) =>
+        (0 until k).map(i => (h * hUs + i * 1000L, t, 1.0)) }
+        .toDF("us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val lo = data.map(_._2).min
+      val hi = data.map(_._2).max
+      val byTH = data.map(d => (d._1, d._2) -> d._3.toLong).toMap
+      val want = data.map(_._1).distinct.sorted.flatMap { t =>
+        val pairs = for {
+          ha <- lo to hi; hb <- (ha + 1) to hi
+          if mod1000(s"$t:$ha:$hb") < Relational.TheilSenSampleRate
+        } yield (ha, hb,
+          (byTH.getOrElse((t, hb), 0L) - byTH.getOrElse((t, ha), 0L)).toDouble /
+            (hb - ha).toDouble)
+        if (pairs.isEmpty) None
+        else {
+          val sorted = pairs.sortBy(p => (p._3, p._1, p._2))
+          val med = sorted((pairs.size + 1) / 2 - 1)
+          val tr = if (med._3 > 0) "rising"
+            else if (med._3 < 0) "falling" else "flat"
+          Some((t, pairs.size.toLong, med._3, tr))
+        }
+      }
+      val got = Relational.theilSenSampledOf(ev).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSeq
+      assert(got == want, s"trial $trial:\n got=$got\n want=$want")
+    }
+  }
+
   /** q108 planted: overlap dedup across hours inside the window, the
     * 24-hour boundary falling off exactly, a dead zone reporting 0, and
     * an isolated revival hour. */
