@@ -716,8 +716,12 @@ object Dedup {
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
     finally raised.foreach { case (key, prior) =>
+      // a prior value that came in unvalidated (spark-submit --conf can
+      // store a non-numeric string; runtime set cannot) fails typed
+      // re-validation here — in that case the raised NUMERIC value
+      // stays, which is strictly saner than restoring a broken string
       try prior.fold(conf.unset(key))(v => conf.set(key, v))
-      catch { case _: Exception => () } // a pre-broken prior value stays the user's
+      catch { case _: Exception => () }
     }
   }
 

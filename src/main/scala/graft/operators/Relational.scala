@@ -571,8 +571,15 @@ object Relational {
         "concat(event_type, ':', ha, ':', hb)", 1000)) < lit(r)
       case None => lit(true)
     }
+    // BOTH sides carry the numbered repartition: the planner is free to
+    // broadcast either grid-sized side, and whichever side then streams
+    // the generate stage, its partitioning is the explicit P-way hash —
+    // never an upstream AQE-coalesced-to-one grid shuffle (review
+    // finding: repartitioning only `a` left the fan-out hostage to the
+    // build-side choice)
     a.repartition(P, $"event_type", $"ba", $"bb")
-      .join(b, Seq("event_type", "ba", "bb"))
+      .join(b.repartition(P, $"event_type", $"ba", $"bb"),
+        Seq("event_type", "ba", "bb"))
       .filter($"ha" < $"hb")
       .filter(keep)
       .withColumn("slope",

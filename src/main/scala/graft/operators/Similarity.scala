@@ -706,8 +706,7 @@ object Similarity {
     // re-rank and the candidate count — the ADC scan must not run twice
     val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist)
       .localCheckpoint(true)
-    val qs = base.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
+    val qs = querySide(base)
     val ann = cosineTopK(sl.join(base, "vec_id").join(broadcast(qs), "qid"),
         k = 5).select($"qid", $"nid")
     val nCand = sl.groupBy($"qid").agg(count(lit(1)).as("n_candidates"))
@@ -808,8 +807,7 @@ object Similarity {
     val s = base.sparkSession
     import s.implicits._
     val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist)
-    val qs = base.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
+    val qs = querySide(base)
     cosineTopK(sl.join(base, "vec_id").join(broadcast(qs), "qid"), k)
   }
 

@@ -417,7 +417,12 @@ class RangeJoinSpec extends AnyFunSuite {
     val hours = 100L to 199L
     val grid = (for { t <- Seq("a", "b"); h <- hours }
       yield (t, h, h * 2 + h % 7)).toDF("event_type", "h", "n")
-    val pairs = Relational.theilSenPairs(grid, hours.head, hours.last)
+    // PATHOLOGICAL input partitioning: the real grid arrives through a
+    // shuffle AQE may have coalesced to one partition — the fan-out
+    // must not inherit it whichever join side the planner streams
+    // (review finding)
+    val pairs = Relational.theilSenPairs(grid.coalesce(1),
+      hours.head, hours.last)
     val withData = pairs.rdd
       .mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).collect().sum
     assert(withData > 2, s"pair stage carried data in only $withData partitions")

@@ -1122,11 +1122,22 @@ class StreamingSpec extends AnyFunSuite {
         assert(got.size >= n, s"expected >= $n alerts, got $got")
         got
       }
-      Thread.sleep(10000) // > TTL since doc 1 owned its buckets
+      // poll query progress rather than fixed sleeps (review finding:
+      // wall-clock margins race a loaded box) — doc 3 must land within
+      // doc 2's TTL window, so act the moment doc 2's batch commits
+      def awaitProcessed(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 90000
+        def total = q.recentProgress.map(_.numInputRows).sum
+        while (total < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(total >= n, s"only $total input rows processed, want $n")
+      }
+      awaitProcessed(1)
+      Thread.sleep(12000) // > TTL idle: doc 1's buckets expire
       // doc 2 (same text) arrives AFTER expiry: re-admitted as the new
       // owner — no alert against the forgotten doc 1
       Files.write(dir.resolve("b2.json"), doc(2, a).getBytes)
-      Thread.sleep(3000) // b2 processed; well within the 8 s TTL
+      awaitProcessed(2)
       assert(alerts.isEmpty,
         s"doc 2 must be re-admitted silently after expiry: $alerts")
       // doc 3 (same text) arrives within TTL of doc 2: alerts against
