@@ -288,6 +288,18 @@ object Bench {
       corpus.unpersist()
       require(served.get() > 0, "streaming ANN serve answered no queries")
     }),
+    // r8: the APPEND path — encode the corpus against FROZEN loaded
+    // models (what a nightly append job pays per new partition: no
+    // refit, map-side codes + reconstruction norm). Its delta under
+    // q111 is the fit cost an append amortizes away.
+    "x_pq_encode_loaded" -> ((s, dir) => {
+      val (cents, books) = graft.operators.Similarity
+        .loadPqIndex(s, pqPath(s, dir))
+      graft.operators.Similarity.pqEncode(
+          graft.operators.Similarity.assignedCorpus(s, dir, cents),
+          cents, books)
+        .write.format("noop").mode("overwrite").save()
+    }),
     // r8: the streaming COMPRESSED serve arm — the q111 twin of
     // x_ann_serve_stream: 10 query vectors as a file stream answered
     // against the saved PQ index's encoded corpus (ADC candidates in
