@@ -683,8 +683,15 @@ object Dedup {
     * oracle-predicted fp invariant — would quietly degrade. Raise the
     * session confs to fit the request before building, and refuse
     * outright past [[BloomMaxItems]]. */
+  /** Serializes [[bloomOf]]'s raise-then-restore of the session-global
+    * bloom clamp confs: two overlapping builds on the same session could
+    * otherwise each snapshot the other's raised value as "prior" and
+    * restore a stale state (ADVICE r8). The lock is per-JVM, matching
+    * the confs' scope; the aggregate job itself still runs distributed. */
+  private val bloomConfLock = new Object
+
   def bloomOf(d: DataFrame, colName: String,
-      capacity: Long = BloomCapacity): Array[Byte] = {
+      capacity: Long = BloomCapacity): Array[Byte] = bloomConfLock.synchronized {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(capacity <= BloomMaxItems,
@@ -719,9 +726,13 @@ object Dedup {
       // a prior value that came in unvalidated (spark-submit --conf can
       // store a non-numeric string; runtime set cannot) fails typed
       // re-validation here — in that case the raised NUMERIC value
-      // stays, which is strictly saner than restoring a broken string
+      // stays, which is strictly saner than restoring a broken string.
+      // Only the two re-validation shapes are swallowed (ADVICE r8): any
+      // other failure is a real bug and must surface
       try prior.fold(conf.unset(key))(v => conf.set(key, v))
-      catch { case _: Exception => () }
+      catch {
+        case _: IllegalArgumentException | _: NumberFormatException => ()
+      }
     }
   }
 

@@ -554,10 +554,15 @@ object Similarity {
     // samplePermille is set)
     val resid = residualCols(fitSet, cents)
       .localCheckpoint(true)
-    // seeds: the PqCodes lowest-id members of the fit set (= vec_id <
-    // PqCodes for the full fit on dense-id fixtures — the oracle's
-    // convention)
-    val seedRows = resid.orderBy($"vec_id").limit(PqCodes).collect()
+    // seeds: full fit takes vec_id < PqCodes — the PREDICATE form, the
+    // same convention as fitCentroids and the oracle twin's pbook0, so a
+    // non-dense or offset id space diverges identically on both sides
+    // instead of as an opaque hash mismatch (ADVICE r8). The sampled fit
+    // has no oracle twin and keeps the sample's lowest ids.
+    val seedRows = samplePermille match {
+      case None => resid.filter($"vec_id" < PqCodes).orderBy($"vec_id").collect()
+      case Some(_) => resid.orderBy($"vec_id").limit(PqCodes).collect()
+    }
     if (seedRows.isEmpty) return Seq.empty
     var books: Seq[Seq[Seq[Long]]] = (0 until PqSubspaces).map { u =>
       seedRows.map(r => r.getSeq[Long](r.fieldIndex(s"_r$u")).toSeq).toSeq
@@ -740,16 +745,25 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double, Long)]
         .toDF("subspace", "n_vecs", "sse", "mse", "max_se")
     val cssq: Seq[Seq[Long]] = books.map(_.map(ssqL))
+    // materialize the 16-way argmax code ONCE per subspace in its own
+    // projection (pqEncode's withCodes step) before the error expression
+    // references it twice (bvec lookup + cssq lookup) — CollapseProject
+    // declines to inline a non-cheap expression used more than once, so
+    // the hottest scan does each argmax exactly once (ADVICE r8)
     val resid = residualCols(assignedCorpus(s, dir, cents), cents)
+    val withCodes = resid.select(
+      (0 until PqSubspaces).map(u => col(s"_r$u")) ++
+        (0 until PqSubspaces).map(u =>
+          pqCodeCol(col(s"_r$u"), books(u)).as(s"_c$u")): _*)
     val seCols = (0 until PqSubspaces).map { u =>
       val r = col(s"_r$u")
-      val code = pqCodeCol(r, books(u))
+      val code = col(s"_c$u")
       val bvec = element_at(typedLit(books(u)), code + 1)
       struct(lit(u.toLong).as("subspace"),
         (DotLongs(r, r) - DotLongs(r, bvec) * lit(2L) +
           element_at(typedLit(cssq(u)), code + 1)).as("se"))
     }
-    resid.select(explode(array(seCols: _*)).as("x"))
+    withCodes.select(explode(array(seCols: _*)).as("x"))
       .select($"x.subspace".as("subspace"), $"x.se".as("se"))
       .groupBy($"subspace")
       .agg(count(lit(1)).as("n_vecs"), sum($"se").as("sse"),

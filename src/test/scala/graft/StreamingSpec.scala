@@ -1133,7 +1133,21 @@ class StreamingSpec extends AnyFunSuite {
         assert(total >= n, s"only $total input rows processed, want $n")
       }
       awaitProcessed(1)
-      Thread.sleep(12000) // > TTL idle: doc 1's buckets expire
+      // ADVICE r8: don't assume a fixed sleep outlasted both the TTL and
+      // the box's no-data-batch scheduling — the eviction is observable
+      // as the state operator's numRowsRemoved. Doc 1 owns one bucket per
+      // band (4): wait until all four are reported removed, so doc 2
+      // cannot race a half-expired store and alert against owner 1.
+      locally {
+        val deadline = System.currentTimeMillis() + 90000
+        def removed = q.recentProgress
+          .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+        while (removed < 4 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(removed >= 4,
+          s"doc 1's 4 band buckets were not evicted within the deadline " +
+            s"(numRowsRemoved total $removed)")
+      }
       // doc 2 (same text) arrives AFTER expiry: re-admitted as the new
       // owner — no alert against the forgotten doc 1
       Files.write(dir.resolve("b2.json"), doc(2, a).getBytes)
