@@ -1058,20 +1058,31 @@ object Dedup {
       .drop("toks", "sts", "keep")
   }
 
-  def q99SpanStrip(s: SparkSession, dir: String): DataFrame = {
+  /** `(doc_id, sts)` — per document, the SORTED start positions of every
+    * non-first duplicated-gram occurrence of a [[spanBase]] frame (the
+    * q99 rule: corpus-wide first by encoded (doc_id, pos) key survives).
+    * Shared by the strip (q99) and the maximal-span report (q113).
+    *
+    * The encoded first-occurrence key is valid while doc_id < 2^63/10^9
+    * ≈ 9.2e9 and doc length < 10^9 tokens; a corpus beyond ~10^10
+    * documents widens this to min(struct(doc_id, pos)) (Spark orders
+    * structs lexicographically) at the cost of a fatter shuffle key. */
+  private[graft] def dupStartsOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
-    val base = spanBase(docs(s, dir).select($"doc_id", $"lang", $"text"))
-    // encoded first-occurrence key: valid while doc_id < 2^63/10^9 ≈
-    // 9.2e9 and doc length < 10^9 tokens; a corpus beyond ~10^10
-    // documents widens this to min(struct(doc_id, pos)) (Spark orders
-    // structs lexicographically) at the cost of a fatter shuffle key
     val occ = gramOccurrences(base)
       .withColumn("k", $"doc_id" * lit(1000000000L) + $"pos")
       .localCheckpoint(true)
     val firstKey = occ.groupBy($"h").agg(min($"k").as("fk"))
-    val starts = occ.join(firstKey, "h")
+    occ.join(firstKey, "h")
       .filter($"k" =!= $"fk")
       .groupBy($"doc_id").agg(sort_array(collect_list($"pos")).as("sts"))
+  }
+
+  def q99SpanStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = spanBase(docs(s, dir).select($"doc_id", $"lang", $"text"))
+    val starts = dupStartsOf(base)
     stripByStarts(base, starts)
       .select($"doc_id", $"lang", $"n".as("n_tok"),
         ($"n" - $"n_kept").as("n_removed"),
@@ -1079,6 +1090,83 @@ object Dedup {
         $"stripped_md5")
       .orderBy($"doc_id")
   }
+
+  // ---------------------------------------------------------------- q113
+  /** Merge a [[dupStartsOf]] frame's per-doc sorted start array into
+    * MAXIMAL duplicated intervals: each start covers
+    * [p, p + [[DupSpanWidth]]); two covered regions merge when they
+    * overlap or touch, which for sorted starts is exactly "next start ≤
+    * current merged end". The merge is a single `aggregate` fold over
+    * the per-doc array — pure codegen'd expression work on rows already
+    * grouped by q99's one shuffle, no window, no second exchange; the
+    * fold is O(#starts) per doc with last-element patching, bounded by
+    * document length. Adds `iv: array<struct<a,b>>` (half-open token
+    * intervals). */
+  private[graft] def maxSpanIntervals(starts: DataFrame): DataFrame = {
+    val W = DupSpanWidth
+    starts.withColumn("iv", expr(
+      s"""aggregate(
+         |  slice(sts, 2, size(sts) - 1),
+         |  array(named_struct('a', element_at(sts, 1),
+         |                     'b', element_at(sts, 1) + ${W}L)),
+         |  (acc, p) -> CASE WHEN p <= element_at(acc, -1).b
+         |    THEN concat(slice(acc, 1, size(acc) - 1),
+         |                array(named_struct('a', element_at(acc, -1).a,
+         |                                   'b', p + ${W}L)))
+         |    ELSE concat(acc, array(named_struct('a', p, 'b', p + ${W}L)))
+         |  END)""".stripMargin))
+  }
+
+  /** q113: maximal-duplicated-span length histogram — the honest answer
+    * to "HOW LONG are the copied blocks" that fixed-width grams (q97)
+    * cannot give: a 400-token duplicated block is 381 overlapping
+    * 20-gram hits but ONE maximal span of length 400 here (the
+    * ExactSubstr curation convention of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — remove maximal
+    * duplicated substrings ≥ a threshold). Spans are q99's non-first
+    * occurrence coverage chained by [[maxSpanIntervals]]; by
+    * construction the union of the merged intervals IS q99's covered
+    * token set, so stripping by these spans is byte-identical to q99
+    * (pinned in DedupSpec). Per (lang, span_len): span count, documents
+    * carrying one, and covered tokens — the histogram an operator reads
+    * to pick the strip threshold.
+    *
+    * Scale shape: everything through `sts` is q99's plan (md5 map-side,
+    * one occurrence shuffle, checkpointed barrier); the merge is
+    * map-side expression work; the histogram is one partial agg over
+    * span rows (≤ #dup-starts, ≪ corpus tokens). The lang join scans
+    * only (doc_id, lang) — text is never re-decoded. */
+  def q113MaxSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = spanBase(docs(s, dir).select($"doc_id", $"text"))
+    val spans = maxSpanIntervals(dupStartsOf(base))
+      .select($"doc_id", explode($"iv").as("v"))
+      .select($"doc_id", ($"v.b" - $"v.a").as("span_len"))
+    spans.join(docs(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang", $"span_len")
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct($"doc_id").as("n_docs"),
+        sum($"span_len").as("covered_tokens"))
+      .orderBy($"lang", $"span_len")
+  }
+
+  /** Rebuild each document of `base` minus the tokens covered by its
+    * merged-interval array (`(doc_id, iv)`; absent docs keep
+    * everything) — the maximal-span twin of [[stripByStarts]], used by
+    * the q113 ≡ q99 equality spec (same covered set, exactly one
+    * containment test per (token, interval) instead of per (token,
+    * start)). */
+  private[graft] def stripByIntervals(base: DataFrame, ivs: DataFrame): DataFrame =
+    base.join(ivs, Seq("doc_id"), "left")
+      .withColumn("iv", coalesce(col("iv"),
+        expr("CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>)")))
+      .withColumn("keep", expr(
+        "filter(sequence(0L, n - 1L), p -> NOT exists(iv, v -> p >= v.a AND p < v.b))"))
+      .withColumn("n_kept", size(col("keep")).cast("long"))
+      .withColumn("stripped_md5", md5(expr(
+        "concat_ws(' ', transform(keep, p -> element_at(toks, cast(p + 1 as int))))")
+        .cast("binary")))
+      .drop("toks", "iv", "keep")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
@@ -1096,7 +1184,29 @@ object Dedup {
     "q77_split_leakage" -> (q77SplitLeakage _),
     "q97_dup_spans" -> (q97DupSpans _),
     "q99_span_strip" -> (q99SpanStrip _),
+    "q113_max_spans" -> (q113MaxSpans _),
   )
+
+  /** The q99 twin's CTE chain through `dup (doc_id, pos)` — tokenize,
+    * per-position md5'd 20-grams, encoded first-occurrence key, non-first
+    * occurrences — shared by the q99 strip twin and the q113 maximal-span
+    * twin (which chains `dup` into gaps-and-islands intervals). */
+  private val spanDupCtes = {
+    val W = DupSpanWidth
+    val gram = (1 to W).map(k => s"t[CAST(i AS INTEGER)+$k]").mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, lang,
+      |              regexp_split_to_array(trim(text), '\\s+') t FROM documents),
+      |b AS (SELECT doc_id, lang, t, CAST(len(t) AS BIGINT) n FROM tk),
+      |d2 AS (SELECT doc_id, list_transform(range(len(t) - ${W - 1}),
+      |         i -> md5($gram)) sh
+      |       FROM tk WHERE len(t) >= $W),
+      |e AS (SELECT doc_id, CAST(unnest(range(len(sh))) AS BIGINT) pos,
+      |        unnest(sh) h FROM d2),
+      |ok AS (SELECT doc_id, pos, h, doc_id * 1000000000 + pos AS k FROM e),
+      |fo AS (SELECT h, MIN(k) AS fk FROM ok GROUP BY h),
+      |dup AS (SELECT o.doc_id, o.pos FROM ok o JOIN fo f USING (h)
+      |        WHERE o.k <> f.fk)""".stripMargin
+  }
 
   private val shingleCte =
     """WITH toks AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') t FROM documents),
@@ -1405,19 +1515,7 @@ object Dedup {
     },
     "q99_span_strip" -> {
       val W = DupSpanWidth
-      val gram = (1 to W).map(k => s"t[CAST(i AS INTEGER)+$k]").mkString(" || ' ' || ")
-      s"""WITH tk AS (SELECT doc_id, lang,
-        |              regexp_split_to_array(trim(text), '\\s+') t FROM documents),
-        |b AS (SELECT doc_id, lang, t, CAST(len(t) AS BIGINT) n FROM tk),
-        |d2 AS (SELECT doc_id, list_transform(range(len(t) - ${W - 1}),
-        |         i -> md5($gram)) sh
-        |       FROM tk WHERE len(t) >= $W),
-        |e AS (SELECT doc_id, CAST(unnest(range(len(sh))) AS BIGINT) pos,
-        |        unnest(sh) h FROM d2),
-        |ok AS (SELECT doc_id, pos, h, doc_id * 1000000000 + pos AS k FROM e),
-        |fo AS (SELECT h, MIN(k) AS fk FROM ok GROUP BY h),
-        |dup AS (SELECT o.doc_id, o.pos FROM ok o JOIN fo f USING (h)
-        |        WHERE o.k <> f.fk),
+      s"""$spanDupCtes,
         |st AS (SELECT doc_id, list_sort(list(pos)) AS sts FROM dup GROUP BY doc_id),
         |j AS (SELECT b.doc_id, b.lang, b.t, b.n,
         |        COALESCE(s.sts, CAST([] AS BIGINT[])) AS sts
@@ -1432,6 +1530,30 @@ object Dedup {
         |  md5(COALESCE(array_to_string(list_transform(keep,
         |    p -> t[CAST(p AS INTEGER) + 1]), ' '), '')) AS stripped_md5
         |FROM k2 ORDER BY doc_id""".stripMargin
+    },
+    "q113_max_spans" -> {
+      // gaps-and-islands over the shared `dup` frame: a new island starts
+      // when the sorted-start gap exceeds the gram width — identical to
+      // the engine's fold (merged end = last start + W for sorted starts,
+      // so "p ≤ merged end" ⟺ "p − prev ≤ W")
+      val W = DupSpanWidth
+      s"""$spanDupCtes,
+        |lg AS (SELECT doc_id, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp
+        |       FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(CASE WHEN pp IS NULL OR pos - pp > $W THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS UNBOUNDED PRECEDING) island
+        |        FROM lg),
+        |sp AS (SELECT doc_id, island, MIN(pos) a, MAX(pos) + $W b
+        |       FROM isl GROUP BY 1, 2),
+        |sl AS (SELECT doc_id, b - a AS span_len FROM sp)
+        |SELECT tk.lang, sl.span_len, COUNT(*) AS n_spans,
+        |  COUNT(DISTINCT sl.doc_id) AS n_docs,
+        |  CAST(SUM(sl.span_len) AS BIGINT) AS covered_tokens
+        |FROM sl JOIN tk USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
   )
 }

@@ -659,4 +659,84 @@ class DedupSpec extends AnyFunSuite {
           .map(k => s"$k: got=${got.get(k)} want=${want.get(k)}").mkString("; "))
     }
   }
+
+  /** q113 planted (VERDICT r8 #1): a 400-token block duplicated verbatim
+    * is 381 overlapping 20-gram hits but must report as ONE maximal span
+    * of length 400 — the number fixed-width accounting (q97) cannot
+    * produce; two quotes separated by more than a gram width stay two
+    * spans. */
+  test("q113 planted: a 400-token duplicated block is ONE span of length 400") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q113").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%03d").mkString(" ")
+    val block = toks("blk", 400)
+    val quote = toks("qte", 20)
+    val doc1 = block + " " + quote + " " + toks("x", 10)   // first owner of both
+    val doc2 = toks("w", 7) + " " + block + " " + toks("v", 9)
+    // two copies of the 20-token quote, 30 unique tokens apart: the
+    // covered regions [7,27) and [57,77) must NOT merge
+    val doc3 = toks("u", 7) + " " + quote + " " + toks("z", 30) + " " + quote
+    Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q113MaxSpans(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // doc 2: one 400-token span; doc 3: two 20-token spans
+    assert(got == Set(("en", 400L, 1L, 1L, 400L), ("en", 20L, 2L, 1L, 40L)),
+      s"histogram mismatch: $got")
+  }
+
+  /** The fold itself, pinned on hand arrays: overlapping and exactly-
+    * adjacent (gap == width) coverage merges; a gap of width+1 splits. */
+  test("q113 interval merge: overlap and adjacency merge, larger gaps split") {
+    import spark.implicits._
+    val got = Dedup.maxSpanIntervals(
+        Seq((1L, Seq(0L, 5L, 30L, 50L)), (2L, Seq(10L)), (3L, Seq(0L, 21L)))
+          .toDF("doc_id", "sts"))
+      .select($"doc_id",
+        org.apache.spark.sql.functions.expr("transform(iv, v -> array(v.a, v.b))"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Long]](1).map(x => (x(0), x(1))).toSeq)
+      .toMap
+    assert(got(1L) == Seq((0L, 25L), (30L, 70L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == Seq((10L, 30L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == Seq((0L, 20L), (21L, 41L)), s"doc3 ${got(3L)}")
+  }
+
+  /** q113 ≡ q99 (VERDICT r8 #1's equivalence leg): the union of the
+    * merged maximal intervals IS q99's covered-token set, so stripping
+    * by intervals must rebuild byte-identical documents (md5-for-md5) on
+    * random corpora with natural overlapping/adjacent duplication. */
+  test("q113 strip-by-intervals equals the q99 strip md5-for-md5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 2) {
+      val pool = (1 to 6).map(pi =>
+        (1 to (8 + rnd.nextInt(23))).map(_ => s"t${rnd.nextInt(9)}p$pi"))
+      val docsRows = (0 until 25).map { id =>
+        val phrases = (1 to (1 + rnd.nextInt(3)))
+          .flatMap(_ => pool(rnd.nextInt(pool.length)))
+        val unique = (1 to rnd.nextInt(6)).map(_ => s"u${id}x${rnd.nextInt(100)}")
+        (id.toLong, (phrases ++ unique).mkString(" "))
+      }
+      val d = docsRows.map { case (id, t) => (id, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val base = Dedup.spanBase(d).localCheckpoint(true)
+      val starts = Dedup.dupStartsOf(base).localCheckpoint(true)
+      def res(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"n_kept", $"stripped_md5").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val byStarts = res(Dedup.stripByStarts(base, starts))
+      val byIvs = res(Dedup.stripByIntervals(base,
+        Dedup.maxSpanIntervals(starts).select($"doc_id", $"iv")))
+      assert(byStarts == byIvs, s"trial $trial: " +
+        (byStarts.keySet ++ byIvs.keySet)
+          .filter(k => byStarts.get(k) != byIvs.get(k))
+          .map(k => s"$k: starts=${byStarts.get(k)} ivs=${byIvs.get(k)}")
+          .mkString("; "))
+    }
+  }
 }
