@@ -239,6 +239,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  /** StreamingRedact (VERDICT r8 #2): the at-the-door PII scrub must be
+    * byte-identical to the batch q114 chain — one shared pattern set, so
+    * there is no second place for the redaction rules to drift. The op
+    * is stateless, so the equality holds per row regardless of batching
+    * (proven across two micro-batches + a checkpoint restart). */
+  test("streaming redact equals the batch q114 chain byte-for-byte") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("redact")
+    val ckpt = Files.createTempDirectory("redact_ckpt")
+    val texts = Seq(
+      1L -> "contact alice@example.com or bob.smith+x@mail.co today",
+      2L -> "server 10.0.255.3 and 192.168.1.1 rebooted",
+      3L -> "call +1 555 123-4567 now",
+      4L -> "nothing sensitive here at all",
+      5L -> "mail me at bob@10.0.0.1 thanks")
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long, Boolean, String, String)]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      graft.streaming.StreamingRedact.redacted(stream).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => out.put(r.getLong(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+              r.getString(5), r.getString(6))))
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    Files.write(dir.resolve("b1.json"),
+      texts.take(3).map { case (id, t) => doc(id, t) }.mkString("\n").getBytes)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart on the same checkpoint: remaining docs arrive, served rows
+    // are not re-emitted (offset log), and the chain is unchanged
+    Files.write(dir.resolve("b2.json"),
+      texts.drop(3).map { case (id, t) => doc(id, t) }.mkString("\n").getBytes)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val batchTwin = graft.streaming.StreamingRedact.redacted(
+        texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5), r.getString(6)))).toMap
+    assert(out.size == texts.size, s"served ${out.size} of ${texts.size}")
+    texts.foreach { case (id, _) =>
+      assert(out.get(id) == batchTwin(id),
+        s"doc $id: stream=${out.get(id)} batch=${batchTwin(id)}")
+    }
+    assert(batchTwin(1L)._6 == "contact <EMAIL> or <EMAIL> today" &&
+      batchTwin(1L)._4 && !batchTwin(4L)._4)
+  }
+
   /** StreamingWeightedSample: after the last document, the bounded
     * per-language reservoir must equal batch q98 BIT-FOR-BIT on the same
     * corpus — sample membership, ranks and estimator values — across a

@@ -67,6 +67,47 @@ class TextOpsSpec extends AnyFunSuite {
     assert(red2 == "+1 555 123-4567".length)
   }
 
+  /** q114 (VERDICT r8 #2): the ACTIVE rewrite — planted PII must come
+    * back with the class tokens substituted, counts per class taken on
+    * the stage each class saw, and md5s that verify the transform. The
+    * chain order is load-bearing: an IP reachable only because the email
+    * stage did NOT consume it (non-TLD domain) is redacted by the IP
+    * stage. */
+  test("q114 rewrites planted PII to class tokens with exact counts and md5s") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@mail.co today"),
+      (2L, "server 10.0.255.3 and 192.168.1.1 rebooted"),
+      (3L, "call +1 555 123-4567 now"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "mail me at bob@10.0.0.1 thanks"),
+      (6L, "reach +44 20 7946 0958 or sue@x.org ok"))
+    val out = TextOps.piiRewriteOf(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getString(r.fieldIndex("redacted")),
+          r.getLong(r.fieldIndex("n_emails")),
+          r.getLong(r.fieldIndex("n_ipv4")),
+          r.getLong(r.fieldIndex("n_phones")),
+          r.getBoolean(r.fieldIndex("changed"))))).toMap
+    assert(out(1L) == (("contact <EMAIL> or <EMAIL> today", 2L, 0L, 0L, true)))
+    assert(out(2L) == (("server <IP> and <IP> rebooted", 0L, 2L, 0L, true)))
+    assert(out(3L) == (("call <PHONE> now", 0L, 0L, 1L, true)))
+    assert(out(4L) == (("nothing sensitive here at all", 0L, 0L, 0L, false)))
+    // "bob@10.0.0.1" is NOT an email (no alphabetic TLD) — the IP stage
+    // gets it, proof the counts track the chained text states
+    assert(out(5L) == (("mail me at bob@<IP> thanks", 0L, 1L, 0L, true)))
+    assert(out(6L) == (("reach <PHONE> or <EMAIL> ok", 1L, 0L, 1L, true)))
+    // md5 pair: unchanged doc keeps orig == redacted; changed docs differ
+    val md5s = TextOps.piiRewriteOf(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(r.fieldIndex("orig_md5")),
+        r.getString(r.fieldIndex("redacted_md5"))))).toMap
+    assert(md5s(4L)._1 == md5s(4L)._2)
+    assert(md5s(1L)._1 != md5s(1L)._2)
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(md5s(3L)._2 == m("call <PHONE> now"))
+  }
+
   test("q69 fractions are consistent per language") {
     val rows = TextOps.q69CharClass(spark, dir).collect()
     assert(rows.nonEmpty)
