@@ -193,6 +193,22 @@ object Bench {
       graft.operators.Similarity.savePqIndex(s, dir, path)
     path
   }
+  /** A clone of the PQ index that x_pq_append may mutate — built once
+    * per JVM (warm-up pass) so timed passes pay only the append itself.
+    * Repeated passes keep appending; the append's cost reads the tiny
+    * model files and writes scale-of-batch, never scale-of-enc, so pass
+    * N's timing is independent of the accumulated appends. */
+  private val pqAppendCloneByThisJvm = mutable.Set[String]()
+  private def pqAppendPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val src = pqPath(s, dir)
+    val path = s"/tmp/graft-bench-pqappend-${Integer.toHexString(dir.hashCode)}"
+    if (pqAppendCloneByThisJvm.add(path))
+      Seq("cents", "books", "enc").foreach { part =>
+        s.read.parquet(s"$src/$part").write.mode("overwrite")
+          .parquet(s"$path/$part")
+      }
+    path
+  }
 
   /** Non-query bench entries (VERDICT r4 #4/#7/#8) — measured exactly
     * like queries (warm-up + min of two passes) but not oracle-checked;
@@ -298,6 +314,26 @@ object Bench {
       graft.operators.Similarity.pqEncode(
           graft.operators.Similarity.assignedCorpus(s, dir, cents),
           cents, books)
+        .write.format("noop").mode("overwrite").save()
+    }),
+    // r9 (VERDICT r8 #3): the FIRST-CLASS append — appendPqIndex a 1/8
+    // batch of fresh ids into a cloned saved index: load frozen models,
+    // map-side assign + encode, one parquet append. This is the
+    // per-partition nightly cost of keeping the 100 TB index current
+    // without a refit; its delta under x_pq_encode_loaded is the write.
+    "x_pq_append" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val idx = pqAppendPath(s, dir)
+      val batch = graft.util.Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      graft.operators.Similarity.appendPqIndex(s, idx, batch)
+    }),
+    // r9: the drift gate an append is judged by — stored-code distortion
+    // audit over the saved index (vec_id equi-join + map-side integer
+    // error expressions + an 8-row agg).
+    "x_pq_drift_gate" -> ((s, dir) => {
+      graft.operators.Similarity.pqIndexDistortion(s, dir, pqPath(s, dir))
         .write.format("noop").mode("overwrite").save()
     }),
     // r8: the streaming COMPRESSED serve arm — the q111 twin of

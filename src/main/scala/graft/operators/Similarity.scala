@@ -32,17 +32,21 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** vec_id, e (scaled longs), nrm (double sqrt of exact integer ssq). */
-  private[graft] def scaled(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    emb(s, dir)
+  /** Scale a raw `(vec_id, embedding)` frame to (vec_id, e, nrm) — the
+    * DF-level core of [[scaled]], reused by the index APPEND path where
+    * the vectors are a new batch, not the dir corpus. */
+  private[graft] def scaledOf(raw: DataFrame): DataFrame =
+    raw
       // quantization must go through double: a float32*literal product
       // must not round in single precision (DuckDB's 1e6 literal is
       // DECIMAL and would — see the oracle's explicit CASTs)
-      .withColumn("e", QuantizeVec($"embedding"))
-      .withColumn("nrm", sqrt(DotLongs($"e", $"e").cast("double")))
-      .select($"vec_id", $"e", $"nrm")
-  }
+      .withColumn("e", QuantizeVec(col("embedding")))
+      .withColumn("nrm", sqrt(DotLongs(col("e"), col("e")).cast("double")))
+      .select(col("vec_id"), col("e"), col("nrm"))
+
+  /** vec_id, e (scaled longs), nrm (double sqrt of exact integer ssq). */
+  private[graft] def scaled(s: SparkSession, dir: String): DataFrame =
+    scaledOf(emb(s, dir))
 
   /** The 10-query probe side: (qid, qe, qn). */
   private def querySide(base: DataFrame): DataFrame =
@@ -389,12 +393,15 @@ object Similarity {
     * side every IVF query path (batch AND the streaming serve twin)
     * probes. Assignment is map-side codegen against literal centroids. */
   private[graft] def assignedCorpus(s: SparkSession, dir: String,
-      cents: Seq[(Seq[Long], Double)]): DataFrame = {
-    import s.implicits._
-    scaled(s, dir)
-      .withColumn("cell", assignCell(cents))
-      .select($"vec_id", $"e", $"nrm", $"cell")
-  }
+      cents: Seq[(Seq[Long], Double)]): DataFrame =
+    assignedOf(scaled(s, dir), cents)
+
+  /** Assign an arbitrary scaled frame to its coarse cell — the DF-level
+    * core of [[assignedCorpus]] (the append path encodes NEW batches). */
+  private[graft] def assignedOf(base: DataFrame,
+      cents: Seq[(Seq[Long], Double)]): DataFrame =
+    base.withColumn("cell", assignCell(cents))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
 
   def ivfQuery(s: SparkSession, dir: String,
       cents: Seq[(Seq[Long], Double)], k: Int = 5, nprobe: Int = 1): DataFrame = {
@@ -678,6 +685,72 @@ object Similarity {
       else (0 until PqSubspaces).map(u =>
         flat.filter(_._1 == u).sortBy(_._2).map(_._3).toSeq)
     (cents, books)
+  }
+
+  /** VERDICT r8 #3: first-class index APPEND — encode a NEW vector batch
+    * (`(vec_id, embedding)` rows) against the FROZEN coarse centroids +
+    * codebooks of a saved index and union it into the encoded frame.
+    * This is the 100 TB refresh shape: daily arrivals pay scale-of-batch
+    * encode work (map-side assign + argmax against broadcast literal
+    * models, zero shuffles, one parquet append) while the corpus-sized
+    * fit runs only when [[pqIndexDistortion]] says the frozen codebooks
+    * stopped fitting the data. Encode is deterministic per row, so an
+    * appended index is bit-identical to a full re-encode under the same
+    * models (RangeJoinSpec pins this). */
+  def appendPqIndex(s: SparkSession, indexPath: String,
+      newVecs: DataFrame): Unit = {
+    val (cents, books) = loadPqIndex(s, indexPath)
+    require(cents.nonEmpty && books.nonEmpty,
+      s"$indexPath has no fitted model — build with savePqIndex first")
+    pqEncode(assignedOf(scaledOf(newVecs), cents), cents, books)
+      .write.mode("append").parquet(s"$indexPath/enc")
+  }
+
+  /** The q112 distortion audit over a SAVED index's STORED codes (no
+    * re-argmax): per subspace, exact ‖r − ĉ‖² stats joining the encoded
+    * frame back to the true vectors of `rawDir`. This is the drift gate
+    * an [[appendPqIndex]] is judged by — appended batches drawn from a
+    * shifted distribution raise mse here (against the q112 baseline of
+    * the fit-time corpus) long before recall visibly degrades, telling
+    * the operator when the frozen codebooks need a re-fit. One
+    * vec_id-equi-join + map-side integer expression work + an 8-row
+    * aggregate. */
+  def pqIndexDistortion(s: SparkSession, rawDir: String,
+      indexPath: String): DataFrame = {
+    import s.implicits._
+    val (cents, books) = loadPqIndex(s, indexPath)
+    if (cents.isEmpty || books.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Long)]
+        .toDF("subspace", "n_vecs", "sse", "mse", "max_se")
+    val cs = centSubs(cents)
+    val cssq: Seq[Seq[Long]] = books.map(_.map(ssqL))
+    val enc = s.read.parquet(s"$indexPath/enc")
+      .select($"vec_id", $"cell", $"codes")
+    val joined = scaled(s, rawDir).join(enc, "vec_id")
+    // the q112 discipline: materialize residual and code once per
+    // subspace in their own projection before the error expression
+    // references each twice
+    val withR = joined.select(Seq($"vec_id") ++
+      (0 until PqSubspaces).map(u => SubLongs(subCol(u),
+        element_at(typedLit(cs(u)), $"cell" + 1)).as(s"_r$u")) ++
+      (0 until PqSubspaces).map(u =>
+        element_at($"codes", u + 1).as(s"_c$u")): _*)
+    val seCols = (0 until PqSubspaces).map { u =>
+      val r = col(s"_r$u")
+      val code = col(s"_c$u")
+      val bvec = element_at(typedLit(books(u)), code + 1)
+      struct(lit(u.toLong).as("subspace"),
+        (DotLongs(r, r) - DotLongs(r, bvec) * lit(2L) +
+          element_at(typedLit(cssq(u)), code + 1)).as("se"))
+    }
+    withR.select(explode(array(seCols: _*)).as("x"))
+      .select($"x.subspace".as("subspace"), $"x.se".as("se"))
+      .groupBy($"subspace")
+      .agg(count(lit(1)).as("n_vecs"), sum($"se").as("sse"),
+        max($"se").as("max_se"))
+      .withColumn("mse", $"sse".cast("double") / $"n_vecs")
+      .select($"subspace", $"n_vecs", $"sse", $"mse", $"max_se")
+      .orderBy($"subspace")
   }
 
   /** The production IVF-PQ serving path: (qid, nid, rk, sim) top-k from

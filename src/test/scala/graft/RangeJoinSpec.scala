@@ -678,6 +678,71 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** appendPqIndex (VERDICT r8 #3): appending a batch encoded against
+    * the FROZEN saved models must reproduce the full re-encode
+    * bit-for-bit (encode is deterministic per row, and the model
+    * parquet round-trip is lossless), the drift gate over the appended
+    * index must equal q112's inline audit code-for-code, and a batch
+    * drawn from a SHIFTED distribution must measurably raise the mse —
+    * the signal that tells an operator the codebooks need a re-fit. */
+  test("PQ index append equals full re-encode and the drift gate detects shift") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqappend").toString
+    Similarity.savePqIndex(spark, dir, s"$tmp/full")
+    val fullEnc = spark.read.parquet(s"$tmp/full/enc")
+    val n = fullEnc.count()
+    val cut = fullEnc.agg(org.apache.spark.sql.functions
+      .percentile_approx($"vec_id", org.apache.spark.sql.functions.lit(0.5),
+        org.apache.spark.sql.functions.lit(10000))).head.getLong(0)
+    // a second index with the same frozen models but only the first
+    // half of the corpus encoded
+    Similarity.savePqIndex(spark, dir, s"$tmp/half")
+    val lower = spark.read.parquet(s"$tmp/full/enc").filter($"vec_id" <= cut)
+      .localCheckpoint(true)
+    lower.write.mode("overwrite").parquet(s"$tmp/half/enc")
+    // append the second half as a NEW batch of raw vectors
+    val late = graft.util.Tables(spark, dir, "embeddings")
+      .filter($"vec_id" > cut).select($"vec_id", $"embedding")
+    Similarity.appendPqIndex(spark, s"$tmp/half", late)
+    val appended = spark.read.parquet(s"$tmp/half/enc")
+    assert(appended.count() == n, s"appended ${appended.count()} != full $n")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell", $"codes".cast("string"), $"rnrm")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(appended) == rows(fullEnc),
+      "appended index diverged from the full re-encode")
+    // drift gate over the appended index == the inline q112 audit
+    // (same frozen models, same codes)
+    val gate = Similarity.pqIndexDistortion(spark, dir, s"$tmp/half")
+      .collect().map(_.toString).toSeq
+    val inline = Similarity.q112PqDistortion(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(gate == inline, s"drift gate diverged:\n $gate\n vs $inline")
+    val baseMse = Similarity.pqIndexDistortion(spark, dir, s"$tmp/half")
+      .collect().map(r => r.getDouble(r.fieldIndex("mse")))
+    // shifted batch: 3x-scaled vectors under fresh ids — residuals the
+    // frozen codebooks never trained on; the per-subspace mean distortion
+    // must rise
+    val shifted = graft.util.Tables(spark, dir, "embeddings")
+      .filter($"vec_id" < 200)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> x * cast(3.0 as float))").as("embedding"))
+    Similarity.appendPqIndex(spark, s"$tmp/half", shifted)
+    // the shifted ids have no rawDir twin under the original ids — feed
+    // the gate a rawDir via the same shifted frame written as a corpus
+    val driftDir = s"$tmp/driftraw"
+    graft.util.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .union(shifted.withColumn("label", org.apache.spark.sql.functions.lit(99)))
+      .write.mode("overwrite").parquet(s"$driftDir/embeddings.parquet")
+    val after = Similarity.pqIndexDistortion(spark, driftDir, s"$tmp/half")
+      .collect().map(r => r.getDouble(r.fieldIndex("mse")))
+    assert(after.zip(baseMse).count { case (a, b) => a > b } >= 6 &&
+      after.sum > baseMse.sum,
+      s"shifted batch did not raise distortion: before=${baseMse.toSeq} after=${after.toSeq}")
+  }
+
   /** q92: planted orphans and a NULL child key over a minimal star
     * schema — NULL counts as an orphan ROW (it can never match a
     * parent) but not as an orphan KEY. Real testdata has zero orphans,
