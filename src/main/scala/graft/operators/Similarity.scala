@@ -846,12 +846,84 @@ object Similarity {
       .orderBy($"subspace")
   }
 
-  /** The ADC shortlist: (qid, vec_id) of the top-`shortlist` encoded
-    * candidates per query by approximate cosine. The corpus side reads
-    * ONLY the encoded frame. */
-  private def pqShortlist(base: DataFrame, enc: DataFrame,
+  // --------------------------------------------------------------- q115
+  /** The q115 sweep grid: coarse-probe count × ADC shortlist size. Small
+    * on purpose — each (nprobe, shortlist) cell is a full serve-path
+    * evaluation; the grid brackets the knobs an operator actually turns
+    * (probe 1 cell vs the q96 default 6; re-rank 20 vs the q111 default
+    * 60). */
+  val CurveNprobes = Seq(1, 3, 6)
+  val CurveShortlists = Seq(20, 60)
+
+  /** q115 (VERDICT r8 #5): the recall/cost CURVE for the PQ serve path —
+    * per (nprobe, shortlist): ADC-scanned candidate rows, exactly
+    * re-ranked rows, top-5 hits vs the exact arm, mean recall@5, and the
+    * shortlist-monotonicity invariant. The operator tuning the 100 TB
+    * index needs this curve (recall bought per row scanned), not the one
+    * point q111 reports.
+    *
+    * mono_shortlist is a THEOREM for fixed nprobe (a larger shortlist is
+    * a superset cut of the same ranked frame, and any global-top-5
+    * member inside a shortlist always survives the exact re-rank — only
+    * other global-top-5 members can outrank it); recall vs nprobe is
+    * expected-but-not-guaranteed monotone (the ADC ranking is
+    * approximate, so a new candidate can crowd a true neighbor out of a
+    * FIXED-size shortlist), which is exactly why the curve reports it
+    * rather than asserting it.
+    *
+    * Scale shape: fit once, encode once (checkpointed); ONE ADC scan per
+    * nprobe (the ranked frame is checkpointed and every shortlist cut +
+    * count reuses it); re-rank joins touch shortlist-sized row sets; the
+    * output is 6 rows. Everything is the q111 exact-arithmetic pipeline,
+    * so the DuckDB twin replays the whole sweep hash-exact. */
+  def q115PqRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = fitCentroids(s, dir, k = 16, iters = 2)
+    val books = fitPqCodebooks(s, dir, cents)
+    if (cents.isEmpty || books.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Double, Boolean)]
+        .toDF("nprobe", "shortlist", "n_scanned", "n_reranked", "n_hit",
+          "recall", "mono_shortlist")
+    val base = scaled(s, dir)
+    val enc = pqEncode(assignedCorpus(s, dir, cents), cents, books)
+      .localCheckpoint(true)
+    val exact = exactTopK(base).select($"qid", $"nid").localCheckpoint(true)
+    val qs = querySide(base)
+    val nqDf = base.filter($"vec_id" < 10).agg(count(lit(1)).as("nq"))
+    val rows = CurveNprobes.flatMap { np =>
+      val ranked = pqAdcRanked(base, enc, cents, books, np)
+        .localCheckpoint(true)
+      val scanned = ranked.agg(count(lit(1)).as("n_scanned"))
+      CurveShortlists.map { sl =>
+        val cand = ranked.filter($"rk" <= sl).select($"qid", $"vec_id")
+        val reranked = cand.agg(count(lit(1)).as("n_reranked"))
+        val ann = cosineTopK(cand.join(base, "vec_id")
+          .join(broadcast(qs), "qid"), k = 5).select($"qid", $"nid")
+        val hit = exact.join(ann, Seq("qid", "nid"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        scanned.crossJoin(reranked).crossJoin(hit).crossJoin(nqDf)
+          .select(lit(np.toLong).as("nprobe"), lit(sl.toLong).as("shortlist"),
+            $"n_scanned", $"n_reranked", $"n_hit",
+            ($"n_hit".cast("double") / (lit(5.0) * $"nq")).as("recall"))
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"nprobe").orderBy($"shortlist")
+    rows.reduce(_ union _)
+      .withColumn("mono_shortlist",
+        $"recall" >= coalesce(lag($"recall", 1).over(w), $"recall"))
+      .orderBy($"nprobe", $"shortlist")
+  }
+
+  /** The full ADC-ranked candidate frame for one nprobe: (qid, vec_id,
+    * rk) where rk ranks by approximate cosine from the 8-lookup LUT sum.
+    * The rank is SHORTLIST-INDEPENDENT — [[pqShortlist]] is a rank cut,
+    * and the q115 curve audit reuses one ranked frame across every
+    * shortlist knob (n_scanned = this frame's size). The corpus side
+    * reads ONLY the encoded frame. */
+  private def pqAdcRanked(base: DataFrame, enc: DataFrame,
       cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
-      nprobe: Int, shortlist: Int): DataFrame = {
+      nprobe: Int): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     val qprobe = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
@@ -881,9 +953,19 @@ object Similarity {
       .join(broadcast(lut), "qid")
       .withColumn("asim", safeCos(adot, $"qn" * $"rnrm"))
       .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= shortlist)
-      .select($"qid", $"vec_id")
+      .select($"qid", $"vec_id", $"rk")
   }
+
+  /** The ADC shortlist: (qid, vec_id) of the top-`shortlist` encoded
+    * candidates per query by approximate cosine — a rank cut of
+    * [[pqAdcRanked]] (still plans as WindowGroupLimit: the filter sits
+    * directly on the rank attribute). */
+  private def pqShortlist(base: DataFrame, enc: DataFrame,
+      cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
+      nprobe: Int, shortlist: Int): DataFrame =
+    pqAdcRanked(base, enc, cents, books, nprobe)
+      .filter(col("rk") <= shortlist)
+      .select(col("qid"), col("vec_id"))
 
   /** Shortlist → exact re-rank: fetch the TRUE vectors of shortlisted
     * ids only (a shortlist-sized semi-join against the full corpus —
@@ -1141,6 +1223,7 @@ object Similarity {
     "q96_ann_ivf_multiprobe" -> (q96AnnIvfMultiprobe _),
     "q111_ann_ivf_pq" -> (q111AnnIvfPq _),
     "q112_pq_distortion" -> (q112PqDistortion _),
+    "q115_pq_recall_curve" -> (q115PqRecallCurve _),
     "q45_embedding_dedup_blocked" -> (q45EmbeddingDedupBlocked _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q47_dedup_components" -> (q47DedupComponents _),
@@ -1357,13 +1440,11 @@ object Similarity {
       |${pqUpdateSql(2, "pcell2", "pbook1", "pbook2")},
       |${pqAssignSql("paf", "pcodes", "pbook2")}""".stripMargin
 
-  private def ivfPqOracleSql: String =
-    s"""$vCte,
-      |$ivfFitCtes,
-      |qprobe AS (SELECT vec_id qid, cid qcell FROM a2
-      |           WHERE vec_id < 10 AND rk <= $MultiprobeNprobe),
-      |$pqFitCtes,
-      |pxh AS (SELECT pc.vec_id, pc.u,
+  /** The PQ reconstruction CTEs — x̂ = cent + ĉ per (vector, subspace)
+    * and its exact norm — shared by the q111 twin and the q115 curve
+    * twin (requires `pcodes`, `pbook2`, `cellf`, `c2`). */
+  private def pqReconCtes: String =
+    s"""pxh AS (SELECT pc.vec_id, pc.u,
       |    list_transform(range($PqSubDim), d ->
       |      c2.ce[pc.u*$PqSubDim + CAST(d AS INTEGER) + 1]
       |      + b.bv[CAST(d AS INTEGER)+1]) AS xh
@@ -1373,27 +1454,41 @@ object Similarity {
       |prn AS (SELECT vec_id, sqrt(CAST(SUM(list_inner_product(
       |      list_transform(xh, x -> CAST(x AS DOUBLE)),
       |      list_transform(xh, x -> CAST(x AS DOUBLE)))) AS DOUBLE)) rnrm
-      |  FROM pxh GROUP BY vec_id),
-      |pcand AS (SELECT qp.qid, cf.vec_id AS nid
-      |  FROM cellf cf JOIN qprobe qp
+      |  FROM pxh GROUP BY vec_id)""".stripMargin
+
+  /** One nprobe's probe/candidate/ADC/rank CTE chain (qp/pc/pd/rkN) —
+    * the parameterized core the q111 twin instantiates once and the
+    * q115 curve instantiates per [[CurveNprobes]] knob. */
+  private def pqArmCtes(np: Int): String =
+    s"""qp$np AS (SELECT vec_id qid, cid qcell FROM a2
+      |           WHERE vec_id < 10 AND rk <= $np),
+      |pc$np AS (SELECT qp.qid, cf.vec_id AS nid
+      |  FROM cellf cf JOIN qp$np qp
       |    ON cf.cid = qp.qcell AND cf.vec_id <> qp.qid),
-      |padot AS (SELECT pc.qid, pc.nid,
+      |pd$np AS (SELECT pc.qid, pc.nid,
       |    SUM(list_inner_product(
       |      list_transform(list_transform(range($PqSubDim), d ->
       |        q.e[xh.u*$PqSubDim + CAST(d AS INTEGER) + 1]), x -> CAST(x AS DOUBLE)),
       |      list_transform(xh.xh, x -> CAST(x AS DOUBLE)))) adot
-      |  FROM pcand pc JOIN pxh xh ON xh.vec_id = pc.nid
+      |  FROM pc$np pc JOIN pxh xh ON xh.vec_id = pc.nid
       |       JOIN v q ON q.vec_id = pc.qid
       |  GROUP BY 1, 2),
-      |cand AS (SELECT qid, nid FROM (
-      |    SELECT pd.qid, pd.nid,
-      |      ROW_NUMBER() OVER (PARTITION BY pd.qid ORDER BY
-      |        CASE WHEN q.nrm * rn.rnrm = 0 THEN 0.0
-      |             ELSE pd.adot / (q.nrm * rn.rnrm) END DESC,
-      |        pd.nid ASC) rk
-      |    FROM padot pd JOIN prn rn ON rn.vec_id = pd.nid
-      |         JOIN v q ON q.vec_id = pd.qid)
-      |  WHERE rk <= $PqShortlist),
+      |rkd$np AS (SELECT pd.qid, pd.nid,
+      |    ROW_NUMBER() OVER (PARTITION BY pd.qid ORDER BY
+      |      CASE WHEN q.nrm * rn.rnrm = 0 THEN 0.0
+      |           ELSE pd.adot / (q.nrm * rn.rnrm) END DESC,
+      |      pd.nid ASC) rk
+      |  FROM pd$np pd JOIN prn rn ON rn.vec_id = pd.nid
+      |       JOIN v q ON q.vec_id = pd.qid)""".stripMargin
+
+  private def ivfPqOracleSql: String =
+    s"""$vCte,
+      |$ivfFitCtes,
+      |$pqFitCtes,
+      |$pqReconCtes,
+      |${pqArmCtes(MultiprobeNprobe)},
+      |cand AS (SELECT qid, nid FROM rkd$MultiprobeNprobe
+      |         WHERE rk <= $PqShortlist),
       |annp AS (SELECT c.qid, c.nid,
       |    CASE WHEN q.nrm * x.nrm = 0 THEN 0.0
       |         ELSE list_inner_product(q.ev, x.ev) / (q.nrm * x.nrm) END sim
@@ -1404,6 +1499,48 @@ object Similarity {
       |    FROM annp) WHERE rk <= 5),
       |$exactArmCte,
       |$recallReportSql""".stripMargin
+
+  /** Full q115 twin: the shared fit/encode/reconstruction CTEs, one
+    * [[pqArmCtes]] chain per nprobe knob, a shortlist cut + exact
+    * re-rank per grid cell, and the 6-row curve with the same recall
+    * division and lag-window monotonicity flag as the engine. */
+  private def pqCurveOracleSql: String = {
+    val cells = for { np <- CurveNprobes; sl <- CurveShortlists } yield
+      s"""cd${np}x$sl AS (SELECT qid, nid FROM rkd$np WHERE rk <= $sl),
+        |ap${np}x$sl AS (SELECT c.qid, c.nid,
+        |    CASE WHEN q.nrm * x.nrm = 0 THEN 0.0
+        |         ELSE list_inner_product(q.ev, x.ev) / (q.nrm * x.nrm) END sim
+        |  FROM cd${np}x$sl c JOIN v x ON x.vec_id = c.nid
+        |       JOIN v q ON q.vec_id = c.qid),
+        |an${np}x$sl AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rk
+        |    FROM ap${np}x$sl) WHERE rk <= 5)""".stripMargin
+    val rowSelects = (for { np <- CurveNprobes; sl <- CurveShortlists } yield
+      s"""SELECT CAST($np AS BIGINT) nprobe, CAST($sl AS BIGINT) shortlist,
+        |  (SELECT COUNT(*) FROM pc$np) n_scanned,
+        |  (SELECT COUNT(*) FROM cd${np}x$sl) n_reranked,
+        |  (SELECT COUNT(*) FROM exact x JOIN an${np}x$sl a
+        |     ON a.qid = x.qid AND a.nid = x.nid) n_hit""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$vCte,
+      |$ivfFitCtes,
+      |$pqFitCtes,
+      |$pqReconCtes,
+      |${CurveNprobes.map(pqArmCtes).mkString(",\n")},
+      |${cells.mkString(",\n")},
+      |$exactArmCte,
+      |nq AS (SELECT COUNT(*) c FROM v WHERE vec_id < 10),
+      |curve AS ($rowSelects)
+      |SELECT c.nprobe, c.shortlist, c.n_scanned, c.n_reranked, c.n_hit,
+      |  CAST(c.n_hit AS DOUBLE) / (5.0 * nq.c) AS recall,
+      |  (CAST(c.n_hit AS DOUBLE) / (5.0 * nq.c) >= COALESCE(
+      |     lag(CAST(c.n_hit AS DOUBLE) / (5.0 * nq.c))
+      |       OVER (PARTITION BY c.nprobe ORDER BY c.shortlist),
+      |     CAST(c.n_hit AS DOUBLE) / (5.0 * nq.c))) AS mono_shortlist
+      |FROM curve c CROSS JOIN nq
+      |ORDER BY c.nprobe, c.shortlist""".stripMargin
+  }
 
   private def ivfOracleSql(nprobe: Int): String =
     s"""$vCte,
@@ -1426,16 +1563,29 @@ object Similarity {
       |$exactArmCte,
       |$recallReportSql""".stripMargin
 
+  /** Pin the expensive shared CTEs as MATERIALIZED: DuckDB 1.0 inlines
+    * CTE references, re-running the whole Lloyd/PQ fit chain once PER
+    * REFERENCE — measured 57 s for the un-hinted q111 twin at sf0.001
+    * vs 0.7 s materialized (and the q115 curve references each shared
+    * frame up to 6×). Semantics-free: identical rows, only evaluation
+    * strategy. Lookbehind keeps `v` from matching inside other names. */
+  private def materialized(sql: String): String =
+    Seq("v", "a2", "cellf", "c2", "ru", "pbook2", "pcodes", "pxh", "prn",
+      "exactp", "exact")
+      .foldLeft(sql)((q, n) =>
+        q.replaceAll(s"(?<![A-Za-z0-9_])$n AS \\(", s"$n AS MATERIALIZED ("))
+
   val oracle: Map[String, String] = Map(
-    "q39_ann_lsh_recall" -> q39OracleSql,
-    "q44_ann_ivf_recall" -> q44OracleSql,
-    "q96_ann_ivf_multiprobe" -> ivfOracleSql(MultiprobeNprobe),
-    "q111_ann_ivf_pq" -> ivfPqOracleSql,
+    "q39_ann_lsh_recall" -> materialized(q39OracleSql),
+    "q44_ann_ivf_recall" -> materialized(q44OracleSql),
+    "q96_ann_ivf_multiprobe" -> materialized(ivfOracleSql(MultiprobeNprobe)),
+    "q111_ann_ivf_pq" -> materialized(ivfPqOracleSql),
+    "q115_pq_recall_curve" -> materialized(pqCurveOracleSql),
     "q112_pq_distortion" ->
       // ‖r − ĉ‖² expanded (r·r − 2·r·ĉ + ĉ·ĉ) — the engine's exact
       // integers; the HUGEINT SUM casts back to BIGINT (< 2⁶³), the
       // mean is the same one division of the same exact integer
-      s"""$vCte,
+      materialized(s"""$vCte,
         |$ivfFitCtes,
         |$pqFitCtes,
         |perr AS (SELECT ru.u,
@@ -1451,7 +1601,7 @@ object Similarity {
         |  CAST(SUM(se) AS BIGINT) AS sse,
         |  CAST(CAST(SUM(se) AS BIGINT) AS DOUBLE) / COUNT(*) AS mse,
         |  CAST(MAX(se) AS BIGINT) AS max_se
-        |FROM perr GROUP BY u ORDER BY subspace""".stripMargin,
+        |FROM perr GROUP BY u ORDER BY subspace""".stripMargin),
     "q38_ann_brute" ->
       s"""$scaledCte,
         |p AS (SELECT q.vec_id qid, c.vec_id nid,
@@ -1467,7 +1617,7 @@ object Similarity {
     "q43_embedding_dedup" -> pairwiseDedupSql,
     "q45_embedding_dedup_blocked" -> pairwiseDedupSql,
     "q107_semantic_dedup" ->
-      s"""$vCte,
+      materialized(s"""$vCte,
         |$ivfFitCtes,
         |asg AS (SELECT v.vec_id, v.ev, v.nrm, cf.cid AS cell
         |  FROM v JOIN cellf cf ON cf.vec_id = v.vec_id),
@@ -1483,7 +1633,7 @@ object Similarity {
         |  COALESCE(ps.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
         |  COALESCE(ps.n_removed, CAST(0 AS BIGINT)) AS n_removed
         |FROM vs LEFT JOIN ps USING (cell)
-        |ORDER BY cell""".stripMargin,
+        |ORDER BY cell""".stripMargin),
     "q52_label_centroids" ->
       """WITH s AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) e

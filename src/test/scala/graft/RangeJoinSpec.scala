@@ -678,6 +678,34 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** q115 (VERDICT r8 #5): the recall/cost curve's structural
+    * invariants — shortlist monotonicity (a theorem: a larger shortlist
+    * is a superset cut of the same ranked frame), ADC scan volume
+    * strictly growing with nprobe and shared across shortlist cells,
+    * and the (6, 60) cell reproducing the q111 arm's hit total (same
+    * knobs ⇒ same pipeline). nprobe-monotonicity of recall is
+    * deliberately NOT asserted — at sf0.1 the measured curve shows the
+    * crowding-out effect (0.90 → 0.86 at shortlist 60). */
+  test("q115 curve invariants hold and the (6,60) cell matches q111") {
+    val curve = Similarity.q115PqRecallCurve(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getBoolean(6))))).toMap
+    assert(curve.size == 6, s"want 6 grid cells, got ${curve.size}")
+    assert(curve.values.forall(_._5), s"shortlist monotonicity violated: $curve")
+    val scans = Similarity.CurveNprobes.map(np => curve((np.toLong, 20L))._1)
+    assert(scans == scans.sorted && scans.distinct == scans,
+      s"n_scanned must strictly grow with nprobe: $scans")
+    Similarity.CurveNprobes.foreach { np =>
+      assert(curve((np.toLong, 20L))._1 == curve((np.toLong, 60L))._1,
+        s"nprobe $np: n_scanned must be shortlist-independent")
+    }
+    val q111Hits = Similarity.q111AnnIvfPq(spark, dir).collect()
+      .map(_.getLong(2)).sum
+    assert(curve((6L, 60L))._3 == q111Hits,
+      s"curve (6,60) n_hit ${curve((6L, 60L))._3} != q111 total $q111Hits")
+  }
+
   /** appendPqIndex (VERDICT r8 #3): appending a batch encoded against
     * the FROZEN saved models must reproduce the full re-encode
     * bit-for-bit (encode is deterministic per row, and the model
