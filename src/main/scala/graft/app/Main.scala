@@ -154,7 +154,11 @@ object Main {
     val lines = TelemetryProcessor.toLines(observed, "_seq")
       .filter(col("line").isNotNull)
       .select(col("line"))
-    InfluxLineSink.start(lines,
+    // idempotent by default (VERDICT r8 #6): a crash between the
+    // engine's offset and commit writes replays the last epoch on
+    // restart — the epoch commit log turns that replay into a no-op
+    // instead of a double-write of every point
+    InfluxLineSink.startIdempotent(lines,
       s"http://${cfg.dbhost}:${cfg.dbport}", cfg.dbname,
       cfg.checkpointDir + "/ingest",
       user = Some(cfg.dbuser), password = Some(cfg.dbpassword))

@@ -94,4 +94,53 @@ object InfluxLineSink {
         writeBatch(batch, url, db, user = user, password = password)
       }
       .start()
+
+  /** Write one epoch idempotently (VERDICT r8 #6): a marker file per
+    * COMMITTED epoch under `commitDir` makes a replayed micro-batch a
+    * no-op. The replay is real, not theoretical — after a crash between
+    * the engine's offset write and its commit write, restart re-runs
+    * the last epoch with the same epochId, and the plain sink would
+    * double-write every point. The marker is created strictly AFTER the
+    * epoch's last POST succeeds, so a crash mid-epoch re-sends only
+    * that epoch (the residual at-least-once window a non-transactional
+    * HTTP sink cannot close; InfluxDB 1.x itself overwrites points with
+    * identical measurement+tags+timestamp, which shrinks the residual
+    * further for the APRS schema). Marker creation is atomic
+    * (Files.createFile), so two racing replays of one epoch cannot both
+    * claim it — the loser's exception is swallowed as "already
+    * committed". Returns true when this call did the write. */
+  def writeEpochOnce(batch: DataFrame, epochId: Long, url: String,
+      db: String, commitDir: String, linesPerPost: Int = 5000,
+      user: Option[String] = None, password: Option[String] = None): Boolean = {
+    val dir = java.nio.file.Paths.get(commitDir)
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve(s"epoch-$epochId")
+    if (java.nio.file.Files.exists(marker)) {
+      System.err.println(s"[influx-sink] epoch $epochId already committed — replay skipped")
+      false
+    } else {
+      writeBatch(batch, url, db, linesPerPost, user, password)
+      try { java.nio.file.Files.createFile(marker); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      true
+    }
+  }
+
+  /** [[start]] with exactly-once-per-epoch delivery via [[writeEpochOnce]].
+    * The commit log lives beside the engine's checkpoint by default, so
+    * the two logs travel (and get wiped) together. */
+  def startIdempotent(lines: DataFrame, url: String, db: String,
+      checkpointDir: String, commitDir: Option[String] = None,
+      user: Option[String] = None, password: Option[String] = None): StreamingQuery = {
+    val commits = commitDir.getOrElse(s"$checkpointDir/influx-epoch-commits")
+    lines.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        writeEpochOnce(batch, epochId, url, db, commits,
+          user = user, password = password)
+        ()
+      }
+      .start()
+  }
 }
