@@ -77,12 +77,107 @@ object CleanPipeline {
     } finally staged.unpersist()
   }
 
+  /** VERDICT r8 #7: the FULL published curation pipeline as one
+    * spark-submit entry — every stage this engine implements, in the
+    * order a training-data team runs them:
+    *
+    *   clean (q54 cascade: exact-dup → repetition → quality → sample)
+    *   → near-dup drop (q36 components, q65 keeper)
+    *   → decontam drop (q60 hit list: train docs sharing an eval shingle)
+    *   → span strip (q99: non-first duplicated 20-gram coverage removed,
+    *     applied WITHIN the surviving corpus — the version being
+    *     published is what must not self-duplicate)
+    *   → PII redact (q114 chain, the published text)
+    *   → split (q77 buckets: <980 train / <990 val / else test)
+    *   → pack (q58 distributed prefix-sum offsets, 8192-token packs)
+    *   → publish (lang-partitioned, doc_id-bucketed table).
+    *
+    * Returns (per-(lang, stage) accounting, per-lang transform summary);
+    * both are driver-materialized before the staged frame unpersists.
+    * One corpus decode feeds the stage cascade; the strip/redact chain
+    * touches only kept documents; every drop stage joins a doc-id-sized
+    * list — the expensive frames are the q36 banding and the q60/q99
+    * shingle shuffles, each already shaped for scale by its operator. */
+  def runFull(spark: SparkSession, inDir: String, table: String,
+      buckets: Int = 32): (DataFrame, DataFrame) = {
+    import graft.operators.Dedup
+    val docsAll = Tables(spark, inDir, "documents")
+    val drops = Dedup.queries("q65_keep_best")(spark, inDir)
+      .select(col("cluster_rep").as("lbl"), col("keep_id"))
+    val dropList = Dedup.memberComponentsOf(docsAll)
+      .join(drops, "lbl")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id")).withColumn("neardup", lit(1))
+    val contam = Dedup.contaminatedTrainDocs(docsAll)
+      .withColumn("contaminated", lit(1))
+    val staged = TextOps.stagedDocs(docsAll)
+      .join(dropList, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("stage") === "kept" && col("neardup") === 1, "neardup")
+          .when(col("stage") === "kept" && col("contaminated") === 1,
+            "contaminated")
+          .otherwise(col("stage")))
+      .persist()
+    try {
+      val kept = staged.filter(col("stage") === "kept")
+        .select("doc_id", "text", "source", "lang")
+      // q99 strip within the published corpus, keeping the rebuilt text
+      val base = Dedup.spanBase(kept.select(col("doc_id"), col("text")))
+      val stripped = Dedup.stripByStarts(base, Dedup.dupStartsOf(base))
+        .select(col("doc_id"), col("stripped_text"),
+          col("n").as("n_tok"), col("n_kept"))
+      // q114 chain over the stripped text — the bytes being published
+      val redacted = TextOps.piiRewriteOf(
+          stripped.withColumnRenamed("stripped_text", "text"))
+        .select(col("doc_id"), col("redacted").as("text"),
+          (col("n_emails") + col("n_ipv4") + col("n_phones")).as("n_pii"),
+          col("n_tok"), col("n_kept"))
+      val fin = kept.drop("text").join(redacted, "doc_id")
+        .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+        .withColumn("split",
+          when(col("bucket") < 980, "train")
+            .when(col("bucket") < 990, "val").otherwise("test"))
+        .drop("bucket")
+      val packed = TextOps.packAssignments(
+          fin.withColumn("tok", col("n_kept")))
+        .withColumn("n_chars", length(col("text")))
+        .drop("tok")
+      CorpusPublisher.publish(packed, table, buckets)
+      val acct = staged.groupBy(col("lang"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("stage"))
+      // per-lang transform summary read back from the PUBLISHED table —
+      // accounting covers what was actually written
+      val pub = spark.table(table)
+      val summary = pub.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_published"),
+          sum(col("n_tok")).as("tok_in"),
+          sum(col("n_kept")).as("tok_kept"),
+          sum(col("n_tok") - col("n_kept")).as("tok_stripped"),
+          sum(col("n_pii")).as("n_pii_redacted"),
+          (max(col("pack_id")) + 1L).as("n_packs"))
+        .orderBy(col("lang"))
+      def materialize(df: DataFrame): DataFrame = {
+        val rows = df.collect() // |langs|×|stages| rows — driver-sized
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+      (materialize(acct), materialize(summary))
+    } finally staged.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
-    val inDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val table = args.lift(1).getOrElse("clean_corpus")
-    val buckets = args.lift(2).map(_.toInt).getOrElse(32)
+    val full = args.contains("--full")
+    val pos = args.filterNot(_ == "--full")
+    val inDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
+    val table = pos.lift(1).getOrElse("clean_corpus")
+    val buckets = pos.lift(2).map(_.toInt).getOrElse(32)
     val spark = graft.util.GraftSession.local("graft-clean-pipeline")
-    run(spark, inDir, table, buckets).show(100, truncate = false)
+    if (full) {
+      val (acct, summary) = runFull(spark, inDir, table, buckets)
+      acct.show(100, truncate = false)
+      summary.show(100, truncate = false)
+    } else run(spark, inDir, table, buckets).show(100, truncate = false)
     spark.stop()
   }
 }

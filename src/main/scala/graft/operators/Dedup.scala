@@ -585,7 +585,11 @@ object Dedup {
 
   /** The decontamination pipeline over an explicit `(doc_id, lang, text)`
     * corpus (spec-testable with planted verbatim copies). */
-  def decontamOf(d: DataFrame): DataFrame = {
+  /** The (doc_id) hit list behind q60's accounting: TRAIN-side docs
+    * (bucket ≥ 100) sharing a [[DecontamWidth]]-shingle with the eval
+    * split (bucket < 100). Factored out so the curate CLI can DROP the
+    * hits, not just count them. */
+  def contaminatedTrainDocs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
     // ONE text decode: shingle the whole corpus (per-doc dedup — needed
@@ -602,9 +606,14 @@ object Dedup {
       .localCheckpoint(true)
     val evalSh = sh.filter($"bucket" < 100).select($"s").distinct()
     val trainSh = sh.filter($"bucket" >= 100).select($"doc_id", $"s")
-    val hits = trainSh.join(evalSh, "s")
+    trainSh.join(evalSh, "s")
       .select($"doc_id").distinct()
-      .withColumn("cont", lit(1L))
+  }
+
+  def decontamOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val hits = contaminatedTrainDocs(d).withColumn("cont", lit(1L))
     // text-free scan: every train doc counts, shingled or not
     d.select($"doc_id", $"lang")
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
@@ -1052,9 +1061,12 @@ object Dedup {
       .withColumn("keep", expr(
         s"filter(sequence(0L, n - 1L), p -> NOT exists(sts, st -> p >= st AND p < st + $W))"))
       .withColumn("n_kept", size(col("keep")).cast("long"))
-      .withColumn("stripped_md5", md5(expr(
-        "concat_ws(' ', transform(keep, p -> element_at(toks, cast(p + 1 as int))))")
-        .cast("binary")))
+      // the rebuilt text rides along for transform consumers (the curate
+      // CLI publishes it); md5-only consumers (q99, the streaming strip)
+      // just don't select it
+      .withColumn("stripped_text", expr(
+        "concat_ws(' ', transform(keep, p -> element_at(toks, cast(p + 1 as int))))"))
+      .withColumn("stripped_md5", md5(col("stripped_text").cast("binary")))
       .drop("toks", "sts", "keep")
   }
 
