@@ -51,7 +51,8 @@ object Bench {
     "q101_bloom_decontam", "q102_dsir_weights", "q103_gapfill",
     "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms",
     "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen",
-    "q110_theil_sen_sampled", "q111_ann_ivf_pq")
+    "q110_theil_sen_sampled", "q111_ann_ivf_pq",
+    "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -149,7 +150,19 @@ object Bench {
     // x_ivfpq_serve_loaded: 1.11 vs multiprobe's 1.09 in the closing
     // run — the compressed scan's win is volume, invisible at 12k
     // vectors). Closing full-suite reading 3.79 (isolated fork 4.45).
-    "q111_ann_ivf_pq" -> 3.9)
+    "q111_ann_ivf_pq" -> 3.9,
+    // q113 added r9: q99's occurrence pipeline + the per-doc interval
+    // fold + one histogram agg — reads within noise of q97/q99
+    // (quiet-box child 1.57)
+    "q113_max_spans" -> 1.6,
+    // q114 added r9: pure map-side regexp chain over the corpus + one
+    // per-doc projection, no shuffle except the output sort (0.83)
+    "q114_pii_rewrite" -> 0.9,
+    // q115 added r9: the audit sweep — one fit + encode, THREE ADC
+    // scans (nprobe knobs, each checkpointed) + six shortlist re-ranks
+    // + the exact arm (quiet-box child 7.92); the serving path stays
+    // x_ivfpq_serve_loaded, this prices the tuning curve
+    "q115_pq_recall_curve" -> 8.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
@@ -367,6 +380,27 @@ object Bench {
       try q.processAllAvailable() finally q.stop()
       enc.unpersist()
       require(servedN.get() > 0, "streaming PQ serve answered no queries")
+    }),
+    // r9 (VERDICT r8 #7): the WHOLE published curation pipeline as one
+    // number — q54 cascade + near-dup/decontam drops + span strip +
+    // redact + split + pack + bucketed publish, i.e. the real periodic
+    // corpus-refresh job. Dominated by the q36 banding and the q60/q99
+    // shingle shuffles, all individually priced above. Stale location
+    // wiped first: the in-memory catalog is per-JVM but the warehouse
+    // dir persists.
+    "x_curate_full" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS bench_curate_full")
+      val loc = new java.io.File(new java.net.URI(
+        s.conf.get("spark.sql.warehouse.dir")).getPath, "bench_curate_full")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+      val (acct, summary) = graft.app.CleanPipeline
+        .runFull(s, dir, "bench_curate_full", buckets = 8)
+      require(acct.count() > 0 && summary.count() > 0,
+        "curate pipeline produced no accounting")
     }),
     // late-r7: ingestion-time span stripping — 200 docs (half of them
     // re-sends of corpus text, the worst realistic mix) replayed as a

@@ -889,29 +889,34 @@ object Similarity {
       .localCheckpoint(true)
     val exact = exactTopK(base).select($"qid", $"nid").localCheckpoint(true)
     val qs = querySide(base)
-    val nqDf = base.filter($"vec_id" < 10).agg(count(lit(1)).as("nq"))
-    val rows = CurveNprobes.flatMap { np =>
+    // every cell statistic is a SCALAR aggregate — they come to the
+    // driver as counts (the model-sized-collect rule), not as 1-row
+    // frames cross-joined back into the plan (that shape plans as a
+    // chain of BroadcastNestedLoopJoin Cross, which PlanSpec bans
+    // engine-wide outside the brute-force twins). recall's division is
+    // the same one IEEE op as the twin's CAST(...)/(5.0 * nq).
+    val nq = base.filter($"vec_id" < 10).count()
+    val cells = CurveNprobes.flatMap { np =>
       val ranked = pqAdcRanked(base, enc, cents, books, np)
         .localCheckpoint(true)
-      val scanned = ranked.agg(count(lit(1)).as("n_scanned"))
+      val nScanned = ranked.count()
       CurveShortlists.map { sl =>
         val cand = ranked.filter($"rk" <= sl).select($"qid", $"vec_id")
-        val reranked = cand.agg(count(lit(1)).as("n_reranked"))
+        val nReranked = cand.count()
         val ann = cosineTopK(cand.join(base, "vec_id")
-          .join(broadcast(qs), "qid"), k = 5).select($"qid", $"nid")
-        val hit = exact.join(ann, Seq("qid", "nid"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-        scanned.crossJoin(reranked).crossJoin(hit).crossJoin(nqDf)
-          .select(lit(np.toLong).as("nprobe"), lit(sl.toLong).as("shortlist"),
-            $"n_scanned", $"n_reranked", $"n_hit",
-            ($"n_hit".cast("double") / (lit(5.0) * $"nq")).as("recall"))
+          .join(broadcast(qs), "qid"), k = 5)
+          .select($"qid", $"nid")
+        val nHit = exact.join(ann, Seq("qid", "nid"), "left_semi").count()
+        (np.toLong, sl.toLong, nScanned, nReranked, nHit,
+          nHit.toDouble / (5.0 * nq))
       }
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"nprobe").orderBy($"shortlist")
-    rows.reduce(_ union _)
-      .withColumn("mono_shortlist",
-        $"recall" >= coalesce(lag($"recall", 1).over(w), $"recall"))
+    cells.map { case (np, sl, sc, rr, hit, rec) =>
+      val prev = cells.filter(c => c._1 == np && c._2 < sl)
+        .sortBy(_._2).lastOption
+      (np, sl, sc, rr, hit, rec, prev.forall(rec >= _._6))
+    }.toDF("nprobe", "shortlist", "n_scanned", "n_reranked", "n_hit",
+        "recall", "mono_shortlist")
       .orderBy($"nprobe", $"shortlist")
   }
 

@@ -402,6 +402,15 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("q111: the ADC shortlist rank-cut still plans as WindowGroupLimit") {
+    // r9 refactored pqShortlist into pqAdcRanked + a filter on the rank
+    // attribute (the q115 curve shares the ranked frame); the rank cut
+    // must keep planning as a partial per-group top-k — losing it would
+    // fully sort every query's candidate set at 100 TB
+    val p = plan("q111_ann_ivf_pq")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("q102: ratio lookup is a literal array — zero joins, group-limit top-k") {
     // the scale contract: the 256-bucket ratio table rides into codegen
     // as an array literal (driver-sized collect, no join anywhere), the
