@@ -52,7 +52,8 @@ object Bench {
     "q104_bpe_encode", "q105_anomaly_hours", "q106_series_transforms",
     "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen",
     "q110_theil_sen_sampled", "q111_ann_ivf_pq",
-    "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve")
+    "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
+    "q116_long_span_strip")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -162,7 +163,11 @@ object Bench {
     // scans (nprobe knobs, each checkpointed) + six shortlist re-ranks
     // + the exact arm (quiet-box child 7.92); the serving path stays
     // x_ivfpq_serve_loaded, this prices the tuning curve
-    "q115_pq_recall_curve" -> 8.0)
+    "q115_pq_recall_curve" -> 8.0,
+    // q116 added r9: the ExactSubstr threshold strip — q99's pipeline +
+    // the interval fold + filter + interval-containment rebuild
+    // (isolated child 2.20 under the r9 phantom-load caveat)
+    "q116_long_span_strip" -> 2.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

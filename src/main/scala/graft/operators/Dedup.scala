@@ -1180,6 +1180,45 @@ object Dedup {
         .cast("binary")))
       .drop("toks", "iv", "keep")
 
+  // ---------------------------------------------------------------- q116
+  /** The q116 strip threshold: only maximal duplicated spans of at least
+    * this many tokens are removed — the ExactSubstr convention (Lee et
+    * al. 2022 strip duplicated substrings ≥ 50 tokens): a block this
+    * long is copied text with near-certainty, while an isolated
+    * [[DupSpanWidth]]-gram can be a boilerplate phrase worth keeping. */
+  val MinStripSpan = 50L
+
+  /** Threshold-strip a `(doc_id, …, text)` frame: q99's dup-start
+    * derivation → q113's maximal-interval merge → drop intervals shorter
+    * than `minLen` → strip the survivors' coverage. At `minLen` ≤
+    * [[DupSpanWidth]] every interval qualifies and this IS q99's strip
+    * (spec-pinned); at the q116 default only long copied blocks go. */
+  private[graft] def longSpanStripOf(d: DataFrame, minLen: Long): DataFrame = {
+    val base = spanBase(d)
+    val ivs = maxSpanIntervals(dupStartsOf(base))
+      .withColumn("iv", expr(s"filter(iv, v -> v.b - v.a >= ${minLen}L)"))
+      .filter(size(col("iv")) > 0)
+      .select(col("doc_id"), col("iv"))
+    stripByIntervals(base, ivs)
+  }
+
+  /** q116: threshold span strip — the ACTIVE rewrite behind q113's
+    * histogram and the published ExactSubstr curation rule: remove only
+    * maximal duplicated blocks of ≥ [[MinStripSpan]] tokens, keeping
+    * short incidental matches. Same output contract as q99 (before/after
+    * token counts + rebuilt-text md5). Scale shape = q99 + a per-doc
+    * fold; the interval filter is map-side expression work. */
+  def q116LongSpanStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    longSpanStripOf(docs(s, dir).select($"doc_id", $"lang", $"text"),
+        MinStripSpan)
+      .select($"doc_id", $"lang", $"n".as("n_tok"),
+        ($"n" - $"n_kept").as("n_removed"),
+        ($"n_kept".cast("double") / $"n".cast("double")).as("kept_frac"),
+        $"stripped_md5")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_exact_dedup" -> (q34ExactDedup _),
     "q85_bow_dedup" -> (q85BowDedup _),
@@ -1197,6 +1236,7 @@ object Dedup {
     "q97_dup_spans" -> (q97DupSpans _),
     "q99_span_strip" -> (q99SpanStrip _),
     "q113_max_spans" -> (q113MaxSpans _),
+    "q116_long_span_strip" -> (q116LongSpanStrip _),
   )
 
   /** The q99 twin's CTE chain through `dup (doc_id, pos)` — tokenize,
@@ -1218,6 +1258,26 @@ object Dedup {
       |fo AS (SELECT h, MIN(k) AS fk FROM ok GROUP BY h),
       |dup AS (SELECT o.doc_id, o.pos FROM ok o JOIN fo f USING (h)
       |        WHERE o.k <> f.fk)""".stripMargin
+  }
+
+  /** Gaps-and-islands over the shared `dup` frame, ending in
+    * `sp (doc_id, island, a, b)` — a new island starts when the
+    * sorted-start gap exceeds the gram width, identical to the engine's
+    * fold (merged end = last start + W for sorted starts, so "p ≤ merged
+    * end" ⟺ "p − prev ≤ W"). Shared by the q113 histogram twin and the
+    * q116 threshold-strip twin. */
+  private val spanIslandCtes = {
+    val W = DupSpanWidth
+    s"""lg AS (SELECT doc_id, pos,
+      |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp
+      |       FROM dup),
+      |isl AS (SELECT doc_id, pos,
+      |          SUM(CASE WHEN pp IS NULL OR pos - pp > $W THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS UNBOUNDED PRECEDING) island
+      |        FROM lg),
+      |sp AS (SELECT doc_id, island, MIN(pos) a, MAX(pos) + $W b
+      |       FROM isl GROUP BY 1, 2)""".stripMargin
   }
 
   private val shingleCte =
@@ -1543,29 +1603,35 @@ object Dedup {
         |    p -> t[CAST(p AS INTEGER) + 1]), ' '), '')) AS stripped_md5
         |FROM k2 ORDER BY doc_id""".stripMargin
     },
-    "q113_max_spans" -> {
-      // gaps-and-islands over the shared `dup` frame: a new island starts
-      // when the sorted-start gap exceeds the gram width — identical to
-      // the engine's fold (merged end = last start + W for sorted starts,
-      // so "p ≤ merged end" ⟺ "p − prev ≤ W")
-      val W = DupSpanWidth
+    "q113_max_spans" ->
       s"""$spanDupCtes,
-        |lg AS (SELECT doc_id, pos,
-        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) pp
-        |       FROM dup),
-        |isl AS (SELECT doc_id, pos,
-        |          SUM(CASE WHEN pp IS NULL OR pos - pp > $W THEN 1 ELSE 0 END)
-        |            OVER (PARTITION BY doc_id ORDER BY pos
-        |                  ROWS UNBOUNDED PRECEDING) island
-        |        FROM lg),
-        |sp AS (SELECT doc_id, island, MIN(pos) a, MAX(pos) + $W b
-        |       FROM isl GROUP BY 1, 2),
+        |$spanIslandCtes,
         |sl AS (SELECT doc_id, b - a AS span_len FROM sp)
         |SELECT tk.lang, sl.span_len, COUNT(*) AS n_spans,
         |  COUNT(DISTINCT sl.doc_id) AS n_docs,
         |  CAST(SUM(sl.span_len) AS BIGINT) AS covered_tokens
         |FROM sl JOIN tk USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q116_long_span_strip" ->
+      // the q113 islands filtered to length ≥ MinStripSpan, then the q99
+      // rebuild driven by interval containment instead of start coverage
+      s"""$spanDupCtes,
+        |$spanIslandCtes,
+        |lsp AS (SELECT doc_id, a, b FROM sp WHERE b - a >= $MinStripSpan),
+        |ivs AS (SELECT doc_id, list_sort(list({'a': a, 'b': b})) AS iv
+        |        FROM lsp GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.lang, b.t, b.n,
+        |        COALESCE(s.iv, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])) AS iv
+        |      FROM b LEFT JOIN ivs s USING (doc_id)),
+        |k2 AS (SELECT doc_id, lang, n, t,
+        |        list_filter(range(n),
+        |          p -> len(list_filter(iv, v -> p >= v.a AND p < v.b)) = 0) AS keep
+        |       FROM j)
+        |SELECT doc_id, lang, n AS n_tok,
+        |  CAST(n - len(keep) AS BIGINT) AS n_removed,
+        |  CAST(len(keep) AS DOUBLE) / CAST(n AS DOUBLE) AS kept_frac,
+        |  md5(COALESCE(array_to_string(list_transform(keep,
+        |    p -> t[CAST(p AS INTEGER) + 1]), ' '), '')) AS stripped_md5
+        |FROM k2 ORDER BY doc_id""".stripMargin,
   )
 }

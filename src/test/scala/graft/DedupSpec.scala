@@ -706,6 +706,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == Seq((0L, 20L), (21L, 41L)), s"doc3 ${got(3L)}")
   }
 
+  /** q116: the ExactSubstr threshold rule — only maximal duplicated
+    * blocks ≥ MinStripSpan tokens are removed; an isolated 20-token
+    * quote (a legitimate boilerplate phrase) survives, while the
+    * 400-token copied block goes. At minLen ≤ the gram width the
+    * threshold is vacuous and the strip IS q99's, md5-for-md5. */
+  test("q116 planted: long blocks stripped, short quotes kept, minLen=W ≡ q99") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q116").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%03d").mkString(" ")
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val block = toks("blk", 400)
+    val quote = toks("qte", 20)
+    val doc1 = block + " " + quote + " " + toks("x", 10) // first owner
+    val doc2 = toks("w", 7) + " " + block + " " + toks("v", 9)
+    val doc3 = toks("u", 7) + " " + quote + " " + toks("z", 30)
+    Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q116LongSpanStrip(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(5))))
+      .toMap
+    // doc 2 loses ONLY the 400-token block; doc 3's 20-token quote is
+    // below the 50-token threshold and survives — the q99 strip would
+    // have removed it (q99 strips doc3 to u+z)
+    assert(got(1L) == ((430L, 0L, m(doc1))), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((416L, 400L, m(toks("w", 7) + " " + toks("v", 9)))),
+      s"doc2 ${got(2L)}")
+    assert(got(3L) == ((57L, 0L, m(doc3))), s"doc3 ${got(3L)}")
+    val q99got = Dedup.q99SpanStrip(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(q99got(3L) == 20L, s"q99 must strip doc3's quote: $q99got")
+    // vacuous threshold: minLen = gram width ⇒ identical to q99
+    val d = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val viaThreshold = Dedup.longSpanStripOf(d, Dedup.DupSpanWidth.toLong)
+      .select($"doc_id", $"n_kept", $"stripped_md5").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val viaQ99 = Dedup.stripByStarts(
+        Dedup.spanBase(d), Dedup.dupStartsOf(Dedup.spanBase(d)))
+      .select($"doc_id", $"n_kept", $"stripped_md5").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(viaThreshold == viaQ99, s"minLen=W must reproduce q99:\n $viaThreshold\n $viaQ99")
+  }
+
   /** q113 ≡ q99 (VERDICT r8 #1's equivalence leg): the union of the
     * merged maximal intervals IS q99's covered-token set, so stripping
     * by intervals must rebuild byte-identical documents (md5-for-md5) on
