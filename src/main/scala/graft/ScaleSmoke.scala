@@ -30,7 +30,8 @@ object ScaleSmoke {
     "q88_textrank", "q90_source_drift", "q91_balance_chi2",
     "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q101_bloom_decontam",
-    "q102_dsir_weights", "q104_bpe_encode", "q112_pq_distortion")
+    "q102_dsir_weights", "q104_bpe_encode", "q112_pq_distortion",
+    "q113_max_spans", "q114_pii_rewrite", "q116_long_span_strip")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -244,6 +245,74 @@ object ScaleSmoke {
     q99scaled.filter(_._1 >= 10000000L).foreach { case (id, (_, n, rm, _)) =>
       require(n < graft.operators.Dedup.DupSpanWidth || rm == n,
         s"q99 replica doc $id not fully stripped ($rm of $n tokens)")
+    }
+    // q113 invariant (r9): copy-0 dup starts keep their minimal keys, so
+    // base spans survive untouched; every replica doc with n ≥ W tokens
+    // is wall-to-wall duplicated — exactly ONE maximal span of length n.
+    // The scaled histogram is therefore base + (factor−1) × the
+    // per-(lang, token-count) doc counts — an EXACT prediction.
+    locally {
+      val W = graft.operators.Dedup.DupSpanWidth
+      def rows(dir: String) =
+        SparkEntry.queries("q113_max_spans")(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val b = rows(sfDir)
+      val sc = rows(workDir)
+      val docTok = d.select($"lang",
+          size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+        .filter($"n" >= W).groupBy($"lang", $"n").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (b.keySet ++ docTok.keySet).map { k =>
+        val (ns, nd, cov) = b.getOrElse(k, (0L, 0L, 0L))
+        val extra = (factor - 1L) * docTok.getOrElse(k, 0L)
+        k -> ((ns + extra, nd + extra, cov + extra * k._2))
+      }.toMap
+      require(sc == want,
+        s"q113 scale-up broke the one-span-per-replica prediction: " +
+          (sc.keySet ++ want.keySet).filter(k => sc.get(k) != want.get(k))
+            .take(5).map(k => s"$k: got=${sc.get(k)} want=${want.get(k)}")
+            .mkString("; "))
+    }
+    // q114 invariant (r9): the rewrite is per-row — copy-0 rows are
+    // BIT-IDENTICAL to base and every replica row equals its base doc's
+    // on all non-id columns
+    locally {
+      def rows(dir: String) =
+        SparkEntry.queries("q114_pii_rewrite")(spark, dir).collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getBoolean(5), r.getString(6),
+            r.getString(7))))
+      val b = rows(sfDir).toMap
+      val sc = rows(workDir)
+      require(sc.length == factor * b.size,
+        s"q114 scale-up row count ${sc.length} != $factor×${b.size}")
+      sc.foreach { case (id, t) =>
+        require(b(id % 10000000L) == t,
+          s"q114 replica $id diverged from its base doc")
+      }
+    }
+    // q116 invariant (r9): copy-0 strips bit-identically to base (same
+    // intervals); a replica doc is ONE span of its full length n, so the
+    // threshold splits three regimes exactly — n ≥ MinStripSpan strips
+    // everything, W ≤ n < MinStripSpan keeps everything (the span is too
+    // short), n < W carries no grams and passes through
+    locally {
+      val W = graft.operators.Dedup.DupSpanWidth.toLong
+      val minL = graft.operators.Dedup.MinStripSpan
+      def rows(dir: String) =
+        SparkEntry.queries("q116_long_span_strip")(spark, dir).collect()
+          .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+            r.getLong(3), r.getString(5))))
+      val b = rows(sfDir).toMap
+      val sc = rows(workDir)
+      require(sc.filter(_._1 < 10000000L).toMap == b,
+        "q116 scale-up changed copy-0 strips — interval derivation moved")
+      sc.filter(_._1 >= 10000000L).foreach { case (id, (_, n, rm, _)) =>
+        val wantRm = if (n >= minL) n else 0L
+        require((n < W && rm == 0L) || rm == wantRm,
+          s"q116 replica doc $id: removed $rm of $n (want $wantRm)")
+      }
     }
     // q89 invariant: disjoint-vocab replication reproduces the base pair
     // set exactly once per copy — copy 0 (doc_id < first offset) must be

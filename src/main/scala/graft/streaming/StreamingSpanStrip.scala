@@ -70,4 +70,26 @@ object StreamingSpanStrip {
       .select(col("doc_id"), col("n").as("n_tok"),
         (col("n") - col("n_kept")).as("n_removed"), col("stripped_md5"))
   }
+
+  /** The q116 rule at the door: corpus-known coverage merged into
+    * maximal intervals per incoming doc, and only blocks of at least
+    * `minLen` tokens stripped — a quoted phrase passes, a wholesale
+    * re-send of corpus text is removed. Same stateless shape as
+    * [[strippedBatch]] (the interval merge is per-row expression work on
+    * the already-grouped starts), same shared batch arithmetic
+    * ([[Dedup.maxSpanIntervals]]/[[Dedup.stripByIntervals]]). */
+  def longStrippedBatch(batchDocs: DataFrame, grams: DataFrame,
+      minLen: Long = Dedup.MinStripSpan): DataFrame = {
+    val base = Dedup.spanBase(batchDocs.select(col("doc_id"), col("text")))
+    val starts = Dedup.gramOccurrences(base)
+      .join(grams, "h")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("pos"))).as("sts"))
+    val ivs = Dedup.maxSpanIntervals(starts)
+      .withColumn("iv", expr(s"filter(iv, v -> v.b - v.a >= ${minLen}L)"))
+      .filter(size(col("iv")) > 0)
+      .select(col("doc_id"), col("iv"))
+    Dedup.stripByIntervals(base, ivs)
+      .select(col("doc_id"), col("n").as("n_tok"),
+        (col("n") - col("n_kept")).as("n_removed"), col("stripped_md5"))
+  }
 }

@@ -239,6 +239,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  /** The q116 threshold rule at the door: a short quote of corpus text
+    * survives (below MinStripSpan), a long copied block is removed, and
+    * a wholesale re-send strips to the empty string — the ExactSubstr
+    * ingestion policy, sharing the batch interval-merge/strip code. */
+  test("streaming long-span strip keeps short quotes, removes long blocks") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => f"$p$i%03d").mkString(" ")
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val block = toks("blk", 60)
+    val quote = toks("qte", 20)
+    val grams = graft.streaming.StreamingSpanStrip.corpusGrams(
+      Seq((100L, block + " " + quote)).toDF("doc_id", "text"))
+    val in = Seq(
+      (1L, toks("w", 5) + " " + quote + " " + toks("v", 5)), // short quote: kept
+      (2L, toks("u", 5) + " " + block + " " + toks("z", 5)), // long block: stripped
+      (3L, block),                                           // wholesale re-send
+      (4L, toks("n", 8)))                                    // novel: untouched
+      .toDF("doc_id", "text")
+    val got = graft.streaming.StreamingSpanStrip
+      .longStrippedBatch(in, grams).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((30L, 0L,
+      m(toks("w", 5) + " " + quote + " " + toks("v", 5)))), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((70L, 60L, m(toks("u", 5) + " " + toks("z", 5)))),
+      s"doc2 ${got(2L)}")
+    assert(got(3L) == ((60L, 60L, m(""))), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((8L, 0L, m(toks("n", 8)))), s"doc4 ${got(4L)}")
+    // and the un-thresholded strip WOULD have removed doc 1's quote —
+    // the threshold is what keeps it
+    val plain = graft.streaming.StreamingSpanStrip.strippedBatch(in, grams)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plain(1L) == 20L, s"plain strip must remove the quote: $plain")
+  }
+
   /** StreamingRedact (VERDICT r8 #2): the at-the-door PII scrub must be
     * byte-identical to the batch q114 chain — one shared pattern set, so
     * there is no second place for the redaction rules to drift. The op
