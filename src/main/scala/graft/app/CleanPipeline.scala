@@ -52,13 +52,10 @@ object CleanPipeline {
       buckets: Int = 32): DataFrame = {
     import graft.operators.Dedup
     val docs = Tables(spark, inDir, "documents")
-    // q65's keep decision per cluster
-    val drops = Dedup.queries("q65_keep_best")(spark, inDir)
-      .select(col("cluster_rep").as("lbl"), col("keep_id"))
-    val dropList = Dedup.memberComponentsOf(docs)
-      .join(drops, "lbl")
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id")).withColumn("neardup", lit(1))
+    // q65's keep decision per cluster, membership from the same memoized
+    // label pass (review finding r9)
+    val dropList = Dedup.nearDupDrops(spark, inDir)
+      .withColumn("neardup", lit(1))
     val staged = TextOps.stagedDocs(docs)
       .join(dropList, Seq("doc_id"), "left")
       .withColumn("stage",
@@ -83,12 +80,15 @@ object CleanPipeline {
     *
     *   clean (q54 cascade: exact-dup → repetition → quality → sample)
     *   → near-dup drop (q36 components, q65 keeper)
-    *   → decontam drop (q60 hit list: train docs sharing an eval shingle)
+    *   → decontam drop (the q60 machinery aimed at THIS pipeline's own
+    *     published val/test splits: a train-split doc sharing a
+    *     DecontamWidth-shingle with any val/test doc is dropped)
     *   → span strip (q99: non-first duplicated 20-gram coverage removed,
     *     applied WITHIN the surviving corpus — the version being
     *     published is what must not self-duplicate)
     *   → PII redact (q114 chain, the published text)
-    *   → split (q77 buckets: <980 train / <990 val / else test)
+    *   → split ([[splitCol]]: a salted 98/1/1 hash, independent of the
+    *     sample stage's bucket)
     *   → pack (q58 distributed prefix-sum offsets, 8192-token packs)
     *   → publish (lang-partitioned, doc_id-bucketed table).
     *
@@ -98,17 +98,32 @@ object CleanPipeline {
     * touches only kept documents; every drop stage joins a doc-id-sized
     * list — the expensive frames are the q36 banding and the q60/q99
     * shingle shuffles, each already shaped for scale by its operator. */
+  /** The published train/val/test assignment: an INDEPENDENT salted
+    * hash. The q54 sample stage consumed the plain doc_id bucket (every
+    * kept doc has bucket < its language rate), so a split derived from
+    * the same bucket would label the whole published corpus `train` —
+    * val/test buckets 980+ can never survive sampling (review finding
+    * r9). Salting re-randomizes: each published doc lands in 98/1/1
+    * independently of how it was sampled, deterministically per id. */
+  private[graft] def splitBucket =
+    graft.util.Buckets.modN("concat(cast(doc_id as string), '#split')", 1000)
+
+  private[graft] def splitCol =
+    when(splitBucket < 980, "train")
+      .when(splitBucket < 990, "val").otherwise("test")
+
   def runFull(spark: SparkSession, inDir: String, table: String,
       buckets: Int = 32): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val docsAll = Tables(spark, inDir, "documents")
-    val drops = Dedup.queries("q65_keep_best")(spark, inDir)
-      .select(col("cluster_rep").as("lbl"), col("keep_id"))
-    val dropList = Dedup.memberComponentsOf(docsAll)
-      .join(drops, "lbl")
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id")).withColumn("neardup", lit(1))
-    val contam = Dedup.contaminatedTrainDocs(docsAll)
+    val dropList = Dedup.nearDupDrops(spark, inDir)
+      .withColumn("neardup", lit(1))
+    // decontamination protects the pipeline's OWN published eval splits
+    // (review finding r9: dropping against q60's bucket<100 eval set —
+    // which this pipeline publishes into train — protects nothing it
+    // ships): a train-split doc sharing a shingle with any val/test doc
+    // is dropped; val/test docs are never dropped by this stage
+    val contam = Dedup.contaminatedDocsBy(docsAll, splitBucket >= 980)
       .withColumn("contaminated", lit(1))
     val staged = TextOps.stagedDocs(docsAll)
       .join(dropList, Seq("doc_id"), "left")
@@ -134,11 +149,7 @@ object CleanPipeline {
           (col("n_emails") + col("n_ipv4") + col("n_phones")).as("n_pii"),
           col("n_tok"), col("n_kept"))
       val fin = kept.drop("text").join(redacted, "doc_id")
-        .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
-        .withColumn("split",
-          when(col("bucket") < 980, "train")
-            .when(col("bucket") < 990, "val").otherwise("test"))
-        .drop("bucket")
+        .withColumn("split", splitCol)
       val packed = TextOps.packAssignments(
           fin.withColumn("tok", col("n_kept")))
         .withColumn("n_chars", length(col("text")))

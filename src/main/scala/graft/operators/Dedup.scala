@@ -589,23 +589,34 @@ object Dedup {
     * (bucket ≥ 100) sharing a [[DecontamWidth]]-shingle with the eval
     * split (bucket < 100). Factored out so the curate CLI can DROP the
     * hits, not just count them. */
-  def contaminatedTrainDocs(d: DataFrame): DataFrame = {
+  def contaminatedTrainDocs(d: DataFrame): DataFrame =
+    contaminatedDocsBy(d, graft.util.Buckets.mod1000("doc_id") < 100)
+
+  /** The generalized hit list: non-eval docs sharing a
+    * [[DecontamWidth]]-shingle with any doc satisfying `isEval` — which
+    * must be computable from doc_id alone (it is evaluated MAP-SIDE on
+    * the shingle frame). q60's convention is `bucket < 100`; the curate
+    * CLI protects its OWN published val/test splits instead (review
+    * finding r9: dropping against q60's eval buckets while publishing a
+    * differently-derived split protects nothing the pipeline ships). */
+  private[graft] def contaminatedDocsBy(d: DataFrame,
+      isEval: org.apache.spark.sql.Column): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
     // ONE text decode: shingle the whole corpus (per-doc dedup — needed
     // by the train side, absorbed by the global distinct on the eval
-    // side), then split by the doc_id-derived bucket AFTER shingling.
+    // side), then split by the doc_id-derived predicate AFTER shingling.
     // The checkpoint is the scan barrier: without it Catalyst pushes the
-    // two bucket filters below the distinct and plans two text scans
+    // two filters below the distinct and plans two text scans
     // (filter pushdown is per-branch; only exchanges are reused). The
     // shingle frame is a few rows per token — the persist-vs-rescan
     // trade the round-3 advice asked for in the same-corpus shape.
     val sh = shingleRowsOf(d.select($"doc_id", $"text"),
         distinct = true, width = DecontamWidth)
-      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+      .withColumn("ev", isEval)
       .localCheckpoint(true)
-    val evalSh = sh.filter($"bucket" < 100).select($"s").distinct()
-    val trainSh = sh.filter($"bucket" >= 100).select($"doc_id", $"s")
+    val evalSh = sh.filter($"ev").select($"s").distinct()
+    val trainSh = sh.filter(!$"ev").select($"doc_id", $"s")
     trainSh.join(evalSh, "s")
       .select($"doc_id").distinct()
   }
@@ -949,6 +960,21 @@ object Dedup {
         $"id".as("keep_id"), $"n_chars".as("keep_n_chars"),
         ($"cluster_size" - 1L).as("n_dropped"))
       .orderBy($"cluster_rep")
+  }
+
+  /** Non-keeper members of every q36 near-dup component — the drop list
+    * the cleaning pipelines join against. ONE memoized label pass
+    * ([[memberComponents]]) serves both the q65 keeper choice and the
+    * membership expansion here (review finding r9: the previous callers
+    * re-derived the component labeling — the pipeline's costliest
+    * shuffle — a second, unmemoized time). */
+  def nearDupDrops(s: SparkSession, dir: String): DataFrame = {
+    val keepers = q65KeepBest(s, dir)
+      .select(col("cluster_rep").as("lbl"), col("keep_id"))
+    memberComponents(s, dir)
+      .join(keepers, "lbl")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q97

@@ -727,6 +727,17 @@ object Similarity {
     val enc = s.read.parquet(s"$indexPath/enc")
       .select($"vec_id", $"cell", $"codes")
     val joined = scaled(s, rawDir).join(enc, "vec_id")
+    // coverage gate (review finding r9): the equi-join silently DROPS
+    // encoded vectors whose ids are absent from rawDir — which would be
+    // exactly the appended batches this audit exists to judge. A gate
+    // that can read clean while skipping the drifted rows is worse than
+    // none: refuse instead.
+    val nEnc = enc.count()
+    val nCovered = joined.count()
+    require(nCovered == nEnc,
+      s"drift gate refused: $rawDir covers $nCovered of $nEnc encoded " +
+        "vectors — pass a rawDir containing every appended batch's raw " +
+        "vectors, or the audit would silently skip exactly the rows it judges")
     // the q112 discipline: materialize residual and code once per
     // subspace in their own projection before the error expression
     // references each twice

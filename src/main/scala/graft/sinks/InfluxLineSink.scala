@@ -4,6 +4,8 @@ import java.io.OutputStream
 import java.net.{HttpURLConnection, URL, URLEncoder}
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -72,8 +74,14 @@ object InfluxLineSink {
             .getBytes(StandardCharsets.UTF_8)
           try {
             val code = post(fullUrl, body)
+            // an HTTP error status is a FAILED write and must fail the
+            // task like a connection error does — a logged-and-swallowed
+            // 4xx/5xx silently loses the chunk AND (review finding r9)
+            // would let writeEpochOnce mark a lost epoch committed,
+            // suppressing even a manual replay
             if (code >= 300)
-              System.err.println(s"[influx-sink] HTTP $code for ${chunk.size} lines")
+              throw new java.io.IOException(
+                s"InfluxDB /write returned HTTP $code for ${chunk.size} lines")
           } catch {
             case e: Exception =>
               System.err.println(s"[influx-sink] write failed: ${e.getMessage}")
@@ -105,10 +113,20 @@ object InfluxLineSink {
     * that epoch (the residual at-least-once window a non-transactional
     * HTTP sink cannot close; InfluxDB 1.x itself overwrites points with
     * identical measurement+tags+timestamp, which shrinks the residual
-    * further for the APRS schema). Marker creation is atomic
-    * (Files.createFile), so two racing replays of one epoch cannot both
-    * claim it — the loser's exception is swallowed as "already
-    * committed". Returns true when this call did the write. */
+    * further for the APRS schema). The marker is written only after
+    * [[writeBatch]] returns, and writeBatch FAILS on HTTP error statuses
+    * as well as connection errors — a lost epoch can never be recorded
+    * committed. Scope of the guarantee: one driver per checkpoint (the
+    * structured-streaming deployment shape) — the atomic createFile
+    * protects the marker itself, not two independent drivers racing the
+    * same POST, which the engine's own checkpoint lock already forbids.
+    * Markers older than [[CommitRetention]] epochs are pruned
+    * opportunistically (every 100th epoch): the engine replays at most
+    * the uncommitted tail, so ancient markers are dead weight an
+    * always-on daemon would otherwise accumulate forever.
+    * Returns true when this call did the write. */
+  val CommitRetention = 1000L
+
   def writeEpochOnce(batch: DataFrame, epochId: Long, url: String,
       db: String, commitDir: String, linesPerPost: Int = 5000,
       user: Option[String] = None, password: Option[String] = None): Boolean = {
@@ -122,8 +140,25 @@ object InfluxLineSink {
       writeBatch(batch, url, db, linesPerPost, user, password)
       try { java.nio.file.Files.createFile(marker); () }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      if (epochId % 100L == 0L) pruneMarkers(dir, epochId - CommitRetention)
       true
     }
+  }
+
+  /** Delete epoch markers below `keepFrom` — one directory listing,
+    * invoked every 100th epoch so the commit log stays bounded on an
+    * always-on daemon (review finding r9). */
+  private[sinks] def pruneMarkers(dir: java.nio.file.Path, keepFrom: Long): Unit = {
+    val stream = java.nio.file.Files.list(dir)
+    try stream.iterator().asScala.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("epoch-")) {
+        val id = name.stripPrefix("epoch-").toLongOption
+        if (id.exists(_ < keepFrom))
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+      }
+    } finally stream.close()
   }
 
   /** [[start]] with exactly-once-per-epoch delivery via [[writeEpochOnce]].

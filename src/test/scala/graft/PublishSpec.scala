@@ -130,10 +130,28 @@ class PublishSpec extends AnyFunSuite {
     assert(pub.columns.toSet == Set("doc_id", "source", "lang", "text",
       "n_pii", "n_tok", "n_kept", "split", "start_off", "pack_id", "n_chars"),
       pub.columns.mkString(","))
-    // splits come from the q77 bucket rule
+    // splits come from the SALTED hash (review finding r9: the plain
+    // doc_id bucket was consumed by the q54 sample stage, which keeps
+    // only bucket < rate — a split on the same bucket could never
+    // publish a val/test doc). Recompute the assignment independently
+    // and compare exactly — deterministic, so no small-corpus flake.
     val splits = pub.select("split").distinct().collect()
       .map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    import org.apache.spark.sql.functions.col
+    val mismatched = pub
+      .withColumn("want", graft.app.CleanPipeline.splitCol)
+      .filter(col("split") =!= col("want")).count()
+    assert(mismatched == 0L, s"$mismatched docs diverge from the salted split rule")
+    // and the salted rule is genuinely independent of the sample bucket:
+    // every published doc has sample-bucket < 500, yet val/test can only
+    // come from salted-bucket >= 980 — prove the two hashes differ on
+    // this corpus
+    val sameHash = pub
+      .withColumn("sb", graft.util.Buckets.mod1000("doc_id"))
+      .withColumn("kb", graft.app.CleanPipeline.splitBucket)
+      .filter(col("sb") === col("kb")).count()
+    assert(sameHash < pub.count(), "salted split bucket degenerated to the sample bucket")
     // published text = the q99 strip of the kept subset, then the q114
     // chain — re-derive both transforms independently and compare md5s
     import org.apache.spark.sql.functions._

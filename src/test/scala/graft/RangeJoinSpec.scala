@@ -757,6 +757,13 @@ class RangeJoinSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.expr(
           "transform(embedding, x -> x * cast(3.0 as float))").as("embedding"))
     Similarity.appendPqIndex(spark, s"$tmp/half", shifted)
+    // coverage refusal (review finding r9): auditing against the ORIGINAL
+    // corpus would silently skip the appended rows — exactly what the
+    // gate judges — so it must refuse, not read clean
+    val refused = intercept[IllegalArgumentException] {
+      Similarity.pqIndexDistortion(spark, dir, s"$tmp/half").collect()
+    }
+    assert(refused.getMessage.contains("drift gate refused"), refused.getMessage)
     // the shifted ids have no rawDir twin under the original ids — feed
     // the gate a rawDir via the same shifted frame written as a corpus
     val driftDir = s"$tmp/driftraw"

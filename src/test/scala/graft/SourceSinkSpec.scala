@@ -404,4 +404,52 @@ class SourceSinkSpec extends AnyFunSuite {
         s"post-restart batch missing: ${bodies.toArray.toSeq}")
     } finally http.stop(0)
   }
+
+  /** Review finding r9: an HTTP error status is a FAILED write — the
+    * epoch must not be marked committed (a marker over a lost epoch
+    * suppresses even a manual replay), and the retry after the endpoint
+    * recovers must deliver. Plus the marker log stays bounded: markers
+    * below the retention window are pruned. */
+  test("influx sink: HTTP errors fail the epoch, markers prune") {
+    val failing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val bodies = new ConcurrentLinkedQueue[String]()
+    val http = HttpServer.create(new InetSocketAddress(0), 0)
+    http.createContext("/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        if (failing.get()) ex.sendResponseHeaders(500, -1)
+        else { bodies.add(body); ex.sendResponseHeaders(204, -1) }
+        ex.close()
+      }
+    })
+    http.start()
+    val url = s"http://127.0.0.1:${http.getAddress.getPort}"
+    try {
+      val commits = java.nio.file.Files.createTempDirectory("influx_fail").toString
+      val df = Seq("m,f=a v=1").toDF("line")
+      val thrown = intercept[Exception] {
+        InfluxLineSink.writeEpochOnce(df.coalesce(1), 3L, url, "db", commits)
+      }
+      assert(thrown.getMessage != null, thrown.toString)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(commits, "epoch-3")),
+        "a failed epoch must not be marked committed")
+      failing.set(false)
+      assert(InfluxLineSink.writeEpochOnce(df.coalesce(1), 3L, url, "db", commits),
+        "the retry after recovery must write")
+      assert(bodies.size == 1 && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(commits, "epoch-3")))
+      // pruning: epochs far below the retention window vanish on the
+      // next 100th-epoch commit; recent ones survive
+      val dir = java.nio.file.Paths.get(commits)
+      java.nio.file.Files.createFile(dir.resolve("epoch-1"))
+      InfluxLineSink.writeEpochOnce(df.coalesce(1),
+        InfluxLineSink.CommitRetention + 100L, url, "db", commits)
+      assert(!java.nio.file.Files.exists(dir.resolve("epoch-1")),
+        "ancient marker must be pruned at the retention boundary")
+      assert(java.nio.file.Files.exists(
+        dir.resolve(s"epoch-${InfluxLineSink.CommitRetention + 100L}")))
+    } finally http.stop(0)
+  }
 }
