@@ -157,6 +157,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), p.take(1200))
   }
 
+  test("q113: spans come from the checkpoint; the lang join is text-free") {
+    // both parquet scans in the final plan must be TEXT-FREE: the span
+    // side reads the checkpointed dup-start frame (ExistingRDD), the
+    // lang join reads only (doc_id, lang), and the span-side's own base
+    // scan reads only (doc_id, text) ONCE inside the checkpoint —
+    // a text:string ReadSchema in the returned plan means the merge
+    // re-decoded the corpus
+    val p = plan("q113_max_spans")
+    assert(p.contains("ExistingRDD"), p.take(1200))
+    assert(!p.contains("text:string"),
+      s"q113's final plan must not re-decode text\n${p.take(1200)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      p.take(1200))
+  }
+
+  test("q114: the redaction chain is one scan, no joins, no hash shuffle") {
+    // pure map-side regexp work: one parquet scan, zero joins, and the
+    // only exchange is the output sort's range partitioning
+    val p = plan("q114_pii_rewrite")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q114 must not hash-shuffle\n${p.take(1200)}")
+  }
+
+  test("q116: one rebuild scan; interval side reads the checkpoint only") {
+    // q99's shape with the interval fold spliced in: the occurrence
+    // frame is checkpointed, so the final plan carries exactly ONE
+    // parquet scan — the token-rebuild projection
+    val p = plan("q116_long_span_strip")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"q116 must scan documents exactly once\n${p.take(1200)}")
+    assert(p.contains("ExistingRDD"), p.take(1200))
+  }
+
   test("q89: shared shingle frame evaluates once — no FileScan in the plan") {
     // VERDICT r6 #3: `e` feeds nDoc, the df cap AND both join sides. The
     // checkpoint is the barrier; every consumer must read the
