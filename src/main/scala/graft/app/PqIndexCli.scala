@@ -39,7 +39,7 @@ object PqIndexCli {
     finally spark.stop()
   }
 
-  private[app] def run(spark: SparkSession, args: Seq[String]): Unit =
+  private[graft] def run(spark: SparkSession, args: Seq[String]): Unit =
     args match {
       case Seq("build", sfDir, indexPath) =>
         Similarity.savePqIndex(spark, sfDir, indexPath)

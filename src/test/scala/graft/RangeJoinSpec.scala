@@ -778,6 +778,33 @@ class RangeJoinSpec extends AnyFunSuite {
       s"shifted batch did not raise distortion: before=${baseMse.toSeq} after=${after.toSeq}")
   }
 
+  /** The PqIndexCli lifecycle drives the same spec-proven calls the
+    * library exposes — pin the wiring itself: build encodes the corpus,
+    * append grows the index against frozen models, audit refuses an
+    * uncovered corpus, and serve answers with curve knobs. */
+  test("PqIndexCli: build, append, serve, and the audit refusal wire correctly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqcli").toString
+    graft.app.PqIndexCli.run(spark, Seq("build", dir, s"$tmp/idx"))
+    val n0 = spark.read.parquet(s"$tmp/idx/enc").count()
+    assert(n0 > 0)
+    graft.util.Tables(spark, dir, "embeddings")
+      .filter($"vec_id" < 50)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+      .write.mode("overwrite").parquet(s"$tmp/batch")
+    graft.app.PqIndexCli.run(spark, Seq("append", s"$tmp/idx", s"$tmp/batch"))
+    assert(spark.read.parquet(s"$tmp/idx/enc").count() == n0 + 50)
+    // audit against the un-appended corpus must refuse, not read clean
+    val refused = intercept[IllegalArgumentException] {
+      graft.app.PqIndexCli.run(spark, Seq("audit", dir, s"$tmp/idx"))
+    }
+    assert(refused.getMessage.contains("drift gate refused"))
+    // serve with the q115 cheapest->=0.9 knobs answers every query
+    val served = Similarity.pqServeQuery(spark, dir, s"$tmp/idx",
+      nprobe = 1, shortlist = 60)
+    assert(served.select("qid").distinct().count() == 10)
+  }
+
   /** q92: planted orphans and a NULL child key over a minimal star
     * schema — NULL counts as an orphan ROW (it can never match a
     * parent) but not as an orphan KEY. Real testdata has zero orphans,
