@@ -83,9 +83,12 @@ object CleanPipeline {
     *   → decontam drop (the q60 machinery aimed at THIS pipeline's own
     *     published val/test splits: a train-split doc sharing a
     *     DecontamWidth-shingle with any val/test doc is dropped)
-    *   → span strip (q99: non-first duplicated 20-gram coverage removed,
-    *     applied WITHIN the surviving corpus — the version being
-    *     published is what must not self-duplicate)
+    *   → span strip (q116, the published ExactSubstr convention of Lee
+    *     et al. 2022: only MAXIMAL duplicated blocks of ≥ `minStripSpan`
+    *     tokens are removed, short incidental matches are kept; applied
+    *     WITHIN the surviving corpus — the version being published is
+    *     what must not self-duplicate. `minStripSpan` ≤ the gram width
+    *     degenerates to the q99 every-dup-gram rule, spec-pinned)
     *   → PII redact (q114 chain, the published text)
     *   → split ([[splitCol]]: a salted 98/1/1 hash, independent of the
     *     sample stage's bucket)
@@ -113,7 +116,9 @@ object CleanPipeline {
       .when(splitBucket < 990, "val").otherwise("test")
 
   def runFull(spark: SparkSession, inDir: String, table: String,
-      buckets: Int = 32): (DataFrame, DataFrame) = {
+      buckets: Int = 32,
+      minStripSpan: Long = graft.operators.Dedup.MinStripSpan)
+      : (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val docsAll = Tables(spark, inDir, "documents")
     val dropList = Dedup.nearDupDrops(spark, inDir)
@@ -137,17 +142,30 @@ object CleanPipeline {
     try {
       val kept = staged.filter(col("stage") === "kept")
         .select("doc_id", "text", "source", "lang")
-      // q99 strip within the published corpus, keeping the rebuilt text
+      // q116 threshold strip within the published corpus (VERDICT r9 #1:
+      // the q99 every-dup-gram rule over-strips short incidental matches
+      // the ExactSubstr convention exists to keep): derive the maximal
+      // dup intervals once, strip only blocks ≥ minStripSpan, and account
+      // per doc for the duplicated tokens the threshold KEPT — the delta
+      // an operator reads to see what the rule spared vs q99
       val base = Dedup.spanBase(kept.select(col("doc_id"), col("text")))
-      val stripped = Dedup.stripByStarts(base, Dedup.dupStartsOf(base))
+      val ivs = Dedup.maxSpanIntervals(Dedup.dupStartsOf(base))
+        .withColumn("n_dup_kept", expr(
+          s"""aggregate(filter(iv, v -> v.b - v.a < ${minStripSpan}L),
+             |  0L, (acc, v) -> acc + (v.b - v.a))""".stripMargin))
+        .withColumn("iv",
+          expr(s"filter(iv, v -> v.b - v.a >= ${minStripSpan}L)"))
+        .select(col("doc_id"), col("iv"), col("n_dup_kept"))
+      val stripped = Dedup.stripByIntervals(base, ivs)
+        .withColumn("n_dup_kept", coalesce(col("n_dup_kept"), lit(0L)))
         .select(col("doc_id"), col("stripped_text"),
-          col("n").as("n_tok"), col("n_kept"))
+          col("n").as("n_tok"), col("n_kept"), col("n_dup_kept"))
       // q114 chain over the stripped text — the bytes being published
       val redacted = TextOps.piiRewriteOf(
           stripped.withColumnRenamed("stripped_text", "text"))
         .select(col("doc_id"), col("redacted").as("text"),
           (col("n_emails") + col("n_ipv4") + col("n_phones")).as("n_pii"),
-          col("n_tok"), col("n_kept"))
+          col("n_tok"), col("n_kept"), col("n_dup_kept"))
       val fin = kept.drop("text").join(redacted, "doc_id")
         .withColumn("split", splitCol)
       val packed = TextOps.packAssignments(
@@ -166,6 +184,10 @@ object CleanPipeline {
           sum(col("n_tok")).as("tok_in"),
           sum(col("n_kept")).as("tok_kept"),
           sum(col("n_tok") - col("n_kept")).as("tok_stripped"),
+          // duplicated-span tokens the q116 threshold SPARED (q99 would
+          // have stripped them) — tok_stripped + tok_dup_kept is the
+          // full dup coverage, so the two columns together price the rule
+          sum(col("n_dup_kept")).as("tok_dup_kept"),
           sum(col("n_pii")).as("n_pii_redacted"),
           (max(col("pack_id")) + 1L).as("n_packs"))
         .orderBy(col("lang"))
@@ -179,13 +201,18 @@ object CleanPipeline {
 
   def main(args: Array[String]): Unit = {
     val full = args.contains("--full")
-    val pos = args.filterNot(_ == "--full")
+    val mi = args.indexOf("--min-strip-span")
+    val minSpan = if (mi >= 0) args(mi + 1).toLong
+      else graft.operators.Dedup.MinStripSpan
+    val pos = args.zipWithIndex.collect {
+      case (a, i) if a != "--full" && (mi < 0 || (i != mi && i != mi + 1)) => a
+    }
     val inDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val table = pos.lift(1).getOrElse("clean_corpus")
     val buckets = pos.lift(2).map(_.toInt).getOrElse(32)
     val spark = graft.util.GraftSession.local("graft-clean-pipeline")
     if (full) {
-      val (acct, summary) = runFull(spark, inDir, table, buckets)
+      val (acct, summary) = runFull(spark, inDir, table, buckets, minSpan)
       acct.show(100, truncate = false)
       summary.show(100, truncate = false)
     } else run(spark, inDir, table, buckets).show(100, truncate = false)

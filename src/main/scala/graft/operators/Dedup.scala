@@ -1201,9 +1201,12 @@ object Dedup {
       .withColumn("keep", expr(
         "filter(sequence(0L, n - 1L), p -> NOT exists(iv, v -> p >= v.a AND p < v.b))"))
       .withColumn("n_kept", size(col("keep")).cast("long"))
-      .withColumn("stripped_md5", md5(expr(
-        "concat_ws(' ', transform(keep, p -> element_at(toks, cast(p + 1 as int))))")
-        .cast("binary")))
+      // rebuilt text rides along for transform consumers (the curate CLI
+      // publishes it) — mirror of [[stripByStarts]]'s contract; md5-only
+      // consumers (q116, the streaming strip) just don't select it
+      .withColumn("stripped_text", expr(
+        "concat_ws(' ', transform(keep, p -> element_at(toks, cast(p + 1 as int))))"))
+      .withColumn("stripped_md5", md5(col("stripped_text").cast("binary")))
       .drop("toks", "iv", "keep")
 
   // ---------------------------------------------------------------- q116

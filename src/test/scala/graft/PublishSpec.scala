@@ -108,11 +108,14 @@ class PublishSpec extends AnyFunSuite {
     assert(summary.keys.exists(_._2 == "neardup"), summary.toString)
   }
 
-  /** runFull (VERDICT r8 #7): the complete curate CLI end to end at
-    * sf0.001 — stage accounting partitions the corpus, the published
-    * table holds exactly the kept documents with the strip/redact/split/
-    * pack columns, the published text is verifiably the q99-stripped +
-    * q114-redacted bytes, and every pack respects the 8192-token frame. */
+  /** runFull (VERDICT r8 #7; strip rule per VERDICT r9 #1): the complete
+    * curate CLI end to end at sf0.001 — stage accounting partitions the
+    * corpus, the published table holds exactly the kept documents with
+    * the strip/redact/split/pack columns, the published text is
+    * verifiably the q116-threshold-stripped + q114-redacted bytes
+    * (maximal dup blocks ≥ MinStripSpan removed, short incidental
+    * matches KEPT and accounted in n_dup_kept), and every pack respects
+    * the 8192-token frame. */
   test("full curate pipeline: stages partition, published text is transformed") {
     cleanTableLocation("curate_pub")
     val (acctDf, summaryDf) = graft.app.CleanPipeline
@@ -128,7 +131,8 @@ class PublishSpec extends AnyFunSuite {
     val pub = spark.table("curate_pub")
     assert(pub.count() == acct.collect { case ((_, "kept"), n) => n }.sum)
     assert(pub.columns.toSet == Set("doc_id", "source", "lang", "text",
-      "n_pii", "n_tok", "n_kept", "split", "start_off", "pack_id", "n_chars"),
+      "n_pii", "n_tok", "n_kept", "n_dup_kept", "split", "start_off",
+      "pack_id", "n_chars"),
       pub.columns.mkString(","))
     // splits come from the SALTED hash (review finding r9: the plain
     // doc_id bucket was consumed by the q54 sample stage, which keeps
@@ -152,23 +156,39 @@ class PublishSpec extends AnyFunSuite {
       .withColumn("kb", graft.app.CleanPipeline.splitBucket)
       .filter(col("sb") === col("kb")).count()
     assert(sameHash < pub.count(), "salted split bucket degenerated to the sample bucket")
-    // published text = the q99 strip of the kept subset, then the q114
-    // chain — re-derive both transforms independently and compare md5s
+    // published text = the q116 THRESHOLD strip of the kept subset, then
+    // the q114 chain — re-derive both transforms independently via the
+    // shared longSpanStripOf and compare md5-for-md5 (VERDICT r9 #1)
     import org.apache.spark.sql.functions._
     val kept = pub.select(col("doc_id")).join(
       graft.util.Tables(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), col("text"))
-    val base = graft.operators.Dedup.spanBase(kept)
     val want = graft.operators.TextOps.piiRewriteOf(
-        graft.operators.Dedup.stripByStarts(base,
-          graft.operators.Dedup.dupStartsOf(base))
+        graft.operators.Dedup.longSpanStripOf(kept,
+          graft.operators.Dedup.MinStripSpan)
           .withColumnRenamed("stripped_text", "text")
           .select("doc_id", "text"))
       .select(col("doc_id"), md5(col("redacted").cast("binary")).as("m"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val got = pub.select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got == want, "published text diverges from the strip+redact chain")
+    assert(got == want, "published text diverges from the threshold-strip+redact chain")
+    // the accounting identity the threshold column carries: per doc,
+    // stripped tokens + threshold-kept tokens = the FULL q99 dup
+    // coverage — recompute the q99 arm independently and reconcile
+    val q99base = graft.operators.Dedup.spanBase(kept)
+    val q99cov = graft.operators.Dedup.stripByStarts(q99base,
+        graft.operators.Dedup.dupStartsOf(q99base))
+      .select(col("doc_id"), (col("n") - col("n_kept")).as("cov"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val acctRows = pub.select("doc_id", "n_tok", "n_kept", "n_dup_kept")
+      .collect()
+    acctRows.foreach { r =>
+      val (id, nTok, nKept, nDupKept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((nTok - nKept) + nDupKept == q99cov.getOrElse(id, 0L),
+        s"doc $id: stripped ${nTok - nKept} + spared $nDupKept != q99 coverage ${q99cov.getOrElse(id, 0L)}")
+    }
     // pack frame: offsets are per-lang contiguous (start_off of each
     // doc = prefix sum of earlier tokens), packs hold ≤ 8192-token
     // STARTS (a doc may straddle its pack boundary — q58's convention)
@@ -190,13 +210,86 @@ class PublishSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("tok_kept")) <= r.getLong(r.fieldIndex("tok_in")))
       assert(r.getLong(r.fieldIndex("n_packs")) >= 1L)
     }
-    // NOTE: tok_stripped is 0 at sf0.001 — the q54 cascade already
-    // removed the exact dups and the sample stage thins the rest, so no
-    // duplicated 20-gram survives INSIDE the kept subset. The strip
-    // stage's wiring is still proven above: the published text equals
-    // the strip→redact chain md5-for-md5 (an unwired stage would only
-    // pass if the strip were identity, which is exactly what 0 means).
-    assert(summary.values.map(_.getLong(4)).forall(_ >= 0L))
+    // NOTE: tok_stripped AND tok_dup_kept are 0 at sf0.001 — the q54
+    // cascade already removed the exact dups and the sample stage thins
+    // the rest, so no duplicated 20-gram survives INSIDE the kept
+    // subset. The strip stage's wiring is still proven above: the
+    // published text equals the threshold-strip→redact chain
+    // md5-for-md5, and the per-doc identity reconciles against the
+    // independently-recomputed q99 coverage (an unwired stage would
+    // only pass if the strip were identity, which is what 0 means).
+    summary.values.foreach { r =>
+      assert(r.getLong(r.fieldIndex("tok_stripped")) >= 0L)
+      assert(r.getLong(r.fieldIndex("tok_dup_kept")) >= 0L)
+    }
+  }
+
+  /** VERDICT r9 #1, the distinguishing case the sf corpus can't show
+    * (its kept subset has zero dup coverage): a planted two-doc corpus
+    * where the later doc shares BOTH a 60-token block (≥ MinStripSpan →
+    * stripped) and an isolated 20-token match (< MinStripSpan → KEPT —
+    * the q99 rule would have deleted it). Proves runFull actually runs
+    * the threshold rule, end to end through the published bytes, and
+    * that n_dup_kept prices exactly the spared tokens. */
+  test("planted corpus: runFull strips long blocks, keeps short matches") {
+    import org.apache.spark.sql.functions.col
+    // ids that survive the q54 sample stage (en bucket < 500) and land
+    // in the train split (salted bucket < 980) — derived with the
+    // pipeline's own hash, not hard-coded
+    val ids = spark.range(0, 4000).select(col("id").as("doc_id"))
+      .withColumn("b", graft.util.Buckets.mod1000("doc_id"))
+      .withColumn("sb", graft.app.CleanPipeline.splitBucket)
+      .filter(col("b") < 500 && col("sb") < 980)
+      .orderBy(col("doc_id")).limit(2)
+      .collect().map(_.getLong(0))
+    val Array(idA, idB) = ids
+    // every 4th token a stopword keeps quality ≥ 0.52; all other tokens
+    // unique per segment so within-doc shingles are distinct (rf = 0)
+    // and only the two planted blocks are shared across the docs
+    def seg(tag: String, stop: String, n: Int): Seq[String] =
+      (0 until n).map(i => if (i % 4 == 3) stop else s"$tag$i")
+    val longBlock = seg("blk", "of", 60)    // one 60-token maximal span
+    val shortBlock = seg("sh", "and", 20)   // exactly one shared 20-gram
+    // per-doc DIFFERENT filler stopword: a shared stopword at an aligned
+    // position just before a block would otherwise extend the shared
+    // gram coverage by one token and shift the expected counts
+    def text(tag: String, stop: String): String =
+      (seg(tag + "p", stop, 100) ++ longBlock ++
+        seg(tag + "m", stop, 100) ++ shortBlock ++
+        seg(tag + "z", stop, 40)).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planted").toString
+    val s2 = spark
+    import s2.implicits._
+    Seq((idA, text("a", "the")), (idB, text("b", "to")))
+      .map { case (id, t) => (id, t, "planted", t.length.toLong, "en") }
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    cleanTableLocation("planted_pub")
+    val (acctDf, _) = graft.app.CleanPipeline
+      .runFull(spark, tmp, "planted_pub", buckets = 2)
+    val acct = acctDf.collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(acct.get("kept").contains(2L),
+      s"both planted docs must survive the cascade: $acct")
+    val pub = spark.table("planted_pub")
+      .select("doc_id", "text", "n_tok", "n_kept", "n_dup_kept")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (textA, nTokA, nKeptA, dupKeptA) = pub(idA)
+    val (textB, nTokB, nKeptB, dupKeptB) = pub(idB)
+    // doc A holds every first occurrence: nothing strips, nothing spared
+    assert(nTokA == 320L && nKeptA == 320L && dupKeptA == 0L,
+      s"doc A: $nTokA/$nKeptA/$dupKeptA")
+    assert(textA.contains("blk0") && textA.contains("sh0"))
+    // doc B: the 60-token block goes, the 20-token match stays — and is
+    // accounted as spared-by-threshold
+    assert(nTokB == 320L && nTokB - nKeptB == 60L && dupKeptB == 20L,
+      s"doc B: $nTokB/$nKeptB/$dupKeptB")
+    assert(!textB.contains("blk0") && !textB.contains("blk58"),
+      "long duplicated block must be stripped from doc B")
+    assert(textB.contains("sh0") && textB.contains("sh18"),
+      "short incidental match must SURVIVE the threshold rule in doc B")
   }
 
   test("per-language read prunes partitions at the source") {
