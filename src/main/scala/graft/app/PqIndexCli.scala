@@ -43,8 +43,11 @@ object PqIndexCli {
     args match {
       case Seq("build", sfDir, indexPath) =>
         Similarity.savePqIndex(spark, sfDir, indexPath)
+        // measure + persist the recall/cost curve with the index
+        // (VERDICT r9 #3) — serve --recall-target reads it
+        Similarity.savePqIndexCurve(spark, sfDir, indexPath)
         val n = spark.read.parquet(s"$indexPath/enc").count()
-        println(s"built $indexPath: $n vectors encoded")
+        println(s"built $indexPath: $n vectors encoded, recall/cost curve persisted")
       case Seq("append", indexPath, vecParquet) =>
         val batch = spark.read.parquet(vecParquet)
           .select("vec_id", "embedding")
@@ -54,6 +57,19 @@ object PqIndexCli {
       case Seq("audit", sfDir, indexPath) =>
         Similarity.pqIndexDistortion(spark, sfDir, indexPath)
           .show(numRows = 16, truncate = false)
+        // the distortion gate passed (it throws on partial coverage) —
+        // refresh the persisted curve so it prices the index INCLUDING
+        // every audited append, and --recall-target serves current truth
+        Similarity.savePqIndexCurve(spark, sfDir, indexPath)
+        println(s"recall/cost curve refreshed at $indexPath/curve")
+      case Seq("serve", sfDir, indexPath, "--recall-target", t) =>
+        val (nprobe, shortlist, nScanned) =
+          Similarity.chooseServeKnobs(spark, indexPath, t.toDouble)
+        System.err.println(s"[serve] recall target $t → cheapest measured " +
+          s"cell (nprobe=$nprobe, shortlist=$shortlist), $nScanned ADC rows")
+        Similarity.pqServeQuery(spark, sfDir, indexPath,
+            nprobe = nprobe, shortlist = shortlist)
+          .show(numRows = 100, truncate = false)
       case Seq("serve", sfDir, indexPath, rest @ _*) =>
         val nprobe = rest.headOption.map(_.toInt)
           .getOrElse(Similarity.MultiprobeNprobe)
@@ -68,7 +84,8 @@ object PqIndexCli {
              |usage: PqIndexCli build  <sfDir> <indexPath>
              |       PqIndexCli append <indexPath> <vecParquet>
              |       PqIndexCli audit  <sfDir> <indexPath>
-             |       PqIndexCli serve  <sfDir> <indexPath> [nprobe] [shortlist]""".stripMargin)
+             |       PqIndexCli serve  <sfDir> <indexPath> [nprobe] [shortlist]
+             |       PqIndexCli serve  <sfDir> <indexPath> --recall-target <r>""".stripMargin)
         sys.exit(2)
     }
 }

@@ -187,27 +187,52 @@ object Similarity {
     * same DuckDB oracle as q43. */
   def q45EmbeddingDedupBlocked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val G = 8
-    val base = scaled(s, dir)
-      .withColumn("blk", pmod(hash($"vec_id"), lit(G)))
-    val aSide = base
+    gridCosinePairs(scaled(s, dir), 0.45).orderBy($"i", $"j")
+  }
+
+  /** The grid-blocked all-pairs core of q45, parameterized so other
+    * descriptor frames reuse the one audited shape (q117 routes the
+    * multimodal decode descriptors through here): `base` is (vec_id, e,
+    * nrm [, grpKeys...]); pairs are emitted only WITHIN matching
+    * `grpKeys` values (descriptors from different decoder families are
+    * not comparable) and only at cosine ≥ `thresh`. Output:
+    * (grpKeys..., i, j, cosine) with i < j. */
+  private[graft] def gridCosinePairs(base: DataFrame, thresh: Double,
+      grpKeys: Seq[String] = Nil, G: Int = 8): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    gridPairs(base, grpKeys, Seq("e", "nrm"), G)
+      .withColumn("dot", DotLongs($"e_a", $"e_b"))
+      .withColumn("cosine", safeCos($"dot", $"nrm_a" * $"nrm_b"))
+      .filter($"cosine" >= thresh)
+      .select(grpKeys.map(col) ++ Seq(least($"ia", $"jb").as("i"),
+        greatest($"ia", $"jb").as("j"), $"cosine"): _*)
+  }
+
+  /** The raw grid-replication + cell-join half of [[gridCosinePairs]],
+    * factored so callers with a DIFFERENT pair metric (q117's packed
+    * centered-histogram dot) reuse the audited all-pairs shape without
+    * re-deriving the replication algebra. `base` is vec_id + `carry`
+    * columns; output rows hold (grpKeys..., ia, jb, <carry>_a,
+    * <carry>_b), each unordered pair exactly once. */
+  private[graft] def gridPairs(base: DataFrame, grpKeys: Seq[String],
+      carry: Seq[String], G: Int = 8): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val blocked = base.withColumn("blk", pmod(hash($"vec_id"), lit(G)))
+    val keyCols = grpKeys.map(col)
+    val aSide = blocked
       .withColumn("cy", explode(expr(s"sequence(blk, ${G - 1})")))
-      .select($"blk".as("cx"), $"cy",
-        $"vec_id".as("ia"), $"e".as("ea"), $"nrm".as("na"))
-    val bSide = base
+      .select(keyCols ++ Seq($"blk".as("cx"), $"cy", $"vec_id".as("ia")) ++
+        carry.map(c => col(c).as(c + "_a")): _*)
+    val bSide = blocked
       .withColumn("cx", explode(expr("sequence(0, blk)")))
-      .select($"cx", $"blk".as("cy"),
-        $"vec_id".as("jb"), $"e".as("eb"), $"nrm".as("nb"))
-    aSide.join(bSide, Seq("cx", "cy"))
+      .select(keyCols ++ Seq($"cx", $"blk".as("cy"), $"vec_id".as("jb")) ++
+        carry.map(c => col(c).as(c + "_b")): _*)
+    aSide.join(bSide, grpKeys ++ Seq("cx", "cy"))
       // off-diagonal cells hold each unordered pair once (sides have
       // different blocks); diagonal cells need the id order predicate
       .filter($"cx" < $"cy" || $"ia" < $"jb")
-      .withColumn("dot", DotLongs($"ea", $"eb"))
-      .withColumn("cosine", safeCos($"dot", $"na" * $"nb"))
-      .filter($"cosine" >= 0.45)
-      .select(least($"ia", $"jb").as("i"), greatest($"ia", $"jb").as("j"),
-        $"cosine")
-      .orderBy($"i", $"j")
   }
 
   // --------------------------------------------------------------- q107
@@ -898,16 +923,28 @@ object Similarity {
     val base = scaled(s, dir)
     val enc = pqEncode(assignedCorpus(s, dir, cents), cents, books)
       .localCheckpoint(true)
+    curveDf(s, curveCells(base, enc, cents, books))
+  }
+
+  /** The sweep core shared by q115 (inline fit) and the saved-index curve
+    * ([[pqIndexCurve]]): per (nprobe, shortlist) cell — scanned rows,
+    * re-ranked rows, exact-arm hits, mean recall@5. Every cell statistic
+    * is a SCALAR aggregate — they come to the driver as counts (the
+    * model-sized-collect rule), not as 1-row frames cross-joined back
+    * into the plan (that shape plans as a chain of
+    * BroadcastNestedLoopJoin Cross, which PlanSpec bans engine-wide
+    * outside the brute-force twins). recall's division is the same one
+    * IEEE op as the twin's CAST(...)/(5.0 * nq). ONE checkpointed ADC
+    * scan per nprobe serves every shortlist cut. */
+  private def curveCells(base: DataFrame, enc: DataFrame,
+      cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]])
+      : Seq[(Long, Long, Long, Long, Long, Double)] = {
+    val s = base.sparkSession
+    import s.implicits._
     val exact = exactTopK(base).select($"qid", $"nid").localCheckpoint(true)
     val qs = querySide(base)
-    // every cell statistic is a SCALAR aggregate — they come to the
-    // driver as counts (the model-sized-collect rule), not as 1-row
-    // frames cross-joined back into the plan (that shape plans as a
-    // chain of BroadcastNestedLoopJoin Cross, which PlanSpec bans
-    // engine-wide outside the brute-force twins). recall's division is
-    // the same one IEEE op as the twin's CAST(...)/(5.0 * nq).
     val nq = base.filter($"vec_id" < 10).count()
-    val cells = CurveNprobes.flatMap { np =>
+    CurveNprobes.flatMap { np =>
       val ranked = pqAdcRanked(base, enc, cents, books, np)
         .localCheckpoint(true)
       val nScanned = ranked.count()
@@ -922,6 +959,11 @@ object Similarity {
           nHit.toDouble / (5.0 * nq))
       }
     }
+  }
+
+  private def curveDf(s: SparkSession,
+      cells: Seq[(Long, Long, Long, Long, Long, Double)]): DataFrame = {
+    import s.implicits._
     cells.map { case (np, sl, sc, rr, hit, rec) =>
       val prev = cells.filter(c => c._1 == np && c._2 < sl)
         .sortBy(_._2).lastOption
@@ -929,6 +971,57 @@ object Similarity {
     }.toDF("nprobe", "shortlist", "n_scanned", "n_reranked", "n_hit",
         "recall", "mono_shortlist")
       .orderBy($"nprobe", $"shortlist")
+  }
+
+  /** The q115 sweep evaluated against a SAVED index — frozen models,
+    * STORED codes (the frame serving actually scans, appends included) —
+    * so the persisted curve prices the index as it will serve, not a
+    * fresh re-fit. */
+  def pqIndexCurve(s: SparkSession, dir: String, indexPath: String)
+      : DataFrame = {
+    import s.implicits._
+    val (cents, books) = loadPqIndex(s, indexPath)
+    if (cents.isEmpty || books.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Double, Boolean)]
+        .toDF("nprobe", "shortlist", "n_scanned", "n_reranked", "n_hit",
+          "recall", "mono_shortlist")
+    val base = scaled(s, dir)
+    val enc = s.read.parquet(s"$indexPath/enc")
+    curveDf(s, curveCells(base, enc, cents, books))
+  }
+
+  /** VERDICT r9 #3: persist the measured recall/cost curve WITH the
+    * index, so serving can be driven by a recall target instead of
+    * hand-copied knobs. Written at build and refreshed at audit — the
+    * two moments the operator is already paying a corpus-sized read. */
+  def savePqIndexCurve(s: SparkSession, dir: String,
+      indexPath: String): Unit =
+    pqIndexCurve(s, dir, indexPath).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/curve")
+
+  /** Pick the CHEAPEST (nprobe, shortlist) cell of the persisted curve
+    * meeting `recallTarget` — cost ordered by ADC-scanned rows, then
+    * re-ranked rows, then probes (the serving-time cost components in
+    * the order they dominate at scale). Returns (nprobe, shortlist,
+    * n_scanned). Refuses when the curve is missing (build/audit first)
+    * or when NO cell meets the target — serving below a stated recall
+    * target silently is the one thing this mode must never do. */
+  def chooseServeKnobs(s: SparkSession, indexPath: String,
+      recallTarget: Double): (Int, Int, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/curve")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$indexPath has no persisted recall/cost curve — run build or audit first")
+    val rows = s.read.parquet(s"$indexPath/curve")
+      .select("nprobe", "shortlist", "n_scanned", "n_reranked", "recall")
+      .collect() // grid-sized: |CurveNprobes| × |CurveShortlists| rows
+    val ok = rows.filter(_.getDouble(4) >= recallTarget)
+    require(ok.nonEmpty,
+      f"no (nprobe, shortlist) cell of the measured curve reaches recall ≥ " +
+        f"$recallTarget%.3f (best available ${rows.map(_.getDouble(4)).max}%.3f) — " +
+        "lower the target or re-fit/re-audit the index")
+    val cell = ok.minBy(r => (r.getLong(2), r.getLong(3), r.getLong(0)))
+    (cell.getLong(0).toInt, cell.getLong(1).toInt, cell.getLong(2))
   }
 
   /** The full ADC-ranked candidate frame for one nprobe: (qid, vec_id,

@@ -30,12 +30,17 @@ object InfluxLineSink {
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
 
   /** /write?db=... URL with optional u/p credentials. */
-  private[sinks] def writeUrl(url: String, db: String,
+  private[graft] def writeUrl(url: String, db: String,
       user: Option[String], password: Option[String]): String = {
     val auth = (user, password) match {
       case (Some(u), Some(p)) => s"&u=${enc(u)}&p=${enc(p)}"
       case (Some(u), None) => s"&u=${enc(u)}"
-      case _ => ""
+      case (None, Some(_)) =>
+        // a password with no user is a misconfiguration the server would
+        // silently ignore — fail loudly instead of dropping the credential
+        throw new IllegalArgumentException(
+          "InfluxDB password supplied without a user; set both or neither")
+      case (None, None) => ""
     }
     s"$url/write?db=${enc(db)}$auth"
   }

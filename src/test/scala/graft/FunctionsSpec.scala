@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sum128, RollingMinHash, RollingMinHashExpr}
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Similarity}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Units for the custom aggregate/expressions beyond what the oracle
@@ -312,5 +312,100 @@ class FunctionsSpec extends AnyFunSuite {
       // re-sniffing payload bytes
       assert(out(id)._2 == "stub", s"doc $id must be marked decoder=stub")
     }
+  }
+
+  /** The q117 packed-arithmetic identity, pinned against the explicit
+    * centered vectors it replaces: with z := D·c − t·1 and t = Σc,
+    * dot(z_a, z_b) = D²·dot(c_a, c_b) − D·t_a·t_b and ‖z‖² = D²·Σc² −
+    * D·t² — the engine never builds z, the oracle only ever sees z, and
+    * this spec proves the two are the same exact integers (through the
+    * Pack32/DotPacked32 codegen path, including an odd-length tail). */
+  test("q117 packed identity equals explicit centered-vector arithmetic") {
+    import spark.implicits._
+    val p1 = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val p2 = "the quick brown fox jumped over lazy dogs!!".getBytes("UTF-8")
+    val D = Multimodal.DecoderStub.featureDim.toLong
+    def counts(p: Array[Byte]): Array[Long] = {
+      val c = new Array[Long](D.toInt)
+      p.foreach(b => c(b & 0xff) += 1)
+      c
+    }
+    // driver-side truth: explicit z vectors in BigInt
+    def z(p: Array[Byte]): Array[BigInt] = {
+      val c = counts(p); val t = BigInt(p.length)
+      c.map(ci => BigInt(ci) * D - t)
+    }
+    val (z1, z2) = (z(p1), z(p2))
+    val wantDot = z1.zip(z2).map { case (a, b) => a * b }.sum
+    val wantSsq1 = z1.map(v => v * v).sum
+    // engine side: the packed descriptors + identity columns
+    val qd = Multimodal.quantizedDescriptors(Multimodal.decodeFeatures(
+        spark, Seq((1L, p1), (2L, p2)).toDF("doc_id", "payload")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](2), r.getLong(3), r.getDouble(4)))).toMap
+    val (pk1, t1, nrm1) = qd(1L)
+    val (pk2, t2, _) = qd(2L)
+    def unpack(p: Seq[Long]): Array[Long] =
+      p.flatMap(v => Seq(v >>> 32, v & 0xffffffffL)).toArray
+    assert(unpack(pk1).sameElements(counts(p1)), "pack32 round-trip")
+    assert(t1 == p1.length && t2 == p2.length)
+    val pdot = unpack(pk1).zip(unpack(pk2)).map { case (a, b) => a * b }.sum
+    assert(BigInt(D * D) * pdot - BigInt(D) * t1 * t2 == wantDot,
+      "dot identity diverged from explicit z arithmetic")
+    assert(math.sqrt(wantSsq1.toDouble) == nrm1,
+      "norm identity diverged from explicit z arithmetic")
+  }
+
+  /** q117 (VERDICT r9 #2), the case the exact arm is BLIND to: two PNG
+    * files with IDENTICAL pixels but different bytes (a re-encode that
+    * inserts a tEXt metadata chunk — CRC-correct, a legal PNG any
+    * decoder accepts). q55 keys on payload md5 and sees three distinct
+    * assets; q117 compares what the payloads decode to and must flag
+    * exactly the re-encoded pair — and not the genuinely different
+    * third image. */
+  test("q117 planted: re-encoded image flags as near-dup where the exact arm misses it") {
+    import java.awt.image.BufferedImage
+    def png(colorAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, colorAt(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    /** Insert a tEXt chunk (keyword "Comment") before IEND — the
+      * canonical metadata-touching re-encode. Chunk = len, type, data,
+      * CRC32(type ++ data). */
+    def withTextChunk(p: Array[Byte]): Array[Byte] = {
+      val data = "Comment re-encoded".getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
+      val chunk = bb.array()
+      val iendAt = p.length - 12 // IEND chunk is always the last 12 bytes
+      p.take(iendAt) ++ chunk ++ p.drop(iendAt)
+    }
+    val pngA = png((x, _) => if (x < 2) 0xff0000 else 0x0000ff)
+    val pngB = withTextChunk(pngA)
+    val pngC = png((_, _) => 0x00ff00) // genuinely different pixels
+    assert(!pngB.sameElements(pngA) && Multimodal.ImageDecoder.isPng(pngB))
+    import spark.implicits._
+    val assets = Seq((1L, pngA), (2L, pngB), (3L, pngC))
+      .toDF("doc_id", "payload")
+    // the exact arm (q55's keying): three distinct payload hashes — the
+    // re-encoded duplicate is invisible to content-hash dedup
+    assert(assets.select(md5($"payload")).distinct().count() == 3)
+    // all three decoded by the REAL image arm, not the stub
+    assert(Multimodal.decodeFeatures(spark, assets)
+      .select("decoder").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("image"))
+    // the exact production pair scan (decode → packed descriptors →
+    // grid join → per-family cosine)
+    val pairs = Multimodal.perceptualPairsOf(assets)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the re-encoded pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 > 0.99999, s"identical pixels must read cosine ~1: ${pairs.head._3}")
   }
 }

@@ -803,6 +803,46 @@ class RangeJoinSpec extends AnyFunSuite {
     val served = Similarity.pqServeQuery(spark, dir, s"$tmp/idx",
       nprobe = 1, shortlist = 60)
     assert(served.select("qid").distinct().count() == 10)
+    // build persisted the measured curve with the index (VERDICT r9 #3)
+    assert(spark.read.parquet(s"$tmp/idx/curve").count() ==
+      (Similarity.CurveNprobes.size * Similarity.CurveShortlists.size).toLong)
+  }
+
+  /** Curve-informed serving (VERDICT r9 #3): the persisted q115 curve —
+    * measured at sf0.1, where ADC crowding-out makes MORE probes read
+    * MORE rows for LESS recall — must drive `--recall-target` to the
+    * cheapest measured cell instead of the fixed q111 defaults. At this
+    * SF target 0.9 selects (nprobe=1, shortlist=60): ~6x fewer ADC rows
+    * scanned than the default (6, 60) cell. And the mode must REFUSE
+    * rather than silently under-serve: an unreachable target and a
+    * missing curve both throw. */
+  test("recall-target serving picks the cheapest measured curve cell") {
+    val sf01 = "/root/testdata/sf0.1"
+    val tmp = java.nio.file.Files.createTempDirectory("pqcurve").toString
+    Similarity.savePqIndex(spark, sf01, s"$tmp/idx")
+    Similarity.savePqIndexCurve(spark, sf01, s"$tmp/idx")
+    val curve = spark.read.parquet(s"$tmp/idx/curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    val (np, sl, scanned) = Similarity.chooseServeKnobs(spark, s"$tmp/idx", 0.9)
+    assert((np, sl) == (1, 60),
+      s"target 0.9 chose ($np, $sl); curve was $curve")
+    assert(curve((np.toLong, sl.toLong))._2 >= 0.9)
+    // the chosen cell must actually be the cheap one: the q111 default
+    // (6, 60) scans ~6x more ADC rows at this SF
+    val defaultScanned = curve((6L, 60L))._1
+    assert(defaultScanned >= 5 * scanned,
+      s"default scans $defaultScanned vs chosen $scanned — expected ~6x")
+    // refusal: no measured cell reaches 0.999
+    val over = intercept[IllegalArgumentException] {
+      Similarity.chooseServeKnobs(spark, s"$tmp/idx", 0.999)
+    }
+    assert(over.getMessage.contains("no (nprobe, shortlist) cell"))
+    // refusal: an index without a persisted curve names the fix
+    val missing = intercept[IllegalArgumentException] {
+      Similarity.chooseServeKnobs(spark, s"$tmp/nocurve", 0.5)
+    }
+    assert(missing.getMessage.contains("no persisted recall/cost curve"))
   }
 
   /** q92: planted orphans and a NULL child key over a minimal star

