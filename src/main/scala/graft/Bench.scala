@@ -53,7 +53,7 @@ object Bench {
     "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen",
     "q110_theil_sen_sampled", "q111_ann_ivf_pq",
     "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
-    "q116_long_span_strip", "q117_perceptual_dedup")
+    "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -173,7 +173,11 @@ object Bench {
     // first draft shuffled dense 256-long centered vectors and read
     // 14.2 s — the Pack32 + dot-identity rework (dot(z) from packed
     // counts, z never built) is the recorded shape
-    "q117_perceptual_dedup" -> 2.4)
+    "q117_perceptual_dedup" -> 2.4,
+    // q118 added r11: one bigram explode + partial-agg shuffle, two
+    // broadcast model joins, q50 tercile window (isolated child 2.02,
+    // loadavg ~2.9)
+    "q118_lm_quality" -> 2.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

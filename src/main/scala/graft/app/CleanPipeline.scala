@@ -83,6 +83,8 @@ object CleanPipeline {
     *   → decontam drop (the q60 machinery aimed at THIS pipeline's own
     *     published val/test splits: a train-split doc sharing a
     *     DecontamWidth-shingle with any val/test doc is dropped)
+    *   → LM-quality tail drop (q118 CCNet-style bigram-LM terciles;
+    *     `--lm-tail-filter` — off by default, CCNet keeps head+middle)
     *   → span strip (q116, the published ExactSubstr convention of Lee
     *     et al. 2022: only MAXIMAL duplicated blocks of ≥ `minStripSpan`
     *     tokens are removed, short incidental matches are kept; applied
@@ -117,12 +119,21 @@ object CleanPipeline {
 
   def runFull(spark: SparkSession, inDir: String, table: String,
       buckets: Int = 32,
-      minStripSpan: Long = graft.operators.Dedup.MinStripSpan)
+      minStripSpan: Long = graft.operators.Dedup.MinStripSpan,
+      lmTailFilter: Boolean = false)
       : (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val docsAll = Tables(spark, inDir, "documents")
     val dropList = Dedup.nearDupDrops(spark, inDir)
       .withColumn("neardup", lit(1))
+    // q118 stage knob (VERDICT r9 #4): CCNet's convention — drop the
+    // per-language tail tercile of the bigram-LM quality score. Like
+    // every drop stage here, the decision is computed on the FULL corpus
+    // (stage decisions are independent of stage order — the
+    // runWithNearDup composition rule) and joined as a doc-id-sized list
+    val lmTail =
+      if (!lmTailFilter) None
+      else Some(TextOps.lmTailDrops(docsAll).withColumn("lm_tail", lit(1)))
     // decontamination protects the pipeline's OWN published eval splits
     // (review finding r9: dropping against q60's bucket<100 eval set —
     // which this pipeline publishes into train — protects nothing it
@@ -130,7 +141,7 @@ object CleanPipeline {
     // is dropped; val/test docs are never dropped by this stage
     val contam = Dedup.contaminatedDocsBy(docsAll, splitBucket >= 980)
       .withColumn("contaminated", lit(1))
-    val staged = TextOps.stagedDocs(docsAll)
+    val preStaged = TextOps.stagedDocs(docsAll)
       .join(dropList, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("stage",
@@ -138,7 +149,12 @@ object CleanPipeline {
           .when(col("stage") === "kept" && col("contaminated") === 1,
             "contaminated")
           .otherwise(col("stage")))
-      .persist()
+    val staged = lmTail.fold(preStaged) { tl =>
+      preStaged.join(tl, Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("stage") === "kept" && col("lm_tail") === 1, "lm_tail")
+            .otherwise(col("stage")))
+    }.persist()
     try {
       val kept = staged.filter(col("stage") === "kept")
         .select("doc_id", "text", "source", "lang")
@@ -201,18 +217,21 @@ object CleanPipeline {
 
   def main(args: Array[String]): Unit = {
     val full = args.contains("--full")
+    val lmTail = args.contains("--lm-tail-filter")
     val mi = args.indexOf("--min-strip-span")
     val minSpan = if (mi >= 0) args(mi + 1).toLong
       else graft.operators.Dedup.MinStripSpan
     val pos = args.zipWithIndex.collect {
-      case (a, i) if a != "--full" && (mi < 0 || (i != mi && i != mi + 1)) => a
+      case (a, i) if a != "--full" && a != "--lm-tail-filter" &&
+        (mi < 0 || (i != mi && i != mi + 1)) => a
     }
     val inDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val table = pos.lift(1).getOrElse("clean_corpus")
     val buckets = pos.lift(2).map(_.toInt).getOrElse(32)
     val spark = graft.util.GraftSession.local("graft-clean-pipeline")
     if (full) {
-      val (acct, summary) = runFull(spark, inDir, table, buckets, minSpan)
+      val (acct, summary) =
+        runFull(spark, inDir, table, buckets, minSpan, lmTail)
       acct.show(100, truncate = false)
       summary.show(100, truncate = false)
     } else run(spark, inDir, table, buckets).show(100, truncate = false)

@@ -458,6 +458,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text:string"), p.take(800))
   }
 
+  test("q118: LM model joins broadcast; no text column past the checkpoint") {
+    // the scale contract: the bigram model (langs×K² cells + langs×K
+    // contexts) joins back as BROADCAST hash joins — a shuffle join
+    // against a model-sized side would shuffle the corpus-volume
+    // (doc, b1, b2) frame twice for nothing — and the checkpointed
+    // per-doc bigram frame means no text column (and no second corpus
+    // FileScan of it) survives into the final plan; the only FileScan
+    // reads (doc_id, lang) for the full-doc left join
+    val p = plan("q118_lm_quality")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("text:string"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("q103: fact volume stays behind the checkpoint; grid join is equi, no BNLJ") {
     // the events table is scanned exactly once, eagerly, into the
     // (hour, type) bucket checkpoint — the returned plan must run

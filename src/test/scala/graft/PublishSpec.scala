@@ -292,6 +292,44 @@ class PublishSpec extends AnyFunSuite {
       "short incidental match must SURVIVE the threshold rule in doc B")
   }
 
+  /** The q118 stage knob (VERDICT r9 #4): `--lm-tail-filter` must drop
+    * exactly the per-language tail tercile of the bigram-LM score — the
+    * published set shrinks by precisely (kept ∩ q118-tail), the lm_tail
+    * accounting stage prices it, and stage counts still partition the
+    * corpus. Proven against an independent baseline run with the knob
+    * off plus an independent q118 evaluation. */
+  test("runFull --lm-tail-filter drops exactly the q118 tail tercile") {
+    import org.apache.spark.sql.functions.col
+    cleanTableLocation("curate_lm_base")
+    cleanTableLocation("curate_lm")
+    val (baseAcct, _) = graft.app.CleanPipeline
+      .runFull(spark, dir, "curate_lm_base", buckets = 4)
+    val (acctDf, _) = graft.app.CleanPipeline
+      .runFull(spark, dir, "curate_lm", buckets = 4, lmTailFilter = true)
+    val docs = graft.util.Tables(spark, dir, "documents")
+    val tails = graft.operators.TextOps.lmTailDrops(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(tails.nonEmpty)
+    val baseIds = spark.table("curate_lm_base").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gotIds = spark.table("curate_lm").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotIds == baseIds -- tails,
+      s"published set must be baseline minus the q118 tail " +
+        s"(missing ${(baseIds -- tails -- gotIds).take(5)}, " +
+        s"extra ${(gotIds -- (baseIds -- tails)).take(5)})")
+    // the stage accounting prices the drop and still partitions
+    val acct = acctDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nTailStage = acct.collect { case ((_, "lm_tail"), n) => n }.sum
+    assert(nTailStage == (baseIds & tails).size.toLong,
+      s"lm_tail stage counts $nTailStage vs ${(baseIds & tails).size}")
+    assert(acct.values.sum == docs.count(),
+      "stage counts must still partition the corpus with the knob on")
+    // the baseline run has no lm_tail stage at all
+    assert(!baseAcct.collect().map(_.getString(1)).contains("lm_tail"))
+  }
+
   test("per-language read prunes partitions at the source") {
     publishOnce()
     val p = plan(spark.table("docs_pub").filter("lang = 'en'"))

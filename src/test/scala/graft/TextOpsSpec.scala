@@ -852,4 +852,64 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(loaded == inline)
   }
+
+  /** The q118 planted distinguishing case (VERDICT r9 #4): the bigram LM
+    * must rank NATURAL text (bigrams the reference slice has seen) above
+    * GIBBERISH built from the very same tokens shuffled — a
+    * unigram/stopword scorer (q31) cannot see that difference at all,
+    * which is why the CCNet-style LM head/middle/tail family exists.
+    * Reference docs are whichever planted ids the standing md5 bucket
+    * rule puts in the eval slice (db < 100) — the spec derives the
+    * bucket with the same arithmetic rather than hand-picking ids. */
+  test("q118 planted: natural text heads, shuffled-token gibberish tails") {
+    import spark.implicits._
+    def b1000(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    val sentences = Array(
+      "the quick brown fox jumps over the lazy dog",
+      "a watched pot never boils on the old stove",
+      "the rain in spain stays mainly on the plain",
+      "every good boy does fine on the high wire")
+    def natural(id: Long): String =
+      (0 until 6).map(k => sentences(((id + k) % 4).toInt)).mkString(" ")
+    val ids = (0L until 400L)
+    val refIds = ids.filter(b1000(_) < 100).take(20)     // model slice
+    val scoredIds = ids.filter(b1000(_) >= 100).take(30) // scored docs
+    val gibIds = scoredIds.takeRight(3)
+    def gibberish(id: Long): String = {
+      val r = new scala.util.Random(id)
+      r.shuffle(natural(id).split(" ").toList).mkString(" ")
+    }
+    val rows = refIds.map(i => (i, "en", natural(i))) ++
+      scoredIds.dropRight(3).map(i => (i, "en", natural(i))) ++
+      gibIds.map(i => (i, "en", gibberish(i))) ++
+      // degenerate docs: no bigram → score 0, never a crash (ANSI rule)
+      Seq((9001L, "en", ""), (9002L, "en", "hello"))
+    val out = TextOps.lmQualityOf(rows.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.size == rows.size)
+    val natScores = scoredIds.dropRight(3).map(out(_)._2)
+    val gibScores = gibIds.map(out(_)._2)
+    assert(gibScores.max < natScores.min,
+      s"gibberish ${gibScores.toSeq} must score below natural ${natScores.toSeq}")
+    gibIds.foreach(i => assert(out(i)._3 == "tail",
+      s"gibberish doc $i bucketed ${out(i)._3}"))
+    assert(scoredIds.dropRight(3).exists(out(_)._3 == "head"),
+      "no natural doc reached the head tercile")
+    // no-bigram docs: n_bigrams 0, score 0, bottom of the ranking
+    Seq(9001L, 9002L).foreach { i =>
+      assert(out(i) == ((0L, 0L, "tail")), s"doc $i: ${out(i)}")
+    }
+    // exact nearest-rank terciles partition each language n/3-wise
+    val n = rows.size
+    val byBucket = out.values.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(byBucket("head") == n / 3)
+    assert(byBucket("middle") == 2 * n / 3 - n / 3)
+    assert(byBucket("tail") == n - 2 * n / 3)
+  }
 }
