@@ -977,6 +977,259 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  // ------------------------------------------------ incremental curate
+  /** Persisted base-corpus curation state (VERDICT r9 #5) — the index
+    * artifacts that make [[graft.app.CleanPipeline.runIncremental]]
+    * BATCH-sized instead of O(corpus): every base-side decision input a
+    * batch append needs, derived once at publish time (when the corpus
+    * is already being scanned) and probed later by slim equi-joins.
+    *
+    *   hashes/     distinct content hashes of ALL input docs (q56 gate)
+    *   sig/        16-component minhash signatures of the exact-collapse
+    *               REPRESENTATIVES (band candidates vs base)
+    *   shingles/   distinct 3-gram shingle rows of the representatives
+    *               (exact-Jaccard verification of those candidates —
+    *               restricted to candidate docs at use, so the probe
+    *               reads candidate-sized data)
+    *   evalgrams/  distinct DecontamWidth-gram strings of the EVAL-side
+    *               docs (the published val/test splits — q60 gate)
+    *   stripgrams/ distinct [[DupSpanWidth]]-gram hashes of the KEPT
+    *               docs' original text (the q116 first-occurrence gate:
+    *               base occurrences always precede batch occurrences)
+    *
+    * Sizes: hashes/sig are docs-sized (32 B / 17 longs per doc);
+    * shingles/evalgrams/stripgrams are token-volume HASHES — the
+    * standard dedup-index trade (a large-scale pipeline keeps them next
+    * to the corpus; they are an order of magnitude smaller than text). */
+  def saveCurateState(docsAll: DataFrame, keptDocs: DataFrame,
+      statePath: String, isEval: org.apache.spark.sql.Column): Unit = {
+    val dt = docsAll.select(col("doc_id"), col("text"))
+    dt.select(md5(col("text").cast("binary")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$statePath/hashes")
+    val (_, repDocs) = collapseExact(dt, materialize = true)
+    minhashSignatures(repDocs)
+      .write.mode("overwrite").parquet(s"$statePath/sig")
+    shingleRowsOf(repDocs, distinct = true)
+      .write.mode("overwrite").parquet(s"$statePath/shingles")
+    shingleRowsOf(docsAll.filter(isEval).select(col("doc_id"), col("text")),
+        distinct = true, width = DecontamWidth)
+      .select(col("s")).distinct()
+      .write.mode("overwrite").parquet(s"$statePath/evalgrams")
+    gramOccurrences(spanBase(keptDocs.select(col("doc_id"), col("text"))))
+      .select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$statePath/stripgrams")
+  }
+
+  /** The shared per-batch artifacts of the incremental stages — the
+    * exact-collapse members/reps, rep signatures and rep shingles are
+    * consumed by BOTH the near-dup decision and the state append, so
+    * one [[incBatchArtifacts]] call materializes them once (at small SF
+    * the batch pipeline's cost is job count, not data volume; at scale
+    * it is one batch text scan instead of three). */
+  private[graft] final case class IncBatch(members: DataFrame,
+      repDocs: DataFrame, sig: DataFrame, shingles: DataFrame)
+
+  private[graft] def incBatchArtifacts(batchDocs: DataFrame): IncBatch = {
+    val dt = batchDocs.select(col("doc_id"), col("text"))
+    val (members, repDocs) = collapseExact(dt, materialize = true)
+    val sig = minhashSignatures(repDocs).localCheckpoint(true)
+    val shingles = shingleRowsOf(repDocs, distinct = true)
+      .localCheckpoint(true)
+    IncBatch(members, repDocs, sig, shingles)
+  }
+
+  /** Append a processed batch's contribution to the curate state, so the
+    * NEXT increment sees base ∪ batch. Same artifact shapes, parquet
+    * append — each artifact derives from the batch alone (the collapse/
+    * signature/shingle frames are the near-dup decision's, reused). */
+  def appendCurateState(batchDocs: DataFrame, ib: IncBatch,
+      batchKept: DataFrame, statePath: String,
+      isEval: org.apache.spark.sql.Column): Unit = {
+    batchDocs.select(md5(col("text").cast("binary")).as("h")).distinct()
+      .write.mode("append").parquet(s"$statePath/hashes")
+    ib.sig.write.mode("append").parquet(s"$statePath/sig")
+    ib.shingles.write.mode("append").parquet(s"$statePath/shingles")
+    shingleRowsOf(batchDocs.filter(isEval).select(col("doc_id"), col("text")),
+        distinct = true, width = DecontamWidth)
+      .select(col("s")).distinct()
+      .write.mode("append").parquet(s"$statePath/evalgrams")
+    gramOccurrences(spanBase(batchKept.select(col("doc_id"), col("text"))))
+      .select(col("h")).distinct()
+      .write.mode("append").parquet(s"$statePath/stripgrams")
+  }
+
+  /** q56 against the persisted state: batch docs whose content hash the
+    * base corpus already holds. Batch ids are strictly greater than base
+    * ids, so the base copy is always the q34 canonical keeper — the drop
+    * direction can never flip. */
+  def incrementalDupExisting(batchDocs: DataFrame,
+      statePath: String): DataFrame = {
+    val s = batchDocs.sparkSession
+    batchDocs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(s.read.parquet(s"$statePath/hashes"), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+  }
+
+  /** Near-dup drop list of a batch against base-state + itself — the
+    * q36/q65 decision restricted to pairs involving the batch:
+    *
+    *  1. batch-internal components ([[memberComponentsOf]], the exact
+    *     batch machinery) with the q65 keeper (longest, tie min id);
+    *  2. batch representatives band-colliding with base representatives
+    *     ([[bandedOf]] both sides), verified by exact Jaccard ≥ 0.5
+    *     against the persisted shingle rows (restricted to candidate
+    *     base docs — the probe is candidate-sized);
+    *  3. a batch component containing ANY base-linked member drops ALL
+    *     its members (the base side is immutable, so the base component
+    *     keeps its published keeper).
+    *
+    * Divergence from a full recurate of the union, by design and
+    * documented: when a batch member is LONGER than every base member of
+    * its component, the full recurate would crown it keeper and drop the
+    * base copy; append-only curation cannot retract published docs, so
+    * the batch member is dropped instead (the "keeper tie" class). All
+    * other decisions are identical. */
+  /** Step 2 of [[incrementalNearDupDrops]], factored for reuse by the
+    * streaming curate door ([[graft.streaming.CurateDoor]]): batch docs
+    * VERIFIED near-dup of some base doc — band collision against the
+    * persisted rep signatures, exact Jaccard ≥ 0.5 against the persisted
+    * shingle rows (probe restricted to candidate base docs), expanded
+    * from linked representatives to their exact-collapse members. */
+  def vsBaseLinkedDocs(ib: IncBatch, statePath: String): DataFrame = {
+    val s = ib.sig.sparkSession
+    import s.implicits._
+    val sigBase = s.read.parquet(s"$statePath/sig")
+    // per-side bucket caps mirror lshCandidates' defense (a fat bucket
+    // on either side is the same quadratic hot key)
+    def capped(banded: DataFrame): DataFrame = {
+      val fat = banded.groupBy($"band", $"bkey")
+        .agg(count(lit(1)).as("bsz"))
+        .filter($"bsz" > MaxBandBucket)
+        .select($"band", $"bkey")
+      banded.join(fat, Seq("band", "bkey"), "left_anti")
+    }
+    val cand = capped(bandedOf(ib.sig)).as("a")
+      .join(capped(bandedOf(sigBase)).as("b"), Seq("band", "bkey"))
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
+      .localCheckpoint(true)
+    val eBase = s.read.parquet(s"$statePath/shingles")
+      .join(cand.select($"j".as("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+    val linkedReps = verifyJaccard(ib.shingles.union(eBase), cand)
+      .select($"i".as("rep")).distinct()
+    ib.members.join(linkedReps, "rep")
+      .select($"doc_id").localCheckpoint(true)
+  }
+
+  def incrementalNearDupDrops(batchDocs: DataFrame, ib: IncBatch,
+      statePath: String): DataFrame = {
+    val s = batchDocs.sparkSession
+    import s.implicits._
+    val linkedDocs = vsBaseLinkedDocs(ib, statePath)
+    // batch-internal components from the SAME artifacts
+    // (memberComponentsOf's logic minus its private re-collapse — one
+    // batch text scan serves the whole decision), then the q65 keeper
+    // among components not linked to base
+    import org.apache.spark.sql.expressions.Window
+    val candB = lshCandidates(ib.sig, MaxBandBucket)
+    val labels0 = Similarity.labelPropagate(
+      verifyJaccard(ib.shingles, candB).select($"i", $"j"))._1
+    val multi = ib.members.groupBy($"rep").agg(count(lit(1)).as("nm"))
+      .filter($"nm" >= 2)
+      .join(ib.sig.select($"doc_id".as("rep")), "rep")
+      .select($"rep")
+    val pairless = multi.join(labels0, multi("rep") === labels0("id"),
+        "left_anti")
+      .select($"rep".as("id"), $"rep".as("lbl"))
+    val compOfRep = labels0.union(pairless)
+    val labels = ib.members.join(compOfRep, ib.members("rep") === compOfRep("id"))
+      .select($"doc_id", $"lbl")
+    val linkedLbls = labels.join(linkedDocs, Seq("doc_id"), "left_semi")
+      .select($"lbl").distinct()
+    val linkedCompDocs = labels.join(linkedLbls, "lbl").select($"doc_id")
+    val unlinked = labels.join(linkedLbls, Seq("lbl"), "left_anti")
+      .join(batchDocs.select($"doc_id", $"n_chars"), "doc_id")
+    val w = Window.partitionBy($"lbl").orderBy($"n_chars".desc, $"doc_id".asc)
+    val unlinkedNonKeepers = unlinked
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" =!= 1).select($"doc_id")
+    linkedDocs.union(linkedCompDocs).union(unlinkedNonKeepers).distinct()
+  }
+
+  /** q60 against the union eval set: batch TRAIN docs sharing a
+    * DecontamWidth-gram with any base eval doc (persisted gram set) or
+    * any batch eval doc. Batch eval docs are never dropped (the runFull
+    * rule). A NEW eval doc contaminating a base train doc is the
+    * append-only divergence class: the full recurate would drop the base
+    * doc, an append cannot retract it — documented, not silent. */
+  def incrementalContaminated(batchDocs: DataFrame, statePath: String,
+      isEval: org.apache.spark.sql.Column): DataFrame = {
+    val s = batchDocs.sparkSession
+    import s.implicits._
+    val sh = shingleRowsOf(batchDocs.select($"doc_id", $"text"),
+        distinct = true, width = DecontamWidth)
+      .join(batchDocs.select($"doc_id", isEval.as("ev")), "doc_id")
+      .localCheckpoint(true)
+    val evalS = sh.filter($"ev").select($"s")
+      .union(s.read.parquet(s"$statePath/evalgrams")).distinct()
+    sh.filter(!$"ev").select($"doc_id", $"s")
+      .join(evalS, "s")
+      .select($"doc_id").distinct()
+  }
+
+  /** [[dupStartsOf]] against the union corpus: a batch gram occurrence
+    * is non-first if its gram exists in the base KEPT corpus (base ids
+    * all precede batch ids, so a base occurrence always wins the q99
+    * first-key rule) or if an earlier batch occurrence exists. Feeding
+    * these starts through the q116 threshold machinery strips the batch
+    * EXACTLY as a full recurate of the union would — base documents'
+    * strips are unaffected by construction (their occurrences stay
+    * first). */
+  def incrementalDupStarts(base: DataFrame, statePath: String): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val occ = gramOccurrences(base)
+      .withColumn("k", $"doc_id" * lit(1000000000L) + $"pos")
+      .localCheckpoint(true)
+    val firstKey = occ.groupBy($"h").agg(min($"k").as("fk"))
+    val inBase = s.read.parquet(s"$statePath/stripgrams")
+      .withColumn("in_base", lit(1))
+    occ.join(firstKey, "h")
+      .join(inBase, Seq("h"), "left")
+      .filter($"in_base" === 1 || $"k" =!= $"fk")
+      .groupBy($"doc_id").agg(sort_array(collect_list($"pos")).as("sts"))
+  }
+
+  /** The state-aware q116 strip + q114 redact chain over a batch's KEPT
+    * docs — the transform half of the incremental curate, shared
+    * verbatim by [[graft.app.CleanPipeline.runIncremental]] and the
+    * streaming door ([[graft.streaming.CurateDoor]]) so door-admitted
+    * bytes ≡ incrementally-published bytes by construction, not by
+    * parallel implementation. Input `(doc_id, text)`; output one row per
+    * doc: `(doc_id, text [stripped+redacted], n_pii, n_tok, n_kept,
+    * n_dup_kept)` — n_dup_kept counts duplicated tokens the threshold
+    * SPARED (spans < `minStripSpan`), the runFull accounting column. */
+  def stripRedactAgainstState(kept: DataFrame, statePath: String,
+      minStripSpan: Long): DataFrame = {
+    val base = spanBase(kept.select(col("doc_id"), col("text")))
+    val ivs = maxSpanIntervals(incrementalDupStarts(base, statePath))
+      .withColumn("n_dup_kept", expr(
+        s"""aggregate(filter(iv, v -> v.b - v.a < ${minStripSpan}L),
+           |  0L, (acc, v) -> acc + (v.b - v.a))""".stripMargin))
+      .withColumn("iv",
+        expr(s"filter(iv, v -> v.b - v.a >= ${minStripSpan}L)"))
+      .select(col("doc_id"), col("iv"), col("n_dup_kept"))
+    val stripped = stripByIntervals(base, ivs)
+      .withColumn("n_dup_kept", coalesce(col("n_dup_kept"), lit(0L)))
+      .select(col("doc_id"), col("stripped_text"),
+        col("n").as("n_tok"), col("n_kept"), col("n_dup_kept"))
+    TextOps.piiRewriteOf(stripped.withColumnRenamed("stripped_text", "text"))
+      .select(col("doc_id"), col("redacted").as("text"),
+        (col("n_emails") + col("n_ipv4") + col("n_phones")).as("n_pii"),
+        col("n_tok"), col("n_kept"), col("n_dup_kept"))
+  }
+
   // ---------------------------------------------------------------- q97
   /** Width of a duplication SPAN: the q97 n-gram size, chosen long enough
     * that a match is copied text, not coincidence (the substring-dedup

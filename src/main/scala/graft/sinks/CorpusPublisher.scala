@@ -32,4 +32,16 @@ object CorpusPublisher {
       .sortBy("doc_id")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Append a batch to an existing published table — the incremental
+    * curate's publish step. The bucket spec must match the original
+    * publish (Spark enforces it), so every downstream bucketed-join
+    * optimization keeps holding over base + appended batches. */
+  def appendTo(d: DataFrame, table: String, buckets: Int = 32): Unit =
+    d.write.mode("append")
+      .partitionBy("lang")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -292,6 +292,129 @@ class PublishSpec extends AnyFunSuite {
       "short incidental match must SURVIVE the threshold rule in doc B")
   }
 
+  /** VERDICT r9 #5, the incremental-curate equivalence contract: for a
+    * pure-append batch, base-published ∪ incrementally-appended must
+    * equal a FULL recurate of the union ROW FOR ROW — same kept set
+    * (exact-dup, near-dup, decontam and sample decisions replayed
+    * against the persisted state), same stripped+redacted bytes (the
+    * state-aware q116 first-occurrence rule), same split, and pack
+    * offsets that CONTINUE the base packing. The batch plants one case
+    * per corpus-global stage: a novel keeper, an exact dup of base, a
+    * near-dup of base (shorter — the base keeper wins in both modes), a
+    * batch-internal near-dup pair, a long copied block (stripped) plus a
+    * short one (spared + accounted), and a train doc contaminated by a
+    * base eval doc. Keeper-tie and retroactive-drop divergences are
+    * documented in runIncremental's contract and avoided by
+    * construction here. */
+  test("runIncremental: append equals full recurate of the union") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    def seg(tag: String, stop: String, n: Int): Seq[String] =
+      (0 until n).map(i => if (i % 4 == 3) stop else s"$tag$i")
+    // ids that survive sample (bucket < 500 for en) and land in train
+    def surviving(from: Long, n: Int): Seq[Long] =
+      spark.range(from, from + 20000).select(col("id").as("doc_id"))
+        .withColumn("b", graft.util.Buckets.mod1000("doc_id"))
+        .withColumn("sb", graft.app.CleanPipeline.splitBucket)
+        .filter(col("b") < 500 && col("sb") < 980)
+        .orderBy(col("doc_id")).limit(n)
+        .collect().map(_.getLong(0)).toSeq
+    // ---- base: the sf corpus + two planted fresh-vocab kept docs ----
+    val sfDocs = graft.util.Tables(spark, dir, "documents")
+    val Seq(b0, b1) = surviving(5000, 2)
+    val baseRows = Seq(
+      (b0, seg("bsA", "the", 80).mkString(" ")),
+      (b1, seg("bsB", "of", 80).mkString(" ")))
+    def asDocs(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "planted", t.length.toLong, "en") }
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+    sfDocs.unionByName(asDocs(baseRows)).repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/prev/documents.parquet")
+    // a base EVAL doc (salted split >= 980) with >= 5 tokens, for the
+    // contamination plant
+    val evalDoc = sfDocs
+      .withColumn("sb", graft.app.CleanPipeline.splitBucket)
+      .filter(col("sb") >= 980 &&
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")) >= 5)
+      .select(col("text")).head.getString(0)
+    val evalGram = evalDoc.split(" ").slice(0, 5).mkString(" ")
+    // ---- batch: ids strictly above every base id ----
+    val Seq(n0, n1, n2, n3, n4, s0, c0) = surviving(10000, 7)
+    val base0Toks = baseRows.head._2.split(" ").toSeq
+    val novelA = seg("nvA", "and", 60).mkString(" ")
+    val batchRows = Seq(
+      // novel keepers
+      (n0, novelA),
+      (n1, seg("nvB", "to", 60).mkString(" ")),
+      // exact dup of a base doc -> dup_existing here, 'dup' in the full
+      (n2, baseRows.head._2),
+      // near-dup of base b1: one token swapped for a SHORTER one -> the
+      // base copy stays keeper in both modes
+      (n3, baseRows(1)._2.split(" ").updated(40, "x").mkString(" ")),
+      // batch-INTERNAL near-dup pair: n4 is a shorter variant of n0 ->
+      // n0 is the q65 keeper in both modes
+      (n4, novelA.split(" ").updated(30, "y").mkString(" ")),
+      // strip plant: 40 tokens copied from base b0 (>= minStripSpan=25
+      // -> stripped) + 20 copied tokens (< 25 -> spared, accounted)
+      (s0, (seg("stA", "a", 32) ++ base0Toks.slice(0, 40) ++
+        seg("stB", "a", 32) ++ base0Toks.slice(56, 76) ++
+        seg("stC", "a", 32)).mkString(" ")),
+      // contamination plant: shares one 5-gram with the base eval doc
+      (c0, (seg("ctA", "the", 32) :+ evalGram).mkString(" ")))
+    asDocs(batchRows).unionByName(asDocs(baseRows))
+      .unionByName(sfDocs)
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/new/documents.parquet")
+    // embeddings ride along unchanged (runIncremental only reads them
+    // when a pqIndexPath is given; Tables still requires the file)
+    for (side <- Seq("prev", "new"))
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$side/embeddings.parquet")
+    // ---- the three runs ----
+    cleanTableLocation("inc_base"); cleanTableLocation("inc_full")
+    val span = 25L
+    graft.app.CleanPipeline.runFull(spark, s"$tmp/prev", "inc_base",
+      buckets = 4, minStripSpan = span, statePath = Some(s"$tmp/state"))
+    val (acctI, _) = graft.app.CleanPipeline.runIncremental(spark,
+      s"$tmp/prev", s"$tmp/new", "inc_base", s"$tmp/state",
+      buckets = 4, minStripSpan = span)
+    graft.app.CleanPipeline.runFull(spark, s"$tmp/new", "inc_full",
+      buckets = 4, minStripSpan = span)
+    // ---- row-for-row equality of the published tables ----
+    val cols = Seq("doc_id", "lang", "source", "text", "n_pii", "n_tok",
+      "n_kept", "n_dup_kept", "split", "start_off", "pack_id", "n_chars")
+    def rowsOf(t: String) = spark.table(t).select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsOf("inc_base") == rowsOf("inc_full"),
+      "incremental append diverges from the full recurate of the union")
+    // ---- the planted decisions each landed in their stage ----
+    val st = acctI.collect()
+      .map(r => r.getString(1) -> r.getLong(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(st.getOrElse("dup_existing", 0L) >= 1L, s"stages: $st")
+    assert(st.getOrElse("neardup", 0L) >= 2L, s"stages: $st") // vs-base + in-batch
+    assert(st.getOrElse("contaminated", 0L) >= 1L, s"stages: $st")
+    assert(st.getOrElse("kept", 0L) >= 3L, s"stages: $st")
+    // the strip plant: stripped the 40-token block, spared+accounted 20
+    val srow = spark.table("inc_base").filter(col("doc_id") === s0)
+      .select("n_tok", "n_kept", "n_dup_kept").head
+    assert(srow.getLong(0) - srow.getLong(1) == 40L,
+      s"strip plant removed ${srow.getLong(0) - srow.getLong(1)}, want 40")
+    assert(srow.getLong(2) == 20L,
+      s"strip plant spared ${srow.getLong(2)}, want 20")
+    // pack continuation: appended en rows start at the base en token sum
+    val batchIds = batchRows.map(_._1).toSet
+    val enRows = spark.table("inc_base").filter(col("lang") === "en")
+      .select("doc_id", "n_kept", "start_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baseEnTok = enRows.filterNot(t => batchIds(t._1)).map(_._2).sum
+    val firstBatch = enRows.filter(t => batchIds(t._1)).minBy(_._3)
+    assert(firstBatch._3 == baseEnTok,
+      s"first appended en doc starts at ${firstBatch._3}, want $baseEnTok")
+  }
+
   /** The q118 stage knob (VERDICT r9 #4): `--lm-tail-filter` must drop
     * exactly the per-language tail tercile of the bigram-LM score — the
     * published set shrinks by precisely (kept ∩ q118-tail), the lm_tail
