@@ -43,6 +43,13 @@ object TextOps {
             .cast("double") / length(text)) * 0.5)
   }
 
+  /** The per-language sampling rate (per-mille) — ONE definition shared
+    * by q46, the batch cascade ([[stagedDocs]]) and the streaming door
+    * ([[graft.streaming.CurateDoor]] via `IngestClean.withRates`), so
+    * the door admits exactly the batch pipeline's sample. */
+  private[graft] def sampleRate(lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(lang === "en", 500L).otherwise(200L)
+
   // ---------------------------------------------------------------- q30
   /** Token counting per language: whitespace tokens + a BPE-ish regex
     * tokenizer (letters / digits / single punctuation). */
@@ -131,7 +138,7 @@ object TextOps {
     import s.implicits._
     docs(s, dir)
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
-      .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
+      .withColumn("rate", sampleRate($"lang"))
       .withColumn("kept", ($"bucket" < $"rate").cast("long"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"))
@@ -607,7 +614,7 @@ object TextOps {
       .drop("_ss")
       .withColumn("quality", qualityExpr($"text"))
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
-      .withColumn("rate", when($"lang" === "en", 500L).otherwise(200L))
+      .withColumn("rate", sampleRate($"lang"))
       .withColumn("stage",
         when($"doc_id" =!= $"canon_id", "dup")
           .when($"rf" > 0.05, "repetition")

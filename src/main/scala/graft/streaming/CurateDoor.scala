@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.functions.MinHashSig
+import graft.operators.Dedup
+
+/** VERDICT r9 #7: the composed streaming curate DOOR — every at-the-door
+  * twin this engine ships, wired into ONE ingest pipeline that mirrors
+  * the batch refresh's stage order. An incoming document flows
+  *
+  *   clean (stream exact-dedup, first content wins → repetition →
+  *          quality → per-lang sampling; [[IngestClean.withRates]], the
+  *          SAME rate rule as `TextOps.stagedDocs`)
+  *   → stream near-dup (MinHash band-bucket ownership, first owner wins;
+  *          checkpointed keyed state, [[StreamingNearDup]]'s machinery)
+  *   → dup-existing gate (q56 against the persisted base hashes)
+  *   → vs-base near-dup (band candidates against the persisted rep
+  *          signatures, exact-Jaccard verified — [[Dedup.vsBaseLinkedDocs]],
+  *          the identical decision the incremental batch refresh makes)
+  *   → decontam (q60 against the persisted eval grams)
+  *   → q116 threshold strip + q114 redact ([[Dedup.stripRedactAgainstState]]
+  *          — the SAME function `CleanPipeline.runIncremental` publishes
+  *          through, so door bytes ≡ published bytes by construction)
+  *   → admitted (one parquet dir per micro-batch — idempotent on replay).
+  *
+  * Relationship to the batch paths, spec-pinned (StreamingSpec): for a
+  * replayed batch, door-admitted rows equal `runIncremental`'s appended
+  * rows — same kept set, same stripped+redacted bytes, same accounting
+  * columns. Documented stream-semantic divergences: (a) stream-internal
+  * near-dup is CANDIDATE-grade first-wins (a band collision drops the
+  * later arrival; the batch refresh verifies Jaccard and keeps the
+  * longest) — the standard LSH-door trade, exact within-corpus dedup
+  * remains the batch q36's job; (b) the door does NOT append to the
+  * curate state, so gram-level duplication BETWEEN two door batches is
+  * caught at the next batch refresh, while doc-level duplication between
+  * them IS caught here (the checkpointed dedup + band-owner state is the
+  * door's own cross-batch memory).
+  *
+  * Scale shape: the in-plan stages are per-row codegen + two keyed state
+  * ops (state sized by distinct content / distinct band buckets, exactly
+  * the batch LSH's bound; TTL composes for forgetful deployments). The
+  * per-micro-batch stages probe the persisted state artifacts by
+  * equi-join with the MICRO-BATCH on the build side — base-sized state
+  * is streamed through the probe, never collected. */
+object CurateDoor {
+
+  // private[streaming], not private: Catalyst's generated (de)serializers
+  // are separate JVM classes — a Java-private case class breaks codegen
+  private[streaming] case class BandRow(doc_id: Long, lang: String,
+      source: String, text: String, band: Int, bkey: String)
+  private[streaming] case class Verdict(doc_id: Long, lang: String,
+      source: String, text: String, collided: Boolean)
+
+  /** Band-key array: the same 4-band × 4-row md5 construction as the
+    * batch `Dedup.bandedOf` / [[StreamingNearDup]]. A <3-token document
+    * has no signature and gets the sentinel band −1 keyed by its content
+    * hash — it passes through the state op without touching state (it
+    * can never near-dup; its exact dups were already dropped upstream).
+    * Doc fields ride only on the CARRIER row (band ≤ 0) so the band
+    * shuffle moves each text once, not four times. */
+  private val bandArr = {
+    val structs = (0 until 4).map { b =>
+      val parts = (1 to 4)
+        .map(r => s"cast(element_at(_sig, ${b * 4 + r}) as string)")
+        .mkString(", ")
+      s"struct($b as band, md5(cast(concat_ws(',', $parts) as binary)) as bkey)"
+    }.mkString(", ")
+    s"""case when _sig is null
+       |  then array(struct(-1 as band, md5(cast(text as binary)) as bkey))
+       |  else array($structs) end""".stripMargin
+  }
+
+  /** The IN-PLAN half: clean cascade + stream near-dup verdicts. Output
+    * one row per (admitted-by-clean doc, band) with `collided` = this
+    * doc lost its band bucket to an earlier owner; [[admitBatch]]
+    * aggregates the verdicts per doc. Both stateful operators run in
+    * append mode (Spark's requirement for chaining them) and checkpoint
+    * with the query. */
+  def verdicts(stream: DataFrame, orderCol: String,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val cleaned = IngestClean.withRates(stream, "text", orderCol, "doc_id",
+      maxRepFrac = 0.05, minQuality = 0.52,
+      ratePerMille = graft.operators.TextOps.sampleRate(col("lang")))
+    val banded = cleaned
+      .withColumn("_sig", MinHashSig(col("text")))
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("text"), explode(expr(bandArr)).as("x"))
+      .select(col("doc_id"),
+        when(col("x.band") <= 0, col("lang")).as("lang"),
+        when(col("x.band") <= 0, col("source")).as("source"),
+        when(col("x.band") <= 0, col("text")).as("text"),
+        col("x.band").as("band"), col("x.bkey").as("bkey"))
+      .as[BandRow]
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        collide(ttl.map(_.toMillis)))
+      .toDF()
+  }
+
+  /** Bucket ownership, [[StreamingNearDup]] semantics: first batch to
+    * touch a bucket elects the minimum doc_id as owner, the owner never
+    * changes (until TTL eviction), later arrivals collide. Sentinel
+    * band −1 (signature-less docs) bypasses state entirely. */
+  private def collide(ttlMs: Option[Long])(key: (Int, String),
+      rows: Iterator[BandRow], state: GroupState[Long]): Iterator[Verdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val rs = rows.toArray
+    if (key._1 < 0)
+      return rs.iterator.map(r =>
+        Verdict(r.doc_id, r.lang, r.source, r.text, collided = false))
+    val owner = if (state.exists) state.get else rs.map(_.doc_id).min
+    if (!state.exists) state.update(owner)
+    ttlMs.foreach(state.setTimeoutDuration) // every touch re-arms (idle-TTL)
+    rs.iterator.map(r =>
+      Verdict(r.doc_id, r.lang, r.source, r.text,
+        collided = r.doc_id != owner))
+  }
+
+  /** The PER-MICRO-BATCH half, plain batch semantics inside foreachBatch:
+    * fold the band verdicts back to one row per doc, drop colliders,
+    * then replay the incremental refresh's corpus-global gates against
+    * the persisted state and transform survivors with the shared
+    * strip+redact chain. Returns the admitted rows:
+    * `(doc_id, lang, source, text, n_pii, n_tok, n_kept, n_dup_kept)`. */
+  def admitBatch(verdictBatch: DataFrame, statePath: String,
+      isEval: Column, minStripSpan: Long = Dedup.MinStripSpan): DataFrame = {
+    val docs = verdictBatch.groupBy(col("doc_id"))
+      .agg(max(col("collided").cast("int")).as("collided"),
+        first(col("text"), ignoreNulls = true).as("text"),
+        first(col("lang"), ignoreNulls = true).as("lang"),
+        first(col("source"), ignoreNulls = true).as("source"))
+    val batchDocs = docs.filter(col("collided") === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
+    val ib = Dedup.incBatchArtifacts(batchDocs)
+    val dropped = Dedup.incrementalDupExisting(batchDocs, statePath)
+      .union(Dedup.vsBaseLinkedDocs(ib, statePath))
+      .union(Dedup.incrementalContaminated(batchDocs, statePath, isEval))
+      .distinct()
+    val kept = batchDocs.join(dropped, Seq("doc_id"), "left_anti")
+    Dedup.stripRedactAgainstState(
+        kept.select(col("doc_id"), col("text")), statePath, minStripSpan)
+      .join(kept.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_pii"), col("n_tok"), col("n_kept"), col("n_dup_kept"))
+  }
+
+  /** Compose and start: one streaming query, admitted rows land as one
+    * parquet dir per micro-batch (`$outPath/batch=<id>`, overwritten on
+    * replay — the idempotence contract foreachBatch needs). `isEval`
+    * must be the SAME split predicate the batch pipeline publishes with
+    * (`CleanPipeline.splitBucket >= 980`). */
+  def open(stream: DataFrame, statePath: String, outPath: String,
+      checkpoint: String, isEval: Column,
+      minStripSpan: Long = Dedup.MinStripSpan, orderCol: String = "doc_id",
+      ttl: Option[java.time.Duration] = None): StreamingQuery =
+    verdicts(stream, orderCol, ttl).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        admitBatch(b, statePath, isEval, minStripSpan)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$id")
+      }
+      .start()
+}

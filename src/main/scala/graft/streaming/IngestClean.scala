@@ -24,7 +24,17 @@ object IngestClean {
     * columns (`rep_frac`, `quality`, `bucket`) for observability. */
   def apply(df: DataFrame, textCol: String, orderCol: String,
       idCol: String = "doc_id", maxRepFrac: Double = 0.05,
-      minQuality: Double = 0.52, keepPerMille: Int = 500): DataFrame = {
+      minQuality: Double = 0.52, keepPerMille: Int = 500): DataFrame =
+    withRates(df, textCol, orderCol, idCol, maxRepFrac, minQuality,
+      lit(keepPerMille))
+
+  /** [[apply]] with a COLUMN sampling rate — the batch pipeline samples
+    * per language (`TextOps.stagedDocs`: en 500‰, else 200‰), and the
+    * composed curate door ([[CurateDoor]]) must admit exactly that set,
+    * so the door passes the same per-lang rate expression here. */
+  def withRates(df: DataFrame, textCol: String, orderCol: String,
+      idCol: String, maxRepFrac: Double, minQuality: Double,
+      ratePerMille: org.apache.spark.sql.Column): DataFrame = {
     val deduped = StreamingDedup.firstPerContent(df, textCol, orderCol)
     deduped
       .withColumn("_ss", ShingleStats(col(textCol)))
@@ -35,7 +45,7 @@ object IngestClean {
       .withColumn("quality", graft.operators.TextOps.qualityExpr(col(textCol)))
       .withColumn("bucket", graft.util.Buckets.mod1000(idCol))
       .filter(col("rep_frac") <= maxRepFrac &&
-        col("quality") >= minQuality && col("bucket") < keepPerMille)
+        col("quality") >= minQuality && col("bucket") < ratePerMille)
       .drop("_ss")
   }
 }

@@ -1378,4 +1378,158 @@ class StreamingSpec extends AnyFunSuite {
       enc.unpersist()
     }
   }
+
+  /** VERDICT r9 #7, the composed curate DOOR: the at-the-door twins
+    * (clean → stream near-dup → dup-existing → vs-base near-dup →
+    * decontam → q116 strip → redact) wired into ONE ingest pipeline,
+    * proven against the batch refresh: a planted batch replayed through
+    * the door in TWO micro-batches admits exactly the rows
+    * `CleanPipeline.runIncremental` appends for the same batch — same
+    * kept set, same stripped+redacted bytes (md5), same accounting
+    * columns. One planted case per stage, including cross-micro-batch
+    * exact and near duplicates (the door's checkpointed stream state)
+    * and a de-lang sample case that a flat 500‰ door rate would admit
+    * (pinning the per-lang `IngestClean.withRates` wiring). Planted
+    * texts share no novel grams ACROSS kept docs, because the door
+    * strips per micro-batch against base state only — gram-level
+    * duplication between two door batches is documented as the next
+    * batch refresh's job. */
+  test("composed curate door admits exactly the incremental refresh's rows") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("curate_door")
+    def seg(tag: String, stop: String, n: Int): Seq[String] =
+      (0 until n).map(i => if (i % 4 == 3) stop else s"$tag$i")
+    def pick(from: Long, n: Int)(pred: org.apache.spark.sql.Column): Seq[Long] =
+      spark.range(from, from + 60000).select(col("id").as("doc_id"))
+        .withColumn("b", graft.util.Buckets.mod1000("doc_id"))
+        .withColumn("sb", graft.app.CleanPipeline.splitBucket)
+        .filter(pred).orderBy(col("doc_id")).limit(n)
+        .collect().map(_.getLong(0)).toSeq
+    val train = col("sb") < 980
+    // ---- base corpus: two en keepers, one de keeper, one eval doc ----
+    val Seq(b0, b1) = pick(5000, 2)(col("b") < 500 && train)
+    val Seq(d0) = pick(6000, 1)(col("b") < 200 && train)
+    val Seq(e0) = pick(7000, 1)(col("sb") >= 980)
+    val b0Text = seg("dbsA", "the", 80).mkString(" ")
+    val b1Text = seg("dbsB", "of", 80).mkString(" ")
+    val evalText = seg("evq", "the", 12).mkString(" ")
+    val evalGram = evalText.split(" ").slice(0, 5).mkString(" ")
+    def asDocs(rows: Seq[(Long, String, String)]) = rows
+      .map { case (id, t, l) => (id, t, "planted", t.length.toLong, l) }
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+    val baseRows = Seq((b0, b0Text, "en"), (b1, b1Text, "en"),
+      (d0, seg("dbsC", "the", 60).mkString(" "), "de"),
+      (e0, evalText, "en"))
+    asDocs(baseRows).repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/prev/documents.parquet")
+    // ---- batch: file 1 ----
+    val Seq(n0, n1, n2, c0, r0, q0) = pick(10000, 6)(col("b") < 500 && train)
+    val Seq(s0) = pick(10000, 1)(col("b") >= 500 && train)
+    val Seq(d1) = pick(11000, 1)(col("b") < 200 && train)
+    val Seq(d2) = pick(11000, 1)(col("b") >= 200 && col("b") < 500 && train)
+    val n0Text = (seg("nvA", "and", 60) :+ "reach" :+ "nvAowner@example.com")
+      .mkString(" ")
+    val file1 = Seq(
+      (n0, n0Text, "en"), // novel keeper, one email redaction
+      (n1, b0Text, "en"), // exact dup of base -> dup_existing
+      // near-dup of base b1, one mid token swapped SHORTER -> base keeper
+      (n2, b1Text.split(" ").updated(40, "x").mkString(" "), "en"),
+      (c0, (seg("ctA", "the", 32) :+ evalGram).mkString(" "), "en"),
+      (r0, "x y z x y z x y z x y z", "en"), // repetition stage
+      (q0, "zebra quark plasma", "en"), // quality stage
+      (s0, seg("smA", "to", 40).mkString(" "), "en"), // en sample-out
+      (d1, seg("nvD", "the", 40).mkString(" "), "de"), // de keeper
+      // de bucket in [200,500): a flat 500-per-mille door would ADMIT it
+      (d2, seg("smD", "to", 40).mkString(" "), "de"))
+    // ---- batch: file 2 (cross-micro-batch state cases) ----
+    val Seq(n4, n5, st0, sh0) = pick(20000, 4)(col("b") < 500 && train)
+    val b0Toks = b0Text.split(" ").toSeq
+    val file2 = Seq(
+      // internal near-dup of n0, SHORTER (no email tail) -> n0 keeper in
+      // both modes (batch: q65 longest; door: band owner from batch 1)
+      (n4, seg("nvA", "and", 60).updated(30, "y").mkString(" "), "en"),
+      (n5, n0Text, "en"), // exact dup ACROSS micro-batches -> dedup state
+      // 40 base tokens (>= minSpan 25 -> stripped) + 20 (< 25 -> spared)
+      (st0, (seg("stA", "a", 32) ++ b0Toks.slice(0, 40) ++
+        seg("stB", "a", 32) ++ b0Toks.slice(56, 76) ++
+        seg("stC", "a", 32)).mkString(" "), "en"),
+      (sh0, "the of", "en")) // <3 tokens: no signature, sentinel band
+    // ---- the union dir the batch refresh consumes ----
+    asDocs(file1 ++ file2).unionByName(asDocs(baseRows)).repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/new/documents.parquet")
+    // ---- base refresh publishes the state the door probes ----
+    cleanTableLocationS("door_base")
+    val span = 25L
+    graft.app.CleanPipeline.runFull(spark, s"$tmp/prev", "door_base",
+      buckets = 4, minStripSpan = span, statePath = Some(s"$tmp/state"))
+    // ---- door: replay the batch as a 2-micro-batch file stream ----
+    def json(r: (Long, String, String)) =
+      s"""{"doc_id":${r._1},"text":"${r._2}","lang":"${r._3}","source":"planted"}"""
+    val streamDir = Files.createTempDirectory("curate_door_in")
+    Files.write(streamDir.resolve("b1.json"),
+      file1.map(json).mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(streamDir.toString)
+    val q = graft.streaming.CurateDoor.open(stream, s"$tmp/state",
+      s"$tmp/out", s"$tmp/ckpt",
+      isEval = graft.app.CleanPipeline.splitBucket >= 980,
+      minStripSpan = span)
+    try {
+      q.processAllAvailable()
+      Files.write(streamDir.resolve("b2.json"),
+        file2.map(json).mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+    // ---- the batch refresh over the same batch (mutates state; after
+    // the door, which reads it pristine) ----
+    val (acctI, _) = graft.app.CleanPipeline.runIncremental(spark,
+      s"$tmp/prev", s"$tmp/new", "door_base", s"$tmp/state",
+      buckets = 4, minStripSpan = span)
+    assert(acctI.count() > 0)
+    // ---- door-admitted ≡ incrementally-appended, column for column ----
+    val doorRows = spark.read.parquet(s"$tmp/out")
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("m"), col("n_pii"),
+        col("n_tok"), col("n_kept"), col("n_dup_kept"))
+      .collect().map(_.toString).sorted.toSeq
+    val batchIds = (file1 ++ file2).map(_._1)
+    val incRows = spark.table("door_base")
+      .filter(col("doc_id").isin(batchIds: _*))
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("m"), col("n_pii"),
+        col("n_tok"), col("n_kept"), col("n_dup_kept"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(doorRows == incRows,
+      s"door-admitted diverges from the incremental refresh:\n" +
+        s"door=${doorRows.mkString("\n")}\ninc=${incRows.mkString("\n")}")
+    // ---- each planted decision landed where designed ----
+    val admitted = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(n0, d1, st0, sh0), s"admitted $admitted")
+    val st = spark.read.parquet(s"$tmp/out")
+      .filter(col("doc_id") === st0)
+      .select("n_tok", "n_kept", "n_dup_kept").head
+    assert(st.getLong(0) - st.getLong(1) == 40L, s"stripped ${st.getLong(0) - st.getLong(1)}")
+    assert(st.getLong(2) == 20L, s"spared ${st.getLong(2)}")
+    val pii = spark.read.parquet(s"$tmp/out")
+      .filter(col("doc_id") === n0).select("n_pii").head.getLong(0)
+    assert(pii == 1L, s"n_pii $pii")
+  }
+
+  /** StreamingSpec's own copy of PublishSpec's table cleaner (the
+    * in-memory catalog is per-JVM, the warehouse dir is not). */
+  private def cleanTableLocationS(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+  }
 }
