@@ -263,15 +263,33 @@ object Bench {
         buckets = 8, statePath = Some(s"$root/state"))
       val corpus = graft.util.Tables(s, dir, "documents")
       for ((v, k) <- Seq("qa", "qb", "qc", "qd").zipWithIndex) {
+        // suffix only NON-stopword tokens: a fully-suffixed rewrite has
+        // stop_ratio 0 ⇒ quality 0.5 < 0.52, and the whole batch would
+        // fall out at the quality stage — timing a refresh that keeps
+        // nothing (r11 fix; the door arm's admitted>0 check guards it)
         val batch = corpus.filter(col("doc_id") % 8 === 0)
           .select((col("doc_id") + lit((k + 1) * 100000000L)).as("doc_id"),
-            expr(s"concat_ws(' ', transform(split(text, ' '), " +
-              s"x -> concat(x, '$v')))").as("text"),
+            expr("concat_ws(' ', transform(split(text, ' '), " +
+              "x -> CASE WHEN x IN ('the','a','of','and','to') THEN x " +
+              s"ELSE concat(x, '$v') END))").as("text"),
             col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")))
         corpus.unionByName(batch).repartition(8)
           .write.mode("overwrite").parquet(s"$root/new$k/documents.parquet")
       }
+      // the door arm's input: its OWN fifth variant, never consumed by
+      // the incremental arm — the increments APPEND their batches to the
+      // state, so replaying one of THEIR variants through the door would
+      // classify everything dup_existing and time the cheap path
+      // (overwritten here, inside the once-per-JVM setup, so a stale dir
+      // from an older binary can never be replayed)
+      corpus.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + lit(500000000L)).as("doc_id"),
+          expr("concat_ws(' ', transform(split(text, ' '), " +
+            "x -> CASE WHEN x IN ('the','a','of','and','to') THEN x " +
+            "ELSE concat(x, 'qe') END))").as("text"),
+          col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$root/door_in")
     }
     root
   }
@@ -469,6 +487,28 @@ object Bench {
         s, dir, s"$root/new$k", "bench_inc_base", s"$root/state",
         buckets = 8)
       require(acct.count() > 0, "incremental curate produced no accounting")
+    }),
+    // r11 (VERDICT r9 #7): the composed streaming curate DOOR over the
+    // same fresh-vocab batch the incremental arm processes — clean +
+    // band-ownership in-plan, the state-probed gates + shared
+    // strip/redact chain per micro-batch. Reads against
+    // x_curate_incremental: the door pays no diff, no publish, no state
+    // catch-up — its delta prices exactly the at-the-door transform.
+    // Fresh checkpoint/out per pass (stream state must start empty; the
+    // parquet state is read-only to the door so passes don't interact).
+    "x_curate_door" -> ((s, dir) => {
+      val root = incSetupRoot(s, dir)
+      val in = s"$root/door_in"
+      val tmp = java.nio.file.Files.createTempDirectory("curate_door_bench")
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .parquet(in)
+      val q = graft.streaming.CurateDoor.open(stream, s"$root/state",
+        tmp.resolve("out").toString, tmp.resolve("ckpt").toString,
+        isEval = graft.app.CleanPipeline.splitBucket >= 980)
+      try q.processAllAvailable() finally q.stop()
+      val admitted = s.read.parquet(tmp.resolve("out").toString).count()
+      require(admitted > 0, "curate door admitted nothing")
     }),
     // late-r7: ingestion-time span stripping — 200 docs (half of them
     // re-sends of corpus text, the worst realistic mix) replayed as a

@@ -143,8 +143,15 @@ object Dedup {
       .groupBy($"i", $"j").agg(count(lit(1)).as("shared"))
       .join(nDoc.select($"doc_id".as("i"), $"n".as("na")), "i")
       .join(nDoc.select($"doc_id".as("j"), $"n".as("nb")), "j")
+      // na+nb-shared ≥ max(na,nb) > 0 for distinct docs; it reaches 0
+      // only when a doc_id appears on BOTH sides of eD (an id re-sent
+      // against state that already holds it — the door's re-send case).
+      // ANSI division would abort the whole job on that one row; clamp
+      // to 1 (the degenerate pair is identical ⇒ jaccard ≥ threshold
+      // either way) — one bad row must never kill a 100 TB job.
       .withColumn("jaccard",
-        $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+        $"shared".cast("double") /
+          greatest(lit(1L), $"na" + $"nb" - $"shared"))
       .filter($"jaccard" >= 0.5)
       .select($"i", $"j", $"shared", $"na", $"nb", $"jaccard")
   }
@@ -1109,8 +1116,12 @@ object Dedup {
         .select($"band", $"bkey")
       banded.join(fat, Seq("band", "bkey"), "left_anti")
     }
+    // i =!= j: a batch id already present in the state (a re-send the
+    // caller chose not to pre-drop) must not pair with ITSELF — the
+    // self-pair is the dup-existing gate's case, not a near-dup
     val cand = capped(bandedOf(ib.sig)).as("a")
       .join(capped(bandedOf(sigBase)).as("b"), Seq("band", "bkey"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
       .localCheckpoint(true)
     val eBase = s.read.parquet(s"$statePath/shingles")

@@ -138,12 +138,18 @@ object CurateDoor {
         first(col("text"), ignoreNulls = true).as("text"),
         first(col("lang"), ignoreNulls = true).as("lang"),
         first(col("source"), ignoreNulls = true).as("source"))
-    val batchDocs = docs.filter(col("collided") === 0)
+    val arrived = docs.filter(col("collided") === 0)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .localCheckpoint(true)
+    // dup-existing FIRST (the batch stage order): a re-send of content
+    // the state already holds must not reach the near-dup machinery —
+    // its id may exist on the state side too, and pairing a doc with
+    // itself is the dup gate's case, not a near-dup candidate's
+    val batchDocs = arrived.join(
+      Dedup.incrementalDupExisting(arrived, statePath),
+      Seq("doc_id"), "left_anti")
     val ib = Dedup.incBatchArtifacts(batchDocs)
-    val dropped = Dedup.incrementalDupExisting(batchDocs, statePath)
-      .union(Dedup.vsBaseLinkedDocs(ib, statePath))
+    val dropped = Dedup.vsBaseLinkedDocs(ib, statePath)
       .union(Dedup.incrementalContaminated(batchDocs, statePath, isEval))
       .distinct()
     val kept = batchDocs.join(dropped, Seq("doc_id"), "left_anti")

@@ -1519,6 +1519,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(pii == 1L, s"n_pii $pii")
   }
 
+  /** The door's cross-batch memory must survive a query restart: both
+    * keyed state ops (content-hash dedup, band-bucket ownership)
+    * checkpoint with the query, so a near-copy or re-send of content
+    * admitted BEFORE the bounce is still rejected after it — the
+    * property that makes an at-the-door dedup trustworthy in a daemon
+    * that gets restarted. State is persisted directly via
+    * [[graft.operators.Dedup.saveCurateState]] (no runFull needed):
+    * the door probes the same artifacts either way. */
+  test("curate door dedup + band-owner state survive a checkpoint restart") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("curate_door_restart")
+    def seg(tag: String, stop: String, n: Int): Seq[String] =
+      (0 until n).map(i => if (i % 4 == 3) stop else s"$tag$i")
+    def pick(from: Long, n: Int): Seq[Long] =
+      spark.range(from, from + 60000).select(col("id").as("doc_id"))
+        .withColumn("b", graft.util.Buckets.mod1000("doc_id"))
+        .withColumn("sb", graft.app.CleanPipeline.splitBucket)
+        .filter(col("b") < 500 && col("sb") < 980)
+        .orderBy(col("doc_id")).limit(n)
+        .collect().map(_.getLong(0)).toSeq
+    val Seq(base0) = pick(5000, 1)
+    val Seq(a0) = pick(10000, 1)
+    val Seq(bNear, bDup, bNew) = pick(20000, 3)
+    val baseDf = Seq((base0, seg("rbs", "the", 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.saveCurateState(baseDf, baseDf,
+      s"$tmp/state", lit(false))
+    val aText = seg("rstA", "and", 60).mkString(" ")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    def json(id: Long, t: String) =
+      s"""{"doc_id":$id,"text":"$t","lang":"en","source":"planted"}"""
+    val in = Files.createTempDirectory("curate_door_restart_in")
+    def startDoor() = graft.streaming.CurateDoor.open(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in.toString),
+      s"$tmp/state", s"$tmp/out", s"$tmp/ckpt",
+      isEval = graft.app.CleanPipeline.splitBucket >= 980)
+    Files.write(in.resolve("b1.json"), json(a0, aText).getBytes)
+    val q1 = startDoor()
+    try q1.processAllAvailable() finally q1.stop()
+    // after the bounce: a near-copy of a0 (band state), an exact re-send
+    // of a0's text (dedup state), and a genuinely new doc (the control)
+    Files.write(in.resolve("b2.json"), Seq(
+      json(bNear, aText.split(" ").updated(30, "z").mkString(" ")),
+      json(bDup, aText),
+      json(bNew, seg("rstB", "of", 60).mkString(" "))).mkString("\n").getBytes)
+    val q2 = startDoor()
+    try q2.processAllAvailable() finally q2.stop()
+    val admitted = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(a0, bNew),
+      s"admitted $admitted — state lost across the restart?")
+  }
+
   /** StreamingSpec's own copy of PublishSpec's table cleaner (the
     * in-memory catalog is per-JVM, the warehouse dir is not). */
   private def cleanTableLocationS(table: String): Unit = {
