@@ -53,7 +53,8 @@ object Bench {
     "q107_semantic_dedup", "q108_rolling_users", "q109_theil_sen",
     "q110_theil_sen_sampled", "q111_ann_ivf_pq",
     "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
-    "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality")
+    "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
+    "q119_gopher_rules")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -177,7 +178,11 @@ object Bench {
     // q118 added r11: one bigram explode + partial-agg shuffle, two
     // broadcast model joins, q50 tercile window (isolated child 2.02,
     // loadavg ~2.9)
-    "q118_lm_quality" -> 2.0)
+    "q118_lm_quality" -> 2.0,
+    // q119 added r11: the 18-rule Gopher audit — ONE documents scan, all
+    // signals inside a single codegen GopherStats pass, one partial-agg
+    // exchange on lang (isolated child 0.97, loadavg ~3)
+    "q119_gopher_rules" -> 1.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

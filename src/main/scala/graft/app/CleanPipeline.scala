@@ -85,6 +85,10 @@ object CleanPipeline {
     *     DecontamWidth-shingle with any val/test doc is dropped)
     *   → LM-quality tail drop (q118 CCNet-style bigram-LM terciles;
     *     `--lm-tail-filter` — off by default, CCNet keeps head+middle)
+    *   → Gopher rule drop (q119: docs failing any of the `gopherRules`
+    *     subset — off by default/empty; a named subset, not all-18,
+    *     because rule applicability is corpus-dependent, see
+    *     [[graft.operators.TextOps.gopherDrops]])
     *   → span strip (q116, the published ExactSubstr convention of Lee
     *     et al. 2022: only MAXIMAL duplicated blocks of ≥ `minStripSpan`
     *     tokens are removed, short incidental matches are kept; applied
@@ -121,6 +125,7 @@ object CleanPipeline {
       buckets: Int = 32,
       minStripSpan: Long = graft.operators.Dedup.MinStripSpan,
       lmTailFilter: Boolean = false,
+      gopherRules: Seq[String] = Nil,
       statePath: Option[String] = None)
       : (DataFrame, DataFrame) = {
     import graft.operators.Dedup
@@ -135,6 +140,14 @@ object CleanPipeline {
     val lmTail =
       if (!lmTailFilter) None
       else Some(TextOps.lmTailDrops(docsAll).withColumn("lm_tail", lit(1)))
+    // q119 stage knob (r11): drop docs failing any of the NAMED Gopher
+    // rules (a tuned subset — see TextOps.gopherDrops for why not
+    // all-18). Computed on the full corpus like every drop stage; joins
+    // back as a doc-id-sized list
+    val gopher =
+      if (gopherRules.isEmpty) None
+      else Some(TextOps.gopherDrops(docsAll, gopherRules)
+        .withColumn("gopher_fail", lit(1)))
     // decontamination protects the pipeline's OWN published eval splits
     // (review finding r9: dropping against q60's bucket<100 eval set —
     // which this pipeline publishes into train — protects nothing it
@@ -150,10 +163,17 @@ object CleanPipeline {
           .when(col("stage") === "kept" && col("contaminated") === 1,
             "contaminated")
           .otherwise(col("stage")))
-    val staged = lmTail.fold(preStaged) { tl =>
+    val lmStaged = lmTail.fold(preStaged) { tl =>
       preStaged.join(tl, Seq("doc_id"), "left")
         .withColumn("stage",
           when(col("stage") === "kept" && col("lm_tail") === 1, "lm_tail")
+            .otherwise(col("stage")))
+    }
+    val staged = gopher.fold(lmStaged) { gf =>
+      lmStaged.join(gf, Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("stage") === "kept" && col("gopher_fail") === 1,
+            "gopher_fail")
             .otherwise(col("stage")))
     }.persist()
     try {
@@ -372,15 +392,20 @@ object CleanPipeline {
     val mi = args.indexOf("--min-strip-span")
     val minSpan = if (mi >= 0) args(mi + 1).toLong
       else graft.operators.Dedup.MinStripSpan
+    // --gopher-rules fail_dup_line,fail_top2  (comma-separated subset)
+    val gi = args.indexOf("--gopher-rules")
+    val gopherRules =
+      if (gi >= 0) args(gi + 1).split(",").toSeq.filter(_.nonEmpty)
+      else Seq.empty[String]
     val pos = args.zipWithIndex.collect {
       case (a, i) if a != "--full" && a != "--lm-tail-filter" &&
-        (mi < 0 || (i != mi && i != mi + 1)) => a
+        (mi < 0 || (i != mi && i != mi + 1)) &&
+        (gi < 0 || (i != gi && i != gi + 1)) => a
     }
     if (args.contains("--incremental")) {
       // usage: --incremental <prevInDir> <newInDir> <table> <statePath>
       //        [buckets]
-      val p = args.filterNot(a =>
-        a == "--incremental" || a == "--full" || a == "--lm-tail-filter")
+      val p = pos.filterNot(_ == "--incremental")
       val spark = graft.util.GraftSession.local("graft-clean-pipeline")
       val (acct, summary) = runIncremental(spark, p(0), p(1), p(2), p(3),
         p.lift(4).map(_.toInt).getOrElse(32), minSpan)
@@ -395,7 +420,7 @@ object CleanPipeline {
     val spark = graft.util.GraftSession.local("graft-clean-pipeline")
     if (full) {
       val (acct, summary) =
-        runFull(spark, inDir, table, buckets, minSpan, lmTail)
+        runFull(spark, inDir, table, buckets, minSpan, lmTail, gopherRules)
       acct.show(100, truncate = false)
       summary.show(100, truncate = false)
     } else run(spark, inDir, table, buckets).show(100, truncate = false)

@@ -173,6 +173,107 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------------------- q119
+  /** The published Gopher rule thresholds (Rae et al. 2021, Appendix A1),
+    * held as exact integers: every rule decision is an integer
+    * cross-multiplication (`signal·100 > pct·denominator`), so the audit
+    * carries ZERO floating point and the DuckDB twin is hash-exact by
+    * construction. (name, pct) for the fraction rules; the count/range
+    * rules are bespoke below. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3L // mean word length ∈ [3, 10], inclusive
+  val GopherMaxMeanWordLen = 10L
+  val GopherMinStopwords = 2L // ≥2 distinct hits from the 8-word list
+
+  /** Doc-level rule flags — each `fail_*` column is 1 iff the document
+    * violates that rule. Separated from the audit so the planted spec can
+    * assert individual rules per document. One map-side [[graft.functions.GopherStats]]
+    * pass computes every signal; no joins, no shuffle. */
+  private[graft] def gopherFlagsOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    // fraction rule: signal/denom > pct/100 fails — exact integer form.
+    // A zero denominator (no segments, empty text) can never fail a
+    // fraction rule (0 > 0 is false); the word-count rule catches those.
+    def pctFail(x: org.apache.spark.sql.Column, pct: Int,
+        denom: org.apache.spark.sql.Column) =
+      (x * 100L > lit(pct.toLong) * denom).cast("long")
+    d.select($"doc_id", $"lang", length($"text").cast("long").as("n_chars"),
+        graft.functions.GopherStats($"text").as("_g"))
+      .select($"doc_id", $"lang", $"n_chars", $"_g.*")
+      .withColumn("fail_word_count",
+        ($"n_words" < GopherMinWords || $"n_words" > GopherMaxWords).cast("long"))
+      .withColumn("fail_mean_word_len",
+        ($"sum_word_len" < lit(GopherMinMeanWordLen) * $"n_words" ||
+          $"sum_word_len" > lit(GopherMaxMeanWordLen) * $"n_words").cast("long"))
+      .withColumn("fail_symbol_ratio", pctFail($"n_sym", 10, $"n_words"))
+      .withColumn("fail_bullet", pctFail($"n_bullet_segs", 90, $"n_segs"))
+      .withColumn("fail_ellipsis", pctFail($"n_ellipsis_segs", 30, $"n_segs"))
+      .withColumn("fail_alpha_words",
+        ($"n_alpha_words" * 100L < lit(80L) * $"n_words").cast("long"))
+      .withColumn("fail_stopwords",
+        ($"n_stop_distinct" < GopherMinStopwords).cast("long"))
+      .withColumn("fail_dup_line", pctFail($"n_dup_segs", 30, $"n_segs"))
+      .withColumn("fail_dup_line_char", pctFail($"dup_seg_chars", 20, $"n_chars"))
+      .withColumn("fail_top2", pctFail($"top2_chars", 20, $"n_chars"))
+      .withColumn("fail_top3", pctFail($"top3_chars", 18, $"n_chars"))
+      .withColumn("fail_top4", pctFail($"top4_chars", 16, $"n_chars"))
+      .withColumn("fail_dup5", pctFail($"dup5_chars", 15, $"n_chars"))
+      .withColumn("fail_dup6", pctFail($"dup6_chars", 14, $"n_chars"))
+      .withColumn("fail_dup7", pctFail($"dup7_chars", 13, $"n_chars"))
+      .withColumn("fail_dup8", pctFail($"dup8_chars", 12, $"n_chars"))
+      .withColumn("fail_dup9", pctFail($"dup9_chars", 11, $"n_chars"))
+      .withColumn("fail_dup10", pctFail($"dup10_chars", 10, $"n_chars"))
+  }
+
+  private[graft] val GopherRuleCols: Seq[String] = Seq(
+    "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+    "fail_bullet", "fail_ellipsis", "fail_alpha_words", "fail_stopwords",
+    "fail_dup_line", "fail_dup_line_char", "fail_top2", "fail_top3",
+    "fail_top4", "fail_dup5", "fail_dup6", "fail_dup7", "fail_dup8",
+    "fail_dup9", "fail_dup10")
+
+  /** Gopher-style quality + repetition rule audit: the full published
+    * 18-rule set evaluated per document, rolled up per language — docs
+    * audited, per-rule failure counts, and the count passing EVERY rule
+    * (the corpus the filter would keep). Scale shape: one documents scan,
+    * all signals codegen map-side ([[graft.functions.GopherStats]]), one
+    * partial-agg exchange on `lang` — the same single-scan shape as
+    * q30/q48, auditing 100 TB at scan speed. */
+  def q119GopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherAuditOf(docs(s, dir))
+
+  private[graft] def gopherAuditOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val flags = gopherFlagsOf(d)
+    val nFails = GopherRuleCols.map(col).reduce(_ + _)
+    flags
+      .withColumn("passed", (nFails === 0L).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (GopherRuleCols.map(c => sum(col(c)).as(c)) :+
+          sum($"passed").as("n_pass")): _*)
+      .orderBy($"lang")
+  }
+
+  /** doc_ids failing ANY of the NAMED Gopher rules — the runFull stage
+    * form of q119. A subset (not all-18) because rule applicability is
+    * corpus-dependent: on the synthetic corpus `fail_stopwords` fires on
+    * every document (its vocabulary holds only 'the' of the 8-word
+    * presence list), exactly the situation where a practitioner tunes
+    * the rule set. Unknown rule names fail fast. Same single-scan shape
+    * as the audit; the result is a doc-id-sized drop list. */
+  private[graft] def gopherDrops(d: DataFrame, rules: Seq[String]): DataFrame = {
+    val bad = rules.filterNot(GopherRuleCols.contains)
+    require(bad.isEmpty, s"unknown Gopher rules: ${bad.mkString(", ")}; " +
+      s"valid: ${GopherRuleCols.mkString(", ")}")
+    gopherFlagsOf(d)
+      .filter(rules.map(col(_) === 1L).reduce(_ || _))
+      .select("doc_id")
+  }
+
   /** Minimum corpus-wide occurrence count for a bigram to be scored by
     * q87 — below this, lift estimates are noise (and at 100 TB the
     * HAVING prunes the singleton tail, which dominates the bigram key
@@ -1811,6 +1912,7 @@ object TextOps {
     "q33_fingerprint" -> (q33Fingerprint _),
     "q46_hash_sample" -> (q46HashSample _),
     "q48_repetition" -> (q48Repetition _),
+    "q119_gopher_rules" -> (q119GopherRules _),
     "q86_novelty_attribution" -> (q86NoveltyAttribution _),
     "q87_collocations" -> (q87Collocations _),
     "q88_textrank" -> (q88TextRank _),
@@ -1836,6 +1938,109 @@ object TextOps {
   private def sqlHits(words: Seq[String]) = {
     val lst = words.map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($lst))) AS BIGINT)"
+  }
+
+  /** q119's DuckDB twin, generated from the SAME rule table the Spark
+    * side evaluates — every signal replayed from `text` with list ops,
+    * every threshold the identical integer cross-multiplication. */
+  private def gopherOracleSql: String = {
+    // (flag column, SQL predicate over the joined signal row) — ONE rule
+    // table; order matches GopherRuleCols
+    val rules: Seq[(String, String)] = Seq(
+      "fail_word_count" -> "n_words < 50 OR n_words > 100000",
+      "fail_mean_word_len" ->
+        "sum_word_len < 3*n_words OR sum_word_len > 10*n_words",
+      "fail_symbol_ratio" -> "n_sym*100 > 10*n_words",
+      "fail_bullet" -> "n_bullet_segs*100 > 90*n_segs",
+      "fail_ellipsis" -> "n_ellipsis_segs*100 > 30*n_segs",
+      "fail_alpha_words" -> "n_alpha_words*100 < 80*n_words",
+      "fail_stopwords" -> "n_stop_distinct < 2",
+      "fail_dup_line" -> "n_dup_segs*100 > 30*n_segs",
+      "fail_dup_line_char" -> "dup_seg_chars*100 > 20*n_chars",
+      "fail_top2" -> "top2_chars*100 > 20*n_chars",
+      "fail_top3" -> "top3_chars*100 > 18*n_chars",
+      "fail_top4" -> "top4_chars*100 > 16*n_chars",
+      "fail_dup5" -> "dup5_chars*100 > 15*n_chars",
+      "fail_dup6" -> "dup6_chars*100 > 14*n_chars",
+      "fail_dup7" -> "dup7_chars*100 > 13*n_chars",
+      "fail_dup8" -> "dup8_chars*100 > 12*n_chars",
+      "fail_dup9" -> "dup9_chars*100 > 11*n_chars",
+      "fail_dup10" -> "dup10_chars*100 > 10*n_chars")
+    def gramCte(n: Int): String = {
+      val cat = (1 to n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      val (agg, name) =
+        if (n <= 4) (s"CAST(MAX(c*length(g)) AS BIGINT)", s"top${n}_chars")
+        else (s"CAST(SUM(CASE WHEN c >= 2 THEN c*length(g) ELSE 0 END) AS BIGINT)",
+          s"dup${n}_chars")
+      s"""g$n AS (SELECT doc_id, g, COUNT(*) c FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(t) - ${n - 1}),
+         |    i -> $cat)) AS g
+         |  FROM tk WHERE len(t) >= $n) GROUP BY doc_id, g),
+         |a$n AS (SELECT doc_id, $agg AS $name FROM g$n GROUP BY doc_id)""".stripMargin
+    }
+    val gramJoin = (2 to 10)
+      .map(n => s"LEFT JOIN a$n USING (doc_id)").mkString(" ")
+    val gramCoalesce = (2 to 10).map { n =>
+      val c = if (n <= 4) s"top${n}_chars" else s"dup${n}_chars"
+      s"COALESCE($c, 0) AS $c"
+    }.mkString(",\n        ")
+    val flagSelect = rules.map { case (c, p) =>
+      s"CASE WHEN $p THEN 1 ELSE 0 END AS $c"
+    }.mkString(",\n        ")
+    val failSum = rules.map(_._1).mkString(" + ")
+    val sumSelect = rules.map { case (c, _) =>
+      s"CAST(SUM($c) AS BIGINT) AS $c"
+    }.mkString(",\n        ")
+    s"""WITH base AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       |         text, lower(text) AS low FROM documents),
+       |tk AS (SELECT doc_id, string_split(low, ' ') AS t FROM base),
+       |w AS (SELECT doc_id,
+       |        CAST(len(t) AS BIGINT) AS n_words,
+       |        CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+       |          AS sum_word_len,
+       |        CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+       |          AS BIGINT) AS n_alpha_words,
+       |        CAST(len(list_filter(
+       |          ['the','be','to','of','and','that','have','with'],
+       |          sw -> list_contains(t, sw))) AS BIGINT) AS n_stop_distinct
+       |      FROM tk),
+       |sy AS (SELECT doc_id, CAST(length(text)
+       |          - length(replace(replace(text, '#', ''), '…', ''))
+       |          AS BIGINT) AS n_sym FROM base),
+       |sg0 AS (SELECT doc_id, seg
+       |        FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS seg
+       |              FROM base) WHERE length(seg) > 0),
+       |sgc AS (SELECT doc_id, seg, COUNT(*) c FROM sg0 GROUP BY doc_id, seg),
+       |sgs AS (SELECT doc_id,
+       |          CAST(SUM(c) AS BIGINT) AS n_segs,
+       |          CAST(SUM(CASE WHEN seg LIKE '-%' OR seg LIKE '•%'
+       |            THEN c ELSE 0 END) AS BIGINT) AS n_bullet_segs,
+       |          CAST(SUM(CASE WHEN seg LIKE '%...' OR seg LIKE '%…'
+       |            THEN c ELSE 0 END) AS BIGINT) AS n_ellipsis_segs,
+       |          CAST(SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS BIGINT)
+       |            AS n_dup_segs,
+       |          CAST(SUM(CASE WHEN c >= 2 THEN c*length(seg) ELSE 0 END)
+       |            AS BIGINT) AS dup_seg_chars
+       |        FROM sgc GROUP BY doc_id),
+       |${(2 to 10).map(gramCte).mkString(",\n")},
+       |j AS (SELECT b.lang, b.n_chars, w.n_words, w.sum_word_len,
+       |        w.n_alpha_words, w.n_stop_distinct, sy.n_sym,
+       |        COALESCE(sgs.n_segs, 0) AS n_segs,
+       |        COALESCE(sgs.n_bullet_segs, 0) AS n_bullet_segs,
+       |        COALESCE(sgs.n_ellipsis_segs, 0) AS n_ellipsis_segs,
+       |        COALESCE(sgs.n_dup_segs, 0) AS n_dup_segs,
+       |        COALESCE(sgs.dup_seg_chars, 0) AS dup_seg_chars,
+       |        $gramCoalesce
+       |      FROM base b JOIN w USING (doc_id) JOIN sy USING (doc_id)
+       |      LEFT JOIN sgs USING (doc_id) $gramJoin),
+       |f AS (SELECT lang,
+       |        $flagSelect
+       |      FROM j)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        $sumSelect,
+       |  CAST(SUM(CASE WHEN $failSum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pass
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -2075,6 +2280,7 @@ object TextOps {
         |  CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
         |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS rep_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q119_gopher_rules" -> gopherOracleSql,
     "q86_novelty_attribution" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
         |d2 AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),

@@ -458,6 +458,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text:string"), p.take(800))
   }
 
+  test("q119: one documents scan, zero joins, one partial-agg exchange") {
+    // the scale contract: all 19 Gopher signals come out of ONE codegen
+    // GopherStats pass over a single documents FileScan — no joins, no
+    // window, and exactly one hashpartitioning exchange (the per-lang
+    // rollup, partial-agg'd map-side). Anything more means the audit no
+    // longer runs at scan speed on 100 TB.
+    val p = plan("q119_gopher_rules")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p.take(800))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p.take(800))
+    assert(p.contains("gopher_stats"), p.take(800))
+  }
+
   test("q118: LM model joins broadcast; no text column past the checkpoint") {
     // the scale contract: the bigram model (langs×K² cells + langs×K
     // contexts) joins back as BROADCAST hash joins — a shuffle join

@@ -453,6 +453,52 @@ class PublishSpec extends AnyFunSuite {
     assert(!baseAcct.collect().map(_.getString(1)).contains("lm_tail"))
   }
 
+  /** The q119 stage knob (r11): `--gopher-rules <subset>` must drop
+    * exactly the docs failing any NAMED rule — published set shrinks by
+    * precisely (kept ∩ gopherDrops), the gopher_fail stage prices it,
+    * stage counts still partition the corpus, and an unknown rule name
+    * fails fast. Rule choice: fail_word_count + fail_top4 fire on a
+    * strict subset of sf0.001 docs (44% / ~12%), so the spec
+    * discriminates; fail_stopwords would drop everything here (the
+    * synthetic vocabulary holds only 'the' of the 8-word list). */
+  test("runFull --gopher-rules drops exactly the named-rule failures") {
+    import org.apache.spark.sql.functions.col
+    val rules = Seq("fail_word_count", "fail_top4")
+    cleanTableLocation("curate_gopher_base")
+    cleanTableLocation("curate_gopher")
+    val (baseAcct, _) = graft.app.CleanPipeline
+      .runFull(spark, dir, "curate_gopher_base", buckets = 4)
+    val (acctDf, _) = graft.app.CleanPipeline
+      .runFull(spark, dir, "curate_gopher", buckets = 4,
+        gopherRules = rules)
+    val docs = graft.util.Tables(spark, dir, "documents")
+    val fails = graft.operators.TextOps.gopherDrops(docs, rules)
+      .collect().map(_.getLong(0)).toSet
+    assert(fails.nonEmpty && fails.size < docs.count(),
+      s"spec rules must fire on a strict subset (got ${fails.size})")
+    val baseIds = spark.table("curate_gopher_base").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gotIds = spark.table("curate_gopher").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotIds == baseIds -- fails,
+      s"published set must be baseline minus the gopher failures " +
+        s"(missing ${(baseIds -- fails -- gotIds).take(5)}, " +
+        s"extra ${(gotIds -- (baseIds -- fails)).take(5)})")
+    val acct = acctDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nStage = acct.collect { case ((_, "gopher_fail"), n) => n }.sum
+    assert(nStage == (baseIds & fails).size.toLong,
+      s"gopher_fail stage counts $nStage vs ${(baseIds & fails).size}")
+    assert(acct.values.sum == docs.count(),
+      "stage counts must still partition the corpus with the knob on")
+    assert(!baseAcct.collect().map(_.getString(1)).contains("gopher_fail"))
+    // unknown rule names fail fast, not silently no-op
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextOps.gopherDrops(docs, Seq("fail_nope"))
+    }
+    assert(e.getMessage.contains("fail_nope"))
+  }
+
   test("per-language read prunes partitions at the source") {
     publishOnce()
     val p = plan(spark.table("docs_pub").filter("lang = 'en'"))

@@ -912,4 +912,102 @@ class TextOpsSpec extends AnyFunSuite {
     assert(byBucket("middle") == 2 * n / 3 - n / 3)
     assert(byBucket("tail") == n - 2 * n / 3)
   }
+
+  /** q119's GopherStats expression, pinned on a hand-computed document:
+    * every one of the 19 signal fields exact. Tokens are
+    * split(lower, " ") so trailing '.'s ride their token; segments are
+    * the q78 split; gram char weights count the space-joined string. */
+  test("q119 GopherStats: every signal field matches the hand computation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // tokens: xy zz xy zz xy. ww. ww  |  segments: [xy zz xy zz xy, ww, ww]
+    val row = Seq("xy zz xy zz xy. ww. ww").toDF("text")
+      .select(graft.functions.GopherStats(col("text")).as("g"))
+      .select($"g.*").collect()(0)
+    val got = row.toSeq.map(_.asInstanceOf[Long])
+    val want = Seq(
+      7L, // n_words
+      16L, // sum_word_len (22 chars - 6 spaces)
+      7L, // n_alpha_words
+      0L, // n_stop_distinct
+      0L, // n_sym
+      3L, // n_segs
+      0L, 0L, // bullet / ellipsis
+      1L, // n_dup_segs ("ww" twice -> one extra occurrence)
+      4L, // dup_seg_chars (2 x "ww")
+      10L, // top2_chars: "xy zz" x2 x 5
+      10L, // top3_chars: all distinct, longest is 10 ("zz xy. ww.")
+      13L, // top4_chars: all distinct, longest is 13
+      0L, 0L, 0L, 0L, 0L, 0L) // dup5..dup10: no repeated >=5-grams
+    assert(got == want, s"got $got")
+    // the symbol / bullet / ellipsis / stopword arm (word+segment fields).
+    // "on... #" contains ". " (last ellipsis dot + space), so the text
+    // splits into TWO segments: "- the list goes on.." (bullet) and
+    // "# and # on…" (ellipsis) — same for the DuckDB twin's literal split.
+    val r2 = Seq("- the list goes on... # and # on…").toDF("text")
+      .select(graft.functions.GopherStats(col("text")).as("g"))
+      .select($"g.n_words", $"g.n_alpha_words", $"g.n_stop_distinct",
+        $"g.n_sym", $"g.n_segs", $"g.n_bullet_segs", $"g.n_ellipsis_segs")
+      .collect()(0)
+    assert(r2.toSeq == Seq(9L, 6L, 2L, 3L, 2L, 1L, 1L), s"got ${r2.toSeq}")
+  }
+
+  /** q119 planted rule-by-rule: each crafted document trips its target
+    * rule; a well-formed document passes ALL 18 (so no rule fires
+    * spuriously). The corpus-level oracle pins the full arithmetic; this
+    * spec pins the rules' discriminative power — which the synthetic
+    * corpus can't (its vocabulary holds only 'the' from the Gopher
+    * stopword list, so fail_stopwords correctly fires on every real
+    * doc). */
+  test("q119 planted docs trip their target rules; a clean doc passes all") {
+    import spark.implicits._
+    val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def w(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val clean = (stop8 ++ w("pass", 44)).mkString(" ")
+    val twoChar = // 60 two-char words incl. two stopwords: mean len 2 < 3
+      (Seq("to", "of") ++ (for (a <- 'a' to 'h'; b <- 'a' to 'h')
+        yield s"$a$b").take(58)).mkString(" ")
+    val symbols = (stop8 ++ w("sym", 42) ++ Seq.fill(8)("#")).mkString(" ")
+    val bullets = (1 to 20).map(i => s"- item$i etc").mkString(". ")
+    val ellipsis = ((1 to 6).map(i => s"seg$i text") ++
+      (1 to 4).map(i => s"trail$i off...")).mkString(". ")
+    val numeric = (stop8 ++ w("al", 42) ++
+      (100 to 119).map(_.toString)).mkString(" ")
+    val nostop = w("qf", 60).mkString(" ")
+    val dupline = "alpha beta. alpha beta. alpha beta. gamma delta"
+    val top2 = (stop8 ++ (1 to 12).flatMap(i =>
+      Seq("zebra", "quokka", s"fill${i}a", s"fill${i}b", s"fill${i}c")))
+      .mkString(" ")
+    val five = Seq("victor", "whiskey", "xray", "yankee", "zulu")
+    val dup5 = (stop8 ++ (1 to 3).flatMap(i =>
+      five ++ (1 to 5).map(j => s"gap$i$j"))).mkString(" ")
+    val d = Seq(
+      (1L, clean), (2L, "the and x"), (3L, twoChar), (4L, symbols),
+      (5L, bullets), (6L, ellipsis), (7L, numeric), (8L, nostop),
+      (9L, dupline), (10L, top2), (11L, dup5))
+      .toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val flags = TextOps.gopherFlagsOf(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String): Long =
+      flags(id).getLong(flags(id).fieldIndex(c))
+    TextOps.GopherRuleCols.foreach(c =>
+      assert(f(1L, c) == 0L, s"clean doc fails $c"))
+    assert(f(2L, "fail_word_count") == 1L)
+    assert(f(3L, "fail_mean_word_len") == 1L)
+    assert(f(4L, "fail_symbol_ratio") == 1L)
+    assert(f(5L, "fail_bullet") == 1L)
+    assert(f(6L, "fail_ellipsis") == 1L)
+    assert(f(7L, "fail_alpha_words") == 1L)
+    assert(f(8L, "fail_stopwords") == 1L)
+    assert(f(9L, "fail_dup_line") == 1L)
+    assert(f(9L, "fail_dup_line_char") == 1L)
+    assert(f(10L, "fail_top2") == 1L)
+    assert(f(11L, "fail_dup5") == 1L)
+    // the audit rollup: 11 en docs, exactly one passes everything
+    val audit = TextOps.gopherAuditOf(d).collect()
+    assert(audit.length == 1)
+    val a = audit(0)
+    assert(a.getLong(a.fieldIndex("n_docs")) == 11L)
+    assert(a.getLong(a.fieldIndex("n_pass")) == 1L, a.toString)
+  }
 }
