@@ -54,7 +54,7 @@ object Bench {
     "q110_theil_sen_sampled", "q111_ann_ivf_pq",
     "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
-    "q119_gopher_rules")
+    "q119_gopher_rules", "q120_eval_overlap")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -182,7 +182,11 @@ object Bench {
     // q119 added r11: the 18-rule Gopher audit — ONE documents scan, all
     // signals inside a single codegen GopherStats pass, one partial-agg
     // exchange on lang (isolated child 0.97, loadavg ~3)
-    "q119_gopher_rules" -> 1.0)
+    "q119_gopher_rules" -> 1.0,
+    // q120 added r11: graded eval overlap — q60's checkpointed gram
+    // scan + the distinct-train-gram join + per-eval-doc rollup
+    // (isolated child 2.84, quiet box)
+    "q120_eval_overlap" -> 2.9)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -31,7 +31,13 @@ object ScaleSmoke {
     "q93_triangle_census", "q94_vocab_coverage", "q97_dup_spans",
     "q98_weighted_sample", "q99_span_strip", "q101_bloom_decontam",
     "q102_dsir_weights", "q104_bpe_encode", "q112_pq_distortion",
-    "q113_max_spans", "q114_pii_rewrite", "q116_long_span_strip")
+    "q113_max_spans", "q114_pii_rewrite", "q116_long_span_strip",
+    // r11 quality family: q118 bigram-LM buckets (replicated copies land
+    // in different md5 split buckets so results aren't ×factor — timed
+    // only), q119 Gopher audit (per-doc deterministic flags → exact
+    // ×factor invariant below), q120 eval overlap (a copy of an eval doc
+    // can land train-side and saturate its overlap — timed only)
+    "q118_lm_quality", "q119_gopher_rules", "q120_eval_overlap")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
@@ -148,6 +154,18 @@ object ScaleSmoke {
       .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     require(q86scaled == q86base.map { case (k, (t, i)) => k -> ((t * factor, i)) },
       "scale-up broke the novelty-introducer invariant")
+    // q119 invariant: the Gopher flags are a pure per-doc function, so
+    // exact replication scales EVERY per-lang rule-failure count (and
+    // n_docs and n_pass) by exactly `factor` — all 20 count columns
+    val q119base = SparkEntry.queries("q119_gopher_rules")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (1 until r.length).map(r.getLong).toSeq).toMap
+    val q119scaled = SparkEntry.queries("q119_gopher_rules")(spark, workDir)
+      .collect().map(r => r.getString(0) ->
+        (1 until r.length).map(r.getLong).toSeq).toMap
+    require(q119scaled == q119base.map { case (k, v) =>
+        k -> v.map(_ * factor) },
+      "scale-up broke the Gopher per-rule count invariant")
     // q101 invariant: the bloom sketch arm must equal the exact q60
     // accounting AT SCALE too (no false negatives, fps die in the exact
     // join) — the equality the sketch's whole existence rests on

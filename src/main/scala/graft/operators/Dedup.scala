@@ -646,6 +646,56 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  // --------------------------------------------------------------- q120
+  /** Graded eval-side contamination — the per-example overlap grading of
+    * the GPT-3 appendix-C / PaLM eval-integrity methodology: for every
+    * EVAL-split document, the fraction of its distinct
+    * [[DecontamWidth]]-grams that appear anywhere in the train split.
+    * q60 answers "which train docs must be dropped"; this answers "how
+    * dirty is each eval item if they are NOT" — the per-benchmark-item
+    * number an eval-integrity report quotes, graded (a 2-gram brush
+    * differs from a verbatim copy) rather than q60's boolean. Severity
+    * is exact integer permille (floor division on both sides — zero
+    * floating point anywhere).
+    *
+    * Scale shape: ONE text-bearing scan shingles the corpus (the q60
+    * checkpoint barrier serves both split sides); grams are md5'd
+    * MAP-SIDE so the join shuffles 128-bit keys, never 5-token strings
+    * (the q97 discipline); the train side collapses to a distinct gram
+    * set; eval gram rows — the SMALL side by construction (benchmarks,
+    * not the crawl) — left-join it for per-gram hit marks and roll up
+    * per doc. The final frame is eval-doc-sized. */
+  def q120EvalOverlap(s: SparkSession, dir: String): DataFrame =
+    evalOverlapOf(docs(s, dir))
+
+  private[graft] def evalOverlapOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val sh = shingleRowsOf(d.select($"doc_id", $"text"),
+        distinct = true, width = DecontamWidth)
+      .select($"doc_id", md5($"s".cast("binary")).as("h"),
+        (graft.util.Buckets.mod1000("doc_id") < 100).as("ev"))
+      .localCheckpoint(true)
+    val trainG = sh.filter(!$"ev").select($"h").distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = sh.filter($"ev").select($"doc_id", $"h")
+      .join(trainG, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_overlap"))
+    // text-free scan: every eval doc reports, shingled or not
+    d.select($"doc_id", $"lang")
+      .filter(graft.util.Buckets.mod1000("doc_id") < 100)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .withColumn("overlap_pm",
+        when($"n_grams" === 0L, 0L)
+          .otherwise(expr("1000L * n_overlap div n_grams")))
+      .orderBy($"doc_id")
+  }
+
   // --------------------------------------------------------------- q101
   /** q101: Bloom-filter decontamination — the broadcast-sketch SCALE arm
     * of q60, same split (doc_id buckets < 100 = eval, ≥ 100 = train) and
@@ -1523,6 +1573,7 @@ object Dedup {
     "q56_incremental_dedup" -> (q56IncrementalDedup _),
     "q60_decontam" -> (q60Decontam _),
     "q101_bloom_decontam" -> (q101BloomDecontam _),
+    "q120_eval_overlap" -> (q120EvalOverlap _),
     "q62_cluster_sizes" -> (q62ClusterSizes _),
     "q65_keep_best" -> (q65KeepBest _),
     "q77_split_leakage" -> (q77SplitLeakage _),
@@ -1726,6 +1777,33 @@ object Dedup {
         |FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
         |WHERE b.bucket >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q120_eval_overlap" -> {
+      // replays md5-hashed grams (not raw strings) so a hash collision —
+      // however unlikely — would be shared, not a silent divergence
+      val sh = (1 to DecontamWidth).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH b AS (SELECT doc_id, lang, text, ${sqlBucket("doc_id")} AS bucket FROM documents),
+        |toks AS (SELECT doc_id, bucket, string_split(lower(text), ' ') t FROM b),
+        |d AS (SELECT doc_id, bucket,
+        |        list_distinct(list_transform(range(len(t)-${DecontamWidth - 1}),
+        |          i -> md5($sh))) sh
+        |      FROM toks WHERE len(t) >= $DecontamWidth),
+        |e AS (SELECT doc_id, bucket, unnest(sh) h FROM d),
+        |tr AS (SELECT DISTINCT h FROM e WHERE bucket >= 100),
+        |per AS (SELECT e.doc_id,
+        |          CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |          CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_overlap
+        |        FROM e LEFT JOIN tr USING (h)
+        |        WHERE e.bucket < 100 GROUP BY e.doc_id)
+        |SELECT b.doc_id, b.lang,
+        |  COALESCE(per.n_grams, 0) AS n_grams,
+        |  COALESCE(per.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0
+        |    ELSE (1000 * per.n_overlap) // per.n_grams END AS overlap_pm
+        |FROM b LEFT JOIN per USING (doc_id)
+        |WHERE b.bucket < 100
+        |ORDER BY doc_id""".stripMargin
     },
     "q62_cluster_sizes" ->
       s"""$q36OracleCtes,

@@ -239,6 +239,39 @@ class DedupSpec extends AnyFunSuite {
     q101.foreach(r => assert(r.getBoolean(4), r.toString))
   }
 
+  /** q120: the graded complement of q60 — per EVAL doc, the fraction of
+    * its DISTINCT 5-grams present anywhere in train, exact permille.
+    * Plants one fully-copied doc (pm 1000), one quarter-overlap (pm 250),
+    * one clean (pm 0), one sub-width doc (0 grams — the text-free arm),
+    * and one with a repeated gram (distinctness: 6 occurrences, 5
+    * distinct). Only eval docs report, ordered by doc_id. */
+  test("q120 grades planted eval docs by exact train-overlap permille") {
+    import spark.implicits._
+    val ids = (0L until 400L)
+    val evalIds = ids.filter(bucketOf(_) < 100).take(5)
+    val trainIds = ids.filter(bucketOf(_) >= 100).take(2)
+    val full = "one two three four five six seven eight" // 4 grams, all hit
+    val part = "one two three four five apple banana cherry" // 1 of 4 hits
+    val clean = "red orange purple pink brown teal" // 2 grams, no hits
+    val tiny = "tiny wee doc" // < width: 0 grams
+    val rep = "pq rs tu vw xy pq rs tu vw xy" // 6 occurrences, 5 distinct
+    val rows = Seq(
+      (evalIds(0), "en", full), (evalIds(1), "en", part),
+      (evalIds(2), "en", clean), (evalIds(3), "en", tiny),
+      (evalIds(4), "en", rep),
+      (trainIds(0), "en", "prefix words then " + full),
+      (trainIds(1), "en", "alpha beta gamma delta epsilon zeta eta"))
+    val out = Dedup.evalOverlapOf(rows.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == evalIds.toSet, s"eval docs only: ${out.keySet}")
+    assert(out(evalIds(0)) == ((4L, 4L, 1000L)), out(evalIds(0)).toString)
+    assert(out(evalIds(1)) == ((4L, 1L, 250L)), out(evalIds(1)).toString)
+    assert(out(evalIds(2)) == ((2L, 0L, 0L)), out(evalIds(2)).toString)
+    assert(out(evalIds(3)) == ((0L, 0L, 0L)), out(evalIds(3)).toString)
+    assert(out(evalIds(4))._1 == 5L, out(evalIds(4)).toString)
+  }
+
   /** Spark clamps BloomFilterAggregate at maxNumItems=4M /
     * maxNumBits=67.1M with a silent Math.min — bloomOf must raise the
     * session confs so a >4M-capacity request actually gets its bits

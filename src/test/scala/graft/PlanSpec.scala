@@ -458,6 +458,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text:string"), p.take(800))
   }
 
+  test("q120: one text-bearing scan behind the checkpoint; final scan text-free") {
+    // the scale contract (q60's, inherited): the corpus text is decoded
+    // exactly once, into the checkpointed md5-gram frame that serves
+    // BOTH split sides; the only FileScan in the returned plan is the
+    // text-free (doc_id, lang) read for the per-eval-doc report, and
+    // the gram join is an equi-join, never a nested loop
+    val p = plan("q120_eval_overlap")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      p.take(1000))
+    assert(!p.contains("text:string"), p.take(1000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1000))
+  }
+
   test("q119: one documents scan, zero joins, one partial-agg exchange") {
     // the scale contract: all 19 Gopher signals come out of ONE codegen
     // GopherStats pass over a single documents FileScan — no joins, no
