@@ -54,7 +54,8 @@ object Bench {
     "q110_theil_sen_sampled", "q111_ann_ivf_pq",
     "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
-    "q119_gopher_rules", "q120_eval_overlap")
+    "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
+    "q122_bm25")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -186,7 +187,15 @@ object Bench {
     // q120 added r11: graded eval overlap — q60's checkpointed gram
     // scan + the distinct-train-gram join + per-eval-doc rollup
     // (isolated child 2.84, quiet box)
-    "q120_eval_overlap" -> 2.9)
+    "q120_eval_overlap" -> 2.9,
+    // q121 added r11: winnowing fingerprints — gram explode + window-min
+    // partial agg + the q89-shaped df-capped pair join over the ~40%
+    // selected density (isolated child 1.94, loadavg ~2)
+    "q121_winnowing" -> 1.9,
+    // q122 added r11: BM25 retrieval — one token-explode partial agg into
+    // the checkpointed per-doc frame, broadcast query/df/stats joins,
+    // WindowGroupLimit top-k (isolated child 1.50, loadavg ~1.9)
+    "q122_bm25" -> 1.5)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
@@ -218,6 +227,17 @@ object Bench {
   private val ivfWrittenByThisJvm = mutable.Set[String]()
   private val bpeWrittenByThisJvm = mutable.Set[String]()
   private val pqWrittenByThisJvm = mutable.Set[String]()
+  private val bm25WrittenByThisJvm = mutable.Set[String]()
+  private def bm25Table(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val t = s"graft_bench_bm25_${Integer.toHexString(dir.hashCode)}"
+    if (bm25WrittenByThisJvm.add(t))
+      graft.streaming.StreamingBm25.saveBm25Index(
+        graft.util.Tables(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")), t)
+    t
+  }
   private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
     if (ivfWrittenByThisJvm.add(path))
@@ -374,6 +394,32 @@ object Bench {
     // x_ivf_multiprobe_loaded is the price of the streaming machinery
     // (micro-batch planning + offset log) at this SF; fresh temp
     // dir/checkpoint per pass so every timed pass replays the stream
+    // x_bm25_serve_stream: the 4-query standing batch as a file stream
+    // answered against the SAVED postings index (stream-static broadcast
+    // join + shared bm25Rank per micro-batch). Its delta vs q122 is the
+    // index-amortization win: the token explode + per-doc aggregate are
+    // paid at save time, serving reads the bucketed table.
+    "x_bm25_serve_stream" -> ((s, dir) => {
+      import s.implicits._
+      val table = bm25Table(s, dir)
+      val postings = graft.streaming.StreamingBm25.loadPostings(s, table)
+      val stats = graft.streaming.StreamingBm25.loadStats(s, table)
+      val tmp = java.nio.file.Files.createTempDirectory("bm25_serve_bench")
+      graft.operators.TextOps.Bm25Queries.toDF("qid", "term")
+        .write.mode("overwrite").parquet(tmp.resolve("in").toString)
+      val served = new java.util.concurrent.atomic.AtomicLong()
+      val q = s.readStream.schema("qid LONG, term STRING")
+        .parquet(tmp.resolve("in").toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          served.addAndGet(graft.streaming.StreamingBm25
+            .topKBatch(b, postings, stats).count()): Unit
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      require(served.get() > 0, "streaming BM25 serve answered no queries")
+    }),
     "x_ann_serve_stream" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val cents = graft.operators.Similarity.loadIvfIndex(s, ivfPath(s, dir))

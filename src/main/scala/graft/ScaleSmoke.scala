@@ -37,7 +37,13 @@ object ScaleSmoke {
     // only), q119 Gopher audit (per-doc deterministic flags → exact
     // ×factor invariant below), q120 eval overlap (a copy of an eval doc
     // can land train-side and saturate its overlap — timed only)
-    "q118_lm_quality", "q119_gopher_rules", "q120_eval_overlap")
+    "q118_lm_quality", "q119_gopher_rules", "q120_eval_overlap",
+    // r11 retrieval/fingerprint family: q121 winnowing (replicas are
+    // byte-identical so every copy-set shares ALL fingerprints — the
+    // pair join's planted-mega-cluster stress, pairs grow ~factor² by
+    // design — timed only), q122 BM25 (df and N scale but the odds-ratio
+    // idf is not exactly scale-invariant — timed only)
+    "q121_winnowing", "q122_bm25")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

@@ -236,6 +236,102 @@ object Dedup {
       .orderBy($"i", $"j")
   }
 
+  // --------------------------------------------------------------- q121
+  /** Winnowing gram width / window (Schleimer–Wilkerson–Aiken, SIGMOD'03
+    * — the MOSS fingerprinting algorithm). With K = 5 and W = 4 the
+    * winnowing guarantee threshold is t = W + K - 1 = 8: any run of ≥ 8
+    * identical consecutive tokens shared by two documents puts at least
+    * one COMMON fingerprint in both sets, while the expected selected
+    * density is only 2/(W+1) ≈ 40% of the grams — the pair join moves a
+    * fraction of the rows the exact-gram join (q89) moves for the same
+    * long-run detection job, and the fraction improves as W grows. */
+  val WinnowK = 5
+  val WinnowW = 4
+
+  /** Minimum shared fingerprints for a reported pair: a single shared
+    * fingerprint is one ≥8-token run (or one unlucky rare gram); two
+    * selected fingerprints is the smallest evidence of REPEATED overlap
+    * worth a row in the pair report. */
+  val WinnowMinShared = 2L
+
+  /** q121: winnowing-fingerprint near-dup pairs — the MOSS selection rule
+    * as a corpus-scale operator. Each document keeps, for every window of
+    * [[WinnowW]] consecutive [[WinnowK]]-gram hashes, the window's MINIMUM
+    * hash; the distinct kept hashes are its fingerprint set (robust
+    * winnowing's position tie-break is irrelevant at set granularity —
+    * equal-min windows contribute the same VALUE). Pairs sharing ≥
+    * [[WinnowMinShared]] fingerprints are reported with a fingerprint-set
+    * similarity permille. The q35/q89 gram joins detect the same overlap
+    * at full gram density; this is the published SELECTION that keeps the
+    * guarantee (every shared run ≥ 8 tokens is caught) while shrinking
+    * the joined row count ~2.5× — the knob a 100 TB near-dup sweep turns
+    * first (raise W → smaller index, weaker short-run sensitivity).
+    *
+    * Scale shape: ONE corpus scan explodes gram hashes (codegen
+    * element_at/concat_ws — no array HOFs); each gram row fans out
+    * map-side to the ≤ W windows covering it, and the (doc_id, window)
+    * min is a partial aggregate — a document's rows sit in the SAME input
+    * partition, so the W-fold fan-out collapses back to one 16-byte row
+    * per window BEFORE the exchange. Fingerprint distinct, df-cap, and
+    * the pair join then follow q89's discipline exactly (the cap bounds
+    * any bucket's pair mass; `shared` is a capped-sub-space lower bound,
+    * exact on both test corpora). */
+  def q121Winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowingPairsOf(docs(s, dir))
+
+  /** One row per (doc_id, distinct winnowing fingerprint). Documents
+    * shorter than [[WinnowK]] tokens have no grams and no fingerprints;
+    * documents with fewer than [[WinnowW]] grams winnow to ONE window
+    * covering all their grams (the short-doc convention both engines
+    * replay). */
+  private[graft] def fingerprintRowsOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val parts = (1 to WinnowK).map(k => s"element_at(toks, i+$k)").mkString(", ")
+    d.withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= WinnowK)
+      .select($"doc_id", $"toks",
+        (size($"toks") - (WinnowK - 1)).as("ng"),
+        explode(expr(s"sequence(0, size(toks) - $WinnowK)")).as("i"))
+      .select($"doc_id", $"ng", $"i",
+        md5(expr(s"concat_ws(' ', $parts)").cast("binary")).as("h"))
+      // gram i belongs to windows max(0, i-W+1) .. min(i, nWindows-1),
+      // nWindows = max(ng-W+1, 1) — degenerate short docs land on window 0
+      .select($"doc_id", $"h",
+        explode(expr(s"sequence(greatest(0, i - ${WinnowW - 1}), " +
+          s"least(i, greatest(ng - $WinnowW, 0)))")).as("win"))
+      .groupBy($"doc_id", $"win")
+      .agg(min($"h").as("fp"))
+      .select($"doc_id", $"fp")
+      .distinct()
+  }
+
+  private[graft] def winnowingPairsOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    // the q89 scan barrier: `f` feeds the per-doc counts, the df cap and
+    // both pair-join sides — materialized once
+    val f = fingerprintRowsOf(d.select($"doc_id", $"text")).localCheckpoint(true)
+    val nDoc = f.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val rare = f.groupBy($"fp")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf)
+      .select($"fp")
+    val fRare = f.join(rare, "fp")
+    fRare.as("a").join(fRare.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= WinnowMinShared)
+      .join(nDoc.select($"doc_id".as("i"), $"n".as("na")), "i")
+      .join(nDoc.select($"doc_id".as("j"), $"n".as("nb")), "j")
+      // exact integer permille of the fingerprint-set Jaccard lower
+      // bound; na+nb-shared ≥ shared ≥ 2 > 0, no ANSI 0/0 possible
+      .withColumn("sim_pm", expr("1000L * shared div (na + nb - shared)"))
+      .select($"i", $"j", $"shared", $"na", $"nb", $"sim_pm")
+      .orderBy($"i", $"j")
+  }
+
   // ---------------------------------------------------------------- q36
   /** MinHash+LSH near-dup pairs: 16 md5-family minhashes per doc computed
     * map-side, 4 bands × 4 rows, bucket-join on band keys, exact-Jaccard
@@ -1574,6 +1670,7 @@ object Dedup {
     "q60_decontam" -> (q60Decontam _),
     "q101_bloom_decontam" -> (q101BloomDecontam _),
     "q120_eval_overlap" -> (q120EvalOverlap _),
+    "q121_winnowing" -> (q121Winnowing _),
     "q62_cluster_sizes" -> (q62ClusterSizes _),
     "q65_keep_best" -> (q65KeepBest _),
     "q77_split_leakage" -> (q77SplitLeakage _),
@@ -1804,6 +1901,33 @@ object Dedup {
         |FROM b LEFT JOIN per USING (doc_id)
         |WHERE b.bucket < 100
         |ORDER BY doc_id""".stripMargin
+    },
+    "q121_winnowing" -> {
+      // replays the winnowing selection over the SAME md5 gram hashes:
+      // per doc, min hash of each W-wide window over the gram sequence
+      // (one window covering everything when a doc has < W grams), set
+      // semantics, then q89's df-capped pair join
+      val sh = (1 to WinnowK).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(len(t) - ${WinnowK - 1}), i -> md5($sh)) gh
+        |      FROM toks WHERE len(t) >= $WinnowK),
+        |f AS (SELECT doc_id,
+        |        list_distinct(CASE WHEN len(gh) < $WinnowW THEN [list_min(gh)]
+        |          ELSE list_transform(range(len(gh) - ${WinnowW - 1}),
+        |            i -> list_min(gh[i+1:i+$WinnowW])) END) fps
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(fps) fp FROM f),
+        |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM e GROUP BY doc_id),
+        |rare AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= $MaxShingleDf),
+        |er AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)),
+        |p AS (SELECT a.doc_id i, b.doc_id j, CAST(COUNT(*) AS BIGINT) shared
+        |      FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+        |SELECT p.i, p.j, p.shared, na.n AS na, nb.n AS nb,
+        |  (1000 * p.shared) // (na.n + nb.n - p.shared) AS sim_pm
+        |FROM p JOIN nd na ON na.doc_id = p.i JOIN nd nb ON nb.doc_id = p.j
+        |ORDER BY i, j""".stripMargin
     },
     "q62_cluster_sizes" ->
       s"""$q36OracleCtes,

@@ -1232,6 +1232,105 @@ object TextOps {
       .orderBy($"doc_id", $"rk")
   }
 
+  // --------------------------------------------------------------- q122
+  /** The standing retrieval workload: (query_id, term) pairs over the
+    * corpus vocabulary. Terms repeat across queries by design (the join
+    * has to handle it); the set is small enough to broadcast — which is
+    * the realistic shape: retrieval serves a bounded query batch against
+    * an unbounded corpus. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "window", 2L -> "stream", 2L -> "batch",
+    3L -> "fast", 3L -> "merge", 3L -> "sort", 3L -> "query",
+    4L -> "vector", 4L -> "hash")
+  val Bm25TopK = 10
+
+  /** q122: BM25 ranked retrieval (Robertson–Spärck Jones Okapi weighting,
+    * k1 = 1.2, b = 0.75) — top-[[Bm25TopK]] documents per query for the
+    * [[Bm25Queries]] batch. Two deliberate engine-exactness choices:
+    * the idf is the RAW odds ratio (N − df + ½)/(df + ½) = (2N−2df+1)/
+    * (2df+1), not Lucene's ln(1 + ·) — the q61 convention: transcendental
+    * functions differ across engines in the last ulp, while this keeps
+    * every step a correctly-rounded IEEE op (for a single-term query the
+    * ranking is identical, ln being monotone); and avgdl is the integer
+    * floor of total/docs (documented convention both engines replay).
+    * Each term contribution is computed as a FIXED-ORDER chain of IEEE
+    * double ops — bit-identical in any engine — then floor-scaled to
+    * 1e6-longs BEFORE the per-(query, doc) sum, so the sum is exact
+    * integer arithmetic, order- and partitioning-free (the OracleSafe
+    * discipline).
+    *
+    * Scale shape: ONE corpus scan explodes tokens and partial-aggregates
+    * per doc (a doc's token rows colocate in their input partition, so
+    * the shuffle carries one 13-column row per doc); the checkpointed
+    * per-doc frame serves corpus stats, per-term df and the match
+    * unpivot — text is never rescanned. Query table, df table and the
+    * 1-row stats frame all BROADCAST; the per-query top-k plans as the
+    * WindowGroupLimit partial top-k, so no executor ever sorts more than
+    * k rows per partition. */
+  def q122Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Of(docs(s, dir))
+
+  private[graft] def bm25Of(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val terms = Bm25Queries.map(_._2).distinct
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when($"tok" === t, 1L).otherwise(0L)).as(s"tf_$i") }
+    // one text scan: dl + per-term tf in a single partial agg
+    val perDoc = d
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint(true)
+    val stats = perDoc
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("n_toks"))
+      .withColumn("avgdl", expr("n_toks div n_docs"))
+      .select($"n_docs", $"avgdl")
+    val stackArgs = terms.zipWithIndex
+      .map { case (t, i) => s"'$t', tf_$i" }.mkString(", ")
+    val matches = perDoc
+      .selectExpr("doc_id", "dl",
+        s"stack(${terms.length}, $stackArgs) as (term, tf)")
+      .filter($"tf" > 0L)
+    val dfT = matches.groupBy($"term").agg(count(lit(1)).as("df"))
+    bm25Rank(matches.join(broadcast(dfT), "term"), stats,
+      Bm25Queries.toDF("qid", "term"), Bm25TopK)
+  }
+
+  /** The ONE BM25 scoring + ranking definition, shared by the batch arm
+    * (q122, which computes its postings inline) and the loaded-index
+    * serving twins ([[graft.streaming.StreamingBm25]]): `matched` carries
+    * one row per (term, doc_id) with `tf`, `dl`, `df`; `stats` is the
+    * 1-row (n_docs, avgdl) frame; `queries` the (qid, term) batch. The
+    * fixed-order IEEE chain + 1e6-long floor-scaling happen HERE so
+    * every consumer ranks bit-identically. */
+  private[graft] def bm25Rank(matched: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val s = matched.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
+    matched
+      // 1-row broadcast aggregate (corpus size + avgdl) — the q61/q87
+      // scalar shape; morally a literal, allow-listed in PlanSpec
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (lit(2L) * $"n_docs" - lit(2L) * $"df" + lit(1L)).cast("double") /
+          (lit(2L) * $"df" + lit(1L)).cast("double"))
+      .withColumn("contrib", floor(lit(1000000.0) * ($"idf" *
+        (($"tf".cast("double") * lit(2.2)) /
+          ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ($"dl".cast("double") / $"avgdl".cast("double"))))))))
+      .join(broadcast(queries), "term")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"contrib").as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"qid", $"rk", $"doc_id", $"score")
+      .orderBy($"qid", $"rk")
+  }
+
   // ---------------------------------------------------------------- q63
   /** Per-document token-rarity profile (doc_id < 100): the median (plus
     * min/max) corpus document-frequency over the document's token
@@ -1927,6 +2026,7 @@ object TextOps {
     "q58_sequence_packing" -> (q58SequencePacking _),
     "q59_mixture_rebalance" -> (q59MixtureRebalance _),
     "q61_tfidf" -> (q61Tfidf _),
+    "q122_bm25" -> (q122Bm25 _),
     "q63_rarity" -> (q63Rarity _),
     "q64_inverted_index" -> (q64InvertedIndex _),
     "q68_pii_redact" -> (q68PiiRedact _),
@@ -2554,6 +2654,42 @@ object TextOps {
         |        ORDER BY score DESC, tok ASC) rk FROM sc)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q122_bm25" -> {
+      // the query table and every arithmetic step are GENERATED from the
+      // same constants the Spark side uses — idf as the raw odds ratio
+      // (2N-2df+1)/(2df+1), avgdl = n_toks // n_docs, the identical
+      // fixed-order double chain, floor-scaled to 1e6-longs pre-sum
+      val vals = Bm25Queries
+        .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH q(qid, term) AS (VALUES $vals),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+        |pd AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl FROM toks),
+        |e AS (SELECT doc_id, unnest(t) tok FROM toks),
+        |m AS (SELECT e.doc_id, e.tok term, CAST(COUNT(*) AS BIGINT) tf
+        |      FROM e WHERE e.tok IN (SELECT DISTINCT term FROM q)
+        |      GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) df FROM m GROUP BY term),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+        |         CAST(SUM(dl) AS BIGINT) n_toks FROM pd),
+        |sc AS (SELECT m.doc_id, m.term,
+        |         CAST(floor(1000000.0 * (
+        |           (CAST(2*st.n_docs - 2*dfx.df + 1 AS DOUBLE)
+        |              / CAST(2*dfx.df + 1 AS DOUBLE))
+        |           * ((CAST(m.tf AS DOUBLE) * 2.2)
+        |              / (CAST(m.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |                 * (CAST(pd.dl AS DOUBLE)
+        |                    / CAST(st.n_toks // st.n_docs AS DOUBLE)))))
+        |         )) AS BIGINT) contrib
+        |       FROM m JOIN pd USING (doc_id) CROSS JOIN st
+        |       JOIN dfx USING (term)),
+        |pq AS (SELECT q.qid, sc.doc_id, CAST(SUM(sc.contrib) AS BIGINT) score
+        |       FROM sc JOIN q USING (term) GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, doc_id ASC) rk FROM pq)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  score
+        |FROM r WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
+    },
     "q63_rarity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok
         |              FROM documents),

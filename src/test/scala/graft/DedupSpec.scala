@@ -272,6 +272,55 @@ class DedupSpec extends AnyFunSuite {
     assert(out(evalIds(4))._1 == 5L, out(evalIds(4)).toString)
   }
 
+  /** q121: the winnowing selection (Schleimer–Wilkerson–Aiken / MOSS).
+    * Pins: (a) the fingerprint set of hand-sized docs matches a
+    * driver-side replay of the K=5/W=4 window-min rule bit-for-bit;
+    * (b) a doc with fewer grams than W winnows to the single min over
+    * all its grams; (c) sub-K docs have no fingerprints; (d) the
+    * t = W+K-1 = 8 guarantee — two docs sharing an 8-token run share at
+    * least one fingerprint; (e) the pair report finds a one-token-edit
+    * near-dup with exactly the driver-computed (shared, sim_pm). */
+  test("q121 winnowing selection, guarantee, and pair report") {
+    import spark.implicits._
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fpsRef(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ").toVector
+      if (t.length < Dedup.WinnowK) Set.empty
+      else {
+        val gh = t.sliding(Dedup.WinnowK).map(g => m(g.mkString(" "))).toVector
+        if (gh.length < Dedup.WinnowW) Set(gh.min)
+        else gh.sliding(Dedup.WinnowW).map(_.min).toSet
+      }
+    }
+    val w = (0 until 40).map(i => s"w$i")
+    val docA = w.take(20).mkString(" ") // 20 toks, 16 grams, 13 windows
+    // shares exactly the 8-token run w0..w7 with docA, nothing else
+    val docB = (w.slice(20, 26) ++ w.take(8) ++ w.slice(26, 32)).mkString(" ")
+    val docC = w.take(19).mkString(" ") + " zz" // one-token edit of docA
+    val docD = "a b c d e f" // 2 grams < W: one window over all grams
+    val docE = "x y z"       // sub-K: no grams, no fingerprints
+    val rows = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD), (5L, docE))
+      .toDF("doc_id", "text")
+    val fps = Dedup.fingerprintRowsOf(rows).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    assert(!fps.contains(5L), fps.toString)
+    assert(fps(4L).size == 1 && fps(4L) == fpsRef(docD), fps(4L).toString)
+    assert(fps(1L) == fpsRef(docA) && fps(2L) == fpsRef(docB) &&
+      fps(3L) == fpsRef(docC))
+    // the winnowing guarantee: one shared >= 8-token run => >= 1 common fp
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "8-token shared run produced no common fingerprint")
+    val shared13 = (fps(1L) intersect fps(3L)).size.toLong
+    assert(shared13 >= Dedup.WinnowMinShared, s"edit-dup shares only $shared13")
+    val sim13 = 1000L * shared13 / (fps(1L).size + fps(3L).size - shared13)
+    val pairs = Dedup.winnowingPairsOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(pairs.get((1L, 3L)).contains((shared13, sim13)), pairs.toString)
+  }
+
   /** Spark clamps BloomFilterAggregate at maxNumItems=4M /
     * maxNumBits=67.1M with a silent Math.min — bloomOf must raise the
     * session confs so a >4M-capacity request actually gets its bits

@@ -206,6 +206,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), p.take(1200))
   }
 
+  test("q121: fingerprint frame evaluates once — no FileScan, no BNLJ") {
+    // same barrier contract as q89: the checkpointed fingerprint frame
+    // feeds the per-doc counts, the df cap and BOTH pair-join sides; a
+    // FileScan in the final plan means a consumer re-planned the text
+    // decode + gram explode + window-min
+    val df = castToImpl(SparkEntry.queries("q121_winnowing")(spark, dir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"), p.take(1200))
+    assert(p.contains("ExistingRDD"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("q122: one scan behind the checkpoint; broadcasts; partial top-k") {
+    // the retrieval contract at 100 TB: the corpus text is decoded once
+    // into the checkpointed per-doc frame (no FileScan downstream), the
+    // query/df/stats sides all broadcast (a shuffle keyed on `term` —
+    // 11 values — would be a hot-key disaster), and the per-query top-k
+    // plans as the WindowGroupLimit partial limit
+    val df = castToImpl(SparkEntry.queries("q122_bm25")(spark, dir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"), p.take(1200))
+    assert(p.contains("ExistingRDD"), p.take(1200))
+    // query + df joins hash-broadcast (the 1-row stats frame is the
+    // allow-listed q61-shape BNLJ; nothing else may nest-loop)
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q94: vocab membership is a broadcast join over a partial top-k") {
     val p = plan("q94_vocab_coverage")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -393,6 +426,8 @@ class PlanSpec extends AnyFunSuite {
                          // only (metadata cardinality), never document rows
     "q61_tfidf", // scalar subquery: ONE broadcast aggregate row (corpus
                  // size N), not a data frame — morally a literal
+    "q122_bm25", // same shape: one broadcast (n_docs, n_toks, avgdl)
+                 // aggregate row crossed onto the matched-term rows
     "q87_collocations", // same shape: one broadcast total-token-count row
     "q90_source_drift", // q51's shape: theta self-join of the |sources|-row
                         // centroid frame (metadata cardinality, broadcast),

@@ -1575,6 +1575,62 @@ class StreamingSpec extends AnyFunSuite {
       s"admitted $admitted — state lost across the restart?")
   }
 
+  /** StreamingBm25: queries served against the SAVED postings index must
+    * produce, query for query, exactly the batch q122 rows — the shared
+    * bm25Rank makes the arithmetic identical, this proves the persisted
+    * df/dl/stats are too. Serving is stateless (stream-static join), so
+    * the only restart state is the source offset log: a bounced stream
+    * re-serves exactly the unserved query batch, never the served one. */
+  test("streaming BM25 serve matches batch q122 across a restart") {
+    val sfDir = "/root/testdata/sf0.001"
+    val table = "bm25_spec_idx"
+    cleanTableLocationS(table); cleanTableLocationS(table + "_stats")
+    graft.streaming.StreamingBm25.saveBm25Index(
+      graft.util.Tables(spark, sfDir, "documents").select($"doc_id", $"text"),
+      table)
+    val postings = graft.streaming.StreamingBm25.loadPostings(spark, table)
+    val stats = graft.streaming.StreamingBm25.loadStats(spark, table)
+    val streamDir = Files.createTempDirectory("bm25_in")
+    val ckpt = Files.createTempDirectory("bm25_ckpt")
+    def writeBatch(qids: Set[Long]): Unit =
+      graft.operators.TextOps.Bm25Queries.filter(q => qids(q._1))
+        .toDF("qid", "term")
+        .write.mode("append").parquet(streamDir.toString)
+    val served =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def startQuery() = spark.readStream.schema("qid LONG, term STRING")
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.StreamingBm25.topKBatch(b, postings, stats)
+            .collect().foreach(r => served.add(
+              (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    writeBatch(Set(1L, 2L))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterB1 = served.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq
+    assert(afterB1.nonEmpty && afterB1.forall(_._1 <= 2L),
+      s"pre-restart batch must serve only qids 1-2: ${afterB1.map(_._1).distinct}")
+    writeBatch(Set(3L, 4L))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val all = served.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq
+      val afterRestart = all.diff(afterB1)
+      assert(afterRestart.nonEmpty && afterRestart.forall(_._1 >= 3L),
+        s"restart re-served pre-restart qids: ${afterRestart.map(_._1).distinct}")
+      val batchArm = graft.operators.TextOps.q122Bm25(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(all.sortBy(x => (x._1, x._2)) == batchArm.sortBy(x => (x._1, x._2)),
+        s"served ≠ batch q122\nserved=${all.sortBy(x => (x._1, x._2))}\nbatch=$batchArm")
+    } finally q2.stop()
+  }
+
   /** StreamingSpec's own copy of PublishSpec's table cleaner (the
     * in-memory catalog is per-JVM, the warehouse dir is not). */
   private def cleanTableLocationS(table: String): Unit = {

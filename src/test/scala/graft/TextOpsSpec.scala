@@ -1010,4 +1010,53 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.getLong(a.fieldIndex("n_docs")) == 11L)
     assert(a.getLong(a.fieldIndex("n_pass")) == 1L, a.toString)
   }
+
+  /** q122: BM25 against a driver-side replay of the EXACT arithmetic —
+    * raw-odds-ratio idf, integer-floor avgdl, the fixed-order IEEE double
+    * chain, contributions floor-scaled to 1e6-longs before the per-query
+    * sum. Every (qid, rank, doc, score) must match bit-for-bit. */
+  test("q122 BM25 matches a driver-side replay on a planted corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark join spark alpha beta"),
+      (2L, "join window stream batch gamma delta epsilon"),
+      (3L, "spark spark spark spark"),
+      (4L, "zeta eta theta"),
+      (5L, "vector hash fast merge sort query"),
+      (6L, "merge merge sort fast fast fast iota"))
+    val out = TextOps.bm25Of(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // driver replay
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nDocs = corpus.size.toLong
+    val nToks = toks.values.map(_.size.toLong).sum
+    val avgdl = nToks / nDocs
+    val terms = TextOps.Bm25Queries.map(_._2).distinct
+    val tf = for {
+      (id, ts) <- toks.toSeq; t <- terms
+      n = ts.count(_ == t).toLong if n > 0
+    } yield (id, t, n)
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    def contrib(t: String, n: Long, dl: Long): Long = {
+      val idf = (2L * nDocs - 2L * df(t) + 1L).toDouble /
+        (2L * df(t) + 1L).toDouble
+      math.floor(1000000.0 * (idf * ((n.toDouble * 2.2) /
+        (n.toDouble + 1.2 * (0.25 + 0.75 *
+          (dl.toDouble / avgdl.toDouble)))))).toLong
+    }
+    val expected = TextOps.Bm25Queries.groupBy(_._1).toSeq.flatMap {
+      case (qid, qs) =>
+        val qTerms = qs.map(_._2).toSet
+        val scores = tf.filter(x => qTerms.contains(x._2))
+          .groupBy(_._1)
+          .map { case (id, xs) =>
+            id -> xs.map(x => contrib(x._2, x._3, toks(id).size.toLong)).sum }
+          .toSeq.sortBy { case (id, sc) => (-sc, id) }
+          .take(TextOps.Bm25TopK)
+        scores.zipWithIndex.map { case ((id, sc), i) =>
+          (qid, (i + 1).toLong, id, sc) }
+    }.sortBy(x => (x._1, x._2))
+    assert(out == expected, s"\nout=$out\nexp=$expected")
+  }
 }
