@@ -228,16 +228,36 @@ object Bench {
   private val bpeWrittenByThisJvm = mutable.Set[String]()
   private val pqWrittenByThisJvm = mutable.Set[String]()
   private val bm25WrittenByThisJvm = mutable.Set[String]()
-  private def bm25Table(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val t = s"graft_bench_bm25_${Integer.toHexString(dir.hashCode)}"
-    if (bm25WrittenByThisJvm.add(t))
+  private val bm25AppendPass = new java.util.concurrent.atomic.AtomicLong()
+  /** Drop + wipe a managed table's stale warehouse location — the
+    * in-memory catalog is per-JVM but the warehouse dir persists, so a
+    * previous bench process's tables would fail this one's saveAsTable
+    * with LOCATION_ALREADY_EXISTS (the x_curate_full idiom). */
+  private def wipeTable(s: org.apache.spark.sql.SparkSession,
+      t: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+  }
+  private def builtBm25Table(s: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): String = {
+    val t = s"${name}_${Integer.toHexString(dir.hashCode)}"
+    if (bm25WrittenByThisJvm.add(t)) {
+      Seq(t, t + "_df", t + "_stats").foreach(wipeTable(s, _))
       graft.streaming.StreamingBm25.saveBm25Index(
         graft.util.Tables(s, dir, "documents")
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text")), t)
+    }
     t
   }
+  private def bm25Table(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = builtBm25Table(s, dir, "graft_bench_bm25")
   private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
     if (ivfWrittenByThisJvm.add(path))
@@ -394,6 +414,23 @@ object Bench {
     // x_ivf_multiprobe_loaded is the price of the streaming machinery
     // (micro-batch planning + offset log) at this SF; fresh temp
     // dir/checkpoint per pass so every timed pass replays the stream
+    // x_bm25_append: one batch-sized refresh of the saved postings index
+    // — a 1/8 doc slice with pass-unique shifted ids (the disjoint-id
+    // append contract; repeating a fixed batch would both violate it and
+    // time nothing real). Cost = batch tf aggregate + vocab-sized df
+    // rewrite + 1-row stats, independent of the indexed corpus size.
+    "x_bm25_append" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      // own index copy (the pqAppendPath rule): appends must never mutate
+      // the table the serve arm times against
+      val table = builtBm25Table(s, dir, "graft_bench_bm25_ap")
+      val shift = bm25AppendPass.incrementAndGet() * 1000000000L
+      graft.streaming.StreamingBm25.appendBm25Index(
+        graft.util.Tables(s, dir, "documents")
+          .filter(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + lit(shift)).as("doc_id"), col("text")),
+        table)
+    }),
     // x_bm25_serve_stream: the 4-query standing batch as a file stream
     // answered against the SAVED postings index (stream-static broadcast
     // join + shared bm25Rank per micro-batch). Its delta vs q122 is the
@@ -403,6 +440,7 @@ object Bench {
       import s.implicits._
       val table = bm25Table(s, dir)
       val postings = graft.streaming.StreamingBm25.loadPostings(s, table)
+      val dfT = graft.streaming.StreamingBm25.loadDf(s, table)
       val stats = graft.streaming.StreamingBm25.loadStats(s, table)
       val tmp = java.nio.file.Files.createTempDirectory("bm25_serve_bench")
       graft.operators.TextOps.Bm25Queries.toDF("qid", "term")
@@ -413,7 +451,7 @@ object Bench {
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           served.addAndGet(graft.streaming.StreamingBm25
-            .topKBatch(b, postings, stats).count()): Unit
+            .topKBatch(b, postings, dfT, stats).count()): Unit
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .outputMode("append").start()

@@ -16,59 +16,120 @@ import graft.operators.TextOps
   * the SHARED [[TextOps.bm25Rank]] — so served rankings are bit-identical
   * to the batch arm by construction, not by parallel implementation.
   *
-  * Scale shape: the postings build is one token-volume shuffle
-  * (doc-collapsed map-side) + vocab- and doc-sized joins, all paid at
-  * index time; the serving join's static side is the bucketed postings
-  * table (no exchange on restart-read), the stream side is the
-  * query-batch (broadcast by construction). df and dl ride denormalized
-  * on the posting row so serving does ZERO corpus-side joins.
+  * Layout is NORMALIZED for append: a posting row carries (term, doc_id,
+  * tf, dl) — per-document facts that never change — while df lives in its
+  * own vocab-sized `_df` table and (n_docs, n_toks, avgdl) in the 1-row
+  * `_stats` table. df changes CORPUS-WIDE on every append (each batch
+  * occurrence bumps its term's count), so denormalizing it onto posting
+  * rows would force a full-index rewrite per refresh; normalized,
+  * [[appendBm25Index]] appends batch-sized posting rows under the same
+  * bucket spec and rewrites only the vocab-sized df table and the stats
+  * row — the q56/appendPqIndex batch-cost-refresh discipline.
   */
 object StreamingBm25 {
 
   /** Build + persist the postings index for `d` (`doc_id`, `text`):
-    * `<table>` holds one row per (term, doc_id) with tf, dl, df —
-    * bucketed and sorted by term so a term-keyed lookup never shuffles
-    * the postings — and `<table>_stats` the 1-row (n_docs, avgdl) frame.
-    * One token-volume aggregate; dl/df derive from the already-collapsed
+    * `<table>` holds one row per (term, doc_id) with tf and dl — bucketed
+    * and sorted by term so a term-keyed lookup never shuffles the
+    * postings — `<table>_df` the (term, df) vocabulary, and
+    * `<table>_stats` the 1-row (n_docs, n_toks, avgdl) frame. One
+    * token-volume aggregate; dl/df derive from the already-collapsed
     * (doc, term) frame, not from re-scanned text. */
   def saveBm25Index(d: DataFrame, table: String, buckets: Int = 32): Unit = {
     val s = d.sparkSession
     import s.implicits._
-    val tf = d
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = termFrequencies(d)
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table + "_df")
     dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("n_toks"))
       .withColumn("avgdl", expr("n_toks div n_docs"))
-      .select($"n_docs", $"avgdl")
       .write.mode("overwrite").format("parquet")
       .saveAsTable(table + "_stats")
     tf.join(dl, "doc_id")
-      .join(dfT, "term")
-      .select($"term", $"doc_id", $"tf", $"dl", $"df")
+      .select($"term", $"doc_id", $"tf", $"dl")
       .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** One row per (doc_id, term) with its in-document count — the
+    * collapsed frame every index artifact derives from. Checkpointed:
+    * at save time it feeds dl, df AND the postings write; at append
+    * time the batch twin feeds postings, the df delta and the stats
+    * delta — one text decode either way. */
+  private def termFrequencies(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    d.select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+  }
+
+  /** Append `batchDocs` (doc_ids DISJOINT from the indexed corpus — the
+    * same contract as appendPqIndex/appendCurateState) to a saved index:
+    * batch posting rows append under the SAME bucket spec (downstream
+    * term lookups keep holding), the vocab-sized df table is rewritten
+    * with the batch's per-term increments folded in (full outer — a
+    * batch can introduce new vocabulary), and the stats row absorbs the
+    * batch's doc/token counts. Every step is batch-sized except the
+    * df rewrite, which is vocabulary-sized — never corpus-sized. */
+  def appendBm25Index(batchDocs: DataFrame, table: String,
+      buckets: Int = 32): Unit = {
+    val s = batchDocs.sparkSession
+    import s.implicits._
+    val tf = termFrequencies(batchDocs)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    // df/stats read-modify-overwrite: materialize BEFORE the overwrite
+    // drops the table being read (the snapshotDiff lesson)
+    val dfNew = s.table(table + "_df")
+      .join(tf.groupBy($"term").agg(count(lit(1)).as("df_add")),
+        Seq("term"), "full_outer")
+      .select($"term",
+        (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
+      .localCheckpoint(true)
+    val batchStats = dl
+      .agg(count(lit(1)).as("b_docs"), sum($"dl").as("b_toks"))
+    val statsNew = s.table(table + "_stats")
+      .crossJoin(broadcast(batchStats))
+      .select(($"n_docs" + $"b_docs").as("n_docs"),
+        ($"n_toks" + $"b_toks").as("n_toks"))
+      .withColumn("avgdl", expr("n_toks div n_docs"))
+      .localCheckpoint(true)
+    dfNew.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table + "_df")
+    statsNew.write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_stats")
+    tf.join(dl, "doc_id")
+      .select($"term", $"doc_id", $"tf", $"dl")
+      .write.mode("append")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
   }
 
   def loadPostings(s: SparkSession, table: String): DataFrame = s.table(table)
 
+  def loadDf(s: SparkSession, table: String): DataFrame =
+    s.table(table + "_df")
+
   def loadStats(s: SparkSession, table: String): DataFrame =
-    s.table(table + "_stats")
+    s.table(table + "_stats").select(col("n_docs"), col("avgdl"))
 
   /** Serve one micro-batch of (qid, term) query rows against the loaded
     * postings — plain batch semantics inside foreachBatch, zero streaming
-    * state. The postings are pre-filtered to the batch's distinct terms
-    * (a broadcast semi-join — the lookup shape; a resident server would
-    * push the terms as literals into the bucketed scan), then ranked by
-    * the SHARED [[TextOps.bm25Rank]]. */
-  def topKBatch(queryBatch: DataFrame, postings: DataFrame,
+    * state. Postings and df are pre-filtered to the batch's distinct
+    * terms (broadcast semi-joins — the lookup shape; a resident server
+    * would push the terms as literals into the bucketed scans), then
+    * ranked by the SHARED [[TextOps.bm25Rank]]. */
+  def topKBatch(queryBatch: DataFrame, postings: DataFrame, dfT: DataFrame,
       stats: DataFrame, k: Int = TextOps.Bm25TopK): DataFrame = {
-    val matched = postings.join(
-      broadcast(queryBatch.select(col("term")).distinct()), Seq("term"),
-      "left_semi")
+    val terms = broadcast(queryBatch.select(col("term")).distinct())
+    val matched = postings
+      .join(terms, Seq("term"), "left_semi")
+      .join(broadcast(dfT.join(terms, Seq("term"), "left_semi")), "term")
     TextOps.bm25Rank(matched, stats, queryBatch, k)
   }
 }

@@ -1584,11 +1584,12 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming BM25 serve matches batch q122 across a restart") {
     val sfDir = "/root/testdata/sf0.001"
     val table = "bm25_spec_idx"
-    cleanTableLocationS(table); cleanTableLocationS(table + "_stats")
+    Seq(table, table + "_df", table + "_stats").foreach(cleanTableLocationS)
     graft.streaming.StreamingBm25.saveBm25Index(
       graft.util.Tables(spark, sfDir, "documents").select($"doc_id", $"text"),
       table)
     val postings = graft.streaming.StreamingBm25.loadPostings(spark, table)
+    val dfT = graft.streaming.StreamingBm25.loadDf(spark, table)
     val stats = graft.streaming.StreamingBm25.loadStats(spark, table)
     val streamDir = Files.createTempDirectory("bm25_in")
     val ckpt = Files.createTempDirectory("bm25_ckpt")
@@ -1603,7 +1604,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          graft.streaming.StreamingBm25.topKBatch(b, postings, stats)
+          graft.streaming.StreamingBm25.topKBatch(b, postings, dfT, stats)
             .collect().foreach(r => served.add(
               (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
       }
@@ -1629,6 +1630,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(all.sortBy(x => (x._1, x._2)) == batchArm.sortBy(x => (x._1, x._2)),
         s"served ≠ batch q122\nserved=${all.sortBy(x => (x._1, x._2))}\nbatch=$batchArm")
     } finally q2.stop()
+  }
+
+  /** appendBm25Index: appending a disjoint batch must leave the index
+    * IDENTICAL to a fresh rebuild over the union — posting rows, the
+    * vocab df table (including vocabulary the batch introduces), the
+    * stats row, and therefore every served ranking. The batch-cost
+    * refresh is only sound if this equivalence is exact. */
+  test("BM25 index append equals a fresh rebuild over the union") {
+    val sfDir = "/root/testdata/sf0.001"
+    val apT = "bm25_append_idx"
+    val fullT = "bm25_full_idx"
+    Seq(apT, apT + "_df", apT + "_stats",
+      fullT, fullT + "_df", fullT + "_stats").foreach(cleanTableLocationS)
+    val d = graft.util.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    // the batch side gets new vocabulary so the full-outer df path and a
+    // brand-new term's posting lookup are both exercised
+    val base = d.filter($"doc_id" < 300)
+    val batch = d.filter($"doc_id" >= 300)
+      .withColumn("text", concat($"text", lit(" nvocab nvocab")))
+    graft.streaming.StreamingBm25.saveBm25Index(base, apT)
+    graft.streaming.StreamingBm25.appendBm25Index(batch, apT)
+    graft.streaming.StreamingBm25.saveBm25Index(base.union(batch), fullT)
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (0 until r.length).map(r.get)).toSet
+    assert(rows(apT) == rows(fullT), "posting rows diverge")
+    assert(rows(apT + "_df") == rows(fullT + "_df"), "df table diverges")
+    assert(rows(apT + "_stats") == rows(fullT + "_stats"), "stats diverge")
+    // served ranking equality follows, including for the new term
+    val q = Seq((9L, "nvocab"), (9L, "spark")).toDF("qid", "term")
+    def serve(t: String) = graft.streaming.StreamingBm25.topKBatch(q,
+        graft.streaming.StreamingBm25.loadPostings(spark, t),
+        graft.streaming.StreamingBm25.loadDf(spark, t),
+        graft.streaming.StreamingBm25.loadStats(spark, t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val (a, f) = (serve(apT), serve(fullT))
+    assert(a.nonEmpty && a == f, s"served rankings diverge\n$a\n$f")
   }
 
   /** StreamingSpec's own copy of PublishSpec's table cleaner (the
