@@ -55,7 +55,7 @@ object Bench {
     "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
-    "q122_bm25")
+    "q122_bm25", "q123_quality_mixture")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -195,7 +195,11 @@ object Bench {
     // q122 added r11: BM25 retrieval — one token-explode partial agg into
     // the checkpointed per-doc frame, broadcast query/df/stats joins,
     // WindowGroupLimit top-k (isolated child 1.50, loadavg ~1.9)
-    "q122_bm25" -> 1.5)
+    "q122_bm25" -> 1.5,
+    // q123 added r11: quality-aware mixture — the q118 LM pass + the
+    // q119 Gopher pass + doc-sized joins + a metadata-sized cell window
+    // (isolated child 2.96, loadavg ~2.6)
+    "q123_quality_mixture" -> 2.9)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -43,7 +43,10 @@ object ScaleSmoke {
     // pair join's planted-mega-cluster stress, pairs grow ~factor² by
     // design — timed only), q122 BM25 (df and N scale but the odds-ratio
     // idf is not exactly scale-invariant — timed only)
-    "q121_winnowing", "q122_bm25")
+    "q121_winnowing", "q122_bm25",
+    // q123 composes q118 (timed-only for q118's own reason: replicated
+    // copies shift the md5 split buckets and the terciles) — timed only
+    "q123_quality_mixture")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

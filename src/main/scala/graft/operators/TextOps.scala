@@ -274,6 +274,70 @@ object TextOps {
       .select("doc_id")
   }
 
+  // --------------------------------------------------------------- q123
+  /** The Gopher subset the q123 mixture planner filters on — the rules
+    * that discriminate on this corpus (measured at sf0.001: word-count
+    * ~45%, top-gram 2–4 a few %; `fail_stopwords` fires corpus-wide for
+    * the reason documented on [[gopherDrops]] and is excluded exactly as
+    * a practitioner would). */
+  val MixGopherRules: Seq[String] =
+    Seq("fail_word_count", "fail_top2", "fail_top3", "fail_top4")
+
+  /** q123: quality-aware mixture weights — the planning step AFTER the
+    * quality audits: allocate the q76 training-token budget across
+    * (lang, source) cells by the √(kept tokens) temperature rule, where
+    * "kept" means the document survives BOTH published quality families
+    * (not in the q118 CCNet tail tercile, passes every [[MixGopherRules]]
+    * Gopher rule). q76 weights raw document counts; this weights what a
+    * curation pass would actually keep — the delta between the two
+    * allocations is exactly the low-quality mass a raw-size mixture
+    * over-allocates to junk-heavy sources.
+    *
+    * Exactness: n_toks is GopherStats' n_words (the q119 signal — one
+    * definition of "token count" across the quality family); the weight
+    * is ⌊√kept_toks·10⁴ + ½⌋ (IEEE sqrt is correctly rounded — the q76
+    * convention), floor-scaled to a long BEFORE the cross-cell sum;
+    * share is one double division; the allocation pure integer floor.
+    *
+    * Scale shape: two text scans (the LM pass and the Gopher pass, each
+    * individually single-scan shaped and partial-agged map-side); every
+    * join after them is doc-sized (flags ⋈ source ⋈ lm_bucket on
+    * doc_id), the cell frame is |langs|·|sources| rows, and the weight
+    * total is a q76-style window over that metadata-sized frame. */
+  def q123QualityMixture(s: SparkSession, dir: String): DataFrame =
+    qualityMixtureOf(docs(s, dir))
+
+  private[graft] def qualityMixtureOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val flags = gopherFlagsOf(d)
+      .select($"doc_id" +: $"lang" +: $"n_words" +: MixGopherRules.map(col): _*)
+    val lm = lmQualityOf(d).select($"doc_id", $"lm_bucket")
+    val kept = ($"lm_bucket" =!= "tail") &&
+      MixGopherRules.map(col(_) === 0L).reduce(_ && _)
+    val w0 = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    flags
+      .join(d.select($"doc_id", $"source"), "doc_id")
+      .join(lm, "doc_id")
+      .withColumn("kept", kept.cast("long"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_toks"),
+        sum($"kept").as("n_kept"),
+        sum($"kept" * $"n_words").as("kept_toks"))
+      .withColumn("w_scaled",
+        floor(sqrt($"kept_toks".cast("double")) * 10000.0 + 0.5).cast("long"))
+      .withColumn("total_w", sum($"w_scaled").over(w0)) // cell-count rows
+      .withColumn("share",
+        $"w_scaled".cast("double") / $"total_w".cast("double"))
+      .withColumn("alloc_tokens",
+        expr(s"($MixtureTokenBudget * w_scaled) div total_w"))
+      .select($"lang", $"source", $"n_docs", $"n_toks", $"n_kept",
+        $"kept_toks", $"w_scaled", $"share", $"alloc_tokens")
+      .orderBy($"lang", $"source")
+  }
+
   /** Minimum corpus-wide occurrence count for a bigram to be scored by
     * q87 — below this, lift estimates are noise (and at 100 TB the
     * HAVING prunes the singleton tail, which dominates the bigram key
@@ -2004,6 +2068,7 @@ object TextOps {
     "q98_weighted_sample" -> (q98WeightedSample _),
     "q102_dsir_weights" -> (q102DsirWeights _),
     "q118_lm_quality" -> (q118LmQuality _),
+    "q123_quality_mixture" -> (q123QualityMixture _),
     "q83_approx_quantiles" -> (q83ApproxQuantiles _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -2042,8 +2107,72 @@ object TextOps {
 
   /** q119's DuckDB twin, generated from the SAME rule table the Spark
     * side evaluates — every signal replayed from `text` with list ops,
-    * every threshold the identical integer cross-multiplication. */
+    * every threshold the identical integer cross-multiplication. The
+    * per-doc CTE chain ([[gopherDocCtes]], ending in `gf`) is shared
+    * with the q123 mixture oracle. */
   private def gopherOracleSql: String = {
+    val failSum = GopherRuleCols.mkString(" + ")
+    val sumSelect = GopherRuleCols.map { c =>
+      s"CAST(SUM($c) AS BIGINT) AS $c"
+    }.mkString(",\n        ")
+    s"""WITH $gopherDocCtes
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        $sumSelect,
+       |  CAST(SUM(CASE WHEN $failSum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pass
+       |FROM gf GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** The per-document q118 LM-bucket CTE chain (no leading WITH): ends
+    * in `lb` = (lang, doc_id, n_bigrams, lm_score, lm_bucket). Shared by
+    * the q118 oracle and the q123 mixture oracle. HUGEINT // is floor
+    * division on positives — the Spark `div`; the smoothed conditional
+    * falls out of ONE formula at every (c12, c1) including the
+    * unseen-bigram/unseen-context cases. */
+  private def lmDocCtes: String = {
+    val dbHex =
+      "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
+    val tokHex =
+      s"list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % $LmBuckets"
+    val K = LmBuckets
+    s"""b AS (SELECT doc_id, lang, $dbHex AS db,
+      |    list_transform(string_split(lower(text), ' '),
+      |      tok -> $tokHex) AS bs FROM documents),
+      |bg AS (SELECT doc_id, lang, db, bs, unnest(range(len(bs) - 1)) AS i
+      |  FROM b WHERE len(bs) >= 2),
+      |pp AS (SELECT doc_id, lang, db,
+      |    bs[CAST(i + 1 AS INTEGER)] AS b1,
+      |    bs[CAST(i + 2 AS INTEGER)] AS b2 FROM bg),
+      |pd AS (SELECT doc_id, lang, db, b1, b2, COUNT(*) AS c
+      |  FROM pp GROUP BY doc_id, lang, db, b1, b2),
+      |cells AS (SELECT lang, b1, b2, SUM(c) AS c12
+      |  FROM pd WHERE db < 100 GROUP BY lang, b1, b2),
+      |ctx AS (SELECT lang, b1, SUM(c12) AS c1 FROM cells GROUP BY lang, b1),
+      |sc AS (SELECT pd.doc_id, pd.lang,
+      |    SUM(c * ((CAST($LmScale AS HUGEINT) * (2*COALESCE(c12, 0)+1))
+      |             // (2*COALESCE(c1, 0)+$K))) AS ssum,
+      |    SUM(c) AS nbg
+      |  FROM pd LEFT JOIN cells USING (lang, b1, b2)
+      |    LEFT JOIN ctx USING (lang, b1)
+      |  GROUP BY pd.doc_id, pd.lang),
+      |lf AS (SELECT d.lang, d.doc_id,
+      |    CAST(COALESCE(nbg, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(COALESCE(ssum // nbg, 0) AS BIGINT) AS lm_score
+      |  FROM documents d
+      |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = d.lang),
+      |lrk AS (SELECT lang, doc_id, n_bigrams, lm_score,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY lm_score DESC, doc_id ASC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n FROM lf),
+      |lb AS (SELECT lang, doc_id, n_bigrams, lm_score,
+      |    CASE WHEN 3*rk <= n THEN 'head'
+      |         WHEN 3*rk <= 2*n THEN 'middle' ELSE 'tail' END AS lm_bucket
+      |  FROM lrk)""".stripMargin
+  }
+
+  /** The per-document Gopher flag CTE chain (no leading WITH): ends in
+    * `gf` = (doc_id, lang, n_words, fail_* × 18). */
+  private def gopherDocCtes: String = {
     // (flag column, SQL predicate over the joined signal row) — ONE rule
     // table; order matches GopherRuleCols
     val rules: Seq[(String, String)] = Seq(
@@ -2087,11 +2216,7 @@ object TextOps {
     val flagSelect = rules.map { case (c, p) =>
       s"CASE WHEN $p THEN 1 ELSE 0 END AS $c"
     }.mkString(",\n        ")
-    val failSum = rules.map(_._1).mkString(" + ")
-    val sumSelect = rules.map { case (c, _) =>
-      s"CAST(SUM($c) AS BIGINT) AS $c"
-    }.mkString(",\n        ")
-    s"""WITH base AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+    s"""base AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
        |         text, lower(text) AS low FROM documents),
        |tk AS (SELECT doc_id, string_split(low, ' ') AS t FROM base),
        |w AS (SELECT doc_id,
@@ -2123,7 +2248,7 @@ object TextOps {
        |            AS BIGINT) AS dup_seg_chars
        |        FROM sgc GROUP BY doc_id),
        |${(2 to 10).map(gramCte).mkString(",\n")},
-       |j AS (SELECT b.lang, b.n_chars, w.n_words, w.sum_word_len,
+       |j AS (SELECT b.doc_id, b.lang, b.n_chars, w.n_words, w.sum_word_len,
        |        w.n_alpha_words, w.n_stop_distinct, sy.n_sym,
        |        COALESCE(sgs.n_segs, 0) AS n_segs,
        |        COALESCE(sgs.n_bullet_segs, 0) AS n_bullet_segs,
@@ -2133,14 +2258,9 @@ object TextOps {
        |        $gramCoalesce
        |      FROM base b JOIN w USING (doc_id) JOIN sy USING (doc_id)
        |      LEFT JOIN sgs USING (doc_id) $gramJoin),
-       |f AS (SELECT lang,
+       |gf AS (SELECT doc_id, lang, n_words,
        |        $flagSelect
-       |      FROM j)
-       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |        $sumSelect,
-       |  CAST(SUM(CASE WHEN $failSum = 0 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_pass
-       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+       |      FROM j)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -2237,48 +2357,35 @@ object TextOps {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens, dsir_score
         |FROM rk WHERE rk <= $DsirK ORDER BY lang, rk""".stripMargin
     },
-    "q118_lm_quality" -> {
-      val dbHex =
-        "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
-      val tokHex =
-        s"list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % $LmBuckets"
-      val K = LmBuckets
-      // HUGEINT // is floor division on positives — the Spark `div`;
-      // the smoothed conditional falls out of ONE formula at every
-      // (c12, c1) including the unseen-bigram/unseen-context cases
-      s"""WITH b AS (SELECT doc_id, lang, $dbHex AS db,
-        |    list_transform(string_split(lower(text), ' '),
-        |      tok -> $tokHex) AS bs FROM documents),
-        |bg AS (SELECT doc_id, lang, db, bs, unnest(range(len(bs) - 1)) AS i
-        |  FROM b WHERE len(bs) >= 2),
-        |pp AS (SELECT doc_id, lang, db,
-        |    bs[CAST(i + 1 AS INTEGER)] AS b1,
-        |    bs[CAST(i + 2 AS INTEGER)] AS b2 FROM bg),
-        |pd AS (SELECT doc_id, lang, db, b1, b2, COUNT(*) AS c
-        |  FROM pp GROUP BY doc_id, lang, db, b1, b2),
-        |cells AS (SELECT lang, b1, b2, SUM(c) AS c12
-        |  FROM pd WHERE db < 100 GROUP BY lang, b1, b2),
-        |ctx AS (SELECT lang, b1, SUM(c12) AS c1 FROM cells GROUP BY lang, b1),
-        |sc AS (SELECT pd.doc_id, pd.lang,
-        |    SUM(c * ((CAST($LmScale AS HUGEINT) * (2*COALESCE(c12, 0)+1))
-        |             // (2*COALESCE(c1, 0)+$K))) AS ssum,
-        |    SUM(c) AS nbg
-        |  FROM pd LEFT JOIN cells USING (lang, b1, b2)
-        |    LEFT JOIN ctx USING (lang, b1)
-        |  GROUP BY pd.doc_id, pd.lang),
-        |f AS (SELECT d.lang, d.doc_id,
-        |    CAST(COALESCE(nbg, 0) AS BIGINT) AS n_bigrams,
-        |    CAST(COALESCE(ssum // nbg, 0) AS BIGINT) AS lm_score
-        |  FROM documents d
-        |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = d.lang),
-        |rk AS (SELECT lang, doc_id, n_bigrams, lm_score,
-        |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY lm_score DESC, doc_id ASC) AS rk,
-        |    COUNT(*) OVER (PARTITION BY lang) AS n FROM f)
-        |SELECT lang, doc_id, n_bigrams, lm_score,
-        |  CASE WHEN 3*rk <= n THEN 'head'
-        |       WHEN 3*rk <= 2*n THEN 'middle' ELSE 'tail' END AS lm_bucket
-        |FROM rk ORDER BY lang, doc_id""".stripMargin
+    "q118_lm_quality" ->
+      s"""WITH $lmDocCtes
+        |SELECT lang, doc_id, n_bigrams, lm_score, lm_bucket
+        |FROM lb ORDER BY lang, doc_id""".stripMargin,
+    "q123_quality_mixture" -> {
+      // composes the two shared per-doc chains (gf = Gopher flags, lb =
+      // LM bucket) exactly as the Spark side composes gopherFlagsOf and
+      // lmQualityOf; the weight/allocation arithmetic is q76's, down to
+      // the round-half-up floor-scaling
+      val subsetSum = MixGopherRules.mkString(" + ")
+      s"""WITH $gopherDocCtes,
+        |$lmDocCtes,
+        |pdq AS (SELECT gf.lang, d.source, gf.doc_id, gf.n_words,
+        |    CASE WHEN lb.lm_bucket <> 'tail' AND ($subsetSum) = 0
+        |      THEN 1 ELSE 0 END AS kept
+        |  FROM gf JOIN documents d USING (doc_id)
+        |  JOIN lb ON lb.doc_id = gf.doc_id),
+        |mix AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_words) AS BIGINT) AS n_toks,
+        |    CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |    CAST(SUM(kept * n_words) AS BIGINT) AS kept_toks
+        |  FROM pdq GROUP BY lang, source),
+        |wts AS (SELECT *, CAST(FLOOR(sqrt(CAST(kept_toks AS DOUBLE))*10000
+        |    + 0.5) AS BIGINT) AS w_scaled FROM mix),
+        |tw AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM wts)
+        |SELECT lang, source, n_docs, n_toks, n_kept, kept_toks, w_scaled,
+        |  CAST(w_scaled AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
+        |  ($MixtureTokenBudget * w_scaled) // total_w AS alloc_tokens
+        |FROM wts CROSS JOIN tw ORDER BY lang, source""".stripMargin
     },
     "q76_mixture_weights" ->
       s"""WITH c AS (SELECT source, COUNT(*) n_docs,

@@ -239,6 +239,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q123: one text-bearing scan in-plan; window total, no BNLJ") {
+    // two quality passes feed q123, but only the Gopher pass decodes
+    // text inside THIS plan (the LM frame is checkpointed at
+    // construction); the source/doc joins are text-free scans, and the
+    // weight total is a q76-style window over the metadata-sized cell
+    // frame — no 1-row crossJoin, so no BNLJ anywhere
+    val p = plan("q123_quality_mixture")
+    assert(p.sliding("text:string".length).count(_ == "text:string") <= 1,
+      p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("q94: vocab membership is a broadcast join over a partial top-k") {
     val p = plan("q94_vocab_coverage")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

@@ -1011,6 +1011,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.getLong(a.fieldIndex("n_pass")) == 1L, a.toString)
   }
 
+  /** q123: the quality-aware mixture must starve a junk source. One
+    * language, two sources: srcA's docs pass every MixGopherRules rule
+    * (≥50 words, varied grams), srcB's are all sub-50-word (fail the
+    * word-count rule) — so srcB's kept mass is 0 REGARDLESS of its LM
+    * tercile, its weight 0, its allocation 0, and srcA takes the entire
+    * budget. Also pins the accounting identities (n_kept ≤ n_docs,
+    * allocations ≤ budget, q76-convention weight of the kept tokens). */
+  test("q123 allocates nothing to a source that fails the quality gates") {
+    import spark.implicits._
+    val wordsA = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val rows =
+      (1 to 6).map(i => (i.toLong, "en", "srcA",
+        wordsA + s" uniq$i extra$i")) ++
+      (7 to 9).map(i => (i.toLong, "en", "srcB", s"tiny doc $i only"))
+    val out = TextOps.qualityMixtureOf(
+        rows.toDF("doc_id", "lang", "source", "text")).collect()
+      .map(r => (r.getString(1), (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(8)))).toMap
+    val (aDocs, aToks, aKept, aKeptToks, aW, aAlloc) = out("srcA")
+    val (bDocs, _, bKept, bKeptToks, bW, bAlloc) = out("srcB")
+    assert(bDocs == 3L && bKept == 0L && bKeptToks == 0L &&
+      bW == 0L && bAlloc == 0L, out.toString)
+    assert(aDocs == 6L && aKept >= 1L && aKept <= 6L, out.toString)
+    // only nonzero cell ⇒ the full budget lands on srcA exactly
+    assert(aAlloc == TextOps.MixtureTokenBudget, out.toString)
+    assert(aToks == 62L * 6L, out.toString)
+    // q76 weight convention on the kept token mass
+    assert(aW == math.floor(math.sqrt(aKeptToks.toDouble) * 10000.0 + 0.5).toLong,
+      out.toString)
+    // the per-lang tercile forces exactly 3 of the 9 docs into the tail;
+    // srcB's 3 junk docs can absorb at most all 3 of those slots
+    assert(aKept >= 3L, s"tail tercile ate more than 3 docs: $out")
+  }
+
   /** q122: BM25 against a driver-side replay of the EXACT arithmetic —
     * raw-odds-ratio idf, integer-floor avgdl, the fixed-order IEEE double
     * chain, contributions floor-scaled to 1e6-longs before the per-query
