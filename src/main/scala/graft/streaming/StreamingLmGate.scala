@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** The q118 CCNet-style LM quality filter AT THE DOOR — the streaming
+  * twin the batch tercile cannot have directly: a tercile is a RELATIVE
+  * rank over the whole corpus, but a micro-batch must decide per document
+  * NOW. The resolution is the standard one (and CCNet's own deployment
+  * shape): freeze the model and the per-language tail BOUNDARY SCORE at
+  * refresh time, then gate arrivals absolutely against the frozen cut.
+  *
+  * Persisted at refresh: the bigram model tables (langs·K² cells,
+  * langs·K contexts — broadcast-sized at any corpus scale) and the
+  * per-language cut = the MINIMUM lm_score among head+middle documents.
+  * The door admits a document iff its frozen-model score ≥ its
+  * language's cut.
+  *
+  * Documented stream-semantic divergences (the CurateDoor convention —
+  * candidate-grade decisions at the door, exact ones at the next batch
+  * refresh): (1) a new doc scoring EXACTLY on the boundary is admitted,
+  * while the batch tercile could rank a boundary TIE into the tail by
+  * doc_id — conservative in the admit direction; (2) a language absent
+  * from the cuts table (never seen at refresh) is admitted un-gated — no
+  * evidence is not evidence of junk; (3) the gate drifts as the true
+  * corpus distribution drifts, until the next refresh re-freezes it —
+  * exactly q90's drift-monitoring job.
+  *
+  * Scale shape: scoring a micro-batch is batch-sized work against three
+  * broadcast model frames (zero streaming state — the only restart
+  * state is the source offset log), the same stream-static shape as
+  * StreamingSpanStrip/StreamDecontam.
+  */
+object StreamingLmGate {
+
+  /** Train on `d`'s reference slice and persist model + cuts:
+    * `<table>_cells`, `<table>_ctx` (the frozen bigram LM) and
+    * `<table>_cuts` (lang, cut). ONE text decode (the checkpointed
+    * per-doc frame feeds model, scores and cuts — the q118 barrier). */
+  def saveLmModel(d: DataFrame, table: String): Unit = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = TextOps.lmPerDocOf(d).localCheckpoint(true)
+    val (cells, ctx) = TextOps.lmModelOf(perDoc)
+    cells.write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_cells")
+    ctx.write.mode("overwrite").format("parquet").saveAsTable(table + "_ctx")
+    val w = Window.partitionBy($"lang")
+      .orderBy($"lm_score".desc, $"doc_id".asc)
+    val nW = Window.partitionBy($"lang")
+    TextOps.lmScoreFromPerDoc(d.select($"doc_id", $"lang"), perDoc,
+        s.table(table + "_cells"), s.table(table + "_ctx"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(nW))
+      // the tail boundary: min score still inside head+middle (3rk ≤ 2n
+      // is q118's non-tail condition verbatim)
+      .filter(lit(3L) * $"rk" <= lit(2L) * $"n")
+      .groupBy($"lang").agg(min($"lm_score").as("cut"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_cuts")
+  }
+
+  /** (cells, ctx, cuts) as loaded frames. */
+  def loadModel(s: SparkSession, table: String): (DataFrame, DataFrame, DataFrame) =
+    (s.table(table + "_cells"), s.table(table + "_ctx"),
+      s.table(table + "_cuts"))
+
+  /** Score one micro-batch against the frozen model — the SHARED q118
+    * formula ([[TextOps.lmScoreFromPerDoc]]), so a frozen-corpus doc
+    * scores here exactly what q118 scored it. */
+  def scoredBatch(batch: DataFrame, cells: DataFrame,
+      ctx: DataFrame): DataFrame = {
+    val ids = batch.select(col("doc_id"), col("lang"))
+    TextOps.lmScoreFromPerDoc(ids, TextOps.lmPerDocOf(batch), cells, ctx)
+  }
+
+  /** Gate one micro-batch: one row per INCOMING doc with its score, its
+    * language's cut (null = un-gated language) and the verdict. Callers
+    * keep `admitted`; the full frame is the door's accounting row. */
+  def gatedBatch(batch: DataFrame, cells: DataFrame, ctx: DataFrame,
+      cuts: DataFrame): DataFrame =
+    scoredBatch(batch, cells, ctx)
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("admitted",
+        col("cut").isNull || col("lm_score") >= col("cut"))
+}
