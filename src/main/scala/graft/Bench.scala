@@ -55,7 +55,7 @@ object Bench {
     "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
-    "q122_bm25", "q123_quality_mixture")
+    "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -199,7 +199,11 @@ object Bench {
     // q123 added r11: quality-aware mixture — the q118 LM pass + the
     // q119 Gopher pass + doc-sized joins + a metadata-sized cell window
     // (isolated child 2.96, loadavg ~2.6)
-    "q123_quality_mixture" -> 2.9)
+    "q123_quality_mixture" -> 2.9,
+    // q124 added r11: hybrid retrieval — the q122 arm + the broadcast
+    // 4-query cosine arm + a (4·k)-row RRF fusion (isolated child 1.98,
+    // loadavg ~2.3)
+    "q124_hybrid_retrieval" -> 2.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0
@@ -262,6 +266,20 @@ object Bench {
   }
   private def bm25Table(s: org.apache.spark.sql.SparkSession,
       dir: String): String = builtBm25Table(s, dir, "graft_bench_bm25")
+  private val lmGateWrittenByThisJvm = mutable.Set[String]()
+  private def lmGateTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val t = s"graft_bench_lmgate_${Integer.toHexString(dir.hashCode)}"
+    if (lmGateWrittenByThisJvm.add(t)) {
+      Seq(t + "_cells", t + "_ctx", t + "_cuts").foreach(wipeTable(s, _))
+      graft.streaming.StreamingLmGate.saveLmModel(
+        graft.util.Tables(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("text")), t)
+    }
+    t
+  }
   private def ivfPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path = s"/tmp/graft-bench-ivf-${Integer.toHexString(dir.hashCode)}"
     if (ivfWrittenByThisJvm.add(path))
@@ -434,6 +452,34 @@ object Bench {
           .filter(col("doc_id") % 8 === 0)
           .select((col("doc_id") + lit(shift)).as("doc_id"), col("text")),
         table)
+    }),
+    // x_lm_gate_stream: 200 docs as a file stream gated against the
+    // FROZEN LM model (three broadcast model frames, stateless). Its
+    // cost is the per-batch bigram explode + broadcast joins — the
+    // door-side price of the q118 filter without the corpus-wide
+    // tercile re-rank.
+    "x_lm_gate_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val table = lmGateTable(s, dir)
+      val (cells, ctx, cuts) =
+        graft.streaming.StreamingLmGate.loadModel(s, table)
+      val tmp = java.nio.file.Files.createTempDirectory("lm_gate_bench")
+      graft.util.Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(tmp.resolve("in").toString)
+      val gatedN = new java.util.concurrent.atomic.AtomicLong()
+      val q = s.readStream.schema("doc_id LONG, lang STRING, text STRING")
+        .parquet(tmp.resolve("in").toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          gatedN.addAndGet(graft.streaming.StreamingLmGate
+            .gatedBatch(b, cells, ctx, cuts)
+            .filter(col("admitted")).count()): Unit
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      require(gatedN.get() > 0, "LM gate admitted nothing")
     }),
     // x_bm25_serve_stream: the 4-query standing batch as a file stream
     // answered against the SAVED postings index (stream-static broadcast

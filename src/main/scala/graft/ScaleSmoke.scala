@@ -45,8 +45,10 @@ object ScaleSmoke {
     // idf is not exactly scale-invariant — timed only)
     "q121_winnowing", "q122_bm25",
     // q123 composes q118 (timed-only for q118's own reason: replicated
-    // copies shift the md5 split buckets and the terciles) — timed only
-    "q123_quality_mixture")
+    // copies shift the md5 split buckets and the terciles) — timed only;
+    // q124: replicated embeddings tie on cosine and reshuffle both arms'
+    // ranks — timed only
+    "q123_quality_mixture", "q124_hybrid_retrieval")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

@@ -1341,6 +1341,11 @@ object Similarity {
     "q90_source_drift" -> (q90SourceDrift _),
   )
 
+  /** [[scaledCte]] without the WITH keyword — composable into another
+    * oracle's CTE list (q124's hybrid-retrieval twin). */
+  private[operators] def scaledCtesBody: String =
+    scaledCte.stripPrefix("WITH ")
+
   private val scaledCte =
     """WITH s AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) e

@@ -1103,32 +1103,36 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
   }
 
-  /** The q118 scorer over an explicit documents frame (doc_id, lang,
-    * text) — exposed for the planted natural-vs-gibberish spec and the
-    * [[graft.app.CleanPipeline]] quality-stage knob. */
-  def lmQualityOf(d: DataFrame): DataFrame = {
-    val s = d.sparkSession
+  /** The frozen model tables from a (checkpointed) [[lmPerDoc]] frame:
+    * cells = (lang, b1, b2, c12) over the reference slice, ctx =
+    * (lang, b1, c1). Shared by the inline q118 scorer and the persisted
+    * door model ([[graft.streaming.StreamingLmGate]]). */
+  private[graft] def lmModelOf(perDoc: DataFrame): (DataFrame, DataFrame) = {
+    val s = perDoc.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val K = LmBuckets
-    // one text decode + explode feeds both the model cells and the
-    // scoring pass — the q102/q101 barrier rule
-    val perDoc = lmPerDoc(d).localCheckpoint(true)
     val cells = perDoc.filter($"db" < 100)
       .groupBy($"lang", $"b1", $"b2").agg(sum($"c").as("c12"))
-    val ctx = cells.groupBy($"lang", $"b1").agg(sum($"c12").as("c1"))
+    (cells, cells.groupBy($"lang", $"b1").agg(sum($"c12").as("c1")))
+  }
+
+  /** Score documents against an explicit frozen model — the ONE scoring
+    * formula, shared by the inline q118 arm and the door gate: `ids` is
+    * the (doc_id, lang) universe (every doc reports, bigram-less ones at
+    * score 0), `perDoc` its bigram-bucket counts. Output: (doc_id, lang,
+    * n_bigrams, lm_score). */
+  private[graft] def lmScoreFromPerDoc(ids: DataFrame, perDoc: DataFrame,
+      cells: DataFrame, ctx: DataFrame): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
     val scored = perDoc
       .join(broadcast(cells), Seq("lang", "b1", "b2"), "left")
       .join(broadcast(ctx), Seq("lang", "b1"), "left")
       .withColumn("lv", expr(
         s"(${LmScale}L * (2L * coalesce(c12, 0L) + 1L)) div " +
-          s"(2L * coalesce(c1, 0L) + $K)"))
+          s"(2L * coalesce(c1, 0L) + $LmBuckets)"))
       .groupBy($"doc_id", $"lang")
       .agg(sum($"c" * $"lv").as("ssum"), sum($"c").as("n_bigrams"))
-    val w = Window.partitionBy($"lang")
-      .orderBy($"lm_score".desc, $"doc_id".asc)
-    val nW = Window.partitionBy($"lang")
-    d.select($"doc_id", $"lang")
+    ids
       .join(scored, Seq("doc_id", "lang"), "left")
       // guard BEFORE coalescing: ANSI `div` throws on a 0 divisor even
       // under a null numerator, so the no-bigram branch must never
@@ -1137,6 +1141,24 @@ object TextOps {
         when($"n_bigrams".isNull, lit(0L))
           .otherwise(expr("ssum div n_bigrams")))
       .withColumn("n_bigrams", coalesce($"n_bigrams", lit(0L)))
+      .select($"doc_id", $"lang", $"n_bigrams", $"lm_score")
+  }
+
+  /** The q118 scorer over an explicit documents frame (doc_id, lang,
+    * text) — exposed for the planted natural-vs-gibberish spec and the
+    * [[graft.app.CleanPipeline]] quality-stage knob. */
+  def lmQualityOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one text decode + explode feeds both the model cells and the
+    // scoring pass — the q102/q101 barrier rule
+    val perDoc = lmPerDoc(d).localCheckpoint(true)
+    val (cells, ctx) = lmModelOf(perDoc)
+    val w = Window.partitionBy($"lang")
+      .orderBy($"lm_score".desc, $"doc_id".asc)
+    val nW = Window.partitionBy($"lang")
+    lmScoreFromPerDoc(d.select($"doc_id", $"lang"), perDoc, cells, ctx)
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(nW))
       .withColumn("lm_bucket",
@@ -1146,6 +1168,11 @@ object TextOps {
       .select($"lang", $"doc_id", $"n_bigrams", $"lm_score", $"lm_bucket")
       .orderBy($"lang", $"doc_id")
   }
+
+  /** q118's bigram-bucket frame for an explicit doc frame — exposed so
+    * the door gate scores micro-batches with the IDENTICAL bucket/bigram
+    * arithmetic. */
+  private[graft] def lmPerDocOf(d: DataFrame): DataFrame = lmPerDoc(d)
 
   /** The tail-tercile doc_id drop list [[graft.app.CleanPipeline]]'s
     * `--lm-tail-filter` stage joins against (CCNet's convention: keep
@@ -1392,6 +1419,54 @@ object TextOps {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)
       .select($"qid", $"rk", $"doc_id", $"score")
+      .orderBy($"qid", $"rk")
+  }
+
+  // --------------------------------------------------------------- q124
+  /** Reciprocal-rank-fusion constant (Cormack–Clarke–Buettcher SIGIR'09
+    * — the published k = 60). */
+  val RrfK = 60L
+
+  /** q124: HYBRID retrieval — the standard two-arm retrieval stack:
+    * BM25 over text (q122's arm, verbatim) and embedding cosine (q38's
+    * exact arm over the integer-quantized vectors, verbatim — vec_id ≡
+    * doc_id, the q90 alignment), fused per query by reciprocal rank
+    * fusion: rrf(d) = Σ_arms ⌊10⁶ / (60 + rank_arm(d))⌋ — RRF is
+    * rank-only by design (the two arms' scores are incommensurable), so
+    * the fusion is PURE integer arithmetic and hash-exact for free. A
+    * doc ranked by only one arm contributes only that arm's term (the
+    * published convention). Output keeps each arm's rank (0 = unranked
+    * by that arm) so the fusion is auditable per row.
+    *
+    * Scale shape: each arm is its own already-shaped plan (q122: one
+    * token scan + broadcasts; cosine: the allow-listed broadcast-4-query
+    * brute arm — 4 dot products per corpus row, scan-speed, and the IVF
+    * serving arm substitutes at higher query volume); the fusion joins
+    * two (4·k)-row frames — driver-sized. */
+  def q124HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qids = Bm25Queries.map(_._1).distinct
+    val text = bm25Of(docs(s, dir))
+      .select($"qid", $"doc_id", $"rk".as("text_rk"))
+    val base = Similarity.scaled(s, dir)
+    val qSide = base.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
+    val vec = Similarity
+      .cosineTopK(base.join(broadcast(qSide), $"vec_id" =!= $"qid"), Bm25TopK)
+      .select($"qid", $"nid".as("doc_id"), $"rk".as("vec_rk"))
+    val w = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id".asc)
+    text
+      .join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select($"qid", $"doc_id",
+        (expr(s"1000000L div ($RrfK + coalesce(text_rk, 1000000000L))") +
+          expr(s"1000000L div ($RrfK + coalesce(vec_rk, 1000000000L))"))
+          .as("rrf"),
+        coalesce($"text_rk", lit(0L)).as("text_rk"),
+        coalesce($"vec_rk", lit(0L)).as("vec_rk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= Bm25TopK)
+      .select($"qid", $"rk", $"doc_id", $"rrf", $"text_rk", $"vec_rk")
       .orderBy($"qid", $"rk")
   }
 
@@ -2092,6 +2167,7 @@ object TextOps {
     "q59_mixture_rebalance" -> (q59MixtureRebalance _),
     "q61_tfidf" -> (q61Tfidf _),
     "q122_bm25" -> (q122Bm25 _),
+    "q124_hybrid_retrieval" -> (q124HybridRetrieval _),
     "q63_rarity" -> (q63Rarity _),
     "q64_inverted_index" -> (q64InvertedIndex _),
     "q68_pii_redact" -> (q68PiiRedact _),
@@ -2121,6 +2197,42 @@ object TextOps {
        |  CAST(SUM(CASE WHEN $failSum = 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_pass
        |FROM gf GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** The BM25 CTE chain (no leading WITH): query table and every
+    * arithmetic step GENERATED from the same constants the Spark side
+    * uses — idf as the raw odds ratio (2N-2df+1)/(2df+1), avgdl =
+    * n_toks // n_docs, the identical fixed-order double chain,
+    * floor-scaled to 1e6-longs pre-sum. Ends in `r` = (qid, doc_id,
+    * score, rk). Shared by the q122 oracle and the q124 hybrid oracle. */
+  private def bm25Ctes: String = {
+    val vals = Bm25Queries
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""q(qid, term) AS (VALUES $vals),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+      |pd AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl FROM toks),
+      |e AS (SELECT doc_id, unnest(t) tok FROM toks),
+      |m AS (SELECT e.doc_id, e.tok term, CAST(COUNT(*) AS BIGINT) tf
+      |      FROM e WHERE e.tok IN (SELECT DISTINCT term FROM q)
+      |      GROUP BY 1, 2),
+      |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) df FROM m GROUP BY term),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+      |         CAST(SUM(dl) AS BIGINT) n_toks FROM pd),
+      |sc AS (SELECT m.doc_id, m.term,
+      |         CAST(floor(1000000.0 * (
+      |           (CAST(2*st.n_docs - 2*dfx.df + 1 AS DOUBLE)
+      |              / CAST(2*dfx.df + 1 AS DOUBLE))
+      |           * ((CAST(m.tf AS DOUBLE) * 2.2)
+      |              / (CAST(m.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |                 * (CAST(pd.dl AS DOUBLE)
+      |                    / CAST(st.n_toks // st.n_docs AS DOUBLE)))))
+      |         )) AS BIGINT) contrib
+      |       FROM m JOIN pd USING (doc_id) CROSS JOIN st
+      |       JOIN dfx USING (term)),
+      |pq AS (SELECT q.qid, sc.doc_id, CAST(SUM(sc.contrib) AS BIGINT) score
+      |       FROM sc JOIN q USING (term) GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY score DESC, doc_id ASC) rk FROM pq)""".stripMargin
   }
 
   /** The per-document q118 LM-bucket CTE chain (no leading WITH): ends
@@ -2761,41 +2873,44 @@ object TextOps {
         |        ORDER BY score DESC, tok ASC) rk FROM sc)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    "q122_bm25" -> {
-      // the query table and every arithmetic step are GENERATED from the
-      // same constants the Spark side uses — idf as the raw odds ratio
-      // (2N-2df+1)/(2df+1), avgdl = n_toks // n_docs, the identical
-      // fixed-order double chain, floor-scaled to 1e6-longs pre-sum
-      val vals = Bm25Queries
-        .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
-      s"""WITH q(qid, term) AS (VALUES $vals),
-        |toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
-        |pd AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl FROM toks),
-        |e AS (SELECT doc_id, unnest(t) tok FROM toks),
-        |m AS (SELECT e.doc_id, e.tok term, CAST(COUNT(*) AS BIGINT) tf
-        |      FROM e WHERE e.tok IN (SELECT DISTINCT term FROM q)
-        |      GROUP BY 1, 2),
-        |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) df FROM m GROUP BY term),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
-        |         CAST(SUM(dl) AS BIGINT) n_toks FROM pd),
-        |sc AS (SELECT m.doc_id, m.term,
-        |         CAST(floor(1000000.0 * (
-        |           (CAST(2*st.n_docs - 2*dfx.df + 1 AS DOUBLE)
-        |              / CAST(2*dfx.df + 1 AS DOUBLE))
-        |           * ((CAST(m.tf AS DOUBLE) * 2.2)
-        |              / (CAST(m.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |                 * (CAST(pd.dl AS DOUBLE)
-        |                    / CAST(st.n_toks // st.n_docs AS DOUBLE)))))
-        |         )) AS BIGINT) contrib
-        |       FROM m JOIN pd USING (doc_id) CROSS JOIN st
-        |       JOIN dfx USING (term)),
-        |pq AS (SELECT q.qid, sc.doc_id, CAST(SUM(sc.contrib) AS BIGINT) score
-        |       FROM sc JOIN q USING (term) GROUP BY 1, 2),
-        |r AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER (PARTITION BY qid
-        |        ORDER BY score DESC, doc_id ASC) rk FROM pq)
+    "q122_bm25" ->
+      s"""WITH $bm25Ctes
         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk, doc_id,
         |  score
-        |FROM r WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
+        |FROM r WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin,
+    "q124_hybrid_retrieval" -> {
+      // composes the shared BM25 chain with q38's cosine replay (the
+      // scaled CTEs from Similarity) and fuses by pure-integer RRF —
+      // the missing-arm sentinel makes 10^6 // (60 + 10^9) = 0 exactly
+      // as the Spark side's coalesce does
+      val qidList = Bm25Queries.map(_._1).distinct.mkString(", ")
+      s"""WITH $bm25Ctes,
+        |${Similarity.scaledCtesBody},
+        |cp AS (SELECT q2.vec_id qid, c.vec_id nid,
+        |        list_inner_product(list_transform(q2.e, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(c.e, x -> CAST(x AS DOUBLE)))
+        |          / (q2.nrm * c.nrm) sim
+        |      FROM n q2 JOIN n c
+        |        ON q2.vec_id IN ($qidList) AND c.vec_id <> q2.vec_id),
+        |cr AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid ASC) rk FROM cp),
+        |tc AS (SELECT qid, doc_id, rk AS text_rk FROM r WHERE rk <= $Bm25TopK),
+        |vc AS (SELECT qid, nid AS doc_id, rk AS vec_rk
+        |       FROM cr WHERE rk <= $Bm25TopK),
+        |fu AS (SELECT COALESCE(tc.qid, vc.qid) qid,
+        |         COALESCE(tc.doc_id, vc.doc_id) doc_id,
+        |         CAST(1000000 // ($RrfK + COALESCE(tc.text_rk, 1000000000))
+        |           + 1000000 // ($RrfK + COALESCE(vc.vec_rk, 1000000000))
+        |           AS BIGINT) rrf,
+        |         CAST(COALESCE(tc.text_rk, 0) AS BIGINT) text_rk,
+        |         CAST(COALESCE(vc.vec_rk, 0) AS BIGINT) vec_rk
+        |       FROM tc FULL OUTER JOIN vc
+        |         ON tc.qid = vc.qid AND tc.doc_id = vc.doc_id),
+        |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY rrf DESC, doc_id ASC) rk FROM fu)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  rrf, text_rk, vec_rk
+        |FROM fr WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
     },
     "q63_rarity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) tok

@@ -447,8 +447,11 @@ class PlanSpec extends AnyFunSuite {
                         // never vector rows
     "q91_balance_chi2", // dimension cross: |sources| × |langs| marginal
                         // frames + one total row — metadata cardinality
-    "q93_triangle_census") // three 1-row aggregate frames crossed into
+    "q93_triangle_census", // three 1-row aggregate frames crossed into
                            // the single census row — morally literals
+    "q124_hybrid_retrieval") // contains q122's scalar stats row AND
+                             // q38's allow-listed broadcast-4-query
+                             // exact cosine arm
 
   test("no BroadcastNestedLoopJoin outside the brute-force allow-list") {
     SparkEntry.queries.keys.foreach { name =>

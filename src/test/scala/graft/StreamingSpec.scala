@@ -1670,6 +1670,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == f, s"served rankings diverge\n$a\n$f")
   }
 
+  /** StreamingLmGate: the frozen-model door gate must (1) score a
+    * frozen-corpus document EXACTLY what the batch q118 scored it (the
+    * shared formula against the persisted model), (2) admit exactly the
+    * batch head+middle set when the frozen corpus itself is replayed
+    * through the door (no boundary ties on this corpus — asserted, so
+    * the documented admit-on-tie divergence stays dormant), and (3) at
+    * the door, drop planted gibberish and admit planted natural text
+    * across two micro-batches and a checkpoint bounce (stateless gate —
+    * the only restart state is the source offset log). */
+  test("streaming LM gate matches the frozen q118 buckets and survives a restart") {
+    val sfDir = "/root/testdata/sf0.001"
+    val table = "lmgate_spec_model"
+    Seq(table + "_cells", table + "_ctx", table + "_cuts")
+      .foreach(cleanTableLocationS)
+    val d = graft.util.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    graft.streaming.StreamingLmGate.saveLmModel(d, table)
+    val (cells, ctx, cuts) =
+      graft.streaming.StreamingLmGate.loadModel(spark, table)
+    // (1)+(2): replay the frozen corpus through the gate as one batch
+    val batchQ118 = graft.operators.TextOps.lmQualityOf(d).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getString(4)))).toMap
+    val gated = graft.streaming.StreamingLmGate
+      .gatedBatch(d, cells, ctx, cuts).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("lm_score")),
+          r.getBoolean(r.fieldIndex("admitted"))))).toMap
+    assert(gated.keySet == batchQ118.keySet)
+    gated.foreach { case (id, (score, _)) =>
+      assert(score == batchQ118(id)._1, s"doc $id: door $score vs batch")
+    }
+    // no score ties across the cut boundary on this corpus: equality of
+    // the admit set is then EXACT, not modulo the documented divergence
+    gated.foreach { case (id, (_, admitted)) =>
+      assert(admitted == (batchQ118(id)._2 != "tail"),
+        s"doc $id: admitted=$admitted but batch bucket ${batchQ118(id)._2}")
+    }
+    // (3): planted docs at the door, two micro-batches, bounce between
+    val sentences = Array(
+      "the quick brown fox jumps over the lazy dog",
+      "a watched pot never boils on the old stove",
+      "the rain in spain stays mainly on the plain")
+    def natural(k: Long): String =
+      (0 until 6).map(i => sentences(((k + i) % 3).toInt)).mkString(" ")
+    // a model trained on natural English: plant it as the corpus so the
+    // cut reflects it, then gate arrivals against that frozen model
+    val planted = (0L until 40L).map(i => (i, "en", natural(i)))
+    val pt = "lmgate_spec_planted"
+    Seq(pt + "_cells", pt + "_ctx", pt + "_cuts").foreach(cleanTableLocationS)
+    graft.streaming.StreamingLmGate.saveLmModel(
+      planted.toDF("doc_id", "lang", "text"), pt)
+    val (pc, px, pu) = graft.streaming.StreamingLmGate.loadModel(spark, pt)
+    val in = Files.createTempDirectory("lmgate_in")
+    val ckpt = Files.createTempDirectory("lmgate_ckpt")
+    val admitted = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    def startGate() = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.StreamingLmGate.gatedBatch(b, pc, px, pu)
+            .collect().foreach(r => admitted.put(
+              r.getLong(r.fieldIndex("doc_id")),
+              r.getBoolean(r.fieldIndex("admitted")))): Unit
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    Seq((100L, "en", natural(100L))).toDF("doc_id", "lang", "text")
+      .write.mode("append").parquet(in.toString)
+    val q1 = startGate()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(admitted.get(100L) == true, s"natural arrival rejected: $admitted")
+    val gib = new scala.util.Random(7)
+      .shuffle(natural(101L).split(" ").toList).mkString(" ")
+    Seq((101L, "en", gib), (102L, "en", natural(102L)),
+        (103L, "zz", "ungated language passes")) // no cut row for zz
+      .toDF("doc_id", "lang", "text")
+      .write.mode("append").parquet(in.toString)
+    val q2 = startGate()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(admitted.get(101L) == false, s"gibberish admitted: $admitted")
+    assert(admitted.get(102L) == true && admitted.get(103L) == true,
+      s"natural/ungated-language arrival rejected: $admitted")
+  }
+
   /** StreamingSpec's own copy of PublishSpec's table cleaner (the
     * in-memory catalog is per-JVM, the warehouse dir is not). */
   private def cleanTableLocationS(table: String): Unit = {

@@ -1045,6 +1045,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(aKept >= 3L, s"tail tercile ate more than 3 docs: $out")
   }
 
+  /** q124: the hybrid fusion must be EXACTLY the RRF of its two arms —
+    * recomputed here from the independent q122 and q38-shaped outputs
+    * and fused in driver code, including the ranked-by-one-arm-only
+    * convention (missing rank contributes 0). */
+  test("q124 equals a driver-side RRF of the q122 and cosine arms") {
+    val text = TextOps.queries("q122_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // the cosine arm at the hybrid's k, same queries
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val qids = TextOps.Bm25Queries.map(_._1).distinct
+    val base = graft.operators.Similarity.scaled(spark, dir)
+    val qSide = base.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val vec = graft.operators.Similarity.cosineTopK(
+        base.join(broadcast(qSide), col("vec_id") =!= col("qid")),
+        TextOps.Bm25TopK).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def rrf(rk: Option[Long]): Long =
+      rk.map(r => 1000000L / (TextOps.RrfK + r)).getOrElse(0L)
+    val expected = qids.flatMap { q =>
+      val docs = (text.keySet ++ vec.keySet).collect {
+        case (qq, d) if qq == q => d }
+      docs.toSeq
+        .map(d => (d, rrf(text.get((q, d))) + rrf(vec.get((q, d)))))
+        .sortBy { case (d, s) => (-s, d) }
+        .take(TextOps.Bm25TopK).zipWithIndex
+        .map { case ((d, s), i) =>
+          (q, (i + 1).toLong, d, s,
+            text.getOrElse((q, d), 0L), vec.getOrElse((q, d), 0L)) }
+    }.sortBy(x => (x._1, x._2))
+    val out = TextOps.q124HybridRetrieval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == expected, s"\nout=$out\nexp=$expected")
+    // the fusion is non-degenerate: some doc is ranked by only one arm
+    assert(out.exists(x => x._5 == 0L ^ x._6 == 0L),
+      "no single-arm doc in the fused top-k — fusion untested")
+  }
+
   /** q122: BM25 against a driver-side replay of the EXACT arithmetic —
     * raw-odds-ratio idf, integer-floor avgdl, the fixed-order IEEE double
     * chain, contributions floor-scaled to 1e6-longs before the per-query
