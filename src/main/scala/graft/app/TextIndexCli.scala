@@ -1,0 +1,94 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.streaming.{StreamingBm25, StreamingLmGate}
+
+/** The TEXT serving lifecycle as one spark-submit entry — PqIndexCli's
+  * sibling for the text stack, wired to the spec-proven library calls:
+  *
+  *   build  <sfDir> <name>             build the BM25 postings index
+  *                                     (`<name>_bm25{,_df,_stats}`,
+  *                                     [[StreamingBm25.saveBm25Index]])
+  *                                     and the frozen LM gate model
+  *                                     (`<name>_lm_{cells,ctx,cuts}`,
+  *                                     [[StreamingLmGate.saveLmModel]])
+  *   append <name> <docsParquet>       append a (doc_id, text) batch to
+  *                                     the postings at batch cost
+  *                                     ([[StreamingBm25.appendBm25Index]]);
+  *                                     the LM model stays FROZEN — it
+  *                                     re-freezes at the next build,
+  *                                     exactly like the PQ models under
+  *                                     appendPqIndex
+  *   serve  <name> [--terms a,b,c]     BM25 top-k for the standing query
+  *                                     batch (or one ad-hoc term list as
+  *                                     qid 0) against the saved postings
+  *   gate   <name> <docsParquet>       LM-gate a (doc_id, lang, text)
+  *                                     batch against the frozen cuts —
+  *                                     per-doc score, cut and verdict
+  *
+  * The nightly shape: `build` once per refresh decision, `append` per
+  * arriving partition, `serve`/`gate` continuously.
+  */
+object TextIndexCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.util.GraftSession.local("graft-text-index")
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  private def docsOf(spark: SparkSession, sfDir: String) =
+    graft.util.Tables(spark, sfDir, "documents")
+
+  private[graft] def run(spark: SparkSession, args: Seq[String]): Unit =
+    args match {
+      case Seq("build", sfDir, name) =>
+        val d = docsOf(spark, sfDir)
+        StreamingBm25.saveBm25Index(
+          d.select(col("doc_id"), col("text")), s"${name}_bm25")
+        StreamingLmGate.saveLmModel(
+          d.select(col("doc_id"), col("lang"), col("text")), s"${name}_lm")
+        val n = spark.table(s"${name}_bm25").count()
+        val v = spark.table(s"${name}_bm25_df").count()
+        println(s"built $name: $n posting rows, $v terms, LM gate frozen")
+      case Seq("append", name, docsParquet) =>
+        StreamingBm25.appendBm25Index(
+          spark.read.parquet(docsParquet).select("doc_id", "text"),
+          s"${name}_bm25")
+        val n = spark.table(s"${name}_bm25").count()
+        println(s"appended $docsParquet: postings now $n rows " +
+          "(LM gate model unchanged — rebuild to re-freeze)")
+      case Seq("serve", name, rest @ _*) =>
+        import spark.implicits._
+        val queries = rest match {
+          case Seq("--terms", ts) =>
+            ts.split(",").toSeq.map(t => (0L, t.trim)).toDF("qid", "term")
+          case Seq() =>
+            graft.operators.TextOps.Bm25Queries.toDF("qid", "term")
+          case other =>
+            System.err.println(s"unknown serve arguments: ${other.mkString(" ")}")
+            sys.exit(2)
+        }
+        StreamingBm25.topKBatch(queries,
+            StreamingBm25.loadPostings(spark, s"${name}_bm25"),
+            StreamingBm25.loadDf(spark, s"${name}_bm25"),
+            StreamingBm25.loadStats(spark, s"${name}_bm25"))
+          .show(numRows = 100, truncate = false)
+      case Seq("gate", name, docsParquet) =>
+        val (cells, ctx, cuts) = StreamingLmGate.loadModel(spark, s"${name}_lm")
+        StreamingLmGate.gatedBatch(
+            spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
+            cells, ctx, cuts)
+          .show(numRows = 100, truncate = false)
+      case other =>
+        System.err.println(
+          s"""unknown arguments: ${other.mkString(" ")}
+             |usage: TextIndexCli build  <sfDir> <name>
+             |       TextIndexCli append <name> <docsParquet>
+             |       TextIndexCli serve  <name> [--terms a,b,c]
+             |       TextIndexCli gate   <name> <docsParquet>""".stripMargin)
+        sys.exit(2)
+    }
+}

@@ -808,6 +808,65 @@ class RangeJoinSpec extends AnyFunSuite {
       (Similarity.CurveNprobes.size * Similarity.CurveShortlists.size).toLong)
   }
 
+  /** TextIndexCli mirrors PqIndexCli for the text stack — pin the
+    * wiring: build persists postings + LM model, append grows the
+    * postings at batch cost (df/stats absorbed), serve answers the
+    * standing queries against the saved index with q122's exact rows,
+    * and gate scores a batch against the frozen cuts. */
+  test("TextIndexCli: build, append, serve, and gate wire correctly") {
+    import spark.implicits._
+    def clean(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
+    val name = "txtcli"
+    Seq("_bm25", "_bm25_df", "_bm25_stats", "_lm_cells", "_lm_ctx",
+      "_lm_cuts").foreach(sfx => clean(name + sfx))
+    graft.app.TextIndexCli.run(spark, Seq("build", dir, name))
+    val n0 = spark.table(s"${name}_bm25").count()
+    assert(n0 > 0 && spark.table(s"${name}_lm_cuts").count() > 0)
+    // served rankings off the CLI-built index = the inline q122 arm
+    val served = graft.streaming.StreamingBm25.topKBatch(
+        graft.operators.TextOps.Bm25Queries.toDF("qid", "term"),
+        graft.streaming.StreamingBm25.loadPostings(spark, s"${name}_bm25"),
+        graft.streaming.StreamingBm25.loadDf(spark, s"${name}_bm25"),
+        graft.streaming.StreamingBm25.loadStats(spark, s"${name}_bm25"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val inline = graft.operators.TextOps.q122Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(served == inline, s"CLI-served ≠ q122\n$served\n$inline")
+    // append a shifted batch through the CLI: postings grow, stats absorb
+    graft.util.Tables(spark, dir, "documents").filter($"doc_id" < 50)
+      .select(($"doc_id" + 90000L).as("doc_id"), $"text")
+      .write.mode("overwrite").parquet("/tmp/txtcli_batch")
+    graft.app.TextIndexCli.run(spark,
+      Seq("append", name, "/tmp/txtcli_batch"))
+    assert(spark.table(s"${name}_bm25").count() > n0)
+    assert(spark.table(s"${name}_bm25_stats")
+      .select("n_docs").head.getLong(0) ==
+      graft.util.Tables(spark, dir, "documents").count() + 50L)
+    // gate wiring: frozen-corpus docs gate to the q118 non-tail set
+    graft.util.Tables(spark, dir, "documents").filter($"doc_id" < 30)
+      .select($"doc_id", $"lang", $"text")
+      .write.mode("overwrite").parquet("/tmp/txtcli_gate")
+    val (cells, ctx, cuts) =
+      graft.streaming.StreamingLmGate.loadModel(spark, s"${name}_lm")
+    val gated = graft.streaming.StreamingLmGate.gatedBatch(
+        spark.read.parquet("/tmp/txtcli_gate"), cells, ctx, cuts)
+      .collect()
+    assert(gated.nonEmpty &&
+      gated.exists(r => r.getBoolean(r.fieldIndex("admitted"))),
+      "gate admitted nothing from the frozen corpus")
+  }
+
   /** Curve-informed serving (VERDICT r9 #3): the persisted q115 curve —
     * measured at sf0.1, where ADC crowding-out makes MORE probes read
     * MORE rows for LESS recall — must drive `--recall-target` to the
