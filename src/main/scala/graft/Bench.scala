@@ -55,7 +55,8 @@ object Bench {
     "q113_max_spans", "q114_pii_rewrite", "q115_pq_recall_curve",
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
-    "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval")
+    "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
+    "q125_mixture_manifest")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -203,7 +204,14 @@ object Bench {
     // q124 added r11: hybrid retrieval — the q122 arm + the broadcast
     // 4-query cosine arm + a (4·k)-row RRF fusion (isolated child 1.98,
     // loadavg ~2.3)
-    "q124_hybrid_retrieval" -> 2.0)
+    "q124_hybrid_retrieval" -> 2.0,
+    // q125 added r11: manifest materialization — q123's two quality
+    // passes into a CHECKPOINTED per-doc verdict frame (it feeds both
+    // the cell allocation and the selection), plus the per-cell greedy
+    // prefix window + manifest aggregate (isolated child 5.08-5.44
+    // across two quiet readings; a loadavg-7 box read 9.9 — this entry
+    // is load-sensitive like every multi-pass query)
+    "q125_mixture_manifest" -> 5.3)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

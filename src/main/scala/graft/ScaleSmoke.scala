@@ -48,7 +48,8 @@ object ScaleSmoke {
     // copies shift the md5 split buckets and the terciles) — timed only;
     // q124: replicated embeddings tie on cosine and reshuffle both arms'
     // ranks — timed only
-    "q123_quality_mixture", "q124_hybrid_retrieval")
+    "q123_quality_mixture", "q124_hybrid_retrieval",
+    "q125_mixture_manifest")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

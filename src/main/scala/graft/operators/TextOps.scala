@@ -307,21 +307,34 @@ object TextOps {
   def q123QualityMixture(s: SparkSession, dir: String): DataFrame =
     qualityMixtureOf(docs(s, dir))
 
-  private[graft] def qualityMixtureOf(d: DataFrame): DataFrame = {
+  /** Per-doc quality verdict frame — (doc_id, lang, source, n_words,
+    * kept): the composition of both published quality families, shared
+    * by the q123 mixture planner and the q125 manifest materializer. */
+  private def qualityPerDoc(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val flags = gopherFlagsOf(d)
       .select($"doc_id" +: $"lang" +: $"n_words" +: MixGopherRules.map(col): _*)
     val lm = lmQualityOf(d).select($"doc_id", $"lm_bucket")
     val kept = ($"lm_bucket" =!= "tail") &&
       MixGopherRules.map(col(_) === 0L).reduce(_ && _)
-    val w0 = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     flags
       .join(d.select($"doc_id", $"source"), "doc_id")
       .join(lm, "doc_id")
-      .withColumn("kept", kept.cast("long"))
+      .select($"doc_id", $"lang", $"source", $"n_words",
+        kept.cast("long").as("kept"))
+  }
+
+  /** q123's cell aggregation over an explicit per-doc verdict frame —
+    * (lang, source) cells with counts, q76-convention weight, share and
+    * the integer budget allocation. */
+  private def mixtureCellsOf(perDoc: DataFrame): DataFrame = {
+    val s = perDoc.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDoc
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_toks"),
         sum($"kept").as("n_kept"),
@@ -333,8 +346,78 @@ object TextOps {
         $"w_scaled".cast("double") / $"total_w".cast("double"))
       .withColumn("alloc_tokens",
         expr(s"($MixtureTokenBudget * w_scaled) div total_w"))
+  }
+
+  private[graft] def qualityMixtureOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    mixtureCellsOf(qualityPerDoc(d))
       .select($"lang", $"source", $"n_docs", $"n_toks", $"n_kept",
         $"kept_toks", $"w_scaled", $"share", $"alloc_tokens")
+      .orderBy($"lang", $"source")
+  }
+
+  // --------------------------------------------------------------- q125
+  /** q125: mixture MANIFEST materialization — the step after q123's
+    * planning: turn each cell's token allocation into a concrete,
+    * reproducible document list. Within each (lang, source) cell the
+    * KEPT documents are ordered by (md5(doc_id), doc_id) — the q46/q82
+    * deterministic-hash convention, so the selection is stable under
+    * any partitioning, any re-run, and append-safe — and selected
+    * greedily while the EXCLUSIVE running token total is under the
+    * cell's allocation (q58's straddle convention: the document that
+    * crosses the boundary is included, so every cell with a nonzero
+    * allocation selects at least one kept doc if it has one). The
+    * manifest itself is reported as the md5 of the sorted selected
+    * doc_id list — the reproducibility receipt a training run records —
+    * plus selection accounting per cell.
+    *
+    * Scale shape: the per-doc verdict frame is computed once
+    * (checkpointed — it feeds the cell allocation AND the selection);
+    * the running total is a per-cell window over kept docs (cells
+    * partition the corpus — parallel across |langs|·|sources|; the q58
+    * two-pass prefix-sum upgrade applies unchanged if one cell
+    * dominates); the manifest aggregate collapses to one row per cell
+    * before anything leaves the executors. */
+  /** q125's registered budget — deliberately SMALLER than q76/q123's
+    * planning budget so the greedy boundary actually binds on the
+    * oracle corpora (kept-token mass ≈ 14.6k at sf0.01 / ~150k at
+    * sf0.1): the straddle arithmetic is then verified hash-exactly by
+    * the DuckDB twin, not only by the planted spec. */
+  val ManifestTokenBudget = 10000L
+
+  def q125MixtureManifest(s: SparkSession, dir: String): DataFrame =
+    mixtureManifestOf(docs(s, dir), ManifestTokenBudget)
+
+  private[graft] def mixtureManifestOf(d: DataFrame,
+      budget: Long = MixtureTokenBudget): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pd = qualityPerDoc(d).localCheckpoint(true)
+    val cells = mixtureCellsOf(pd)
+      .withColumn("alloc_tokens", expr(s"($budget * w_scaled) div total_w"))
+      .select($"lang", $"source", $"n_kept", $"kept_toks", $"alloc_tokens")
+    val wc = Window.partitionBy($"lang", $"source")
+      .orderBy($"hx", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sel = pd.filter($"kept" === 1L)
+      .withColumn("hx", md5($"doc_id".cast("string").cast("binary")))
+      .withColumn("cw", coalesce(sum($"n_words").over(wc), lit(0L)))
+      .join(cells.select($"lang", $"source", $"alloc_tokens"),
+        Seq("lang", "source"))
+      .filter($"cw" < $"alloc_tokens")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum($"n_words").as("sel_tokens"),
+        md5(concat_ws(",", sort_array(collect_list($"doc_id")))
+          .cast("binary")).as("m"))
+    cells
+      .join(sel, Seq("lang", "source"), "left")
+      .select($"lang", $"source", $"alloc_tokens", $"n_kept", $"kept_toks",
+        coalesce($"n_selected", lit(0L)).as("n_selected"),
+        coalesce($"sel_tokens", lit(0L)).as("sel_tokens"),
+        coalesce($"m", md5(lit("").cast("binary"))).as("manifest_md5"))
       .orderBy($"lang", $"source")
   }
 
@@ -2144,6 +2227,7 @@ object TextOps {
     "q102_dsir_weights" -> (q102DsirWeights _),
     "q118_lm_quality" -> (q118LmQuality _),
     "q123_quality_mixture" -> (q123QualityMixture _),
+    "q125_mixture_manifest" -> (q125MixtureManifest _),
     "q83_approx_quantiles" -> (q83ApproxQuantiles _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -2233,6 +2317,31 @@ object TextOps {
       |       FROM sc JOIN q USING (term) GROUP BY 1, 2),
       |r AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER (PARTITION BY qid
       |        ORDER BY score DESC, doc_id ASC) rk FROM pq)""".stripMargin
+  }
+
+  /** The quality-mixture CTE chain (no leading WITH): composes the two
+    * shared per-doc chains (gf = Gopher flags, lb = LM bucket) exactly
+    * as the Spark side composes gopherFlagsOf and lmQualityOf, then the
+    * q76 weight arithmetic down to the round-half-up floor-scaling.
+    * Ends in `pdq` (per-doc verdicts), `wts` (cells + weights), `tw`
+    * (weight total). Shared by the q123 and q125 oracles. */
+  private def mixtureCtes: String = {
+    val subsetSum = MixGopherRules.mkString(" + ")
+    s"""$gopherDocCtes,
+      |$lmDocCtes,
+      |pdq AS (SELECT gf.lang, d.source, gf.doc_id, gf.n_words,
+      |    CASE WHEN lb.lm_bucket <> 'tail' AND ($subsetSum) = 0
+      |      THEN 1 ELSE 0 END AS kept
+      |  FROM gf JOIN documents d USING (doc_id)
+      |  JOIN lb ON lb.doc_id = gf.doc_id),
+      |mix AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_words) AS BIGINT) AS n_toks,
+      |    CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |    CAST(SUM(kept * n_words) AS BIGINT) AS kept_toks
+      |  FROM pdq GROUP BY lang, source),
+      |wts AS (SELECT *, CAST(FLOOR(sqrt(CAST(kept_toks AS DOUBLE))*10000
+      |    + 0.5) AS BIGINT) AS w_scaled FROM mix),
+      |tw AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM wts)""".stripMargin
   }
 
   /** The per-document q118 LM-bucket CTE chain (no leading WITH): ends
@@ -2473,32 +2582,41 @@ object TextOps {
       s"""WITH $lmDocCtes
         |SELECT lang, doc_id, n_bigrams, lm_score, lm_bucket
         |FROM lb ORDER BY lang, doc_id""".stripMargin,
-    "q123_quality_mixture" -> {
-      // composes the two shared per-doc chains (gf = Gopher flags, lb =
-      // LM bucket) exactly as the Spark side composes gopherFlagsOf and
-      // lmQualityOf; the weight/allocation arithmetic is q76's, down to
-      // the round-half-up floor-scaling
-      val subsetSum = MixGopherRules.mkString(" + ")
-      s"""WITH $gopherDocCtes,
-        |$lmDocCtes,
-        |pdq AS (SELECT gf.lang, d.source, gf.doc_id, gf.n_words,
-        |    CASE WHEN lb.lm_bucket <> 'tail' AND ($subsetSum) = 0
-        |      THEN 1 ELSE 0 END AS kept
-        |  FROM gf JOIN documents d USING (doc_id)
-        |  JOIN lb ON lb.doc_id = gf.doc_id),
-        |mix AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(n_words) AS BIGINT) AS n_toks,
-        |    CAST(SUM(kept) AS BIGINT) AS n_kept,
-        |    CAST(SUM(kept * n_words) AS BIGINT) AS kept_toks
-        |  FROM pdq GROUP BY lang, source),
-        |wts AS (SELECT *, CAST(FLOOR(sqrt(CAST(kept_toks AS DOUBLE))*10000
-        |    + 0.5) AS BIGINT) AS w_scaled FROM mix),
-        |tw AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS total_w FROM wts)
+    "q123_quality_mixture" ->
+      s"""WITH $mixtureCtes
         |SELECT lang, source, n_docs, n_toks, n_kept, kept_toks, w_scaled,
         |  CAST(w_scaled AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
         |  ($MixtureTokenBudget * w_scaled) // total_w AS alloc_tokens
-        |FROM wts CROSS JOIN tw ORDER BY lang, source""".stripMargin
-    },
+        |FROM wts CROSS JOIN tw ORDER BY lang, source""".stripMargin,
+    "q125_mixture_manifest" ->
+      // the same shared chain, extended with the greedy md5-ordered
+      // prefix selection under each cell's allocation (q58's straddle
+      // convention via the EXCLUSIVE running sum) and the sorted-list
+      // manifest md5
+      s"""WITH $mixtureCtes,
+        |ax AS (SELECT lang, source, n_kept, kept_toks,
+        |         ($ManifestTokenBudget * w_scaled) // total_w AS alloc_tokens
+        |       FROM wts CROSS JOIN tw),
+        |sel0 AS (SELECT lang, source, doc_id, n_words,
+        |           md5(CAST(doc_id AS VARCHAR)) hx FROM pdq WHERE kept = 1),
+        |cum AS (SELECT *, COALESCE(SUM(n_words) OVER (
+        |          PARTITION BY lang, source ORDER BY hx, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cw
+        |        FROM sel0),
+        |selq AS (SELECT c.lang, c.source, c.doc_id, c.n_words
+        |         FROM cum c JOIN ax USING (lang, source)
+        |         WHERE c.cw < ax.alloc_tokens),
+        |man AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) n_selected,
+        |          CAST(SUM(n_words) AS BIGINT) sel_tokens,
+        |          md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |            ORDER BY doc_id)) m
+        |        FROM selq GROUP BY lang, source)
+        |SELECT ax.lang, ax.source, ax.alloc_tokens, ax.n_kept, ax.kept_toks,
+        |  COALESCE(man.n_selected, 0) AS n_selected,
+        |  COALESCE(man.sel_tokens, 0) AS sel_tokens,
+        |  COALESCE(man.m, md5('')) AS manifest_md5
+        |FROM ax LEFT JOIN man USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "q76_mixture_weights" ->
       s"""WITH c AS (SELECT source, COUNT(*) n_docs,
         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))*10000 + 0.5) AS BIGINT)

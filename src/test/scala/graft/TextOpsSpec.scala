@@ -1045,6 +1045,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(aKept >= 3L, s"tail tercile ate more than 3 docs: $out")
   }
 
+  /** q125: the manifest materializer under a binding budget — the q123
+    * planted corpus with a 100-token budget: srcB (all quality-failed)
+    * selects nothing and reports md5(''); srcA takes the whole 100-token
+    * allocation and selects exactly the md5-ordered greedy prefix with
+    * the q58 straddle convention (the 62-token doc crossing the boundary
+    * is INCLUDED, so sel_tokens 124 > alloc 100), matched bit-for-bit
+    * against a driver replay of the ordering and the manifest md5. */
+  test("q125 materializes the md5-ordered straddle prefix per cell") {
+    import spark.implicits._
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val wordsA = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val rows =
+      (1 to 6).map(i => (i.toLong, "en", "srcA",
+        wordsA + s" uniq$i extra$i")) ++          // 62 words each
+      (7 to 9).map(i => (i.toLong, "en", "srcB", s"tiny doc $i only"))
+    val out = TextOps.mixtureManifestOf(
+        rows.toDF("doc_id", "lang", "source", "text"), budget = 100L)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6), r.getString(7))))
+      .toMap
+    val (bAlloc, bSel, bSelToks, bMan) = out("srcB")
+    assert(bAlloc == 0L && bSel == 0L && bSelToks == 0L && bMan == m(""),
+      out.toString)
+    val (aAlloc, aSel, aSelToks, aMan) = out("srcA")
+    assert(aAlloc == 100L, out.toString)
+    // driver replay: which of srcA's KEPT docs are md5-first? the lm
+    // tercile keeps 2/3 — recompute the kept set from the engine itself
+    val keptA = TextOps.lmQualityOf(
+        rows.toDF("doc_id", "lang", "source", "text")
+          .select($"doc_id", $"lang", $"text"))
+      .collect().filter(r => r.getString(4) != "tail")
+      .map(_.getLong(1)).filter(_ <= 6L).toSeq
+    val ordered = keptA.sortBy(id => (m(id.toString), id))
+    // exclusive 62-token cumsum under 100: ranks 0 (cw 0) and 1 (cw 62)
+    val expectSel = ordered.take(2)
+    assert(aSel == 2L && aSelToks == 124L, out.toString)
+    assert(aMan == m(expectSel.sorted.mkString(",")), out.toString)
+  }
+
   /** q124: the hybrid fusion must be EXACTLY the RRF of its two arms —
     * recomputed here from the independent q122 and q38-shaped outputs
     * and fused in driver code, including the ranked-by-one-arm-only
