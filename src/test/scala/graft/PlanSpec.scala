@@ -252,6 +252,20 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("q125: everything reads the checkpointed verdict frame; no BNLJ") {
+    // the per-doc quality verdicts are computed once (both quality
+    // passes) into the checkpoint; the cell allocation AND the greedy
+    // selection must consume THAT, so the final plan carries no
+    // FileScan at all — a FileScan means one side re-ran a quality pass
+    val df = castToImpl(SparkEntry.queries("q125_mixture_manifest")(spark, dir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"), p.take(1200))
+    assert(p.contains("ExistingRDD"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("q94: vocab membership is a broadcast join over a partial top-k") {
     val p = plan("q94_vocab_coverage")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
