@@ -56,7 +56,7 @@ object Bench {
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
     "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
-    "q125_mixture_manifest")
+    "q125_mixture_manifest", "q126_epoch_order")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -211,7 +211,11 @@ object Bench {
     // prefix window + manifest aggregate (isolated child 5.08-5.44
     // across two quiet readings; a loadavg-7 box read 9.9 — this entry
     // is load-sensitive like every multi-pass query)
-    "q125_mixture_manifest" -> 5.3)
+    "q125_mixture_manifest" -> 5.3,
+    // q126 added r11: epoch ordering — the q125 selection machinery +
+    // a x3 epoch fan-out + per-epoch WindowGroupLimit heads (isolated
+    // child 5.31, loadavg ~2.6)
+    "q126_epoch_order" -> 5.3)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

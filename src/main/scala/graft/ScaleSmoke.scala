@@ -49,7 +49,7 @@ object ScaleSmoke {
     // q124: replicated embeddings tie on cosine and reshuffle both arms'
     // ranks — timed only
     "q123_quality_mixture", "q124_hybrid_retrieval",
-    "q125_mixture_manifest")
+    "q125_mixture_manifest", "q126_epoch_order")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

@@ -389,24 +389,37 @@ object TextOps {
   def q125MixtureManifest(s: SparkSession, dir: String): DataFrame =
     mixtureManifestOf(docs(s, dir), ManifestTokenBudget)
 
-  private[graft] def mixtureManifestOf(d: DataFrame,
-      budget: Long = MixtureTokenBudget): DataFrame = {
-    val s = d.sparkSession
+  /** The (lang, source, doc_id, n_words) rows the greedy md5-ordered
+    * selection admits under `budget` — q125's selection, exposed so the
+    * q126 epoch ordering consumes the SAME manifest. `pd` is the
+    * checkpointed [[qualityPerDoc]] frame. */
+  private def manifestSelection(pd: DataFrame, budget: Long): DataFrame = {
+    val s = pd.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pd = qualityPerDoc(d).localCheckpoint(true)
     val cells = mixtureCellsOf(pd)
       .withColumn("alloc_tokens", expr(s"($budget * w_scaled) div total_w"))
-      .select($"lang", $"source", $"n_kept", $"kept_toks", $"alloc_tokens")
     val wc = Window.partitionBy($"lang", $"source")
       .orderBy($"hx", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val sel = pd.filter($"kept" === 1L)
+    pd.filter($"kept" === 1L)
       .withColumn("hx", md5($"doc_id".cast("string").cast("binary")))
       .withColumn("cw", coalesce(sum($"n_words").over(wc), lit(0L)))
       .join(cells.select($"lang", $"source", $"alloc_tokens"),
         Seq("lang", "source"))
       .filter($"cw" < $"alloc_tokens")
+      .select($"lang", $"source", $"doc_id", $"n_words")
+  }
+
+  private[graft] def mixtureManifestOf(d: DataFrame,
+      budget: Long = MixtureTokenBudget): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val pd = qualityPerDoc(d).localCheckpoint(true)
+    val cells = mixtureCellsOf(pd)
+      .withColumn("alloc_tokens", expr(s"($budget * w_scaled) div total_w"))
+      .select($"lang", $"source", $"n_kept", $"kept_toks", $"alloc_tokens")
+    val sel = manifestSelection(pd, budget)
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_selected"),
         sum($"n_words").as("sel_tokens"),
@@ -1553,6 +1566,58 @@ object TextOps {
       .orderBy($"qid", $"rk")
   }
 
+  // --------------------------------------------------------------- q126
+  /** Epochs / audit depth of the q126 training-order report. */
+  val EpochCount = 3
+  val EpochTopK = 20
+
+  /** q126: reproducible training ORDER — the step after q125's manifest:
+    * every epoch reads the same selected documents in a different but
+    * fully deterministic order, the way a pre-training run shuffles its
+    * data per epoch without an RNG state to lose. The permutation key is
+    * md5(epoch || ':' || doc_id) — per-epoch decorrelated, stable under
+    * any partitioning/re-run (the q46/q82 convention lifted to order).
+    * The report carries the first [[EpochTopK]] (epoch, position,
+    * doc_id) rows per epoch — the auditable head a training log records
+    * to prove two runs consumed identical streams — plus the per-epoch
+    * document count.
+    *
+    * Scale shape: ONE selection computation (the checkpointed q125
+    * machinery), a ×[[EpochCount]] map-side epoch fan-out, and the
+    * per-epoch head as a WindowGroupLimit partial top-k — no executor
+    * ever materializes a full epoch order; the full permutation exists
+    * only implicitly (any consumer sorts its own partition range by the
+    * same key). */
+  def q126EpochOrder(s: SparkSession, dir: String): DataFrame =
+    epochOrderOf(docs(s, dir), ManifestTokenBudget)
+
+  /** [[manifestSelection]] over a raw doc frame — the q126 spec's handle
+    * on the selected id set it replays the permutations from. */
+  private[graft] def manifestSelectionOf(d: DataFrame,
+      budget: Long): DataFrame =
+    manifestSelection(qualityPerDoc(d).localCheckpoint(true), budget)
+
+  private[graft] def epochOrderOf(d: DataFrame, budget: Long): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pd = qualityPerDoc(d).localCheckpoint(true)
+    val sel = manifestSelection(pd, budget)
+    val w = Window.partitionBy($"epoch").orderBy($"hx", $"doc_id")
+    val nW = Window.partitionBy($"epoch")
+    sel
+      .select($"doc_id",
+        explode(expr(s"sequence(0, ${EpochCount - 1})")).as("epoch"))
+      .withColumn("hx",
+        md5(concat($"epoch".cast("string"), lit(":"),
+          $"doc_id".cast("string")).cast("binary")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(nW))
+      .filter($"pos" <= EpochTopK)
+      .select($"epoch".cast("long").as("epoch"), $"pos", $"doc_id", $"n_docs")
+      .orderBy($"epoch", $"pos")
+  }
+
   // ---------------------------------------------------------------- q63
   /** Per-document token-rarity profile (doc_id < 100): the median (plus
     * min/max) corpus document-frequency over the document's token
@@ -2228,6 +2293,7 @@ object TextOps {
     "q118_lm_quality" -> (q118LmQuality _),
     "q123_quality_mixture" -> (q123QualityMixture _),
     "q125_mixture_manifest" -> (q125MixtureManifest _),
+    "q126_epoch_order" -> (q126EpochOrder _),
     "q83_approx_quantiles" -> (q83ApproxQuantiles _),
     "q30_tokens" -> (q30Tokens _),
     "q31_quality" -> (q31Quality _),
@@ -2318,6 +2384,26 @@ object TextOps {
       |r AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER (PARTITION BY qid
       |        ORDER BY score DESC, doc_id ASC) rk FROM pq)""".stripMargin
   }
+
+  /** [[mixtureCtes]] extended with q125's greedy md5-ordered prefix
+    * selection under each cell's allocation (q58's straddle convention
+    * via the EXCLUSIVE running sum). Ends in `ax` (cells + allocations)
+    * and `selq` (the selected doc rows). Shared by the q125 and q126
+    * oracles. */
+  private def manifestSelCtes: String =
+    s"""$mixtureCtes,
+      |ax AS (SELECT lang, source, n_kept, kept_toks,
+      |         ($ManifestTokenBudget * w_scaled) // total_w AS alloc_tokens
+      |       FROM wts CROSS JOIN tw),
+      |sel0 AS (SELECT lang, source, doc_id, n_words,
+      |           md5(CAST(doc_id AS VARCHAR)) hx FROM pdq WHERE kept = 1),
+      |cum AS (SELECT *, COALESCE(SUM(n_words) OVER (
+      |          PARTITION BY lang, source ORDER BY hx, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cw
+      |        FROM sel0),
+      |selq AS (SELECT c.lang, c.source, c.doc_id, c.n_words
+      |         FROM cum c JOIN ax USING (lang, source)
+      |         WHERE c.cw < ax.alloc_tokens)""".stripMargin
 
   /** The quality-mixture CTE chain (no leading WITH): composes the two
     * shared per-doc chains (gf = Gopher flags, lb = LM bucket) exactly
@@ -2589,23 +2675,9 @@ object TextOps {
         |  ($MixtureTokenBudget * w_scaled) // total_w AS alloc_tokens
         |FROM wts CROSS JOIN tw ORDER BY lang, source""".stripMargin,
     "q125_mixture_manifest" ->
-      // the same shared chain, extended with the greedy md5-ordered
-      // prefix selection under each cell's allocation (q58's straddle
-      // convention via the EXCLUSIVE running sum) and the sorted-list
-      // manifest md5
-      s"""WITH $mixtureCtes,
-        |ax AS (SELECT lang, source, n_kept, kept_toks,
-        |         ($ManifestTokenBudget * w_scaled) // total_w AS alloc_tokens
-        |       FROM wts CROSS JOIN tw),
-        |sel0 AS (SELECT lang, source, doc_id, n_words,
-        |           md5(CAST(doc_id AS VARCHAR)) hx FROM pdq WHERE kept = 1),
-        |cum AS (SELECT *, COALESCE(SUM(n_words) OVER (
-        |          PARTITION BY lang, source ORDER BY hx, doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cw
-        |        FROM sel0),
-        |selq AS (SELECT c.lang, c.source, c.doc_id, c.n_words
-        |         FROM cum c JOIN ax USING (lang, source)
-        |         WHERE c.cw < ax.alloc_tokens),
+      // the shared selection chain, extended with the sorted-list
+      // manifest md5 per cell
+      s"""WITH $manifestSelCtes,
         |man AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) n_selected,
         |          CAST(SUM(n_words) AS BIGINT) sel_tokens,
         |          md5(string_agg(CAST(doc_id AS VARCHAR), ','
@@ -2617,6 +2689,21 @@ object TextOps {
         |  COALESCE(man.m, md5('')) AS manifest_md5
         |FROM ax LEFT JOIN man USING (lang, source)
         |ORDER BY lang, source""".stripMargin,
+    "q126_epoch_order" ->
+      // the shared selection chain, fanned out per epoch and permuted by
+      // the per-epoch md5 key — the identical arithmetic the Spark side
+      // runs, so the audit head is hash-exact
+      s"""WITH $manifestSelCtes,
+        |ep AS (SELECT doc_id, unnest(range($EpochCount)) epoch FROM selq),
+        |ehx AS (SELECT epoch, doc_id,
+        |          md5(CAST(epoch AS VARCHAR) || ':'
+        |            || CAST(doc_id AS VARCHAR)) hx FROM ep),
+        |erk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY epoch
+        |          ORDER BY hx, doc_id) pos,
+        |          COUNT(*) OVER (PARTITION BY epoch) n_docs FROM ehx)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos,
+        |  doc_id, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM erk WHERE pos <= $EpochTopK ORDER BY epoch, pos""".stripMargin,
     "q76_mixture_weights" ->
       s"""WITH c AS (SELECT source, COUNT(*) n_docs,
         |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))*10000 + 0.5) AS BIGINT)

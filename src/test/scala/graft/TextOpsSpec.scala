@@ -1085,6 +1085,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(aMan == m(expectSel.sorted.mkString(",")), out.toString)
   }
 
+  /** q126: every epoch must read the SAME selected manifest in a
+    * DIFFERENT deterministic order. Replays the full permutation in
+    * driver code from the selection frame: each epoch's reported head is
+    * exactly the EpochTopK smallest md5("epoch:doc_id") keys over the
+    * selected ids, the per-epoch counts all equal the selection size,
+    * and the three heads are pairwise different (decorrelation). */
+  test("q126 epoch heads replay the md5 permutation of the manifest") {
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    import org.apache.spark.sql.functions.col
+    val sel = TextOps.manifestSelectionOf(
+        graft.util.Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text")),
+        TextOps.ManifestTokenBudget)
+      .collect().map(_.getLong(2)).toSeq
+    val out = TextOps.q126EpochOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == (0 until TextOps.EpochCount).map(_.toLong).toSet)
+    assert(out.forall(_._4 == sel.size.toLong),
+      s"per-epoch count ≠ selection size ${sel.size}")
+    val heads = byEpoch.map { case (e, rs) =>
+      e -> rs.sortBy(_._2).map(_._3).toSeq }
+    heads.foreach { case (e, h) =>
+      val expect = sel.sortBy(id => (m(s"$e:$id"), id))
+        .take(TextOps.EpochTopK)
+      assert(h == expect, s"epoch $e head ≠ driver replay\n$h\n$expect")
+    }
+    assert(heads(0L) != heads(1L) && heads(1L) != heads(2L) &&
+      heads(0L) != heads(2L), "epoch permutations are correlated")
+  }
+
   /** q124: the hybrid fusion must be EXACTLY the RRF of its two arms —
     * recomputed here from the independent q122 and q38-shaped outputs
     * and fused in driver code, including the ranked-by-one-arm-only
