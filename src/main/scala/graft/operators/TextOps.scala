@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -325,6 +325,23 @@ object TextOps {
         kept.cast("long").as("kept"))
   }
 
+  /** Budget allocation over the cell weight columns, guarded for the
+    * zero-total-weight corpus (every cell's kept_toks = 0 — a junk-heavy
+    * slice where both quality gates drop everything): `div` by zero must
+    * never kill a 100 TB planning job, so the degenerate corpus
+    * allocates 0 everywhere instead. Shared by q123/q125/q126; the
+    * DuckDB twins carry the same CASE WHEN so the convention is pinned
+    * by the oracle, not just by code. */
+  private def allocTokensCol(budget: Long): Column =
+    when(col("total_w") === 0L, lit(0L))
+      .otherwise(expr(s"($budget * w_scaled) div total_w"))
+
+  /** The share twin of [[allocTokensCol]]: 0.0 (not NaN) on the
+    * zero-weight corpus. */
+  private def shareCol: Column =
+    when(col("total_w") === 0L, lit(0.0))
+      .otherwise(col("w_scaled").cast("double") / col("total_w").cast("double"))
+
   /** q123's cell aggregation over an explicit per-doc verdict frame —
     * (lang, source) cells with counts, q76-convention weight, share and
     * the integer budget allocation. */
@@ -342,10 +359,8 @@ object TextOps {
       .withColumn("w_scaled",
         floor(sqrt($"kept_toks".cast("double")) * 10000.0 + 0.5).cast("long"))
       .withColumn("total_w", sum($"w_scaled").over(w0)) // cell-count rows
-      .withColumn("share",
-        $"w_scaled".cast("double") / $"total_w".cast("double"))
-      .withColumn("alloc_tokens",
-        expr(s"($MixtureTokenBudget * w_scaled) div total_w"))
+      .withColumn("share", shareCol)
+      .withColumn("alloc_tokens", allocTokensCol(MixtureTokenBudget))
   }
 
   private[graft] def qualityMixtureOf(d: DataFrame): DataFrame = {
@@ -374,11 +389,12 @@ object TextOps {
     *
     * Scale shape: the per-doc verdict frame is computed once
     * (checkpointed — it feeds the cell allocation AND the selection);
-    * the running total is a per-cell window over kept docs (cells
-    * partition the corpus — parallel across |langs|·|sources|; the q58
-    * two-pass prefix-sum upgrade applies unchanged if one cell
-    * dominates); the manifest aggregate collapses to one row per cell
-    * before anything leaves the executors. */
+    * the running total is the q58 two-pass distributed prefix sum
+    * bucketed on the md5-prefix selection order (see
+    * [[manifestSelection]]) — parallelism #cells × #buckets even when
+    * one (lang, source) cell holds the whole corpus; the manifest
+    * aggregate collapses to one row per cell before anything leaves the
+    * executors. */
   /** q125's registered budget — deliberately SMALLER than q76/q123's
     * planning budget so the greedy boundary actually binds on the
     * oracle corpora (kept-token mass ≈ 14.6k at sf0.01 / ~150k at
@@ -392,19 +408,60 @@ object TextOps {
   /** The (lang, source, doc_id, n_words) rows the greedy md5-ordered
     * selection admits under `budget` — q125's selection, exposed so the
     * q126 epoch ordering consumes the SAME manifest. `pd` is the
-    * checkpointed [[qualityPerDoc]] frame. */
-  private def manifestSelection(pd: DataFrame, budget: Long): DataFrame = {
+    * checkpointed [[qualityPerDoc]] frame.
+    *
+    * Scale shape (VERDICT r11's top item — the q58 upgrade, applied):
+    * a `Window.partitionBy(lang, source)` running sum caps parallelism
+    * at the CELL count, and real corpora are cell-skewed (one
+    * lang × source pair holds most of the mass), so the dominant cell's
+    * entire kept-doc set would funnel through one window task at 100×.
+    * This is the q58 two-pass distributed prefix sum instead, bucketed
+    * along the SELECTION ORDER: the sort key is (hx = md5(doc_id),
+    * doc_id), and md5 is uniform, so fixed-width ranges of the first
+    * four hex nibbles split every cell into `buckets` near-equal ordered
+    * slices (the hex alphabet is value-ordered, so the prefix integer is
+    * monotone in the string order — bucket boundaries respect the sort).
+    * (1) per-(cell, hx-range) token subtotals — one partial agg, output
+    *     is #cells × #buckets rows regardless of corpus size,
+    * (2) exclusive running sum over THAT tiny table gives each range's
+    *     starting offset,
+    * (3) broadcast the offsets back; the heavy window partitions on
+    *     (lang, source, rbucket) — parallelism #cells × #buckets,
+    *     identical results (prefix sums are exact integer arithmetic).
+    * `buckets` defaults to the session parallelism; it never affects
+    * results, only task granularity (spec-pinned against the
+    * single-window shape). */
+  private[graft] def manifestSelection(pd: DataFrame, budget: Long,
+      buckets: Int = 0): DataFrame = {
     val s = pd.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    val nb = if (buckets > 0) buckets.toLong
+      else math.max(2, s.sparkContext.defaultParallelism).toLong
     val cells = mixtureCellsOf(pd)
-      .withColumn("alloc_tokens", expr(s"($budget * w_scaled) div total_w"))
-    val wc = Window.partitionBy($"lang", $"source")
+      .withColumn("alloc_tokens", allocTokensCol(budget))
+    val kept = pd.filter($"kept" === 1L)
+      .withColumn("hx", md5($"doc_id".cast("string").cast("binary")))
+      // exact integer division (the q58 convention): 4 nibbles → 0..65535
+      .withColumn("rbucket",
+        expr(s"(CAST(conv(substring(hx, 1, 4), 16, 10) AS BIGINT) * ${nb}L)" +
+          " div 65536L"))
+    // pass 1: per-(cell, hx-range) subtotals — #cells × nb rows
+    val sub = kept.groupBy($"lang", $"source", $"rbucket")
+      .agg(sum($"n_words").as("bucket_tok"))
+    val wOff = Window.partitionBy($"lang", $"source").orderBy($"rbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = sub
+      .withColumn("bucket_off",
+        coalesce(sum($"bucket_tok").over(wOff), lit(0L)))
+      .select($"lang", $"source", $"rbucket", $"bucket_off")
+    // pass 2: exclusive running sum WITHIN each (cell, hx-range) + offset
+    val wIn = Window.partitionBy($"lang", $"source", $"rbucket")
       .orderBy($"hx", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    pd.filter($"kept" === 1L)
-      .withColumn("hx", md5($"doc_id".cast("string").cast("binary")))
-      .withColumn("cw", coalesce(sum($"n_words").over(wc), lit(0L)))
+    kept.join(broadcast(off), Seq("lang", "source", "rbucket"))
+      .withColumn("cw",
+        $"bucket_off" + coalesce(sum($"n_words").over(wIn), lit(0L)))
       .join(cells.select($"lang", $"source", $"alloc_tokens"),
         Seq("lang", "source"))
       .filter($"cw" < $"alloc_tokens")
@@ -417,7 +474,7 @@ object TextOps {
     import s.implicits._
     val pd = qualityPerDoc(d).localCheckpoint(true)
     val cells = mixtureCellsOf(pd)
-      .withColumn("alloc_tokens", expr(s"($budget * w_scaled) div total_w"))
+      .withColumn("alloc_tokens", allocTokensCol(budget))
       .select($"lang", $"source", $"n_kept", $"kept_toks", $"alloc_tokens")
     val sel = manifestSelection(pd, budget)
       .groupBy($"lang", $"source")
@@ -2393,7 +2450,9 @@ object TextOps {
   private def manifestSelCtes: String =
     s"""$mixtureCtes,
       |ax AS (SELECT lang, source, n_kept, kept_toks,
-      |         ($ManifestTokenBudget * w_scaled) // total_w AS alloc_tokens
+      |         CASE WHEN total_w = 0 THEN 0
+      |           ELSE ($ManifestTokenBudget * w_scaled) // total_w
+      |         END AS alloc_tokens
       |       FROM wts CROSS JOIN tw),
       |sel0 AS (SELECT lang, source, doc_id, n_words,
       |           md5(CAST(doc_id AS VARCHAR)) hx FROM pdq WHERE kept = 1),
@@ -2669,10 +2728,17 @@ object TextOps {
         |SELECT lang, doc_id, n_bigrams, lm_score, lm_bucket
         |FROM lb ORDER BY lang, doc_id""".stripMargin,
     "q123_quality_mixture" ->
+      // the zero-weight CASE mirrors the Spark-side guard: an all-junk
+      // corpus (total_w = 0) allocates 0 / shares 0.0 instead of
+      // aborting on integer div-by-zero
       s"""WITH $mixtureCtes
         |SELECT lang, source, n_docs, n_toks, n_kept, kept_toks, w_scaled,
-        |  CAST(w_scaled AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
-        |  ($MixtureTokenBudget * w_scaled) // total_w AS alloc_tokens
+        |  CASE WHEN total_w = 0 THEN 0.0
+        |    ELSE CAST(w_scaled AS DOUBLE) / CAST(total_w AS DOUBLE)
+        |  END AS share,
+        |  CASE WHEN total_w = 0 THEN 0
+        |    ELSE ($MixtureTokenBudget * w_scaled) // total_w
+        |  END AS alloc_tokens
         |FROM wts CROSS JOIN tw ORDER BY lang, source""".stripMargin,
     "q125_mixture_manifest" ->
       // the shared selection chain, extended with the sorted-list

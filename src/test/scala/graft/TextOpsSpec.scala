@@ -1117,6 +1117,68 @@ class TextOpsSpec extends AnyFunSuite {
       heads(0L) != heads(2L), "epoch permutations are correlated")
   }
 
+  /** VERDICT r11 top item: manifest-selection parallelism must not cap
+    * at the CELL count. The two-pass md5-prefix-bucketed prefix sum must
+    * (a) reproduce the naive per-cell single-window selection EXACTLY on
+    * a one-cell corpus (the worst skew: every doc in one lang × source)
+    * and (b) hash-partition the heavy window on (lang, source, rbucket)
+    * — >1 task per cell. */
+  test("q125 selection: two-pass prefix sum matches the single window") {
+    import spark.implicits._
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // ONE cell, 1000 kept docs, skewed word counts, ids with gaps — the
+    // dominant-cell shape that funnels into one task under the old plan
+    val pd = (0L until 1000L)
+      .map(i => (i * 7 + 3, "en", "cc", i % 41 + 1, 1L))
+      .toDF("doc_id", "lang", "source", "n_words", "kept")
+    val budget = 5000L // binds mid-corpus: the straddle doc is included
+    val sel = TextOps.manifestSelection(pd, budget, buckets = 8)
+    val got = sel.collect().map(_.getLong(2)).sorted
+    // driver replay of the single-window semantics: one cell means
+    // alloc = budget exactly (w_scaled / total_w cancel)
+    val byOrder = (0L until 1000L).map(i => (i * 7 + 3, i % 41 + 1))
+      .sortBy { case (id, _) => (m(id.toString), id) }
+    var cw = 0L
+    val want = byOrder.takeWhile { case (_, n) =>
+      val admit = cw < budget; cw += n; admit }.map(_._1).sorted
+    assert(want.nonEmpty && want.length < 1000, "budget must bind")
+    assert(got.toSeq == want.toSeq,
+      s"two-pass ≠ single window: ${got.length} vs ${want.length}")
+    // the heavy window exchanges on (lang, source, rbucket): one cell
+    // splits into 8 ordered md5-range slices instead of one mega-task
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\([^)]*rbucket.*"), plan)
+  }
+
+  /** ADVICE r11: the zero-weight corpus (every doc fails a quality gate
+    * → every cell's kept_toks = 0 → total_w = 0) must not abort on
+    * ANSI integer div-by-zero: q123 reports share 0.0 / alloc 0, q125
+    * selects nothing (manifest md5('')), q126 has no rows. */
+  test("q123/q125/q126 survive the all-junk corpus (total_w = 0)") {
+    import spark.implicits._
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // 3-word docs: fail_word_count fires on every one (min 50 words)
+    val d = (1L to 9L).map(i =>
+        (i, "en", if (i <= 5) "srcA" else "srcB", s"tiny doc $i"))
+      .toDF("doc_id", "lang", "source", "text")
+    val mix = TextOps.qualityMixtureOf(d).collect()
+    assert(mix.length == 2)
+    mix.foreach { r =>
+      assert(r.getLong(4) == 0L, s"n_kept: $r")      // nothing kept
+      assert(r.getDouble(7) == 0.0, s"share: $r")    // not NaN
+      assert(r.getLong(8) == 0L, s"alloc: $r")       // not an abort
+    }
+    val man = TextOps.mixtureManifestOf(d, budget = 100L).collect()
+    assert(man.length == 2)
+    man.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(5) == 0L, s"manifest: $r")
+      assert(r.getString(7) == m(""), s"manifest md5: $r")
+    }
+    assert(TextOps.epochOrderOf(d, 100L).count() == 0L)
+  }
+
   /** q124: the hybrid fusion must be EXACTLY the RRF of its two arms —
     * recomputed here from the independent q122 and q38-shaped outputs
     * and fused in driver code, including the ranked-by-one-arm-only
