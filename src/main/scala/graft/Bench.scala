@@ -253,16 +253,20 @@ object Bench {
     * in-memory catalog is per-JVM but the warehouse dir persists, so a
     * previous bench process's tables would fail this one's saveAsTable
     * with LOCATION_ALREADY_EXISTS (the x_curate_full idiom). */
+  /** Null-safe recursive delete (ADVICE r11): File.listFiles returns
+    * null on an I/O or permission error — an unguarded foreach turns a
+    * table cleanup into an NPE that kills the whole bench run. */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
   private def wipeTable(s: org.apache.spark.sql.SparkSession,
       t: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $t")
     val loc = new java.io.File(new java.net.URI(
       s.conf.get("spark.sql.warehouse.dir")).getPath, t)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) rmTree(loc)
   }
   private def builtBm25Table(s: org.apache.spark.sql.SparkSession,
       dir: String, name: String): String = {
@@ -337,11 +341,7 @@ object Bench {
       s.sql("DROP TABLE IF EXISTS bench_inc_base")
       val loc = new java.io.File(new java.net.URI(
         s.conf.get("spark.sql.warehouse.dir")).getPath, "bench_inc_base")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (loc.exists()) rm(loc)
+      if (loc.exists()) rmTree(loc)
       graft.app.CleanPipeline.runFull(s, dir, "bench_inc_base",
         buckets = 8, statePath = Some(s"$root/state"))
       val corpus = graft.util.Tables(s, dir, "documents")
@@ -519,6 +519,19 @@ object Bench {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       require(served.get() > 0, "streaming BM25 serve answered no queries")
+    }),
+    // x_hybrid_serve_loaded (r12): q124 with NO corpus scan in either arm
+    // — the saved postings (text) fused with the saved IVF/PQ index
+    // (vector: ADC over codes + exact re-rank of the shortlist) through
+    // the shared rrfFuse. Its delta vs q124 is the two-index
+    // amortization win at serving time; both indexes are built once per
+    // JVM in the warm-up pass.
+    "x_hybrid_serve_loaded" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.StreamingBm25.hybridServe(s, dir, bm25Table(s, dir),
+          pqPath(s, dir),
+          graft.operators.TextOps.Bm25Queries.toDF("qid", "term"))
+        .write.format("noop").mode("overwrite").save()
     }),
     "x_ann_serve_stream" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
@@ -786,6 +799,20 @@ object Bench {
   // parent: forks children, watchdogs them, prints the one JSON line.
   // ------------------------------------------------------------------
   private def parentMain(sfDir: String): Unit = {
+    // VERDICT r11 #6: gate the RUN START on ambient load — BENCH_r11
+    // started at loadavg 4.21 and annotated 18 queries contended. Wait
+    // (bounded) for the box to quiet down before the first fork; if it
+    // never does, proceed — the contended-annotation machinery below
+    // still marks what the load inflates. Disable with
+    // GRAFT_BENCH_NO_LOADGATE=1 (CI boxes that are never quiet).
+    val gateDeadline = System.currentTimeMillis() + 5 * 60 * 1000L
+    while (sys.env.get("GRAFT_BENCH_NO_LOADGATE").isEmpty &&
+        loadavg1m > LoadavgGate &&
+        System.currentTimeMillis() < gateDeadline) {
+      System.err.println(f"[bench] ambient load ${loadavg1m}%.2f > " +
+        s"$LoadavgGate before pass 1: cooling down ${CooldownMs / 1000}s")
+      Thread.sleep(CooldownMs)
+    }
     val loadavgStart = loadavg1m
     val cpuMhzStart = cpuMhz
     val all = headline.filter(SparkEntry.queries.contains) ++
@@ -977,10 +1004,30 @@ object Bench {
     def deadlineNanos(name: String): Long =
       math.max(90L, (25.0 * refSecSf01.getOrElse(name, 0.0)).toLong) *
         1000000000L
-    var nextIdx = 0
+    // ADVICE r11: re-arm keyed on the REPORTED query name, not on list
+    // position — a duplicated/stray protocol-looking line (or a future
+    // parallel child) must neither attach the wrong deadline to
+    // subsequent queries nor decrement the expected count. Only lines
+    // naming a still-outstanding query count; the next deadline is the
+    // first outstanding entry's (childMain emits in list order, and a
+    // reorder merely makes the bound conservative).
+    val outstanding = mutable.LinkedHashSet[String](names: _*)
     var deadlineAt = System.nanoTime() + 240L * 1000000000L +
       names.headOption.map(n => deadlineNanos(n) - 90L * 1000000000L)
         .filter(_ > 0L).getOrElse(0L)
+    def reArm(reported: String): Boolean = {
+      if (!outstanding.remove(reported)) {
+        System.err.println(
+          s"[bench] ignoring protocol line for unknown/duplicate " +
+            s"query '$reported'")
+        false
+      } else {
+        deadlineAt = System.nanoTime() +
+          outstanding.headOption.map(deadlineNanos)
+            .getOrElse(90L * 1000000000L)
+        true
+      }
+    }
     var expected = names.length
     while (expected > 0) {
       val waitMs = (deadlineAt - System.nanoTime()) / 1000000L
@@ -995,18 +1042,16 @@ object Bench {
         flags = l.stripPrefix("GRAFTFLAGS ") // informational: no re-arm
       } else if (l.startsWith("GRAFTQ ")) {
         val parts = l.split(" ", 3)
-        results += parts(1) -> Right(parts(2).toDouble)
-        expected -= 1; nextIdx += 1
-        deadlineAt = System.nanoTime() +
-          (if (nextIdx < names.length) deadlineNanos(names(nextIdx))
-           else 90L * 1000000000L)
+        if (reArm(parts(1))) {
+          results += parts(1) -> Right(parts(2).toDouble)
+          expected -= 1
+        }
       } else if (l.startsWith("GRAFTERR ")) {
         val parts = l.split(" ", 3)
-        results += parts(1) -> Left(if (parts.length > 2) parts(2) else "?")
-        expected -= 1; nextIdx += 1
-        deadlineAt = System.nanoTime() +
-          (if (nextIdx < names.length) deadlineNanos(names(nextIdx))
-           else 90L * 1000000000L)
+        if (reArm(parts(1))) {
+          results += parts(1) -> Left(if (parts.length > 2) parts(2) else "?")
+          expected -= 1
+        }
       } else if (l == "GRAFTDONE") {
         expected = 0
       }

@@ -266,6 +266,12 @@ object CleanPipeline {
     *   - changed/removed input docs are REPORTED (stages
     *     `changed_frozen` / `removed_frozen`) but not reprocessed.
     *
+    * CONTRACT (ADVICE r11): the refresh replays dedup/PII/packing state
+    * only — there is no LM-tail or Gopher stage here, so the
+    * append ≡ recurate equivalence holds ONLY against a base published
+    * by runFull WITHOUT `--lm-tail-filter`/`--gopher-rules` (main()
+    * refuses the combination rather than silently diverging).
+    *
     * Cost shape: every stage touches batch text only; base-side inputs
     * are the persisted hash/signature/gram indexes (probed by equi-join,
     * candidate-restricted) plus one columnar (lang, n_kept) aggregate of
@@ -405,6 +411,17 @@ object CleanPipeline {
     if (args.contains("--incremental")) {
       // usage: --incremental <prevInDir> <newInDir> <table> <statePath>
       //        [buckets]
+      // ADVICE r11: runIncremental has no LM/Gopher stage — its
+      // append ≡ recurate equivalence holds only against a base
+      // published WITHOUT the quality-stage knobs. Silently ignoring
+      // them here would let the published table diverge from the
+      // contract with no warning; refuse instead.
+      require(!lmTail && gopherRules.isEmpty,
+        "--incremental does not support --lm-tail-filter/--gopher-rules: " +
+          "the incremental refresh replays dedup/PII/packing state only, " +
+          "so its append-equals-recurate guarantee holds just for a base " +
+          "published without the quality-stage knobs. Re-run --full to " +
+          "apply quality filters.")
       val p = pos.filterNot(_ == "--incremental")
       val spark = graft.util.GraftSession.local("graft-clean-pipeline")
       val (acct, summary) = runIncremental(spark, p(0), p(1), p(2), p(3),

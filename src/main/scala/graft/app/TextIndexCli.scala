@@ -24,6 +24,14 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *   serve  <name> [--terms a,b,c]     BM25 top-k for the standing query
   *                                     batch (or one ad-hoc term list as
   *                                     qid 0) against the saved postings
+  *   serve  <name> --hybrid <pqIndex> <sfDir>
+  *                                     HYBRID top-k: the saved postings
+  *                                     fused with the saved IVF/PQ index
+  *                                     by reciprocal rank fusion
+  *                                     ([[StreamingBm25.hybridServe]]) —
+  *                                     q124 without a corpus scan in
+  *                                     either arm; <sfDir> supplies the
+  *                                     query vectors + re-rank fetches
   *   gate   <name> <docsParquet>       LM-gate a (doc_id, lang, text)
   *                                     batch against the frozen cuts —
   *                                     per-doc score, cut and verdict
@@ -60,6 +68,11 @@ object TextIndexCli {
         val n = spark.table(s"${name}_bm25").count()
         println(s"appended $docsParquet: postings now $n rows " +
           "(LM gate model unchanged — rebuild to re-freeze)")
+      case Seq("serve", name, "--hybrid", pqIndex, sfDir) =>
+        import spark.implicits._
+        StreamingBm25.hybridServe(spark, sfDir, s"${name}_bm25", pqIndex,
+            graft.operators.TextOps.Bm25Queries.toDF("qid", "term"))
+          .show(numRows = 100, truncate = false)
       case Seq("serve", name, rest @ _*) =>
         import spark.implicits._
         val queries = rest match {
@@ -88,6 +101,7 @@ object TextIndexCli {
              |usage: TextIndexCli build  <sfDir> <name>
              |       TextIndexCli append <name> <docsParquet>
              |       TextIndexCli serve  <name> [--terms a,b,c]
+             |       TextIndexCli serve  <name> --hybrid <pqIndex> <sfDir>
              |       TextIndexCli gate   <name> <docsParquet>""".stripMargin)
         sys.exit(2)
     }

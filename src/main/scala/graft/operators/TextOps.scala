@@ -1593,12 +1593,14 @@ object TextOps {
     *
     * Scale shape: each arm is its own already-shaped plan (q122: one
     * token scan + broadcasts; cosine: the allow-listed broadcast-4-query
-    * brute arm — 4 dot products per corpus row, scan-speed, and the IVF
-    * serving arm substitutes at higher query volume); the fusion joins
-    * two (4·k)-row frames — driver-sized. */
+    * brute arm — 4 dot products per corpus row, scan-speed); at real
+    * query volume the SERVING twin substitutes both arms with their
+    * saved indexes — [[graft.streaming.StreamingBm25.hybridServe]] fuses
+    * the loaded postings with the IVF/PQ shortlist+re-rank through the
+    * SAME [[rrfFuse]]; the fusion joins two (4·k)-row frames —
+    * driver-sized. */
   def q124HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val qids = Bm25Queries.map(_._1).distinct
     val text = bm25Of(docs(s, dir))
       .select($"qid", $"doc_id", $"rk".as("text_rk"))
@@ -1608,6 +1610,24 @@ object TextOps {
     val vec = Similarity
       .cosineTopK(base.join(broadcast(qSide), $"vec_id" =!= $"qid"), Bm25TopK)
       .select($"qid", $"nid".as("doc_id"), $"rk".as("vec_rk"))
+    rrfFuse(text, vec, Bm25TopK)
+  }
+
+  /** The ONE RRF fusion definition — bm25Rank's counterpart for the
+    * hybrid stack, shared by the inline q124 arm and the loaded-index
+    * serving twin ([[graft.streaming.StreamingBm25.hybridServe]]) so
+    * served fusions are bit-identical to the batch arm by construction.
+    * `text` carries (qid, doc_id, text_rk), `vec` (qid, doc_id, vec_rk);
+    * a doc ranked by only one arm contributes only that arm's term
+    * (coalesce to a rank far past any real k ⇒ integer term 0 — the
+    * published convention), and ties break on doc_id. Both inputs are
+    * (|queries|·k)-row frames — driver-sized; the fusion is a full-outer
+    * join + pure integer arithmetic. */
+  private[graft] def rrfFuse(text: DataFrame, vec: DataFrame,
+      k: Int): DataFrame = {
+    val s = text.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id".asc)
     text
       .join(vec, Seq("qid", "doc_id"), "full_outer")
@@ -1618,7 +1638,7 @@ object TextOps {
         coalesce($"text_rk", lit(0L)).as("text_rk"),
         coalesce($"vec_rk", lit(0L)).as("vec_rk"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= Bm25TopK)
+      .filter($"rk" <= k)
       .select($"qid", $"rk", $"doc_id", $"rrf", $"text_rk", $"vec_rk")
       .orderBy($"qid", $"rk")
   }

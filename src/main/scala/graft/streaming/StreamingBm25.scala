@@ -75,7 +75,15 @@ object StreamingBm25 {
     * with the batch's per-term increments folded in (full outer — a
     * batch can introduce new vocabulary), and the stats row absorbs the
     * batch's doc/token counts. Every step is batch-sized except the
-    * df rewrite, which is vocabulary-sized — never corpus-sized. */
+    * df rewrite, which is vocabulary-sized — never corpus-sized.
+    *
+    * Crash ordering (ADVICE r11): posting rows append FIRST, df/stats
+    * rewrite LAST. A crash between the two leaves df/stats UNDER-counting
+    * the batch — served idf/avgdl are merely stale for the batch's terms
+    * (conservative: new postings rank slightly high) and a re-run of the
+    * df/stats fold repairs it. The reverse order would leave df/stats
+    * counting documents whose postings never landed — silently wrong
+    * rankings with no error to detect. */
   def appendBm25Index(batchDocs: DataFrame, table: String,
       buckets: Int = 32): Unit = {
     val s = batchDocs.sparkSession
@@ -98,16 +106,19 @@ object StreamingBm25 {
         ($"n_toks" + $"b_toks").as("n_toks"))
       .withColumn("avgdl", expr("n_toks div n_docs"))
       .localCheckpoint(true)
-    dfNew.write.mode("overwrite")
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(table + "_df")
-    statsNew.write.mode("overwrite").format("parquet")
-      .saveAsTable(table + "_stats")
+    // postings first (see the crash-ordering contract above): both
+    // rewrites are checkpointed snapshots, so nothing here still reads
+    // the tables being replaced
     tf.join(dl, "doc_id")
       .select($"term", $"doc_id", $"tf", $"dl")
       .write.mode("append")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
+    dfNew.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table + "_df")
+    statsNew.write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_stats")
   }
 
   def loadPostings(s: SparkSession, table: String): DataFrame = s.table(table)
@@ -131,5 +142,40 @@ object StreamingBm25 {
       .join(terms, Seq("term"), "left_semi")
       .join(broadcast(dfT.join(terms, Seq("term"), "left_semi")), "term")
     TextOps.bm25Rank(matched, stats, queryBatch, k)
+  }
+
+  /** HYBRID serving from SAVED indexes — q124's loaded twin (VERDICT r11
+    * #2): fuse the persisted BM25 postings (text arm, [[topKBatch]])
+    * with the saved IVF/PQ index (vector arm,
+    * [[graft.operators.Similarity.pqServeQuery]] — ADC shortlist over
+    * the 64×-compressed codes, exact re-rank of the shortlist only)
+    * through the SHARED [[TextOps.rrfFuse]], so the fused ranking is the
+    * RRF of the two served arms BY CONSTRUCTION — the spec additionally
+    * replays the fusion driver-side and measures overlap against the
+    * brute q124.
+    *
+    * `queryBatch` carries (qid, term) text queries; qid ≡ vec_id (the
+    * q90/q124 alignment), and each qid's query VECTOR comes from `dir`'s
+    * embeddings. At real query volume this is the substitution the q124
+    * docstring names: neither arm scans the corpus — the text arm probes
+    * term-bucketed postings, the vector arm scans codes (not vectors)
+    * and fetches true vectors for the shortlist alone. */
+  def hybridServe(s: SparkSession, dir: String, bm25Table: String,
+      pqIndexPath: String, queryBatch: DataFrame,
+      k: Int = TextOps.Bm25TopK,
+      nprobe: Int = graft.operators.Similarity.MultiprobeNprobe,
+      shortlist: Int = graft.operators.Similarity.PqShortlist): DataFrame = {
+    import s.implicits._
+    val text = topKBatch(queryBatch, loadPostings(s, bm25Table),
+        loadDf(s, bm25Table), loadStats(s, bm25Table), k)
+      .select($"qid", $"doc_id", $"rk".as("text_rk"))
+    // served queries are the batch's qids: the PQ serve path ranks its
+    // standing query set; restrict to this batch before fusing
+    val qids = queryBatch.select($"qid").distinct()
+    val vec = graft.operators.Similarity
+      .pqServeQuery(s, dir, pqIndexPath, k, nprobe, shortlist)
+      .join(broadcast(qids), "qid")
+      .select($"qid", $"nid".as("doc_id"), $"rk".as("vec_rk"))
+    TextOps.rrfFuse(text, vec, k)
   }
 }

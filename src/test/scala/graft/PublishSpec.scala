@@ -20,11 +20,7 @@ class PublishSpec extends AnyFunSuite {
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
       table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) graft.Bench.rmTree(loc)
   }
 
   private def publishOnce(): Unit = {
@@ -83,6 +79,23 @@ class PublishSpec extends AnyFunSuite {
     }
     // ...and the published table holds exactly the kept rows
     assert(spark.table("clean_pub").count() == wantKept.values.sum)
+  }
+
+  /** ADVICE r11: runIncremental has no quality stage — combining
+    * --incremental with the quality-stage knobs must refuse up front
+    * (before any session/work), not silently publish a table that
+    * diverges from the append ≡ recurate contract. */
+  test("--incremental refuses the quality-stage knobs") {
+    val e1 = intercept[IllegalArgumentException] {
+      graft.app.CleanPipeline.main(Array("--incremental",
+        "--lm-tail-filter", "a", "b", "t", "s"))
+    }
+    assert(e1.getMessage.contains("--incremental"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.app.CleanPipeline.main(Array("--incremental",
+        "--gopher-rules", "fail_top2", "a", "b", "t", "s"))
+    }
+    assert(e2.getMessage.contains("--incremental"))
   }
 
   test("near-dup-aware pipeline drops exactly the non-keeper members") {

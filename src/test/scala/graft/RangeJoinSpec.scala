@@ -819,11 +819,7 @@ class RangeJoinSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      if (loc.exists()) rm(loc)
+      if (loc.exists()) graft.Bench.rmTree(loc)
     }
     val name = "txtcli"
     Seq("_bm25", "_bm25_df", "_bm25_stats", "_lm_cells", "_lm_ctx",
@@ -865,6 +861,14 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(gated.nonEmpty &&
       gated.exists(r => r.getBoolean(r.fieldIndex("admitted"))),
       "gate admitted nothing from the frozen corpus")
+    // hybrid wiring (r12): serve --hybrid fuses the CLI-built postings
+    // with a saved PQ index — the fused rows themselves are spec-proven
+    // in StreamingSpec; here pin that the CLI path drives hybridServe
+    // without error (it prints the fused top-k)
+    val pqTmp = java.nio.file.Files.createTempDirectory("txtcli_pq").toString
+    Similarity.savePqIndex(spark, dir, pqTmp)
+    graft.app.TextIndexCli.run(spark,
+      Seq("serve", name, "--hybrid", pqTmp, dir))
   }
 
   /** Curve-informed serving (VERDICT r9 #3): the persisted q115 curve —

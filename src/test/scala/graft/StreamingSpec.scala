@@ -1670,6 +1670,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == f, s"served rankings diverge\n$a\n$f")
   }
 
+  /** hybridServe (VERDICT r11 #2): the loaded-index hybrid must be
+    * EXACTLY the RRF of its two served arms — replayed driver-side from
+    * the independent topKBatch and pqServeQuery outputs with the fusion
+    * arithmetic inlined — and must overlap the brute q124 heavily (the
+    * text arm is bit-identical by the shared bm25Rank; only the vector
+    * arm is approximate, and the ADC-shortlist + exact-re-rank path
+    * recalls nearly all of the brute cosine top-k at this SF). */
+  test("hybrid serve equals driver-side RRF of the served arms; overlaps q124") {
+    val sfDir = "/root/testdata/sf0.001"
+    val table = "hybrid_spec_bm25"
+    Seq(table, table + "_df", table + "_stats").foreach(cleanTableLocationS)
+    val pqPath = Files.createTempDirectory("hybrid_pq").toString
+    graft.streaming.StreamingBm25.saveBm25Index(
+      graft.util.Tables(spark, sfDir, "documents").select($"doc_id", $"text"),
+      table)
+    graft.operators.Similarity.savePqIndex(spark, sfDir, pqPath)
+    val queries = graft.operators.TextOps.Bm25Queries.toDF("qid", "term")
+    val k = graft.operators.TextOps.Bm25TopK
+    val got = graft.streaming.StreamingBm25
+      .hybridServe(spark, sfDir, table, pqPath, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // driver replay: each arm served independently, fused in scala
+    val text = graft.streaming.StreamingBm25.topKBatch(queries,
+        graft.streaming.StreamingBm25.loadPostings(spark, table),
+        graft.streaming.StreamingBm25.loadDf(spark, table),
+        graft.streaming.StreamingBm25.loadStats(spark, table))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val qids = graft.operators.TextOps.Bm25Queries.map(_._1).distinct
+    val vec = graft.operators.Similarity.pqServeQuery(spark, sfDir, pqPath, k)
+      .collect().filter(r => qids.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def rrf(rk: Option[Long]): Long =
+      rk.map(r => 1000000L / (graft.operators.TextOps.RrfK + r)).getOrElse(0L)
+    val expected = qids.flatMap { q =>
+      val ds = (text.keySet ++ vec.keySet).collect { case (qq, d) if qq == q => d }
+      ds.toSeq
+        .map(d => (d, rrf(text.get((q, d))) + rrf(vec.get((q, d)))))
+        .sortBy { case (d, s) => (-s, d) }
+        .take(k).zipWithIndex
+        .map { case ((d, s), i) => (q, (i + 1).toLong, d, s,
+          text.getOrElse((q, d), 0L), vec.getOrElse((q, d), 0L)) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got == expected, s"\ngot=$got\nexp=$expected")
+    // overlap/recall vs the brute q124 (inline arms, exact cosine):
+    // identical text arm, approximate vector arm — the served hybrid
+    // must recover the overwhelming share of the brute fused top-k
+    val brute = graft.operators.TextOps
+      .q124HybridRetrieval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = got.map(x => (x._1, x._3)).toSet
+    val overlap = (brute & served).size.toDouble / brute.size
+    assert(overlap >= 0.8,
+      f"served hybrid recalls only $overlap%.2f of brute q124 rows " +
+        s"(${(brute & served).size}/${brute.size})")
+  }
+
   /** StreamingLmGate: the frozen-model door gate must (1) score a
     * frozen-corpus document EXACTLY what the batch q118 scored it (the
     * shared formula against the persisted model), (2) admit exactly the
@@ -1763,10 +1820,6 @@ class StreamingSpec extends AnyFunSuite {
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
       table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) graft.Bench.rmTree(loc)
   }
 }
