@@ -253,14 +253,9 @@ object Bench {
     * in-memory catalog is per-JVM but the warehouse dir persists, so a
     * previous bench process's tables would fail this one's saveAsTable
     * with LOCATION_ALREADY_EXISTS (the x_curate_full idiom). */
-  /** Null-safe recursive delete (ADVICE r11): File.listFiles returns
-    * null on an I/O or permission error — an unguarded foreach turns a
-    * table cleanup into an NPE that kills the whole bench run. */
-  private[graft] def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(): Unit
-  }
+  /** Null-safe recursive delete — shared via [[graft.util.Fs.rmTree]]
+    * (ADVICE r11: the unguarded listFiles().foreach copies NPE'd). */
+  private[graft] def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
   private def wipeTable(s: org.apache.spark.sql.SparkSession,
       t: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $t")

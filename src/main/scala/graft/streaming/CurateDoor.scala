@@ -33,11 +33,13 @@ import graft.operators.Dedup
   * near-dup is CANDIDATE-grade first-wins (a band collision drops the
   * later arrival; the batch refresh verifies Jaccard and keeps the
   * longest) — the standard LSH-door trade, exact within-corpus dedup
-  * remains the batch q36's job; (b) the door does NOT append to the
-  * curate state, so gram-level duplication BETWEEN two door batches is
-  * caught at the next batch refresh, while doc-level duplication between
-  * them IS caught here (the checkpointed dedup + band-owner state is the
-  * door's own cross-batch memory).
+  * remains the batch q36's job; (b) by default the door does NOT append
+  * to the curate state, so gram-level duplication BETWEEN two door
+  * batches is caught at the next batch refresh, while doc-level
+  * duplication between them IS caught here (the checkpointed dedup +
+  * band-owner state is the door's own cross-batch memory) — opt in to
+  * `gramCatchupEvery` on [[open]] to fold admitted grams back into the
+  * state every N micro-batches and close that window at the door too.
   *
   * Scale shape: the in-plan stages are per-row codegen + two keyed state
   * ops (state sized by distinct content / distinct band buckets, exactly
@@ -132,7 +134,17 @@ object CurateDoor {
     * strip+redact chain. Returns the admitted rows:
     * `(doc_id, lang, source, text, n_pii, n_tok, n_kept, n_dup_kept)`. */
   def admitBatch(verdictBatch: DataFrame, statePath: String,
-      isEval: Column, minStripSpan: Long = Dedup.MinStripSpan): DataFrame = {
+      isEval: Column, minStripSpan: Long = Dedup.MinStripSpan): DataFrame =
+    admitBatchKept(verdictBatch, statePath, isEval, minStripSpan)._2
+
+  /** [[admitBatch]] plus the admitted docs' ORIGINAL (pre-strip) rows —
+    * the frame the gram catch-up spools: the persisted `stripgrams` are
+    * built from kept docs' original text (base occurrences precede batch
+    * occurrences in the q116 first-occurrence rule), so the door's
+    * contribution must be too. */
+  private[streaming] def admitBatchKept(verdictBatch: DataFrame,
+      statePath: String, isEval: Column,
+      minStripSpan: Long): (DataFrame, DataFrame) = {
     val docs = verdictBatch.groupBy(col("doc_id"))
       .agg(max(col("collided").cast("int")).as("collided"),
         first(col("text"), ignoreNulls = true).as("text"),
@@ -153,28 +165,62 @@ object CurateDoor {
       .union(Dedup.incrementalContaminated(batchDocs, statePath, isEval))
       .distinct()
     val kept = batchDocs.join(dropped, Seq("doc_id"), "left_anti")
-    Dedup.stripRedactAgainstState(
+      .localCheckpoint(true)
+    val admitted = Dedup.stripRedactAgainstState(
         kept.select(col("doc_id"), col("text")), statePath, minStripSpan)
       .join(kept.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("n_pii"), col("n_tok"), col("n_kept"), col("n_dup_kept"))
+    (kept, admitted)
   }
 
   /** Compose and start: one streaming query, admitted rows land as one
     * parquet dir per micro-batch (`$outPath/batch=<id>`, overwritten on
     * replay — the idempotence contract foreachBatch needs). `isEval`
     * must be the SAME split predicate the batch pipeline publishes with
-    * (`CleanPipeline.splitBucket >= 980`). */
+    * (`CleanPipeline.splitBucket >= 980`).
+    *
+    * `gramCatchupEvery` (VERDICT r11 #3, default 0 = off, behavior
+    * unchanged): with N > 0 the door closes its one documented gap —
+    * gram-level duplication BETWEEN door batches. Each micro-batch
+    * spools its admitted docs' distinct [[Dedup.DupSpanWidth]]-gram
+    * hashes (original text — the `stripgrams` convention) to
+    * `$outPath/_gramspool/batch=<id>` (overwritten on replay), and every
+    * N batches the spool is folded into `$statePath/stripgrams` and
+    * cleared — so a span admitted in batch k is stripped from any batch
+    * > k' ≥ k arrival at the NEXT catch-up boundary instead of the next
+    * batch refresh. Replay safety: a re-appended spool only duplicates
+    * gram hashes, and the strip probe is membership-semantics (dup rows
+    * mark the same occurrences). Cost: one gram explode over admitted
+    * docs per batch + a spool-sized parquet append per N batches —
+    * batch-sized, never corpus-sized. */
   def open(stream: DataFrame, statePath: String, outPath: String,
       checkpoint: String, isEval: Column,
       minStripSpan: Long = Dedup.MinStripSpan, orderCol: String = "doc_id",
-      ttl: Option[java.time.Duration] = None): StreamingQuery =
+      ttl: Option[java.time.Duration] = None,
+      gramCatchupEvery: Int = 0): StreamingQuery =
     verdicts(stream, orderCol, ttl).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        admitBatch(b, statePath, isEval, minStripSpan)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$id")
+        val (kept, admitted) =
+          admitBatchKept(b, statePath, isEval, minStripSpan)
+        admitted.write.mode("overwrite").parquet(s"$outPath/batch=$id")
+        if (gramCatchupEvery > 0) {
+          val spool = s"$outPath/_gramspool"
+          Dedup.gramOccurrences(
+              Dedup.spanBase(kept.select(col("doc_id"), col("text"))))
+            .select(col("h")).distinct()
+            .write.mode("overwrite").parquet(s"$spool/batch=$id")
+          if ((id + 1) % gramCatchupEvery == 0) {
+            val s = b.sparkSession
+            s.read.parquet(spool).select(col("h")).distinct()
+              .write.mode("append").parquet(s"$statePath/stripgrams")
+            // local-FS spool maintenance; a cluster deployment swaps in
+            // its Hadoop FS delete — the append above is the durable step
+            graft.util.Fs.rmTree(new java.io.File(spool))
+          }
+        }
       }
       .start()
 }

@@ -1575,6 +1575,79 @@ class StreamingSpec extends AnyFunSuite {
       s"admitted $admitted — state lost across the restart?")
   }
 
+  /** VERDICT r11 #3 — the door's gram-state catch-up: with
+    * `gramCatchupEvery = 1`, a long token block admitted in door batch 1
+    * must be STRIPPED from a batch-2 arrival that repeats it (the
+    * cross-door-batch substring-dup window the default door documents as
+    * the next batch refresh's job), across a checkpoint restart between
+    * the two batches (the spool + appended stripgrams live outside the
+    * streaming state, so the bounce must not lose them). The no-knob
+    * default stays unchanged (pinned by the composed-door equivalence
+    * spec, which runs knobless). */
+  test("curate door gram catch-up strips cross-batch spans after a restart") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("curate_door_grams")
+    def seg(tag: String, stop: String, n: Int): Seq[String] =
+      (0 until n).map(i => if (i % 4 == 3) stop else s"$tag$i")
+    def pick(from: Long, n: Int): Seq[Long] =
+      spark.range(from, from + 60000).select(col("id").as("doc_id"))
+        .withColumn("b", graft.util.Buckets.mod1000("doc_id"))
+        .withColumn("sb", graft.app.CleanPipeline.splitBucket)
+        .filter(col("b") < 500 && col("sb") < 980)
+        .orderBy(col("doc_id")).limit(n)
+        .collect().map(_.getLong(0)).toSeq
+    val Seq(base0) = pick(5000, 1)
+    val Seq(a0) = pick(10000, 1)
+    val Seq(c0) = pick(20000, 1)
+    val baseDf = Seq((base0, seg("gbs", "the", 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.saveCurateState(baseDf, baseDf,
+      s"$tmp/state", lit(false))
+    // the shared block: 60 tokens (> MinStripSpan 50), embedded in two
+    // otherwise-unrelated docs so neither the doc-dedup nor the near-dup
+    // stage catches the pair — only the gram state can
+    val block = seg("blk", "and", 60)
+    val aText = (seg("gdA", "of", 60) ++ block).mkString(" ")
+    val cText = (seg("gdC", "the", 60) ++ block ++ seg("gdD", "a", 40))
+      .mkString(" ")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    def json(id: Long, t: String) =
+      s"""{"doc_id":$id,"text":"$t","lang":"en","source":"planted"}"""
+    val in = Files.createTempDirectory("curate_door_grams_in")
+    def startDoor() = graft.streaming.CurateDoor.open(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in.toString),
+      s"$tmp/state", s"$tmp/out", s"$tmp/ckpt",
+      isEval = graft.app.CleanPipeline.splitBucket >= 980,
+      gramCatchupEvery = 1)
+    Files.write(in.resolve("b1.json"), json(a0, aText).getBytes)
+    val q1 = startDoor()
+    try q1.processAllAvailable() finally q1.stop()
+    // the catch-up appended a0's grams; the spool was cleared
+    assert(!new java.io.File(s"$tmp/out/_gramspool").exists(),
+      "spool not cleared after the catch-up append")
+    Files.write(in.resolve("b2.json"), json(c0, cText).getBytes)
+    val q2 = startDoor()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    val a = out.filter(col("doc_id") === a0)
+      .select("n_tok", "n_kept").head
+    assert(a.getLong(0) == a.getLong(1),
+      s"batch-1 doc must be untouched: $a") // first occurrence keeps all
+    val c = out.filter(col("doc_id") === c0)
+      .select("n_tok", "n_kept", "n_dup_kept").head
+    // exactly the 60-token block strips; nothing is spared (one span)
+    assert(c.getLong(0) - c.getLong(1) == 60L,
+      s"batch-2 stripped ${c.getLong(0) - c.getLong(1)} tokens, want 60")
+    assert(c.getLong(2) == 0L, s"spared ${c.getLong(2)}")
+    // byte check: the stripped text is cText minus the block
+    val cOut = out.filter(col("doc_id") === c0).select("text").head.getString(0)
+    val want = (seg("gdC", "the", 60) ++ seg("gdD", "a", 40)).mkString(" ")
+    assert(cOut == want, s"stripped text diverges:\n$cOut\n$want")
+  }
+
   /** StreamingBm25: queries served against the SAVED postings index must
     * produce, query for query, exactly the batch q122 rows — the shared
     * bm25Rank makes the arithmetic identical, this proves the persisted
