@@ -267,7 +267,8 @@ object Bench {
       dir: String, name: String): String = {
     val t = s"${name}_${Integer.toHexString(dir.hashCode)}"
     if (bm25WrittenByThisJvm.add(t)) {
-      Seq(t, t + "_df", t + "_stats").foreach(wipeTable(s, _))
+      Seq(t, t + "_df", t + "_stats", t + "_frozen_stats",
+        t + "_frozen_df").foreach(wipeTable(s, _))
       graft.streaming.StreamingBm25.saveBm25Index(
         graft.util.Tables(s, dir, "documents")
           .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -282,7 +283,8 @@ object Bench {
       dir: String): String = {
     val t = s"graft_bench_lmgate_${Integer.toHexString(dir.hashCode)}"
     if (lmGateWrittenByThisJvm.add(t)) {
-      Seq(t + "_cells", t + "_ctx", t + "_cuts").foreach(wipeTable(s, _))
+      Seq(t + "_cells", t + "_ctx", t + "_cuts", t + "_rates")
+        .foreach(wipeTable(s, _))
       graft.streaming.StreamingLmGate.saveLmModel(
         graft.util.Tables(s, dir, "documents")
           .select(org.apache.spark.sql.functions.col("doc_id"),

@@ -35,6 +35,16 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *   gate   <name> <docsParquet>       LM-gate a (doc_id, lang, text)
   *                                     batch against the frozen cuts —
   *                                     per-doc score, cut and verdict
+  *   audit  <name> <docsParquet>       STALENESS report for the frozen
+  *                                     artifacts (pqIndexDistortion's
+  *                                     role for the text stack): index
+  *                                     stats drift vs the freeze-time
+  *                                     snapshot ([[StreamingBm25
+  *                                     .bm25IndexDrift]]) + the batch's
+  *                                     LM admit-rate drift vs the frozen
+  *                                     tercile ([[StreamingLmGate
+  *                                     .lmGateDrift]]) — the numbers
+  *                                     that say "re-freeze"
   *
   * The nightly shape: `build` once per refresh decision, `append` per
   * arriving partition, `serve`/`gate` continuously.
@@ -95,6 +105,14 @@ object TextIndexCli {
             spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
             cells, ctx, cuts)
           .show(numRows = 100, truncate = false)
+      case Seq("audit", name, docsParquet) =>
+        StreamingBm25.bm25IndexDrift(spark, s"${name}_bm25")
+          .show(truncate = false)
+        val (cells, ctx, cuts) = StreamingLmGate.loadModel(spark, s"${name}_lm")
+        StreamingLmGate.lmGateDrift(
+            spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
+            cells, ctx, cuts, spark.table(s"${name}_lm_rates"))
+          .show(numRows = 100, truncate = false)
       case other =>
         System.err.println(
           s"""unknown arguments: ${other.mkString(" ")}
@@ -102,7 +120,8 @@ object TextIndexCli {
              |       TextIndexCli append <name> <docsParquet>
              |       TextIndexCli serve  <name> [--terms a,b,c]
              |       TextIndexCli serve  <name> --hybrid <pqIndex> <sfDir>
-             |       TextIndexCli gate   <name> <docsParquet>""".stripMargin)
+             |       TextIndexCli gate   <name> <docsParquet>
+             |       TextIndexCli audit  <name> <docsParquet>""".stripMargin)
         sys.exit(2)
     }
 }

@@ -53,6 +53,14 @@ object StreamingBm25 {
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
+    // FREEZE-TIME snapshot (VERDICT r11 #4): appends rewrite _df/_stats
+    // in place, so without a frozen copy there is no reference to
+    // measure corpus drift against. _frozen_stats is 1 row; _frozen_df
+    // is vocab-sized — the [[bm25IndexDrift]] audit's baseline.
+    s.table(table + "_stats").write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_frozen_stats")
+    s.table(table + "_df").write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_frozen_df")
   }
 
   /** One row per (doc_id, term) with its in-document count — the
@@ -119,6 +127,63 @@ object StreamingBm25 {
       .format("parquet").saveAsTable(table + "_df")
     statsNew.write.mode("overwrite").format("parquet")
       .saveAsTable(table + "_stats")
+  }
+
+  /** STALENESS GATE for the text index (VERDICT r11 #4 — the
+    * `pqIndexDistortion` analog): how far the LIVE index statistics have
+    * drifted from the freeze-time snapshot after k appends. One row:
+    *
+    *   n_docs_frozen/now, avgdl_frozen/now,
+    *   avgdl_drift_permille = |avgdl_now − avgdl_frozen|·1000/avgdl_frozen,
+    *   df_tv_permille      = ½·Σ_t |df_now(t)/Σdf_now − df_frozen(t)/Σdf_frozen|·1000
+    *   n_new_terms         = vocabulary the appends introduced.
+    *
+    * df_tv is the total-variation distance between the normalized
+    * document-frequency distributions — it rises when appended traffic
+    * speaks a different vocabulary (the thing that silently skews idf
+    * weighting), not merely when the corpus grows: appending more of the
+    * SAME distribution leaves it near 0. Cost: a vocab-sized full-outer
+    * join + one aggregate — never corpus-sized.
+    *
+    * Refusal (the pqIndexDistortion coverage rule): an index built
+    * before the snapshot existed has no baseline — refuse rather than
+    * report a vacuous zero. */
+  def bm25IndexDrift(s: SparkSession, table: String): DataFrame = {
+    import s.implicits._
+    require(s.catalog.tableExists(table + "_frozen_stats") &&
+        s.catalog.tableExists(table + "_frozen_df"),
+      s"drift gate refused: $table has no freeze-time snapshot " +
+        "(_frozen_stats/_frozen_df) — rebuild with saveBm25Index so " +
+        "there is a baseline to measure appends against")
+    val fz = s.table(table + "_frozen_stats")
+      .select($"n_docs".as("n_docs_frozen"), $"avgdl".as("avgdl_frozen"))
+    val now = s.table(table + "_stats")
+      .select($"n_docs".as("n_docs_now"), $"avgdl".as("avgdl_now"))
+    // one vocab-sized full-outer join feeds the masses AND the TV sum
+    // (checkpointed — the q60/q89 barrier discipline)
+    val dfs = s.table(table + "_frozen_df")
+      .select($"term", $"df".as("df_frozen"))
+      .join(s.table(table + "_df").select($"term", $"df".as("df_now")),
+        Seq("term"), "full_outer")
+      .select(coalesce($"df_frozen", lit(0L)).as("df_frozen"),
+        coalesce($"df_now", lit(0L)).as("df_now"))
+      .localCheckpoint(true)
+    val masses = dfs.agg(
+      greatest(sum($"df_frozen"), lit(1L)).as("m_frozen"),
+      greatest(sum($"df_now"), lit(1L)).as("m_now"),
+      sum(when($"df_frozen" === 0L, 1L).otherwise(0L)).as("n_new_terms"))
+    val tv = dfs.crossJoin(broadcast(masses))
+      .agg(sum(abs($"df_now".cast("double") / $"m_now".cast("double") -
+        $"df_frozen".cast("double") / $"m_frozen".cast("double"))).as("l1"),
+        max($"n_new_terms").as("n_new_terms"))
+      .select(floor($"l1" * 500.0).cast("long").as("df_tv_permille"),
+        $"n_new_terms")
+    fz.crossJoin(now).crossJoin(broadcast(tv))
+      .withColumn("avgdl_drift_permille",
+        expr("abs(avgdl_now - avgdl_frozen) * 1000L div avgdl_frozen"))
+      .select($"n_docs_frozen", $"n_docs_now", $"avgdl_frozen",
+        $"avgdl_now", $"avgdl_drift_permille", $"df_tv_permille",
+        $"n_new_terms")
   }
 
   def loadPostings(s: SparkSession, table: String): DataFrame = s.table(table)

@@ -51,16 +51,28 @@ object StreamingLmGate {
     val w = Window.partitionBy($"lang")
       .orderBy($"lm_score".desc, $"doc_id".asc)
     val nW = Window.partitionBy($"lang")
-    TextOps.lmScoreFromPerDoc(d.select($"doc_id", $"lang"), perDoc,
-        s.table(table + "_cells"), s.table(table + "_ctx"))
+    val ranked = TextOps.lmScoreFromPerDoc(d.select($"doc_id", $"lang"),
+        perDoc, s.table(table + "_cells"), s.table(table + "_ctx"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(nW))
+      .localCheckpoint(true)
+    ranked
       // the tail boundary: min score still inside head+middle (3rk ≤ 2n
       // is q118's non-tail condition verbatim)
       .filter(lit(3L) * $"rk" <= lit(2L) * $"n")
       .groupBy($"lang").agg(min($"lm_score").as("cut"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(table + "_cuts")
+    // freeze-time per-lang ADMIT RATE — the staleness reference
+    // [[lmGateDrift]] audits against (≈ 667‰ by the tercile
+    // construction; the exact integer count is recorded, not assumed)
+    ranked.groupBy($"lang")
+      .agg(count(lit(1)).as("n_ref"),
+        sum(when(lit(3L) * $"rk" <= lit(2L) * $"n", 1L).otherwise(0L))
+          .as("n_admit"))
+      .withColumn("admit_permille", expr("1000L * n_admit div n_ref"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_rates")
   }
 
   /** (cells, ctx, cuts) as loaded frames. */
@@ -86,4 +98,43 @@ object StreamingLmGate {
       .join(broadcast(cuts), Seq("lang"), "left")
       .withColumn("admitted",
         col("cut").isNull || col("lm_score") >= col("cut"))
+
+  /** STALENESS GATE for the frozen LM cut (VERDICT r11 #4 —
+    * [[graft.operators.Similarity.pqIndexDistortion]]'s role for the
+    * text gate): gate `batch` with the frozen model and report, per
+    * language, its admit rate against the freeze-time rate recorded by
+    * [[saveLmModel]]. A drifting corpus moves the rate away from the
+    * frozen ≈667‰ tercile long before anyone inspects rankings — after
+    * k appends this is the number telling the operator to re-freeze
+    * (SURVEY's "q90's monitoring job" for the serving stack).
+    *
+    * Output: (lang, n_batch, admit_permille, frozen_permille,
+    * drift_permille) — pure integer permille arithmetic.
+    *
+    * Refusal (the pqIndexDistortion coverage rule): a batch language
+    * ABSENT from the frozen cuts is admitted un-gated at the door — at
+    * the AUDIT it would read as zero drift while being exactly the
+    * un-judged traffic this gate exists to catch; refuse instead. */
+  def lmGateDrift(batch: DataFrame, cells: DataFrame, ctx: DataFrame,
+      cuts: DataFrame, rates: DataFrame): DataFrame = {
+    val gated = gatedBatch(batch, cells, ctx, cuts).localCheckpoint(true)
+    val unknown = gated.filter(col("cut").isNull)
+      .select(col("lang")).distinct().collect().map(_.getString(0))
+    require(unknown.isEmpty,
+      s"drift gate refused: batch languages [${unknown.mkString(", ")}] " +
+        "have no frozen cut — they pass the door un-gated, so an audit " +
+        "skipping them would read clean on exactly the traffic it " +
+        "cannot judge. Re-freeze the model over a corpus covering them.")
+    gated.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(col("admitted").cast("long")).as("n_admit"))
+      .withColumn("admit_permille", expr("1000L * n_admit div n_batch"))
+      .join(broadcast(rates.select(col("lang"),
+        col("admit_permille").as("frozen_permille"))), "lang")
+      .withColumn("drift_permille",
+        abs(col("admit_permille") - col("frozen_permille")))
+      .select(col("lang"), col("n_batch"), col("admit_permille"),
+        col("frozen_permille"), col("drift_permille"))
+      .orderBy(col("lang"))
+  }
 }

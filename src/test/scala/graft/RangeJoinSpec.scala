@@ -822,7 +822,8 @@ class RangeJoinSpec extends AnyFunSuite {
       if (loc.exists()) graft.Bench.rmTree(loc)
     }
     val name = "txtcli"
-    Seq("_bm25", "_bm25_df", "_bm25_stats", "_lm_cells", "_lm_ctx",
+    Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
+      "_bm25_frozen_df", "_lm_cells", "_lm_ctx", "_lm_rates",
       "_lm_cuts").foreach(sfx => clean(name + sfx))
     graft.app.TextIndexCli.run(spark, Seq("build", dir, name))
     val n0 = spark.table(s"${name}_bm25").count()
@@ -861,6 +862,12 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(gated.nonEmpty &&
       gated.exists(r => r.getBoolean(r.fieldIndex("admitted"))),
       "gate admitted nothing from the frozen corpus")
+    // audit wiring (r12): the staleness verb drives both drift gates
+    // against the CLI-built artifacts (the signals themselves are
+    // spec-pinned in StreamingSpec) — must not throw on a frozen-corpus
+    // replay batch
+    graft.app.TextIndexCli.run(spark,
+      Seq("audit", name, "/tmp/txtcli_gate"))
     // hybrid wiring (r12): serve --hybrid fuses the CLI-built postings
     // with a saved PQ index — the fused rows themselves are spec-proven
     // in StreamingSpec; here pin that the CLI path drives hybridServe

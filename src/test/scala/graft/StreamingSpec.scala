@@ -1657,7 +1657,8 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming BM25 serve matches batch q122 across a restart") {
     val sfDir = "/root/testdata/sf0.001"
     val table = "bm25_spec_idx"
-    Seq(table, table + "_df", table + "_stats").foreach(cleanTableLocationS)
+    Seq(table, table + "_df", table + "_stats", table + "_frozen_stats",
+      table + "_frozen_df").foreach(cleanTableLocationS)
     graft.streaming.StreamingBm25.saveBm25Index(
       graft.util.Tables(spark, sfDir, "documents").select($"doc_id", $"text"),
       table)
@@ -1714,8 +1715,10 @@ class StreamingSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.001"
     val apT = "bm25_append_idx"
     val fullT = "bm25_full_idx"
-    Seq(apT, apT + "_df", apT + "_stats",
-      fullT, fullT + "_df", fullT + "_stats").foreach(cleanTableLocationS)
+    Seq(apT, apT + "_df", apT + "_stats", apT + "_frozen_stats",
+      apT + "_frozen_df", fullT, fullT + "_df", fullT + "_stats",
+      fullT + "_frozen_stats", fullT + "_frozen_df")
+      .foreach(cleanTableLocationS)
     val d = graft.util.Tables(spark, sfDir, "documents")
       .select($"doc_id", $"text")
     // the batch side gets new vocabulary so the full-outer df path and a
@@ -1743,6 +1746,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == f, s"served rankings diverge\n$a\n$f")
   }
 
+  /** STALENESS GATES for the frozen text artifacts (VERDICT r11 #4 —
+    * the pqIndexDistortion analog): a fresh build audits at zero drift;
+    * a planted DRIFTED append/batch raises every signal; and both gates
+    * REFUSE rather than silently read clean when they cannot judge
+    * (missing freeze snapshot; batch language with no frozen cut). */
+  test("text staleness gates rise on planted drift and refuse blind audits") {
+    val sfDir = "/root/testdata/sf0.001"
+    val table = "drift_spec_bm25"
+    val lmT = "drift_spec_lm"
+    Seq(table, table + "_df", table + "_stats", table + "_frozen_stats",
+      table + "_frozen_df").foreach(cleanTableLocationS)
+    Seq(lmT + "_cells", lmT + "_ctx", lmT + "_cuts", lmT + "_rates")
+      .foreach(cleanTableLocationS)
+    val d = graft.util.Tables(spark, sfDir, "documents")
+    graft.streaming.StreamingBm25.saveBm25Index(
+      d.select($"doc_id", $"text"), table)
+    graft.streaming.StreamingLmGate.saveLmModel(
+      d.select($"doc_id", $"lang", $"text"), lmT)
+    def bmRow = graft.streaming.StreamingBm25
+      .bm25IndexDrift(spark, table).head
+    // fresh build: every drift signal is exactly zero
+    val fresh = bmRow
+    assert(fresh.getLong(4) == 0L && fresh.getLong(5) == 0L &&
+      fresh.getLong(6) == 0L, s"fresh index must audit clean: $fresh")
+    // drifted append: 50 long docs of entirely new vocabulary
+    val drifted = spark.range(50)
+      .select(($"id" + 900000L).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 200), " +
+          "i -> concat('nvdrift', id, 'x', i)))").as("text"))
+    graft.streaming.StreamingBm25.appendBm25Index(drifted, table)
+    val after = bmRow
+    assert(after.getLong(1) == after.getLong(0) + 50L, after.toString)
+    assert(after.getLong(4) > 0L,
+      s"avgdl drift must register 200-token appends: $after")
+    assert(after.getLong(5) > 0L,
+      s"df TV must register the new vocabulary: $after")
+    assert(after.getLong(6) >= 10000L, // 50 docs x 200 unique terms
+      s"new-term count missing: $after")
+    // missing snapshot: refuse, not a vacuous zero
+    cleanTableLocationS(table + "_frozen_stats")
+    val e0 = intercept[IllegalArgumentException] { bmRow }
+    assert(e0.getMessage.contains("snapshot"), e0.getMessage)
+    // ---- LM gate drift ----
+    val (cells, ctx, cuts) =
+      graft.streaming.StreamingLmGate.loadModel(spark, lmT)
+    val rates = spark.table(lmT + "_rates")
+    // replaying the frozen reference corpus reads ~frozen rate (no
+    // boundary ties on this corpus — the LM-gate spec asserts that)
+    val replay = graft.streaming.StreamingLmGate.lmGateDrift(
+        d.select($"doc_id", $"lang", $"text"), cells, ctx, cuts, rates)
+      .collect()
+    assert(replay.nonEmpty)
+    replay.foreach(r => assert(r.getLong(4) == 0L,
+      s"frozen-corpus replay must read zero drift: $r"))
+    // a gibberish batch (unseen bigrams -> floor scores) craters the
+    // admit rate; drift ~ the frozen ~667 permille
+    val junk = spark.range(30)
+      .select(($"id" + 950000L).as("doc_id"), lit("en").as("lang"),
+        expr("concat_ws(' ', transform(sequence(1, 40), " +
+          "i -> concat('qzx', id, 'j', i)))").as("text"))
+    val jd = graft.streaming.StreamingLmGate.lmGateDrift(
+        junk, cells, ctx, cuts, rates)
+      .collect()
+    assert(jd.length == 1 && jd(0).getLong(4) >= 300L,
+      s"gibberish batch must raise admit-rate drift: ${jd.toSeq}")
+    // unknown language: refuse — it would pass the door un-gated and
+    // read as zero drift on exactly the traffic the audit cannot judge
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingLmGate.lmGateDrift(
+        junk.withColumn("lang", lit("xx")), cells, ctx, cuts, rates)
+        .collect()
+    }
+    assert(e1.getMessage.contains("no frozen cut"), e1.getMessage)
+  }
+
   /** hybridServe (VERDICT r11 #2): the loaded-index hybrid must be
     * EXACTLY the RRF of its two served arms — replayed driver-side from
     * the independent topKBatch and pqServeQuery outputs with the fusion
@@ -1753,7 +1831,8 @@ class StreamingSpec extends AnyFunSuite {
   test("hybrid serve equals driver-side RRF of the served arms; overlaps q124") {
     val sfDir = "/root/testdata/sf0.001"
     val table = "hybrid_spec_bm25"
-    Seq(table, table + "_df", table + "_stats").foreach(cleanTableLocationS)
+    Seq(table, table + "_df", table + "_stats", table + "_frozen_stats",
+      table + "_frozen_df").foreach(cleanTableLocationS)
     val pqPath = Files.createTempDirectory("hybrid_pq").toString
     graft.streaming.StreamingBm25.saveBm25Index(
       graft.util.Tables(spark, sfDir, "documents").select($"doc_id", $"text"),
@@ -1812,7 +1891,8 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming LM gate matches the frozen q118 buckets and survives a restart") {
     val sfDir = "/root/testdata/sf0.001"
     val table = "lmgate_spec_model"
-    Seq(table + "_cells", table + "_ctx", table + "_cuts")
+    Seq(table + "_cells", table + "_ctx", table + "_cuts",
+      table + "_rates")
       .foreach(cleanTableLocationS)
     val d = graft.util.Tables(spark, sfDir, "documents")
       .select($"doc_id", $"lang", $"text")
@@ -1848,7 +1928,8 @@ class StreamingSpec extends AnyFunSuite {
     // cut reflects it, then gate arrivals against that frozen model
     val planted = (0L until 40L).map(i => (i, "en", natural(i)))
     val pt = "lmgate_spec_planted"
-    Seq(pt + "_cells", pt + "_ctx", pt + "_cuts").foreach(cleanTableLocationS)
+    Seq(pt + "_cells", pt + "_ctx", pt + "_cuts", pt + "_rates")
+      .foreach(cleanTableLocationS)
     graft.streaming.StreamingLmGate.saveLmModel(
       planted.toDF("doc_id", "lang", "text"), pt)
     val (pc, px, pu) = graft.streaming.StreamingLmGate.loadModel(spark, pt)
