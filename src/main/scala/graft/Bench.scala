@@ -305,6 +305,15 @@ object Bench {
       graft.operators.Similarity.savePqIndex(s, dir, path)
     path
   }
+  private val perceptualWrittenByThisJvm = mutable.Set[String]()
+  private def perceptualPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = s"/tmp/graft-bench-pidx-${Integer.toHexString(dir.hashCode)}"
+    if (perceptualWrittenByThisJvm.add(path))
+      graft.operators.Multimodal.savePerceptualIndex(s,
+        graft.operators.Multimodal.assets(s, dir), path)
+    path
+  }
   /** A clone of the PQ index that x_pq_append may mutate — built once
     * per JVM (warm-up pass) so timed passes pay only the append itself.
     * Repeated passes keep appending; the append's cost reads the tiny
@@ -437,6 +446,29 @@ object Bench {
     // corpus size; the LUT build is per-query constant work).
     "x_ivfpq_serve_loaded" -> ((s, dir) => {
       graft.operators.Similarity.pqServeQuery(s, dir, pqPath(s, dir))
+        .write.format("noop").mode("overwrite").save()
+    }),
+    // x_perceptual_pairs_loaded (r12): the q117 corpus sweep FROM the
+    // saved descriptor index — multiprobe value-grid candidates + exact
+    // verify, no payload decode and no all-pairs grid join. Its delta
+    // vs q117 is the index-amortization win for repeated sweeps.
+    "x_perceptual_pairs_loaded" -> ((s, dir) => {
+      graft.operators.Multimodal
+        .perceptualPairsFromIndex(s, perceptualPath(s, dir))
+        .write.format("noop").mode("overwrite").save()
+    }),
+    // x_perceptual_serve_loaded (r12): asset near-dup candidates from the
+    // SAVED descriptor index — a 1/16 batch re-sent under shifted ids
+    // probes the multiprobe value-grid and exact-verifies; no corpus
+    // re-decode, no all-pairs grid. Index built once per JVM (warm-up).
+    "x_perceptual_serve_loaded" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val idx = perceptualPath(s, dir)
+      val batch = graft.operators.Multimodal.assets(s, dir)
+        .filter(col("doc_id") % 16 === 0)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          col("payload"))
+      graft.operators.Multimodal.servePerceptualMatches(s, idx, batch)
         .write.format("noop").mode("overwrite").save()
     }),
     // r7: the STREAMING serve arm — 10 query vectors arriving as a file

@@ -342,7 +342,8 @@ class FunctionsSpec extends AnyFunSuite {
     val qd = Multimodal.quantizedDescriptors(Multimodal.decodeFeatures(
         spark, Seq((1L, p1), (2L, p2)).toDF("doc_id", "payload")))
       .collect().map(r => r.getLong(0) ->
-        ((r.getSeq[Long](2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getSeq[Long](r.fieldIndex("p")), r.getLong(r.fieldIndex("t")),
+          r.getDouble(r.fieldIndex("nrm"))))).toMap
     val (pk1, t1, nrm1) = qd(1L)
     val (pk2, t2, _) = qd(2L)
     def unpack(p: Seq[Long]): Array[Long] =

@@ -642,6 +642,71 @@ class RangeJoinSpec extends AnyFunSuite {
       s"sampled-fit (500 permille) recall $sampledRecall < 0.9")
   }
 
+  /** Perceptual descriptor index (VERDICT r11 #5): the saved index's
+    * near-dup sweep must return EXACTLY the inline q117 pairs — the
+    * multiprobe value-grid guarantees every cos ≥ 0.999 pair a shared
+    * cell (per-dim normalized delta ≤ √(2·(1−0.999)) ≈ 0.045 < w/2 =
+    * 0.0625), and verification is the shared exact arithmetic — and the
+    * persisted descriptors must round-trip bit-exactly (saved ≡ inline:
+    * decode is deterministic per row). */
+  test("perceptual index sweep equals inline q117; descriptors persist exactly") {
+    import graft.operators.Multimodal
+    val idx = java.nio.file.Files.createTempDirectory("pidx").toString
+    Multimodal.savePerceptualIndex(spark, Multimodal.assets(spark, dir), idx)
+    // saved-vs-inline descriptor equality
+    val saved = spark.read.parquet(s"$idx/desc")
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Multimodal.quantizedDescriptors(
+        Multimodal.decodeFeatures(spark, Multimodal.assets(spark, dir)))
+      .select("doc_id", "decoder", "p", "t", "nrm")
+      .collect().map(_.toString).sorted.toSeq
+    assert(saved == inline, "persisted descriptors diverge from a fresh decode")
+    // blocking meta: PerceptualGridDims dims per family
+    val meta = Multimodal.loadPerceptualMeta(spark, idx)
+    assert(meta.nonEmpty &&
+      meta.values.forall(_.length == Multimodal.PerceptualGridDims), meta)
+    // index sweep ≡ inline q117 pair for pair (incl. the cosine value)
+    val got = Multimodal.perceptualPairsFromIndex(spark, idx)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val inlinePairs = Multimodal.q117PerceptualDedup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(inlinePairs.nonEmpty, "fixture corpus must carry q117 pairs")
+    assert(got == inlinePairs,
+      s"index sweep ≠ inline q117: missing ${inlinePairs -- got}, " +
+        s"extra ${got -- inlinePairs}")
+  }
+
+  /** The serving path: an arriving batch probes the saved descriptor
+    * index by blocking key and exact-verifies — a re-sent payload under
+    * a new id must match its indexed original (descriptor identical ⇒
+    * same keys, cosine 1); a novel payload with an alien byte histogram
+    * must match nothing. Batch work only — no corpus re-decode. */
+  test("perceptual index serves re-sent payloads and rejects novel ones") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val idx = java.nio.file.Files.createTempDirectory("pidx_serve").toString
+    Multimodal.savePerceptualIndex(spark, Multimodal.assets(spark, dir), idx)
+    val origs = Multimodal.assets(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 3)
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(origs.size == 3)
+    val novel = ("~!^" * 40).getBytes("UTF-8") // alien byte histogram
+    val batch = origs.map { case (id, p) => (id + 900000L, p) }.toSeq ++
+      Seq((999999L, novel))
+    val batchDf = batch.toDF("doc_id", "payload")
+    val matches = Multimodal.servePerceptualMatches(spark, idx, batchDf)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    origs.keys.foreach { id =>
+      assert(matches.contains((id + 900000L, id)),
+        s"re-sent payload of $id did not match its indexed original")
+    }
+    assert(!matches.exists(_._1 == 999999L),
+      s"novel payload matched: ${matches.filter(_._1 == 999999L)}")
+  }
+
   /** q112 planted-free exactness: the per-subspace distortion report
     * must equal a brute-force driver recomputation (argmin over ALL
     * codes per residual — an independent evaluation path from the
