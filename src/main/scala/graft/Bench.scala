@@ -56,7 +56,7 @@ object Bench {
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
     "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
-    "q125_mixture_manifest", "q126_epoch_order")
+    "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -215,7 +215,12 @@ object Bench {
     // q126 added r11: epoch ordering — the q125 selection machinery +
     // a x3 epoch fan-out + per-epoch WindowGroupLimit heads (isolated
     // child 5.31, loadavg ~2.6)
-    "q126_epoch_order" -> 5.3)
+    "q126_epoch_order" -> 5.3,
+    // q127 added r12: normalized decontam — q60's shape with a 2-arm
+    // (raw + normalized) token stack off ONE text scan; roughly two q60
+    // gram volumes through the checkpointed frame (isolated child 2.10,
+    // loadavg ~2.5)
+    "q127_norm_decontam" -> 2.1)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -49,7 +49,10 @@ object ScaleSmoke {
     // q124: replicated embeddings tie on cosine and reshuffle both arms'
     // ranks — timed only
     "q123_quality_mixture", "q124_hybrid_retrieval",
-    "q125_mixture_manifest", "q126_epoch_order")
+    "q125_mixture_manifest", "q126_epoch_order",
+    // r12: normalized decontam — replicated copies of an eval doc land
+    // in different md5 split buckets (the q118/q120 caveat) — timed only
+    "q127_norm_decontam")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

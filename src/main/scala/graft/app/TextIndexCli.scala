@@ -24,14 +24,18 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *   serve  <name> [--terms a,b,c]     BM25 top-k for the standing query
   *                                     batch (or one ad-hoc term list as
   *                                     qid 0) against the saved postings
-  *   serve  <name> --hybrid <pqIndex> <sfDir>
+  *   serve  <name> --hybrid <pqIndex> <sfDir> [--recall-target t]
   *                                     HYBRID top-k: the saved postings
   *                                     fused with the saved IVF/PQ index
   *                                     by reciprocal rank fusion
   *                                     ([[StreamingBm25.hybridServe]]) —
   *                                     q124 without a corpus scan in
   *                                     either arm; <sfDir> supplies the
-  *                                     query vectors + re-rank fetches
+  *                                     query vectors + re-rank fetches;
+  *                                     --recall-target picks the vector
+  *                                     arm's knobs from the persisted
+  *                                     measured curve (PqIndexCli's
+  *                                     serve knob, composed)
   *   gate   <name> <docsParquet>       LM-gate a (doc_id, lang, text)
   *                                     batch against the frozen cuts —
   *                                     per-doc score, cut and verdict
@@ -78,10 +82,30 @@ object TextIndexCli {
         val n = spark.table(s"${name}_bm25").count()
         println(s"appended $docsParquet: postings now $n rows " +
           "(LM gate model unchanged — rebuild to re-freeze)")
-      case Seq("serve", name, "--hybrid", pqIndex, sfDir) =>
+      case Seq("serve", name, "--hybrid", pqIndex, sfDir, rest @ _*) =>
         import spark.implicits._
+        // optional --recall-target t: pick the vector arm's (nprobe,
+        // shortlist) from the index's persisted measured curve — the
+        // PqIndexCli knob, composed into the hybrid (refusal semantics
+        // inherited from chooseServeKnobs: missing curve / unreachable
+        // target throw)
+        val (np, sl) = rest match {
+          case Seq("--recall-target", t) =>
+            val (np0, sl0, scanned) = graft.operators.Similarity
+              .chooseServeKnobs(spark, pqIndex, t.toDouble)
+            println(s"hybrid vector arm: nprobe=$np0 shortlist=$sl0 " +
+              s"(~$scanned ADC rows) for recall >= $t")
+            (np0, sl0)
+          case Seq() =>
+            (graft.operators.Similarity.MultiprobeNprobe,
+              graft.operators.Similarity.PqShortlist)
+          case other =>
+            System.err.println(s"unknown hybrid arguments: ${other.mkString(" ")}")
+            sys.exit(2)
+        }
         StreamingBm25.hybridServe(spark, sfDir, s"${name}_bm25", pqIndex,
-            graft.operators.TextOps.Bm25Queries.toDF("qid", "term"))
+            graft.operators.TextOps.Bm25Queries.toDF("qid", "term"),
+            nprobe = np, shortlist = sl)
           .show(numRows = 100, truncate = false)
       case Seq("serve", name, rest @ _*) =>
         import spark.implicits._

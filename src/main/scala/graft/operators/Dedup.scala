@@ -792,6 +792,84 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------------------- q127
+  /** q127: NORMALIZED decontamination — the published recipe (GPT-3
+    * appendix C, PaLM, Llama eval-integrity): overlap n-grams are
+    * matched AFTER text normalization — lowercase, punctuation →
+    * whitespace, whitespace collapsed — because real contamination
+    * rarely survives a crawl byte-exactly (casing drifts, quotes get
+    * smart-quoted, markdown adds punctuation). q60 matches raw grams and
+    * MISSES every such perturbed copy; this runs both arms from ONE scan
+    * and reports, per language: train docs, raw hits (q60's number —
+    * cross-checked by spec), normalized hits, and `n_norm_only` — the
+    * contamination only normalization catches, the number that justifies
+    * the normalization pass to a pipeline owner.
+    *
+    * Exactness: normalization is two regexp_replace + trim (identical
+    * regex semantics in Spark and DuckDB for these byte-class patterns);
+    * punctuation maps to a SPACE, never the empty string, so tokens
+    * cannot merge across a stripped character and gram windows stay
+    * aligned with the token stream both engines see.
+    *
+    * Scale shape: q60's discipline with a 2-arm stack — ONE text-bearing
+    * scan explodes (arm, toks) pairs, grams are md5'd MAP-SIDE (the q97
+    * rule), the checkpointed (doc, bucket, arm, h) frame serves both
+    * split sides, eval grams collapse to the distinct small side, and
+    * the final rollup joins two doc-id hit lists onto a text-free
+    * columnar scan. */
+  def q127NormalizedDecontam(s: SparkSession, dir: String): DataFrame =
+    normalizedDecontamOf(docs(s, dir))
+
+  /** The normalization — ONE definition, used by the engine arm and
+    * interpolated (same patterns) into the DuckDB twin. */
+  private[graft] def normTextCol(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  private[graft] def normalizedDecontamOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val W = DecontamWidth
+    val parts = (1 to W).map(k => s"element_at(toks, i+$k)").mkString(", ")
+    val sh = d.select($"doc_id", $"text")
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+      .select($"doc_id", $"bucket", explode(array(
+        struct(lit(0L).as("arm"), split(lower($"text"), " ").as("toks")),
+        struct(lit(1L).as("arm"), split(normTextCol($"text"), " ")
+          .as("toks")))).as("x"))
+      .select($"doc_id", $"bucket", $"x.arm".as("arm"), $"x.toks".as("toks"))
+      .filter(size($"toks") >= W)
+      .select($"doc_id", $"bucket", $"arm",
+        explode(expr(s"sequence(0, size(toks) - $W)")).as("i"), $"toks")
+      .select($"doc_id", $"bucket", $"arm",
+        md5(expr(s"concat_ws(' ', $parts)").cast("binary")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // the q60 scan barrier: both sides read it
+    val evalG = sh.filter($"bucket" < 100).select($"arm", $"h").distinct()
+    val hits = sh.filter($"bucket" >= 100)
+      .join(evalG, Seq("arm", "h"), "left_semi")
+      .select($"arm", $"doc_id").distinct()
+      .localCheckpoint(true) // two arm filters below — one computation
+    val raw = hits.filter($"arm" === 0L).select($"doc_id")
+      .withColumn("craw", lit(1L))
+    val nrm = hits.filter($"arm" === 1L).select($"doc_id")
+      .withColumn("cnorm", lit(1L))
+    // text-free scan: every train doc counts, gram-bearing or not
+    d.select($"doc_id", $"lang")
+      .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
+      .filter($"bucket" >= 100)
+      .select($"doc_id", $"lang")
+      .join(raw, Seq("doc_id"), "left")
+      .join(nrm, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce($"craw", lit(0L))).as("n_contam_raw"),
+        sum(coalesce($"cnorm", lit(0L))).as("n_contam_norm"),
+        sum(when($"cnorm" === 1L && $"craw".isNull, 1L).otherwise(0L))
+          .as("n_norm_only"))
+      .orderBy($"lang")
+  }
+
   // --------------------------------------------------------------- q101
   /** q101: Bloom-filter decontamination — the broadcast-sketch SCALE arm
     * of q60, same split (doc_id buckets < 100 = eval, ≥ 100 = train) and
@@ -1670,6 +1748,7 @@ object Dedup {
     "q60_decontam" -> (q60Decontam _),
     "q101_bloom_decontam" -> (q101BloomDecontam _),
     "q120_eval_overlap" -> (q120EvalOverlap _),
+    "q127_norm_decontam" -> (q127NormalizedDecontam _),
     "q121_winnowing" -> (q121Winnowing _),
     "q62_cluster_sizes" -> (q62ClusterSizes _),
     "q65_keep_best" -> (q65KeepBest _),
@@ -1872,6 +1951,43 @@ object Dedup {
         |    / COUNT(*) AS contam_frac,
         |  TRUE AS bloom_fp_le_5pct
         |FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
+        |WHERE b.bucket >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q127_norm_decontam" -> {
+      // both arms replayed with md5'd grams (the q120 convention); the
+      // normalization chain is the SAME two regex patterns the engine
+      // applies — punctuation to SPACE (tokens never merge), collapse,
+      // trim
+      val W = DecontamWidth
+      val sh = (1 to W).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH b AS (SELECT doc_id, lang, text, ${sqlBucket("doc_id")} AS bucket FROM documents),
+        |nt AS (SELECT doc_id, bucket, 0 AS arm,
+        |         string_split(lower(text), ' ') t FROM b
+        |       UNION ALL
+        |       SELECT doc_id, bucket, 1 AS arm,
+        |         string_split($norm, ' ') t FROM b),
+        |d AS (SELECT doc_id, bucket, arm,
+        |        list_distinct(list_transform(range(len(t)-${W - 1}),
+        |          i -> md5($sh))) sh
+        |      FROM nt WHERE len(t) >= $W),
+        |e AS (SELECT doc_id, bucket, arm, unnest(sh) h FROM d),
+        |evs AS (SELECT DISTINCT arm, h FROM e WHERE bucket < 100),
+        |hits AS (SELECT DISTINCT arm, e.doc_id FROM e
+        |         JOIN evs USING (arm, h) WHERE bucket >= 100),
+        |hr AS (SELECT doc_id FROM hits WHERE arm = 0),
+        |hn AS (SELECT doc_id FROM hits WHERE arm = 1)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN hr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contam_raw,
+        |  CAST(SUM(CASE WHEN hn.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contam_norm,
+        |  CAST(SUM(CASE WHEN hn.doc_id IS NOT NULL AND hr.doc_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_only
+        |FROM b LEFT JOIN hr ON hr.doc_id = b.doc_id
+        |  LEFT JOIN hn ON hn.doc_id = b.doc_id
         |WHERE b.bucket >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin
     },

@@ -191,6 +191,48 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 1, "n_contaminated")
   }
 
+  /** q127: the published normalized-decontam recipe must catch the
+    * contamination raw matching misses — a punctuation/caps-perturbed
+    * copy of an eval phrase — grade a verbatim copy under BOTH arms,
+    * leave clean docs alone, and report n_contam_raw ≡ q60's count (the
+    * raw arm IS q60's matching, cross-checked on the same corpus). */
+  test("q127 catches punctuation/caps-perturbed copies raw matching misses") {
+    import spark.implicits._
+    val ids = (0L until 300L)
+    val evalId = ids.find(bucketOf(_) < 100).get
+    val trainIds = ids.filter(bucketOf(_) >= 100).take(4)
+    val evalText = "one two three four five six seven eight"
+    val rows = Seq(
+      (evalId, "en", evalText), // eval side
+      // verbatim copy: both arms flag it
+      (trainIds(0), "en", "prefix words then " + evalText),
+      // PERTURBED copy: caps + punctuation — zero shared RAW 5-grams,
+      // identical normalized token stream
+      (trainIds(1), "en", "lead in tokens One, Two! Three four FIVE: six (seven) eight."),
+      (trainIds(2), "en", "alpha beta gamma delta epsilon zeta eta"),
+      (trainIds(3), "en", "red green blue cyan magenta yellow black"))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = Dedup.normalizedDecontamOf(df).collect()
+    assert(out.length == 1 && out(0).getString(0) == "en")
+    assert(out(0).getLong(1) == 4L, s"n_train: ${out(0)}")
+    assert(out(0).getLong(2) == 1L, s"n_contam_raw: ${out(0)}")     // verbatim only
+    assert(out(0).getLong(3) == 2L, s"n_contam_norm: ${out(0)}")    // + perturbed
+    assert(out(0).getLong(4) == 1L, s"n_norm_only: ${out(0)}")      // the delta
+    // raw arm ≡ q60 on the same corpus
+    val q60 = Dedup.decontamOf(df).collect()
+    assert(q60.length == 1 && q60(0).getLong(2) == out(0).getLong(2))
+    // and on the real sf0.001 corpus, lang for lang
+    val real = Dedup.normalizedDecontamOf(
+        graft.util.Tables(spark, dir, "documents")
+          .select($"doc_id", $"lang", $"text"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val real60 = Dedup.decontamOf(
+        graft.util.Tables(spark, dir, "documents")
+          .select($"doc_id", $"lang", $"text"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(real == real60, s"raw arm diverges from q60: $real vs $real60")
+  }
+
   /** An eval phrase copied into a THOUSAND train docs is the decontam
     * hot-key case (one shingle shared by 1000 train rows). The distinct
     * eval side keeps the join linear — every copy flags, in bounded time. */

@@ -978,6 +978,29 @@ class RangeJoinSpec extends AnyFunSuite {
       Similarity.chooseServeKnobs(spark, s"$tmp/nocurve", 0.5)
     }
     assert(missing.getMessage.contains("no persisted recall/cost curve"))
+    // hybrid composition (r12): serve --hybrid honors --recall-target —
+    // the curve-chosen knobs drive the vector arm (wiring; the fused
+    // output itself is spec-pinned in StreamingSpec) and the inherited
+    // refusal fires through the CLI path
+    def cleanT(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) graft.Bench.rmTree(loc)
+    }
+    Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
+      "_bm25_frozen_df").foreach(sfx => cleanT("hytgt" + sfx))
+    graft.streaming.StreamingBm25.saveBm25Index(
+      graft.util.Tables(spark, sf01, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")), "hytgt_bm25")
+    graft.app.TextIndexCli.run(spark, Seq("serve", "hytgt",
+      "--hybrid", s"$tmp/idx", sf01, "--recall-target", "0.9"))
+    val overCli = intercept[IllegalArgumentException] {
+      graft.app.TextIndexCli.run(spark, Seq("serve", "hytgt",
+        "--hybrid", s"$tmp/idx", sf01, "--recall-target", "0.999"))
+    }
+    assert(overCli.getMessage.contains("no (nprobe, shortlist) cell"))
   }
 
   /** q92: planted orphans and a NULL child key over a minimal star
