@@ -490,6 +490,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(800)) // the checkpointed shingle rows
   }
 
+  test("q127: both decontam arms ride one text decode — no text in-plan") {
+    // the 2-arm (raw, normalized) token stack explodes off ONE scan into
+    // the checkpointed gram frame (the q60 barrier); the final plan must
+    // read that checkpoint plus ONE text-free (doc_id, lang) scan — a
+    // second text:string scan means an arm re-decoded the corpus
+    val p = plan("q127_norm_decontam")
+    assert(!p.contains("text:string"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      p.take(800))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      p.take(800))
+  }
+
   test("q101: bloom literal pre-filters the probe side, text decoded once") {
     // the scale-arm contract: the shingle equi-join's train side is
     // gated by the codegen might_contain literal (map-side shrink
