@@ -258,15 +258,12 @@ object Bench {
     * in-memory catalog is per-JVM but the warehouse dir persists, so a
     * previous bench process's tables would fail this one's saveAsTable
     * with LOCATION_ALREADY_EXISTS (the x_curate_full idiom). */
-  /** Null-safe recursive delete — shared via [[graft.util.Fs.rmTree]]
-    * (ADVICE r11: the unguarded listFiles().foreach copies NPE'd). */
-  private[graft] def rmTree(f: java.io.File): Unit = graft.util.Fs.rmTree(f)
   private def wipeTable(s: org.apache.spark.sql.SparkSession,
       t: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $t")
     val loc = new java.io.File(new java.net.URI(
       s.conf.get("spark.sql.warehouse.dir")).getPath, t)
-    if (loc.exists()) rmTree(loc)
+    if (loc.exists()) graft.util.Fs.rmTree(loc)
   }
   private def builtBm25Table(s: org.apache.spark.sql.SparkSession,
       dir: String, name: String): String = {
@@ -352,7 +349,7 @@ object Bench {
       s.sql("DROP TABLE IF EXISTS bench_inc_base")
       val loc = new java.io.File(new java.net.URI(
         s.conf.get("spark.sql.warehouse.dir")).getPath, "bench_inc_base")
-      if (loc.exists()) rmTree(loc)
+      if (loc.exists()) graft.util.Fs.rmTree(loc)
       graft.app.CleanPipeline.runFull(s, dir, "bench_inc_base",
         buckets = 8, statePath = Some(s"$root/state"))
       val corpus = graft.util.Tables(s, dir, "documents")

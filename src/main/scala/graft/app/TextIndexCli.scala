@@ -132,6 +132,13 @@ object TextIndexCli {
       case Seq("audit", name, docsParquet) =>
         StreamingBm25.bm25IndexDrift(spark, s"${name}_bm25")
           .show(truncate = false)
+        // the same refusal shape as the BM25 side: a model frozen before
+        // the rates table existed has no admit-rate baseline — name the
+        // fix instead of dying on TABLE_OR_VIEW_NOT_FOUND mid-audit
+        require(spark.catalog.tableExists(s"${name}_lm_rates"),
+          s"drift gate refused: ${name}_lm has no freeze-time admit-rate " +
+            "baseline (_rates) — rebuild with `build` (saveLmModel) so " +
+            "there is a reference to measure gate drift against")
         val (cells, ctx, cuts) = StreamingLmGate.loadModel(spark, s"${name}_lm")
         StreamingLmGate.lmGateDrift(
             spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),

@@ -821,9 +821,14 @@ object Dedup {
     normalizedDecontamOf(docs(s, dir))
 
   /** The normalization — ONE definition, used by the engine arm and
-    * interpolated (same patterns) into the DuckDB twin. */
+    * interpolated (same patterns) into the DuckDB twin. UNICODE-aware
+    * classes (review finding r12): `[^a-z0-9 ]` would delete every
+    * non-ASCII letter, silently blinding the normalized arm on
+    * non-Latin-script languages — the opposite of the published recipe;
+    * \p{L}\p{N} keep letters/digits of any script in both Java regex
+    * and DuckDB's RE2. */
   private[graft] def normTextCol(c: org.apache.spark.sql.Column) =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+    trim(regexp_replace(regexp_replace(lower(c), "[^\\p{L}\\p{N} ]", " "),
       " +", " "))
 
   private[graft] def normalizedDecontamOf(d: DataFrame): DataFrame = {
@@ -1962,7 +1967,7 @@ object Dedup {
       val W = DecontamWidth
       val sh = (1 to W).map(k => s"t[i+$k]").mkString(" || ' ' || ")
       val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
-        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+        "'[^\\p{L}\\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))"
       s"""WITH b AS (SELECT doc_id, lang, text, ${sqlBucket("doc_id")} AS bucket FROM documents),
         |nt AS (SELECT doc_id, bucket, 0 AS arm,
         |         string_split(lower(text), ' ') t FROM b

@@ -258,15 +258,19 @@ object Multimodal {
     val qd = quantizedDescriptors(decodeFeatures(s, assetsDf))
       .localCheckpoint(true)
     // variance fit per (decoder, dim) over the SCALED normalized
-    // component ys = ⌊10⁶·z_d/‖z‖ + ½⌋: per-row IEEE on exact inputs,
-    // then exact integer sums — deterministic under any partitioning
+    // component ys = ⌊10⁴·z_d/‖z‖ + ½⌋: per-row IEEE on exact inputs,
+    // then exact integer sums — deterministic under any partitioning.
+    // Scale 10⁴ (not 10⁶ — review finding r12): |ys| ≤ 10⁴ keeps
+    // Σys² < 2⁶³ out to ~9·10¹⁰ descriptor rows per family (an ANSI
+    // overflow would abort the whole build at ~10⁷ rows under 10⁶),
+    // and 4 digits of y is ample resolution for RANKING variances
     val fit = qd.filter($"nrm" > 0.0)
       .select($"decoder", dimOf.as("dimn"), $"t", $"nrm",
         posexplode($"cl").as(Seq("d", "c")))
       .withColumn("z", when($"decoder" === "stub",
         $"dimn" * $"c" - $"t").otherwise($"c"))
       .withColumn("ys",
-        floor($"z".cast("double") / $"nrm" * 1000000.0 + 0.5).cast("long"))
+        floor($"z".cast("double") / $"nrm" * 10000.0 + 0.5).cast("long"))
       .groupBy($"decoder", $"d")
       .agg(count(lit(1)).as("n"), sum($"ys").as("sy"),
         sum($"ys" * $"ys").as("sy2"))
@@ -283,8 +287,15 @@ object Multimodal {
       .select($"decoder", expr("transform(s, x -> x.d)").as("dims"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/meta")
-    qd.select($"doc_id", $"decoder", $"p", $"t", $"nrm")
-      .write.mode("overwrite").parquet(s"$indexPath/desc")
+    val desc = qd.select($"doc_id", $"decoder", $"p", $"t", $"nrm")
+    desc.write.mode("overwrite").parquet(s"$indexPath/desc")
+    // the blocking keys are a pure function of desc + meta: persist them
+    // ONCE (review finding r12) so serving never re-pays the index-sized
+    // explode per query batch — probes equi-join $path/keys directly
+    blockKeys(desc, loadPerceptualMeta(s, indexPath))
+      .select($"decoder" +: $"combo" +:
+        ((0 until PerceptualGridDims).map(i => col(s"k$i")) :+ $"doc_id"): _*)
+      .write.mode("overwrite").parquet(s"$indexPath/keys")
   }
 
   /** decoder → blocking dims, driver-sized. */
@@ -452,15 +463,14 @@ object Multimodal {
   def perceptualPairsFromIndex(s: SparkSession,
       indexPath: String): DataFrame = {
     import s.implicits._
-    // the desc parquet is BYTE-small (packed descriptors) but ROW-heavy
-    // work: one 10 MB split would make the pair join a single streamed
-    // task under a BroadcastHashJoin (measured 7× the inline grid's
-    // wall clock) — spread the scan across the session's parallelism
+    // the desc/keys parquet is BYTE-small (packed descriptors) but
+    // ROW-heavy work: one 10 MB split would make the pair join a single
+    // streamed task under a BroadcastHashJoin (measured 7× the inline
+    // grid's wall clock) — spread across the session's parallelism
     val desc = s.read.parquet(s"$indexPath/desc")
       .repartition(s.sparkContext.defaultParallelism)
-    val keyed = blockKeys(desc, loadPerceptualMeta(s, indexPath))
-      .select(col("decoder") +: col("combo") +: col("doc_id") +:
-        (0 until PerceptualGridDims).map(i => col(s"k$i")): _*)
+    val keyed = s.read.parquet(s"$indexPath/keys")
+      .repartition(s.sparkContext.defaultParallelism)
     candidatePairs(keyed) match {
       case Some(cands) => verifyPairs(cands, desc, desc)
       case None => gridVerifiedPairs(desc)
@@ -469,10 +479,14 @@ object Multimodal {
 
   /** SERVE asset near-dup candidates for an incoming batch against the
     * saved index: decode the BATCH only, key it with the saved blocking
-    * meta, probe the index by key equi-join, exact-verify. Batch-sized
-    * work against a corpus-sized index — never an all-pairs or
-    * batch×corpus scan. Output: (decoder, qid [batch], nid [index],
-    * cosine) for verified near-dups. */
+    * meta, probe the PERSISTED index keys by equi-join, exact-verify.
+    * Batch-sized work against a corpus-sized index — the index-side
+    * explode was paid once at save time. Output: (decoder, qid [batch],
+    * nid [index], cosine) for verified near-dups. Batch and index id
+    * spaces are independent: a batch doc whose id equals an index doc's
+    * id is matched like any other (re-serving an indexed asset reports
+    * its own indexed copy at cosine 1 — the honest answer to "is this
+    * asset already in the corpus?"). */
   def servePerceptualMatches(s: SparkSession, indexPath: String,
       batchAssets: DataFrame): DataFrame = {
     import s.implicits._
@@ -486,10 +500,10 @@ object Multimodal {
       .repartition(s.sparkContext.defaultParallelism) // see pairs path
     val batchKeys = blockKeys(batchDesc, meta)
       .select(keyCols.map(col) :+ $"doc_id".as("i"): _*)
-    val idxKeys = blockKeys(desc, meta)
-      .select(keyCols.map(col) :+ $"doc_id".as("j"): _*)
+    val idxKeys = s.read.parquet(s"$indexPath/keys")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumnRenamed("doc_id", "j")
     val cands = batchKeys.join(idxKeys, keyCols)
-      .filter($"i" =!= $"j")
       .select($"decoder", $"i", $"j").distinct()
     verifyPairs(cands, batchDesc, desc)
       .select($"decoder", $"i".as("qid"), $"j".as("nid"), $"cosine")

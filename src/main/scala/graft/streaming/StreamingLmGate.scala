@@ -65,10 +65,17 @@ object StreamingLmGate {
       .saveAsTable(table + "_cuts")
     // freeze-time per-lang ADMIT RATE — the staleness reference
     // [[lmGateDrift]] audits against (≈ 667‰ by the tercile
-    // construction; the exact integer count is recorded, not assumed)
-    ranked.groupBy($"lang")
+    // construction; the exact integer count is recorded, not assumed).
+    // Counted with the GATE's OWN predicate (lm_score ≥ cut), not the
+    // rank predicate: integer scores can TIE at the cut, the door
+    // admits ties (documented divergence 1), and a reference counted by
+    // rank would make a frozen-corpus replay read spurious drift on any
+    // corpus with boundary ties (review finding r12).
+    ranked
+      .join(broadcast(s.table(table + "_cuts")), Seq("lang"), "left")
+      .groupBy($"lang")
       .agg(count(lit(1)).as("n_ref"),
-        sum(when(lit(3L) * $"rk" <= lit(2L) * $"n", 1L).otherwise(0L))
+        sum(($"cut".isNull || $"lm_score" >= $"cut").cast("long"))
           .as("n_admit"))
       .withColumn("admit_permille", expr("1000L * n_admit div n_ref"))
       .write.mode("overwrite").format("parquet")

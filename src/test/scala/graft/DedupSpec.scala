@@ -199,28 +199,43 @@ class DedupSpec extends AnyFunSuite {
   test("q127 catches punctuation/caps-perturbed copies raw matching misses") {
     import spark.implicits._
     val ids = (0L until 300L)
-    val evalId = ids.find(bucketOf(_) < 100).get
-    val trainIds = ids.filter(bucketOf(_) >= 100).take(4)
+    val evalIds = ids.filter(bucketOf(_) < 100).take(2)
+    val trainIds = ids.filter(bucketOf(_) >= 100).take(5)
     val evalText = "one two three four five six seven eight"
+    // non-Latin script (review finding r12): the normalization must
+    // PRESERVE unicode letters — an ASCII-only class would blind the
+    // normalized arm on this pair entirely
+    val evalZh = "数据 清洗 管道 质量 过滤 去重 污染 检测"
     val rows = Seq(
-      (evalId, "en", evalText), // eval side
+      (evalIds(0), "en", evalText), // eval side
+      (evalIds(1), "zh", evalZh),   // eval side, CJK
       // verbatim copy: both arms flag it
       (trainIds(0), "en", "prefix words then " + evalText),
       // PERTURBED copy: caps + punctuation — zero shared RAW 5-grams,
       // identical normalized token stream
       (trainIds(1), "en", "lead in tokens One, Two! Three four FIVE: six (seven) eight."),
       (trainIds(2), "en", "alpha beta gamma delta epsilon zeta eta"),
-      (trainIds(3), "en", "red green blue cyan magenta yellow black"))
+      (trainIds(3), "en", "red green blue cyan magenta yellow black"),
+      // punctuation-perturbed CJK copy: raw grams miss it ("数据," ≠
+      // "数据"), the normalized arm must catch it
+      (trainIds(4), "zh", "前缀 词 数据, 清洗! 管道 质量 过滤: 去重 (污染) 检测。"))
     val df = rows.toDF("doc_id", "lang", "text")
     val out = Dedup.normalizedDecontamOf(df).collect()
-    assert(out.length == 1 && out(0).getString(0) == "en")
-    assert(out(0).getLong(1) == 4L, s"n_train: ${out(0)}")
-    assert(out(0).getLong(2) == 1L, s"n_contam_raw: ${out(0)}")     // verbatim only
-    assert(out(0).getLong(3) == 2L, s"n_contam_norm: ${out(0)}")    // + perturbed
-    assert(out(0).getLong(4) == 1L, s"n_norm_only: ${out(0)}")      // the delta
-    // raw arm ≡ q60 on the same corpus
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    val en = out("en")
+    assert(en.getLong(1) == 4L, s"n_train: $en")
+    assert(en.getLong(2) == 1L, s"n_contam_raw: $en")     // verbatim only
+    assert(en.getLong(3) == 2L, s"n_contam_norm: $en")    // + perturbed
+    assert(en.getLong(4) == 1L, s"n_norm_only: $en")      // the delta
+    val zh = out("zh")
+    assert(zh.getLong(1) == 1L && zh.getLong(2) == 0L &&
+      zh.getLong(3) == 1L && zh.getLong(4) == 1L,
+      s"CJK perturbed copy must be caught by the normalized arm only: $zh")
+    // raw arm ≡ q60 on the same corpus, lang for lang
     val q60 = Dedup.decontamOf(df).collect()
-    assert(q60.length == 1 && q60(0).getLong(2) == out(0).getLong(2))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q60 == out.map { case (l, r) => l -> r.getLong(2) })
     // and on the real sf0.001 corpus, lang for lang
     val real = Dedup.normalizedDecontamOf(
         graft.util.Tables(spark, dir, "documents")

@@ -884,7 +884,7 @@ class RangeJoinSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      if (loc.exists()) graft.Bench.rmTree(loc)
+      if (loc.exists()) graft.util.Fs.rmTree(loc)
     }
     val name = "txtcli"
     Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
@@ -986,7 +986,7 @@ class RangeJoinSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      if (loc.exists()) graft.Bench.rmTree(loc)
+      if (loc.exists()) graft.util.Fs.rmTree(loc)
     }
     Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
       "_bm25_frozen_df").foreach(sfx => cleanT("hytgt" + sfx))

@@ -1974,6 +1974,6 @@ class StreamingSpec extends AnyFunSuite {
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
       table)
-    if (loc.exists()) graft.Bench.rmTree(loc)
+    if (loc.exists()) graft.util.Fs.rmTree(loc)
   }
 }
