@@ -500,8 +500,10 @@ object Multimodal {
       .repartition(s.sparkContext.defaultParallelism) // see pairs path
     val batchKeys = blockKeys(batchDesc, meta)
       .select(keyCols.map(col) :+ $"doc_id".as("i"): _*)
+    // no repartition here (unlike the pairs path): the serve join's
+    // output is candidate-sized, not corpus-pair-sized — the slim keys
+    // scan needs no task fan-out, and an exchange would only add cost
     val idxKeys = s.read.parquet(s"$indexPath/keys")
-      .repartition(s.sparkContext.defaultParallelism)
       .withColumnRenamed("doc_id", "j")
     val cands = batchKeys.join(idxKeys, keyCols)
       .select($"decoder", $"i", $"j").distinct()
