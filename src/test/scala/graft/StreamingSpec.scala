@@ -1821,6 +1821,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("no frozen cut"), e1.getMessage)
   }
 
+  /** Review finding r12: integer lm_scores can TIE exactly at the
+    * frozen cut, and the door admits ties — so the freeze-time admit
+    * rate must be counted with the gate's own score predicate, or a
+    * frozen-corpus replay reads spurious drift. Planted: two docs with
+    * IDENTICAL text (guaranteed score tie); the tercile puts the cut at
+    * the rank-2 doc's score, the rank-3 twin ties it, the gate admits
+    * all three — and the replay must read exactly zero drift. */
+  test("LM drift reads zero on a frozen-corpus replay with boundary ties") {
+    val table = "lmtie_spec_model"
+    Seq(table + "_cells", table + "_ctx", table + "_cuts", table + "_rates")
+      .foreach(cleanTableLocationS)
+    val twin = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, "en", "one two three four five six seven eight nine ten"),
+      (2L, "en", twin),
+      (3L, "en", twin)).toDF("doc_id", "lang", "text")
+    graft.streaming.StreamingLmGate.saveLmModel(d, table)
+    val (cells, ctx, cuts) =
+      graft.streaming.StreamingLmGate.loadModel(spark, table)
+    // the tie is real: both twins score identically, and the recorded
+    // rate counts all score >= cut docs (not the rank-truncated 2/3)
+    val scores = graft.streaming.StreamingLmGate
+      .scoredBatch(d, cells, ctx).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("lm_score"))).toMap
+    assert(scores(2L) == scores(3L), s"twins must tie: $scores")
+    val drift = graft.streaming.StreamingLmGate.lmGateDrift(
+        d, cells, ctx, cuts, spark.table(table + "_rates"))
+      .collect()
+    assert(drift.length == 1 && drift(0).getLong(4) == 0L,
+      s"boundary-tie replay must read zero drift: ${drift.toSeq}")
+  }
+
   /** hybridServe (VERDICT r11 #2): the loaded-index hybrid must be
     * EXACTLY the RRF of its two served arms — replayed driver-side from
     * the independent topKBatch and pqServeQuery outputs with the fusion
