@@ -1648,6 +1648,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(cOut == want, s"stripped text diverges:\n$cOut\n$want")
   }
 
+  /** The N > 1 catch-up boundary semantics: with gramCatchupEvery = 2,
+    * a span admitted in batch 0 is NOT yet in the state when batch 1
+    * arrives (its repeat passes through intact — the documented window),
+    * the boundary fires after batch 1 (spool folds + clears), and a
+    * batch-2 repeat IS stripped. Pins that the spool accumulates across
+    * the un-folded batches instead of only folding the boundary batch. */
+  test("curate door gram catch-up N=2: window open before the boundary, closed after") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("curate_door_grams2")
+    def seg(tag: String, stop: String, n: Int): Seq[String] =
+      (0 until n).map(i => if (i % 4 == 3) stop else s"$tag$i")
+    def pick(from: Long, n: Int): Seq[Long] =
+      spark.range(from, from + 60000).select(col("id").as("doc_id"))
+        .withColumn("b", graft.util.Buckets.mod1000("doc_id"))
+        .withColumn("sb", graft.app.CleanPipeline.splitBucket)
+        .filter(col("b") < 500 && col("sb") < 980)
+        .orderBy(col("doc_id")).limit(n)
+        .collect().map(_.getLong(0)).toSeq
+    val Seq(base0) = pick(5000, 1)
+    val Seq(a0) = pick(10000, 1)
+    val Seq(b0) = pick(20000, 1)
+    val Seq(c0) = pick(30000, 1)
+    val baseDf = Seq((base0, seg("g2b", "the", 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.saveCurateState(baseDf, baseDf,
+      s"$tmp/state", lit(false))
+    val block = seg("b2k", "and", 60)
+    val aText = (seg("g2A", "of", 60) ++ block).mkString(" ")
+    val bText = (seg("g2B", "the", 60) ++ block).mkString(" ")
+    val cText = (seg("g2C", "a", 60) ++ block).mkString(" ")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    def json(id: Long, t: String) =
+      s"""{"doc_id":$id,"text":"$t","lang":"en","source":"planted"}"""
+    val in = Files.createTempDirectory("curate_door_grams2_in")
+    def startDoor() = graft.streaming.CurateDoor.open(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in.toString),
+      s"$tmp/state", s"$tmp/out", s"$tmp/ckpt",
+      isEval = graft.app.CleanPipeline.splitBucket >= 980,
+      gramCatchupEvery = 2)
+    // batch 0 (a0) then batch 1 (b0) — two micro-batches, one query run
+    Files.write(in.resolve("b0.json"), json(a0, aText).getBytes)
+    val q1 = startDoor()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(new java.io.File(s"$tmp/out/_gramspool").exists(),
+      "spool must persist before the boundary")
+    Files.write(in.resolve("b1.json"), json(b0, bText).getBytes)
+    val q2 = startDoor()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(!new java.io.File(s"$tmp/out/_gramspool").exists(),
+      "boundary after batch 1 must fold + clear the spool")
+    Files.write(in.resolve("b2.json"), json(c0, cText).getBytes)
+    val q3 = startDoor()
+    try q3.processAllAvailable() finally q3.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select(col("doc_id"), col("n_tok"), col("n_kept"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch 0: first occurrence — untouched
+    assert(out(a0)._1 == out(a0)._2, s"a0 must keep all: ${out(a0)}")
+    // batch 1: BEFORE the boundary — the window is open by design, the
+    // repeat passes intact (this is the documented N-batch lag)
+    assert(out(b0)._1 == out(b0)._2, s"b0 must pass intact: ${out(b0)}")
+    // batch 2: after the boundary — the block (present in the folded
+    // spool from BOTH a0 and b0) strips
+    assert(out(c0)._1 - out(c0)._2 == 60L,
+      s"c0 must lose the 60-token block: ${out(c0)}")
+  }
+
   /** StreamingBm25: queries served against the SAVED postings index must
     * produce, query for query, exactly the batch q122 rows — the shared
     * bm25Rank makes the arithmetic identical, this proves the persisted
