@@ -351,17 +351,6 @@ object Multimodal {
         Seq(col("doc_id"), col("p"), col("t"), col("nrm")): _*)
   }
 
-  /** Slim (decoder, i, j) candidate pairs of a keyed frame — the cells
-    * under [[PerceptualCellCap]] self-join directly (the common case:
-    * small buckets, one narrow exchange); cells OVER the cap are routed
-    * through [[Similarity.gridPairs]] WITH the cell as the group key —
-    * still every within-cell pair (the superset guarantee stays
-    * unconditional, nothing is dropped), but an m-row cell shears into
-    * G² balanced tasks instead of one quadratic hot partition. A
-    * concentrated corpus (this one: same-generator histograms) puts
-    * real mass into single value-cells; a cap that DROPPED them was
-    * measured at 0.67 recall at sf0.1 — routing, not dropping, is the
-    * correct defense. The fat-cell count is logged for observability. */
   /** Slim (decoder, i, j) candidate pairs of a keyed frame, or None
     * when blocking cannot pay. The cells under [[PerceptualCellCap]]
     * self-join directly (the common case: small buckets, one narrow

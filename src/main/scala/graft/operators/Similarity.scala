@@ -795,14 +795,15 @@ object Similarity {
     * Bench times this against the uncompressed multiprobe serve. */
   def pqServeQuery(s: SparkSession, dir: String, indexPath: String,
       k: Int = 5, nprobe: Int = MultiprobeNprobe,
-      shortlist: Int = PqShortlist): DataFrame = {
+      shortlist: Int = PqShortlist,
+      qids: Option[Seq[Long]] = None): DataFrame = {
     import s.implicits._
     val (cents, books) = loadPqIndex(s, indexPath)
     if (cents.isEmpty || books.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("qid", "nid", "rk", "sim")
     val enc = s.read.parquet(s"$indexPath/enc")
-    pqAnn(scaled(s, dir), enc, cents, books, nprobe, shortlist, k)
+    pqAnn(scaled(s, dir), enc, cents, books, nprobe, shortlist, k, qids)
       .orderBy($"qid", $"rk")
   }
 
@@ -1030,17 +1031,23 @@ object Similarity {
     * and the q115 curve audit reuses one ranked frame across every
     * shortlist knob (n_scanned = this frame's size). The corpus side
     * reads ONLY the encoded frame. */
-  private def pqAdcRanked(base: DataFrame, enc: DataFrame,
+  private[graft] def pqAdcRanked(base: DataFrame, enc: DataFrame,
       cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
-      nprobe: Int): DataFrame = {
+      nprobe: Int, qids: Option[Seq[Long]] = None): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val qprobe = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
+    // restrict the query side BEFORE candidate generation: a batch
+    // asking for a subset of the standing queries must not pay ADC +
+    // re-rank for the rest (VERDICT r12 #2) — fewer LUT rows, fewer
+    // probed (qid, cell) pairs, a strictly smaller candidate frame
+    val qside = qids.fold(base.filter($"vec_id" < 10))(ids =>
+      base.filter($"vec_id" < 10 && $"vec_id".isin(ids: _*)))
+    val qprobe = explodeProbeCells(qside, cents, nprobe)
       .select($"vec_id".as("qid"), $"qcell")
-    // per-query LUTs: 10 query vectors → driver (query-side,
+    // per-query LUTs: ≤10 query vectors → driver (query-side,
     // model-sized), exact integer dots against every codebook vector
     // and every coarse centroid
-    val qrows = base.filter($"vec_id" < 10).orderBy($"vec_id")
+    val qrows = qside.orderBy($"vec_id")
       .select($"vec_id", $"e", $"nrm").collect()
       .map { r =>
         val qe = r.getSeq[Long](1).toSeq
@@ -1071,8 +1078,9 @@ object Similarity {
     * directly on the rank attribute). */
   private def pqShortlist(base: DataFrame, enc: DataFrame,
       cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
-      nprobe: Int, shortlist: Int): DataFrame =
-    pqAdcRanked(base, enc, cents, books, nprobe)
+      nprobe: Int, shortlist: Int,
+      qids: Option[Seq[Long]] = None): DataFrame =
+    pqAdcRanked(base, enc, cents, books, nprobe, qids)
       .filter(col("rk") <= shortlist)
       .select(col("qid"), col("vec_id"))
 
@@ -1081,10 +1089,13 @@ object Similarity {
     * the fetch a compressed index pays instead of scanning vectors). */
   private[graft] def pqAnn(base: DataFrame, enc: DataFrame,
       cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
-      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+      nprobe: Int, shortlist: Int, k: Int,
+      qids: Option[Seq[Long]] = None): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist)
+    val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist, qids)
+    // the shortlist already carries only the requested qids; the
+    // 10-row query broadcast needs no further restriction
     val qs = querySide(base)
     cosineTopK(sl.join(base, "vec_id").join(broadcast(qs), "qid"), k)
   }

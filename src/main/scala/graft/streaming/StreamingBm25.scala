@@ -155,6 +155,23 @@ object StreamingBm25 {
       s"drift gate refused: $table has no freeze-time snapshot " +
         "(_frozen_stats/_frozen_df) — rebuild with saveBm25Index so " +
         "there is a baseline to measure appends against")
+    // Degenerate-baseline refusals (ADVICE r12): a frozen index whose
+    // avgdl is zero/null (zero docs, or a sum that never saw a token)
+    // has no relative-drift denominator — under ANSI mode the division
+    // below would abort the whole audit — and an empty frozen
+    // vocabulary makes df_tv a null row; both would read as "clean" on
+    // exactly the baseline the audit cannot judge. Refuse, naming the
+    // cause. Driver cost: one 1-row read + one emptiness probe.
+    val fzAvg = s.table(table + "_frozen_stats").select($"avgdl").head()
+    require(!fzAvg.isNullAt(0) && fzAvg.getLong(0) > 0L,
+      s"drift gate refused: $table's freeze-time avgdl is " +
+        s"${if (fzAvg.isNullAt(0)) "null" else "0"} — the frozen " +
+        "baseline is degenerate (empty corpus at save time); rebuild " +
+        "with saveBm25Index over a real corpus")
+    require(!s.table(table + "_frozen_df").isEmpty,
+      s"drift gate refused: $table's freeze-time vocabulary is empty — " +
+        "df drift against an empty baseline is undefined; rebuild with " +
+        "saveBm25Index over a real corpus")
     val fz = s.table(table + "_frozen_stats")
       .select($"n_docs".as("n_docs_frozen"), $"avgdl".as("avgdl_frozen"))
     val now = s.table(table + "_stats")
@@ -234,12 +251,16 @@ object StreamingBm25 {
     val text = topKBatch(queryBatch, loadPostings(s, bm25Table),
         loadDf(s, bm25Table), loadStats(s, bm25Table), k)
       .select($"qid", $"doc_id", $"rk".as("text_rk"))
-    // served queries are the batch's qids: the PQ serve path ranks its
-    // standing query set; restrict to this batch before fusing
+    // the vector arm serves ONLY the batch's qids (VERDICT r12 #2):
+    // the restriction is threaded INTO candidate generation — the ADC
+    // scan probes and ranks nothing for standing queries the batch
+    // didn't ask for — not applied as a post-filter on a full serve.
+    // The qid list is batch-sized (it broadcasts in the text arm too).
     val qids = queryBatch.select($"qid").distinct()
+      .collect().map(_.getLong(0)).toSeq
     val vec = graft.operators.Similarity
-      .pqServeQuery(s, dir, pqIndexPath, k, nprobe, shortlist)
-      .join(broadcast(qids), "qid")
+      .pqServeQuery(s, dir, pqIndexPath, k, nprobe, shortlist,
+        qids = Some(qids))
       .select($"qid", $"nid".as("doc_id"), $"rk".as("vec_rk"))
     TextOps.rrfFuse(text, vec, k)
   }

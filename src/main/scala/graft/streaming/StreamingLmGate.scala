@@ -119,29 +119,48 @@ object StreamingLmGate {
     * drift_permille) — pure integer permille arithmetic.
     *
     * Refusal (the pqIndexDistortion coverage rule): a batch language
-    * ABSENT from the frozen cuts is admitted un-gated at the door — at
+    * ABSENT from the frozen MODEL is admitted un-gated at the door — at
     * the AUDIT it would read as zero drift while being exactly the
-    * un-judged traffic this gate exists to catch; refuse instead. */
+    * un-judged traffic this gate exists to catch; refuse instead.
+    *
+    * A null cut has TWO distinct causes (ADVICE r12), and only one is
+    * refusable: a language never seen at freeze time has no `_rates`
+    * row and nothing to judge against — refuse, naming that cause. A
+    * language FROZEN WITHOUT a tail cut (present at refresh with so few
+    * docs that 3rk ≤ 2n never holds — n = 1 suffices) is a legitimate
+    * frozen fact: the door admits all of it BY the frozen contract, its
+    * recorded freeze-time rate is 1000‰ under the same predicate, and a
+    * frozen-corpus replay must stay auditable. Such languages are
+    * REPORTED (with their recorded rate and `ungated = true`), not
+    * refused — re-freezing cannot produce a cut for them anyway. */
   def lmGateDrift(batch: DataFrame, cells: DataFrame, ctx: DataFrame,
       cuts: DataFrame, rates: DataFrame): DataFrame = {
     val gated = gatedBatch(batch, cells, ctx, cuts).localCheckpoint(true)
+    // language-cardinality-sized driver reads, the cuts/rates broadcast
+    // scale class
+    val frozen = rates.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSet
     val unknown = gated.filter(col("cut").isNull)
       .select(col("lang")).distinct().collect().map(_.getString(0))
+      .filterNot(frozen)
     require(unknown.isEmpty,
       s"drift gate refused: batch languages [${unknown.mkString(", ")}] " +
-        "have no frozen cut — they pass the door un-gated, so an audit " +
-        "skipping them would read clean on exactly the traffic it " +
-        "cannot judge. Re-freeze the model over a corpus covering them.")
+        "are absent from the frozen model (no frozen cut, no recorded " +
+        "rate) — they pass the door un-gated, so an audit skipping them " +
+        "would read clean on exactly the traffic it cannot judge. " +
+        "Re-freeze the model over a corpus covering them.")
     gated.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_batch"),
-        sum(col("admitted").cast("long")).as("n_admit"))
+        sum(col("admitted").cast("long")).as("n_admit"),
+        max(col("cut").isNull.cast("long")).as("_nocut"))
       .withColumn("admit_permille", expr("1000L * n_admit div n_batch"))
       .join(broadcast(rates.select(col("lang"),
         col("admit_permille").as("frozen_permille"))), "lang")
       .withColumn("drift_permille",
         abs(col("admit_permille") - col("frozen_permille")))
       .select(col("lang"), col("n_batch"), col("admit_permille"),
-        col("frozen_permille"), col("drift_permille"))
+        col("frozen_permille"), col("drift_permille"),
+        (col("_nocut") === 1L).as("ungated"))
       .orderBy(col("lang"))
   }
 }

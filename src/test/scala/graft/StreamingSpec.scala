@@ -1924,6 +1924,62 @@ class StreamingSpec extends AnyFunSuite {
       s"boundary-tie replay must read zero drift: ${drift.toSeq}")
   }
 
+  /** ADVICE r12: a null cut has two causes and only one is refusable.
+    * A language frozen with n = 1 (3rk ≤ 2n never holds, so no tail
+    * cut exists) still has a `_rates` row; a frozen-corpus replay must
+    * be AUDITABLE — reported as un-gated with its recorded rate — not
+    * permanently refused with a remedy (re-freeze) that cannot help.
+    * A language absent from the frozen model entirely still refuses. */
+  test("LM drift reports frozen-without-cut languages instead of refusing") {
+    val table = "lmnocut_spec_model"
+    Seq(table + "_cells", table + "_ctx", table + "_cuts", table + "_rates")
+      .foreach(cleanTableLocationS)
+    val d = Seq(
+      (1L, "en", "one two three four five six seven eight nine ten"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "en", "red green blue yellow orange purple brown black"),
+      (4L, "fr", "bonjour le monde")).toDF("doc_id", "lang", "text")
+    graft.streaming.StreamingLmGate.saveLmModel(d, table)
+    val (cells, ctx, cuts) =
+      graft.streaming.StreamingLmGate.loadModel(spark, table)
+    // the planted fact: fr froze WITHOUT a cut but WITH a rates row
+    assert(cuts.filter($"lang" === "fr").isEmpty, "fr must have no cut")
+    val frRate = spark.table(table + "_rates").filter($"lang" === "fr")
+      .select($"admit_permille").head.getLong(0)
+    assert(frRate == 1000L, s"n=1 language freezes at 1000 permille: $frRate")
+    val drift = graft.streaming.StreamingLmGate.lmGateDrift(
+        d, cells, ctx, cuts, spark.table(table + "_rates"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(drift.keySet == Set("en", "fr"), drift.keySet.toString)
+    assert(drift("fr").getBoolean(5) && drift("fr").getLong(4) == 0L,
+      s"fr must be reported un-gated at zero drift: ${drift("fr")}")
+    assert(!drift("en").getBoolean(5),
+      s"en is gated and must not read un-gated: ${drift("en")}")
+    // absent-from-model languages still refuse, naming the real cause
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingLmGate.lmGateDrift(
+        d.withColumn("lang", lit("xx")), cells, ctx, cuts,
+        spark.table(table + "_rates")).collect()
+    }
+    assert(e.getMessage.contains("absent from the frozen model"),
+      e.getMessage)
+  }
+
+  /** ADVICE r12: a degenerate frozen baseline (avgdl null/zero from an
+    * empty save-time corpus, empty frozen vocabulary) must REFUSE the
+    * BM25 drift audit, not abort on ANSI division or emit a null row. */
+  test("BM25 drift refuses a degenerate freeze-time baseline") {
+    val table = "bmdegen_spec_bm25"
+    Seq(table, table + "_df", table + "_stats", table + "_frozen_stats",
+      table + "_frozen_df").foreach(cleanTableLocationS)
+    graft.streaming.StreamingBm25.saveBm25Index(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), table)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingBm25.bm25IndexDrift(spark, table).collect()
+    }
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
+
   /** hybridServe (VERDICT r11 #2): the loaded-index hybrid must be
     * EXACTLY the RRF of its two served arms — replayed driver-side from
     * the independent topKBatch and pqServeQuery outputs with the fusion
@@ -1980,6 +2036,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(overlap >= 0.8,
       f"served hybrid recalls only $overlap%.2f of brute q124 rows " +
         s"(${(brute & served).size}/${brute.size})")
+  }
+
+  /** VERDICT r12 #2: when the batch asks for a SUBSET of the standing
+    * queries, the hybrid's vector arm must restrict candidate
+    * generation itself — not serve the full standing set and
+    * post-filter. Two assertions: (1) the sub-batch hybrid output is
+    * row-identical to the full-batch output filtered to its qids
+    * (per-qid fusion is independent, so the restriction is free), and
+    * (2) the ADC-ranked candidate frame under the restriction is
+    * strictly smaller and carries ONLY the batch's qids — the scanned
+    * work the old post-filter shape wasted on unrequested queries. */
+  test("hybrid serve restricts the vector arm to the batch's queries") {
+    val sfDir = "/root/testdata/sf0.001"
+    val table = "hybridsub_spec_bm25"
+    Seq(table, table + "_df", table + "_stats", table + "_frozen_stats",
+      table + "_frozen_df").foreach(cleanTableLocationS)
+    val pqPath = Files.createTempDirectory("hybridsub_pq").toString
+    graft.streaming.StreamingBm25.saveBm25Index(
+      graft.util.Tables(spark, sfDir, "documents").select($"doc_id", $"text"),
+      table)
+    graft.operators.Similarity.savePqIndex(spark, sfDir, pqPath)
+    val subQids = Set(2L, 4L) // batch ⊂ standing {1,2,3,4}
+    val subQueries = graft.operators.TextOps.Bm25Queries
+      .filter(q => subQids(q._1)).toDF("qid", "term")
+    val allQueries = graft.operators.TextOps.Bm25Queries.toDF("qid", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val sub = rows(graft.streaming.StreamingBm25
+      .hybridServe(spark, sfDir, table, pqPath, subQueries))
+    val full = rows(graft.streaming.StreamingBm25
+      .hybridServe(spark, sfDir, table, pqPath, allQueries))
+      .filter(x => subQids(x._1))
+    assert(sub == full,
+      s"sub-batch hybrid must equal the filtered full serve:\n$sub\n$full")
+    // the candidate frame itself shrank: the restricted ADC scan ranks
+    // rows for the batch's qids only
+    val (cents, books) = graft.operators.Similarity.loadPqIndex(spark, pqPath)
+    val enc = spark.read.parquet(s"$pqPath/enc")
+    val base = graft.operators.Similarity.scaled(spark, sfDir)
+    val fullCand = graft.operators.Similarity
+      .pqAdcRanked(base, enc, cents, books,
+        graft.operators.Similarity.MultiprobeNprobe)
+      .localCheckpoint(true)
+    val subCand = graft.operators.Similarity
+      .pqAdcRanked(base, enc, cents, books,
+        graft.operators.Similarity.MultiprobeNprobe,
+        qids = Some(subQids.toSeq))
+      .localCheckpoint(true)
+    val (nFull, nSub) = (fullCand.count(), subCand.count())
+    assert(nSub < nFull,
+      s"restricted ADC scan must rank fewer candidates: $nSub vs $nFull")
+    val candQids = subCand.select($"qid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(candQids == subQids,
+      s"restricted scan must carry only the batch's qids: $candQids")
   }
 
   /** StreamingLmGate: the frozen-model door gate must (1) score a
