@@ -15,10 +15,12 @@ import graft.operators.Relational
   *
   * The honest lambda split: this arm catches SPIKES as they finalize,
   * but a silent-feed DROPOUT hour produces no rows and therefore no
-  * alert — absence is not an event. Dropout detection stays with the
-  * batch q105 sweep over the dense gap-filled grid (or equivalently a
-  * wall-clock ticker joining the rollup — a deployment choice, not an
-  * engine gap). */
+  * alert — absence is not an event. The dropout half is
+  * [[StreamingDropout]] (VERDICT r12 #4): a driver-side listener
+  * re-checking the finalized rollup for expected types missing from
+  * the newest closed hour — batch-over-rollup, not stream state. The
+  * batch q105 sweep over the dense gap-filled grid remains the
+  * exhaustive retrospective arm. */
 object StreamingAnomaly {
 
   /** Per-type (med_n, mad_n) from a historical events frame — the

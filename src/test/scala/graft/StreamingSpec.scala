@@ -800,6 +800,82 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingDropout (VERDICT r12 #4): a type that goes SILENT alerts
+    * once its hour CLOSES — the driver-side listener re-checks the
+    * finalized rollup when new buckets land, so absence becomes an
+    * alert without any stream state keyed by the very types that
+    * stopped arriving. Exactly once per (type, hour): later triggers
+    * that close nothing re-fire nothing. The spike arm is untouched
+    * (its own spec above). */
+  test("streaming dropout alerts a silenced type after its hour closes") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dropout_stream")
+    val outName = "dropout_out"
+    val hUs = graft.operators.Relational.GapfillHourUs
+    def ev(h: Long, tag: String, i: Int) =
+      s"""{"us":${h * hUs + i * 1000L},"event_type":"$tag","value":1.0}"""
+    // history: both types live → the expected roster is {a, b}
+    val hist = (100L to 104L).flatMap(h =>
+      Seq((h * hUs, "a", 1.0), (h * hUs + 1000L, "b", 1.0)))
+      .toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val thr = graft.streaming.StreamingAnomaly.thresholds(hist)
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val watcher = new graft.streaming.StreamingDropout.Watcher(
+      outName, () => spark.table(outName), thr,
+      (tag, h) => alerts.add((tag, h)))
+    spark.streams.addListener(watcher)
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    // live: hour 200 both types, hour 201 only a — b goes silent
+    Files.write(dir.resolve("b1.json"),
+      (Seq(ev(200L, "a", 0), ev(200L, "b", 1)) ++
+        (0 until 2).map(ev(201L, "a", _))).mkString("\n").getBytes)
+    val q = graft.streaming.StreamingDownsample.buckets(stream)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    def awaitAlerts(n: Int): Seq[(String, Long)] = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (alerts.size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100) // listener bus is async past processAllAvailable
+      alerts.toArray(Array.empty[(String, Long)]).toSeq
+    }
+    try {
+      q.processAllAvailable()
+      // watermark from b1 closes hour 200 only: both types present, no
+      // alert even though b is already silent in the open hour 201
+      Thread.sleep(500)
+      assert(alerts.isEmpty,
+        s"no alert before the silent hour closes: $alerts")
+      // flush closes hour 201 → b has no bucket there → one alert
+      Files.write(dir.resolve("b2.json"), ev(300L, "a", 0).getBytes)
+      q.processAllAvailable()
+      assert(awaitAlerts(1) == Seq(("b", 201L)),
+        s"silenced type must alert at its closed hour: $alerts")
+      // a trigger that closes nothing must not re-alert the same hour
+      Files.write(dir.resolve("b3.json"), ev(300L, "a", 1).getBytes)
+      q.processAllAvailable()
+      Thread.sleep(500)
+      assert(alerts.size == 1, s"hour 201 must alert exactly once: $alerts")
+      // the still-silent type re-alerts at the NEXT closed hour (a
+      // standing outage keeps paging): closing hour 300 (a only) fires
+      // (b, 300)
+      Files.write(dir.resolve("b4.json"), ev(400L, "a", 0).getBytes)
+      q.processAllAvailable()
+      assert(awaitAlerts(2).toSet == Set(("b", 201L), ("b", 300L)),
+        s"standing outage must re-alert per closed hour: $alerts")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(watcher)
+      spark.catalog.dropTempView(outName)
+      thr.unpersist()
+    }
+  }
+
   /** StreamAttribution: stream-STREAM windowed join — purchases match a
     * preceding click by the same user within the horizon; outside the
     * horizon (or wrong user) never joins. */
