@@ -39,7 +39,8 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *   gate   <name> <docsParquet>       LM-gate a (doc_id, lang, text)
   *                                     batch against the frozen cuts —
   *                                     per-doc score, cut and verdict
-  *   audit  <name> <docsParquet>       STALENESS report for the frozen
+  *   audit  <name> <docsParquet> [--fail-over <permille>]
+  *                                     STALENESS report for the frozen
   *                                     artifacts (pqIndexDistortion's
   *                                     role for the text stack): index
   *                                     stats drift vs the freeze-time
@@ -48,23 +49,36 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *                                     LM admit-rate drift vs the frozen
   *                                     tercile ([[StreamingLmGate
   *                                     .lmGateDrift]]) — the numbers
-  *                                     that say "re-freeze"
+  *                                     that say "re-freeze".
+  *                                     `--fail-over p` additionally
+  *                                     GATES: exit 3 when ANY signal —
+  *                                     avgdl drift, df total-variation,
+  *                                     or the worst per-language admit
+  *                                     drift — exceeds p‰, so a cron can
+  *                                     branch on the verdict
+  *
+  * Exit codes (VERDICT r12 #5, shared with PqIndexCli): 0 = ok / drift
+  * within threshold; 2 = usage error; 3 = drift over `--fail-over`;
+  * refusals (missing snapshot/rates, un-frozen batch language — the
+  * "cannot judge" paths) keep their own channel: an
+  * IllegalArgumentException that exits the JVM at 1.
   *
   * The nightly shape: `build` once per refresh decision, `append` per
-  * arriving partition, `serve`/`gate` continuously.
+  * arriving partition, `serve`/`gate` continuously, `audit --fail-over`
+  * per append (rebuild on exit 3).
   */
 object TextIndexCli {
 
   def main(args: Array[String]): Unit = {
     val spark = graft.util.GraftSession.local("graft-text-index")
-    try run(spark, args.toSeq)
-    finally spark.stop()
+    val code = try run(spark, args.toSeq) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
   private def docsOf(spark: SparkSession, sfDir: String) =
     graft.util.Tables(spark, sfDir, "documents")
 
-  private[graft] def run(spark: SparkSession, args: Seq[String]): Unit =
+  private[graft] def run(spark: SparkSession, args: Seq[String]): Int =
     args match {
       case Seq("build", sfDir, name) =>
         val d = docsOf(spark, sfDir)
@@ -75,6 +89,7 @@ object TextIndexCli {
         val n = spark.table(s"${name}_bm25").count()
         val v = spark.table(s"${name}_bm25_df").count()
         println(s"built $name: $n posting rows, $v terms, LM gate frozen")
+        0
       case Seq("append", name, docsParquet) =>
         StreamingBm25.appendBm25Index(
           spark.read.parquet(docsParquet).select("doc_id", "text"),
@@ -82,6 +97,7 @@ object TextIndexCli {
         val n = spark.table(s"${name}_bm25").count()
         println(s"appended $docsParquet: postings now $n rows " +
           "(LM gate model unchanged — rebuild to re-freeze)")
+        0
       case Seq("serve", name, "--hybrid", pqIndex, sfDir, rest @ _*) =>
         import spark.implicits._
         // optional --recall-target t: pick the vector arm's (nprobe,
@@ -107,6 +123,7 @@ object TextIndexCli {
             graft.operators.TextOps.Bm25Queries.toDF("qid", "term"),
             nprobe = np, shortlist = sl)
           .show(numRows = 100, truncate = false)
+        0
       case Seq("serve", name, rest @ _*) =>
         import spark.implicits._
         val queries = rest match {
@@ -123,27 +140,72 @@ object TextIndexCli {
             StreamingBm25.loadDf(spark, s"${name}_bm25"),
             StreamingBm25.loadStats(spark, s"${name}_bm25"))
           .show(numRows = 100, truncate = false)
+        0
       case Seq("gate", name, docsParquet) =>
         val (cells, ctx, cuts) = StreamingLmGate.loadModel(spark, s"${name}_lm")
         StreamingLmGate.gatedBatch(
             spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
             cells, ctx, cuts)
           .show(numRows = 100, truncate = false)
-      case Seq("audit", name, docsParquet) =>
-        StreamingBm25.bm25IndexDrift(spark, s"${name}_bm25")
-          .show(truncate = false)
-        // the same refusal shape as the BM25 side: a model frozen before
-        // the rates table existed has no admit-rate baseline — name the
-        // fix instead of dying on TABLE_OR_VIEW_NOT_FOUND mid-audit
-        require(spark.catalog.tableExists(s"${name}_lm_rates"),
-          s"drift gate refused: ${name}_lm has no freeze-time admit-rate " +
-            "baseline (_rates) — rebuild with `build` (saveLmModel) so " +
-            "there is a reference to measure gate drift against")
-        val (cells, ctx, cuts) = StreamingLmGate.loadModel(spark, s"${name}_lm")
-        StreamingLmGate.lmGateDrift(
-            spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
-            cells, ctx, cuts, spark.table(s"${name}_lm_rates"))
-          .show(numRows = 100, truncate = false)
+        0
+      case Seq("audit", name, docsParquet, rest @ _*) =>
+        // flags validate BEFORE the audit work: a typo'd flag is a
+        // usage error (2), not a full audit run
+        val threshold = rest match {
+          case Seq() => Some(None)
+          case Seq("--fail-over", p) => Some(Some(p.toLong))
+          case other =>
+            System.err.println(s"unknown audit arguments: ${other.mkString(" ")}")
+            None
+        }
+        if (threshold.isEmpty) 2
+        else {
+          val bm = StreamingBm25.bm25IndexDrift(spark, s"${name}_bm25")
+            .localCheckpoint(true) // 1 row — feeds show + the gate once
+          bm.show(truncate = false)
+          // the same refusal shape as the BM25 side: a model frozen before
+          // the rates table existed has no admit-rate baseline — name the
+          // fix instead of dying on TABLE_OR_VIEW_NOT_FOUND mid-audit
+          require(spark.catalog.tableExists(s"${name}_lm_rates"),
+            s"drift gate refused: ${name}_lm has no freeze-time admit-rate " +
+              "baseline (_rates) — rebuild with `build` (saveLmModel) so " +
+              "there is a reference to measure gate drift against")
+          val (cells, ctx, cuts) =
+            StreamingLmGate.loadModel(spark, s"${name}_lm")
+          val lm = StreamingLmGate.lmGateDrift(
+              spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
+              cells, ctx, cuts, spark.table(s"${name}_lm_rates"))
+            .localCheckpoint(true) // #langs rows
+          lm.show(numRows = 100, truncate = false)
+          threshold.get match {
+            case Some(t) =>
+              val bmRow = bm.head
+              val signals = Seq(
+                "avgdl_drift_permille" ->
+                  bmRow.getLong(bmRow.fieldIndex("avgdl_drift_permille")),
+                "df_tv_permille" ->
+                  bmRow.getLong(bmRow.fieldIndex("df_tv_permille")),
+                "lm_admit_drift_permille" ->
+                  lm.agg(org.apache.spark.sql.functions.coalesce(
+                    org.apache.spark.sql.functions.max(
+                      org.apache.spark.sql.functions.col("drift_permille")),
+                    org.apache.spark.sql.functions.lit(0L))).head()
+                    .getLong(0))
+              val over = signals.filter(_._2 > t)
+              if (over.nonEmpty) {
+                System.err.println(s"[audit] FAIL: drift over the $t‰ " +
+                  s"threshold: ${over.map { case (k, v) => s"$k=$v" }
+                    .mkString(", ")} — re-freeze (rebuild) the index")
+                3
+              } else {
+                println(s"[audit] all drift signals within the $t‰ " +
+                  s"threshold: ${signals.map { case (k, v) => s"$k=$v" }
+                    .mkString(", ")}")
+                0
+              }
+            case None => 0
+          }
+        }
       case other =>
         System.err.println(
           s"""unknown arguments: ${other.mkString(" ")}
@@ -152,7 +214,7 @@ object TextIndexCli {
              |       TextIndexCli serve  <name> [--terms a,b,c]
              |       TextIndexCli serve  <name> --hybrid <pqIndex> <sfDir>
              |       TextIndexCli gate   <name> <docsParquet>
-             |       TextIndexCli audit  <name> <docsParquet>""".stripMargin)
-        sys.exit(2)
+             |       TextIndexCli audit  <name> <docsParquet> [--fail-over <permille>]""".stripMargin)
+        2
     }
 }

@@ -789,6 +789,45 @@ object Similarity {
       .orderBy($"subspace")
   }
 
+  /** Freeze the FIT-TIME distortion audit as the index's drift
+    * baseline (`<indexPath>/distortion0`, 8 rows) — the reference a
+    * thresholded re-freeze gate compares later audits against
+    * (VERDICT r12 #5). Written at build, when the fit corpus is
+    * guaranteed to cover the index. */
+  def savePqDistortionBaseline(s: SparkSession, dir: String,
+      indexPath: String): Unit =
+    pqIndexDistortion(s, dir, indexPath).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/distortion0")
+
+  /** Worst per-subspace distortion drift of `now` (a
+    * [[pqIndexDistortion]] frame) against the fit-time baseline, in
+    * permille: max_u ⌊|mse_now(u) − mse_0(u)|·1000 / mse_0(u)⌋. Both
+    * frames are 8 rows — driver arithmetic. Refuses when the baseline
+    * is missing (an index built before baselines existed has nothing
+    * to gate against — the pqIndexDistortion coverage rule). A zero
+    * fit-time mse with nonzero drift reads as 1 000 000‰ — decisively
+    * over any sane threshold rather than a division abort (the
+    * avgdl_frozen = 0 convention). */
+  def pqDistortionDrift(s: SparkSession, indexPath: String,
+      now: DataFrame): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/distortion0")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"drift gate refused: $indexPath has no fit-time distortion " +
+        "baseline (distortion0) — rebuild so there is a reference to " +
+        "gate appends against")
+    val base = s.read.parquet(s"$indexPath/distortion0")
+      .select(col("subspace"), col("mse")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cur = now.select(col("subspace"), col("mse")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cur.map { case (u, m) =>
+      val m0 = base.getOrElse(u, 0.0)
+      if (m0 == 0.0) { if (m == 0.0) 0L else 1000000L }
+      else math.floor(math.abs(m - m0) * 1000.0 / m0).toLong
+    }.foldLeft(0L)(math.max)
+  }
+
   /** The production IVF-PQ serving path: (qid, nid, rk, sim) top-k from
     * a SAVED index — candidate generation scans only the encoded frame
     * (codes + rnrm), true vectors are fetched for the shortlist alone.

@@ -873,6 +873,108 @@ class RangeJoinSpec extends AnyFunSuite {
       (Similarity.CurveNprobes.size * Similarity.CurveShortlists.size).toLong)
   }
 
+  /** Drift-gate AUTOMATION (VERDICT r12 #5): `audit --fail-over <p>`
+    * turns the distortion report into a cron-consumable verdict. Exit
+    * contract: 0 = within threshold, 3 = drifted (re-freeze), 2 = usage,
+    * refusals keep their own channel (IllegalArgumentException → JVM 1).
+    * Planted: a fresh build audits 0; a 3×-scaled appended batch (the
+    * residuals the frozen codebooks never saw) audits 3. */
+  test("PqIndexCli audit --fail-over: fresh exits 0, planted drift exits 3") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("pqgate").toString
+    assert(graft.app.PqIndexCli.run(spark, Seq("build", dir, s"$tmp/idx")) == 0)
+    // fresh index vs its own fit-time baseline: exactly zero drift
+    assert(graft.app.PqIndexCli.run(spark,
+      Seq("audit", dir, s"$tmp/idx", "--fail-over", "50")) == 0)
+    // plant drift: 3x-scaled vectors under fresh ids, appended against
+    // the frozen models (the RangeJoinSpec shift shape)
+    val shifted = graft.util.Tables(spark, dir, "embeddings")
+      .filter($"vec_id" < 200)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(3.0 as float))")
+          .as("embedding"))
+    shifted.write.mode("overwrite").parquet(s"$tmp/batch")
+    assert(graft.app.PqIndexCli.run(spark,
+      Seq("append", s"$tmp/idx", s"$tmp/batch")) == 0)
+    // coverage refusal unchanged: auditing against the un-appended
+    // corpus keeps ITS channel (throw), not exit 3
+    intercept[IllegalArgumentException] {
+      graft.app.PqIndexCli.run(spark,
+        Seq("audit", dir, s"$tmp/idx", "--fail-over", "50"))
+    }
+    val covDir = s"$tmp/covraw"
+    graft.util.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .union(shifted.withColumn("label", lit(99)))
+      .write.mode("overwrite").parquet(s"$covDir/embeddings.parquet")
+    assert(graft.app.PqIndexCli.run(spark,
+      Seq("audit", covDir, s"$tmp/idx", "--fail-over", "50")) == 3,
+      "3x-scaled appended batch must trip the 50-permille gate")
+    // baseline-missing refusal: a library-built index (no CLI build)
+    // has no distortion0 — refuse, don't report vacuous zero drift
+    Similarity.savePqIndex(spark, dir, s"$tmp/bare")
+    val e = intercept[IllegalArgumentException] {
+      graft.app.PqIndexCli.run(spark,
+        Seq("audit", dir, s"$tmp/bare", "--fail-over", "50"))
+    }
+    assert(e.getMessage.contains("no fit-time distortion baseline"),
+      e.getMessage)
+    // usage error is its own distinct code
+    assert(graft.app.PqIndexCli.run(spark,
+      Seq("audit", dir, s"$tmp/idx", "--bogus")) == 2)
+  }
+
+  /** The text-stack twin of the PQ gate: `TextIndexCli audit
+    * --fail-over` trips on ANY of the three drift signals (avgdl, df
+    * total-variation, worst per-language admit drift). */
+  test("TextIndexCli audit --fail-over: fresh exits 0, planted drift exits 3") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    def clean(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) graft.util.Fs.rmTree(loc)
+    }
+    val name = "txtgate"
+    Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
+      "_bm25_frozen_df", "_lm_cells", "_lm_ctx", "_lm_rates",
+      "_lm_cuts").foreach(sfx => clean(name + sfx))
+    assert(graft.app.TextIndexCli.run(spark, Seq("build", dir, name)) == 0)
+    // FULL frozen-corpus replay batch: every signal exactly zero (a
+    // subset's per-language admit rates would legitimately differ from
+    // the corpus-wide frozen rates — that would be real drift, not a
+    // clean baseline)
+    graft.util.Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"text")
+      .write.mode("overwrite").parquet("/tmp/txtgate_replay")
+    assert(graft.app.TextIndexCli.run(spark,
+      Seq("audit", name, "/tmp/txtgate_replay", "--fail-over", "50")) == 0)
+    // plant index drift: 50 long new-vocabulary docs (the StreamingSpec
+    // planted-drift shape) — avgdl + df TV move, the replay batch's LM
+    // arm stays zero, the gate must still trip on the index signals
+    spark.range(50)
+      .select(($"id" + 900000L).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 200), " +
+          "i -> concat('gatedrift', id, 'x', i)))").as("text"))
+      .write.mode("overwrite").parquet("/tmp/txtgate_batch")
+    assert(graft.app.TextIndexCli.run(spark,
+      Seq("append", name, "/tmp/txtgate_batch")) == 0)
+    assert(graft.app.TextIndexCli.run(spark,
+      Seq("audit", name, "/tmp/txtgate_replay", "--fail-over", "50")) == 3,
+      "new-vocabulary append must trip the 50-permille gate")
+    // refusal keeps its channel: no freeze-time rates baseline
+    clean(name + "_lm_rates")
+    intercept[IllegalArgumentException] {
+      graft.app.TextIndexCli.run(spark,
+        Seq("audit", name, "/tmp/txtgate_replay", "--fail-over", "50"))
+    }
+    // usage error is its own distinct code
+    assert(graft.app.TextIndexCli.run(spark,
+      Seq("audit", name, "/tmp/txtgate_replay", "--wat")) == 2)
+  }
+
   /** TextIndexCli mirrors PqIndexCli for the text stack — pin the
     * wiring: build persists postings + LM model, append grows the
     * postings at batch cost (df/stats absorbed), serve answers the
