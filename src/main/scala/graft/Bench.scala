@@ -56,7 +56,8 @@ object Bench {
     "q116_long_span_strip", "q117_perceptual_dedup", "q118_lm_quality",
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
     "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
-    "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam")
+    "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam",
+    "q128_door_divergence")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -220,7 +221,12 @@ object Bench {
     // (raw + normalized) token stack off ONE text scan; roughly two q60
     // gram volumes through the checkpointed frame (isolated child 2.10,
     // loadavg ~2.5)
-    "q127_norm_decontam" -> 2.1)
+    "q127_norm_decontam" -> 2.1,
+    // q128 added r13: door-vs-batch keeper divergence — ONE lshRepGraph
+    // pipeline (the q65-family cost) feeding both arms, plus the band
+    // re-key + owner partial-agg and the keeper window (isolated child
+    // 3.60 quiet / 4.20 loadavg ~2)
+    "q128_door_divergence" -> 4.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

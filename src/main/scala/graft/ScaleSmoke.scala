@@ -52,7 +52,12 @@ object ScaleSmoke {
     "q125_mixture_manifest", "q126_epoch_order",
     // r12: normalized decontam — replicated copies of an eval doc land
     // in different md5 split buckets (the q118/q120 caveat) — timed only
-    "q127_norm_decontam")
+    "q127_norm_decontam",
+    // r13: door-vs-batch divergence — replication makes every doc an
+    // exact-dup group (both arms drop the copies identically, so the
+    // divergence counts shift rather than scale ×factor) — timed only;
+    // the collapse-first machinery is exactly q36's mega-cluster defense
+    "q128_door_divergence")
 
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and

@@ -1101,9 +1101,17 @@ object Dedup {
       _ => memberComponentsOf(docs(s, dir)).localCheckpoint(true))
 
   private[graft] def memberComponentsOf(d: DataFrame): DataFrame = {
-    val s = d.sparkSession
-    import s.implicits._
     val (members, _, verified, sig) = lshRepGraph(d, detect = true)
+    componentsFrom(members, verified, sig)
+  }
+
+  /** The label-expansion tail of [[memberComponentsOf]], split out so a
+    * caller that already paid [[lshRepGraph]] (q128's divergence audit
+    * shares one pipeline between its two arms) never pays it twice. */
+  private def componentsFrom(members: DataFrame, verified: DataFrame,
+      sig: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
     val repPairs = verified.select($"i", $"j")
     val labels = Similarity.labelPropagate(repPairs)._1 // (id=rep, lbl)
     // shingle-less (<3-token) groups never enter the pair graph (q36
@@ -1196,6 +1204,88 @@ object Dedup {
         $"id".as("keep_id"), $"n_chars".as("keep_n_chars"),
         ($"cluster_size" - 1L).as("n_dropped"))
       .orderBy($"cluster_rep")
+  }
+
+  // --------------------------------------------------------------- q128
+  /** DOOR-vs-BATCH keeper divergence (VERDICT r12 #7): the
+    * [[graft.streaming.CurateDoor]]'s near-dup stage is CANDIDATE-grade
+    * first-wins (a band collision drops the later arrival, owner = first
+    * toucher of the bucket), while the batch refresh verifies exact
+    * Jaccard and keeps the LONGEST component member (q65). The door
+    * cannot adopt the batch keeper without buffering future arrivals —
+    * but it can be ACCOUNTED: this audit replays BOTH decision rules
+    * over one corpus (arrival order = doc_id, the door's orderCol
+    * default) and counts the docs whose kept-state differs.
+    *
+    *   door arm:  exact-canonical (min doc_id per content — the
+    *              IngestClean first-content-wins) survivors banded;
+    *              bucket owner = min doc_id; a doc collides if ANY of
+    *              its bands has an earlier owner (exactly
+    *              [[graft.streaming.CurateDoor.collide]]'s rule —
+    *              including its transitive quirk: a bucket owned by an
+    *              already-dropped doc still collides later arrivals)
+    *   batch arm: the q65 keeper — verified-Jaccard components, keep
+    *              max n_chars (tie min doc_id)
+    *
+    * Output, one row: n_docs, each arm's drop count, the agreement
+    * split, and divergence_permille = the number a door deployment
+    * quotes for "how far is my streamed corpus from the batch refresh".
+    * n_door_only are the door's false drops (candidate-grade collisions
+    * the batch would keep — recall lost at the door); n_batch_only are
+    * the door's leaks (kept at the door, dropped at the next refresh).
+    *
+    * Scale shape: reuses the capped LSH machinery (collapse → rep
+    * signatures → bands) and the memoized component labels; the door
+    * arm adds ONE (band, bkey) partial-agg min + an equi-join — no new
+    * corpus scan, no new hot key. Exact-dup members never diverge (both
+    * arms drop non-canonicals), so the interesting counts are rep-level. */
+  def q128DoorDivergence(s: SparkSession, dir: String): DataFrame =
+    doorKeeperDivergence(docs(s, dir))
+
+  def doorKeeperDivergence(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dt = d.select($"doc_id", $"text")
+    // ONE collapse + signature + verified-pair pipeline feeds BOTH arms
+    // (the checkpointed frames of lshRepGraph): the door arm re-bands
+    // the 16-long signature rows (cheap), the batch arm propagates
+    // labels over the verified pairs — the corpus is scanned once
+    val (members, _, verified, sig) = lshRepGraph(dt, detect = true)
+    // door arm: first-wins bucket ownership over the exact survivors
+    val banded = bandedOf(sig)
+      .localCheckpoint(true) // feeds owners + the collide join
+    val owners = banded.groupBy($"band", $"bkey")
+      .agg(min($"doc_id").as("owner"))
+    val doorCollide = banded.join(owners, Seq("band", "bkey"))
+      .filter($"doc_id" =!= $"owner")
+      .select($"doc_id").distinct()
+    val exactDrop = members.filter($"doc_id" =!= $"rep").select($"doc_id")
+    val doorDrop = exactDrop.union(doorCollide).distinct()
+    // batch arm: q65's keeper over the component labels — identical
+    // texts tie on n_chars so the canonical (min id) wins, hence every
+    // keeper is an exact-canonical and the non-rep clause covers exact
+    // members in both arms symmetrically
+    val labels = componentsFrom(members, verified, sig)
+    val wk = Window.partitionBy($"lbl").orderBy($"n_chars".desc, $"doc_id".asc)
+    val batchCompDrop = labels
+      .join(d.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(wk))
+      .filter($"rk" =!= 1).select($"doc_id")
+    val batchDrop = exactDrop.union(batchCompDrop).distinct()
+    dt.select($"doc_id")
+      .join(doorDrop.withColumn("dd", lit(1L)), Seq("doc_id"), "left")
+      .join(batchDrop.withColumn("bd", lit(1L)), Seq("doc_id"), "left")
+      .select(coalesce($"dd", lit(0L)).as("dd"),
+        coalesce($"bd", lit(0L)).as("bd"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"dd").as("n_door_dropped"),
+        sum($"bd").as("n_batch_dropped"),
+        sum($"dd" * $"bd").as("n_both_dropped"),
+        sum($"dd" * (lit(1L) - $"bd")).as("n_door_only"),
+        sum((lit(1L) - $"dd") * $"bd").as("n_batch_only"))
+      .withColumn("divergence_permille",
+        expr("1000L * (n_door_only + n_batch_only) div n_docs"))
   }
 
   /** Non-keeper members of every q36 near-dup component — the drop list
@@ -1757,6 +1847,7 @@ object Dedup {
     "q121_winnowing" -> (q121Winnowing _),
     "q62_cluster_sizes" -> (q62ClusterSizes _),
     "q65_keep_best" -> (q65KeepBest _),
+    "q128_door_divergence" -> (q128DoorDivergence _),
     "q77_split_leakage" -> (q77SplitLeakage _),
     "q97_dup_spans" -> (q97DupSpans _),
     "q99_span_strip" -> (q99SpanStrip _),
@@ -2103,6 +2194,50 @@ object Dedup {
         |  id AS keep_id, n_chars AS keep_n_chars,
         |  CAST(sz - 1 AS BIGINT) AS n_dropped
         |FROM m WHERE rk = 1 ORDER BY cluster_rep""".stripMargin,
+    "q128_door_divergence" ->
+      // both decision rules over the uncollapsed corpus — equivalent to
+      // the engine's staged (collapse-first) formulation because an
+      // exact twin shares every bucket with its canonical (identical
+      // signature) and never out-ranks it in the keeper window
+      // (identical n_chars, larger id), so bucket owners and component
+      // keepers are canonicals in both formulations
+      s"""$q36OracleCtes,
+        |reps AS (SELECT md5(text) th, MIN(doc_id) rep FROM documents GROUP BY 1),
+        |rp AS (SELECT doc_id, rep FROM documents dd
+        |       JOIN reps ON md5(dd.text) = th),
+        |own AS (SELECT band, bkey, MIN(doc_id) ownr FROM bands GROUP BY 1, 2),
+        |dc AS (SELECT DISTINCT b.doc_id FROM bands b
+        |       JOIN own USING (band, bkey) WHERE b.doc_id <> ownr),
+        |door_drop AS (SELECT doc_id FROM rp WHERE doc_id <> rep
+        |              UNION SELECT doc_id FROM dc),
+        |p AS (SELECT i, j FROM v WHERE $q36JaccardCond),
+        |ed AS (SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT DISTINCT i, i FROM ed
+        |    UNION
+        |    SELECT ed.i, r.lbl FROM ed JOIN r ON r.id = ed.j)
+        |  SELECT id, MIN(lbl) lbl FROM r GROUP BY id),
+        |m AS (SELECT reach.id, ROW_NUMBER() OVER (PARTITION BY reach.lbl
+        |        ORDER BY dd.n_chars DESC, reach.id ASC) rk
+        |      FROM reach JOIN documents dd ON dd.doc_id = reach.id),
+        |batch_drop AS (SELECT doc_id FROM rp WHERE doc_id <> rep
+        |               UNION SELECT id FROM m WHERE rk <> 1),
+        |fl AS (SELECT d.doc_id,
+        |         CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END door,
+        |         CASE WHEN bd.doc_id IS NOT NULL THEN 1 ELSE 0 END batch
+        |       FROM documents d
+        |       LEFT JOIN door_drop dd ON dd.doc_id = d.doc_id
+        |       LEFT JOIN batch_drop bd ON bd.doc_id = d.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(door) AS BIGINT) AS n_door_dropped,
+        |  CAST(SUM(batch) AS BIGINT) AS n_batch_dropped,
+        |  CAST(SUM(door * batch) AS BIGINT) AS n_both_dropped,
+        |  CAST(SUM(door * (1 - batch)) AS BIGINT) AS n_door_only,
+        |  CAST(SUM((1 - door) * batch) AS BIGINT) AS n_batch_only,
+        |  CAST(1000 * (SUM(door * (1 - batch)) + SUM((1 - door) * batch))
+        |    AS BIGINT) // COUNT(*) AS divergence_permille
+        |FROM fl""".stripMargin,
     "q56_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),
         |existing AS (SELECT DISTINCT h FROM d WHERE doc_id < 250),

@@ -154,6 +154,36 @@ class DedupSpec extends AnyFunSuite {
       .foreach { case (id, v) => assert(v == ((0L, 0L)), s"doc $id: $v") }
   }
 
+  test("q128 door-vs-batch divergence counts the planted keeper flips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 1/2: near-dups where the arms DISAGREE by construction — the
+    // door keeps the FIRST arrival (1), the batch keeps the LONGEST (2)
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, base),
+      (2L, base + " extra trailing tokens"),
+      (3L, "identical twin text payload here"), // exact pair: both drop 4
+      (4L, "identical twin text payload here"),
+      (5L, "a completely unrelated singleton document body"),
+      (6L, "two tokens")) // <3 shingles: no signature, passes both arms
+    val d = rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+    // precondition: the near-dup pair really is one (verified Jaccard
+    // >= 0.5 and a shared band — else the spec tests nothing)
+    val pairs = Dedup.minHashLshPairs(d.select($"doc_id", $"text"))
+      .select($"i", $"j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (3L, 4L)), pairs.toSeq.toString)
+    val got = Dedup.doorKeeperDivergence(d).collect()(0)
+    assert(got.getLong(0) == 6L, s"n_docs: $got")
+    assert(got.getLong(1) == 2L, s"door drops 2 (collided) + 4 (exact): $got")
+    assert(got.getLong(2) == 2L, s"batch drops 1 (short) + 4 (exact): $got")
+    assert(got.getLong(3) == 1L, s"both drop only the exact twin 4: $got")
+    assert(got.getLong(4) == 1L && got.getLong(5) == 1L,
+      s"one false door drop (2), one door leak (1): $got")
+    assert(got.getLong(6) == 1000L * 2 / 6, s"divergence permille: $got")
+  }
+
   test("q37 (SimHash) pairs respect the hamming bound and ordering") {
     val rows = Dedup.q37SimHash(spark, dir).collect()
     assert(rows.nonEmpty)
