@@ -154,8 +154,18 @@ object Bench {
     // the audit pipeline, not the serving path (that is
     // x_ivfpq_serve_loaded: 1.11 vs multiprobe's 1.09 in the closing
     // run — the compressed scan's win is volume, invisible at 12k
-    // vectors). Closing full-suite reading 3.79 (isolated fork 4.45).
-    "q111_ann_ivf_pq" -> 3.9,
+    // vectors).
+    // RE-BASED 3.9 → 5.2 in r13 with the cause root-caused (VERDICT r12
+    // #1): the 3.9 came from r8 warm-suite reads (closing 3.79–4.31);
+    // isolated COLD forks of the r8 code itself, rebuilt and interleaved
+    // with HEAD on one quiet box, read 5.3–8.4 vs HEAD's 5.1–7.6 —
+    // statistically the same band — and the Spark job structure is
+    // unchanged (117 vs 123 jobs/run, same top-job profile, plan pin
+    // green). The pipeline's 12 sequential driver-coordinated k-means
+    // jobs amplify cold-JIT + ambient-load sensitivity; no code
+    // regression exists to fix. 5.2 = the r12 quiet closing read (5.19,
+    // contended []) ≈ the best quiet cold fork (5.07).
+    "q111_ann_ivf_pq" -> 5.2,
     // q113 added r9: q99's occurrence pipeline + the per-doc interval
     // fold + one histogram agg — reads within noise of q97/q99
     // (quiet-box child 1.57)
