@@ -1279,13 +1279,16 @@ object Dedup {
       .select(coalesce($"dd", lit(0L)).as("dd"),
         coalesce($"bd", lit(0L)).as("bd"))
       .agg(count(lit(1)).as("n_docs"),
-        sum($"dd").as("n_door_dropped"),
-        sum($"bd").as("n_batch_dropped"),
-        sum($"dd" * $"bd").as("n_both_dropped"),
-        sum($"dd" * (lit(1L) - $"bd")).as("n_door_only"),
-        sum((lit(1L) - $"dd") * $"bd").as("n_batch_only"))
+        coalesce(sum($"dd"), lit(0L)).as("n_door_dropped"),
+        coalesce(sum($"bd"), lit(0L)).as("n_batch_dropped"),
+        coalesce(sum($"dd" * $"bd"), lit(0L)).as("n_both_dropped"),
+        coalesce(sum($"dd" * (lit(1L) - $"bd")), lit(0L)).as("n_door_only"),
+        coalesce(sum((lit(1L) - $"dd") * $"bd"), lit(0L)).as("n_batch_only"))
+      // empty-corpus convention (EmptyCorpusSpec): one all-zero row, not
+      // nulls — and the division is guarded, mirrored in the twin
       .withColumn("divergence_permille",
-        expr("1000L * (n_door_only + n_batch_only) div n_docs"))
+        when($"n_docs" === 0L, lit(0L))
+          .otherwise(expr("1000L * (n_door_only + n_batch_only) div n_docs")))
   }
 
   /** Non-keeper members of every q36 near-dup component — the drop list
@@ -2230,13 +2233,15 @@ object Dedup {
         |       LEFT JOIN door_drop dd ON dd.doc_id = d.doc_id
         |       LEFT JOIN batch_drop bd ON bd.doc_id = d.doc_id)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(door) AS BIGINT) AS n_door_dropped,
-        |  CAST(SUM(batch) AS BIGINT) AS n_batch_dropped,
-        |  CAST(SUM(door * batch) AS BIGINT) AS n_both_dropped,
-        |  CAST(SUM(door * (1 - batch)) AS BIGINT) AS n_door_only,
-        |  CAST(SUM((1 - door) * batch) AS BIGINT) AS n_batch_only,
-        |  CAST(1000 * (SUM(door * (1 - batch)) + SUM((1 - door) * batch))
-        |    AS BIGINT) // COUNT(*) AS divergence_permille
+        |  CAST(COALESCE(SUM(door), 0) AS BIGINT) AS n_door_dropped,
+        |  CAST(COALESCE(SUM(batch), 0) AS BIGINT) AS n_batch_dropped,
+        |  CAST(COALESCE(SUM(door * batch), 0) AS BIGINT) AS n_both_dropped,
+        |  CAST(COALESCE(SUM(door * (1 - batch)), 0) AS BIGINT) AS n_door_only,
+        |  CAST(COALESCE(SUM((1 - door) * batch), 0) AS BIGINT) AS n_batch_only,
+        |  CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(1000 * (COALESCE(SUM(door * (1 - batch)), 0)
+        |      + COALESCE(SUM((1 - door) * batch), 0))
+        |      AS BIGINT) // COUNT(*) END AS divergence_permille
         |FROM fl""".stripMargin,
     "q56_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),

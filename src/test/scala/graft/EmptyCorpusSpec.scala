@@ -48,10 +48,11 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // timestamps (q15), mapPartitions sketch (q81), ANSI division
     // guards (q31), LSH (q36), iterative graph (q88), FK audit (q92 —
     // emits its 7 constraint rows with zero counts), census scalars (q93)
-    val expectRows = Map("q92_fk_audit" -> 7L, "q93_triangle_census" -> 1L)
+    val expectRows = Map("q92_fk_audit" -> 7L, "q93_triangle_census" -> 1L,
+      "q128_door_divergence" -> 1L) // one all-zero audit row, guarded div
     Seq("q44_ann_ivf_recall", "q15_sessionize", "q81_heavy_hitters",
       "q31_quality", "q36_minhash_lsh", "q88_textrank", "q92_fk_audit",
-      "q93_triangle_census").foreach { n =>
+      "q93_triangle_census", "q128_door_divergence").foreach { n =>
       val c = SparkEntry.queries(n)(spark, emptyDir).count()
       assert(c == expectRows.getOrElse(n, 0L), s"$n returned $c rows")
     }
