@@ -59,6 +59,12 @@ object ScaleSmoke {
     // the collapse-first machinery is exactly q36's mega-cluster defense
     "q128_door_divergence")
 
+  /** Embedding-suite coverage (r13): replicated embeddings with offset
+    * ids — replicas TIE on cosine and reshuffle ranks (the q124 caveat),
+    * so these are timed-only; the point is the top-k scan and the
+    * pool-bounded tail staying flat. */
+  private val embeddingQueries = Seq("q129_mmr_diversify")
+
   /** Event-suite coverage (r5): replicated events with DISJOINT user-id
     * copies — time windows share keys (counts ×factor), sessions and
     * transitions replicate per-copy. Exercises the window/sessionize/lag
@@ -131,7 +137,8 @@ object ScaleSmoke {
     // q89/q92 run against their purpose-built scaled dirs (see above).
     val specialDirs = Map("q89_containment" -> q89Dir, "q92_fk_audit" -> q92Dir)
     val prefixes = args.lift(3).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-    val allQueries = (linearQueries ++ eventQueries ++ specialDirs.keys.toSeq.sorted)
+    val allQueries = (linearQueries ++ eventQueries ++ embeddingQueries ++
+        specialDirs.keys.toSeq.sorted)
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
     require(allQueries.nonEmpty, s"no query matches filter $prefixes")
     allQueries.foreach(time(_, sfDir))

@@ -80,7 +80,7 @@ object Similarity {
   }
 
   /** The exact brute-force arm: broadcast queries × full corpus. */
-  private[operators] def exactTopK(base: DataFrame, k: Int = 5): DataFrame =
+  private[graft] def exactTopK(base: DataFrame, k: Int = 5): DataFrame =
     cosineTopK(base.join(broadcast(querySide(base)),
       col("vec_id") =!= col("qid")), k)
 
@@ -88,6 +88,88 @@ object Similarity {
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def q38AnnBrute(s: SparkSession, dir: String): DataFrame =
     exactTopK(scaled(s, dir), k = 5).orderBy(col("qid"), col("rk"))
+
+  // --------------------------------------------------------------- q129
+  /** MMR trade-off weight λ, candidate pool per query, selected count.
+    * (1−λ) is its own explicit literal: `1.0 - 0.7` rounds to
+    * 0.30000000000000004 while both engines parse "0.3" to a DIFFERENT
+    * double — the twin must share the parsed literal, not the
+    * arithmetic. */
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+  val MmrPool = 10
+  val MmrK = 5
+
+  /** q129: MMR result DIVERSIFICATION — the published greedy
+    * maximal-marginal-relevance re-rank (Carbonell & Goldstein '98, the
+    * standard RAG-serving step after top-k retrieval): from each
+    * query's top-[[MmrPool]] cosine candidates, greedily select
+    * [[MmrK]] maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s),
+    * so near-duplicate hits stop crowding the result page. Output
+    * (qid, rk, nid, mmr) in selection order.
+    *
+    * Shape: the greedy is unrolled as K dataframe steps (the q88
+    * unrolled-iteration convention) — each step one anti-join + one
+    * bounded (qid-keyed) max + one WindowGroupLimit pick. Everything
+    * downstream of the top-k is POOL-bounded per query (pool² pairwise
+    * rows), partition-parallel across queries, zero further corpus
+    * scans — exactly the work a serving tier pays per query batch.
+    * Exactness: sims are integer dots < 2⁵³ through correctly-rounded
+    * sqrt/div, the score one mul + one fused subtract of literals both
+    * engines parse identically — the DuckDB twin replays the greedy
+    * hash-exact. */
+  def q129MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val base = scaled(s, dir)
+    mmrDiversify(exactTopK(base, MmrPool), base, MmrK)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Greedy MMR over a (qid, nid, sim) candidate frame; `base`
+    * supplies candidate vectors for the pairwise arm. Candidates and
+    * pairwise sims are checkpointed once (pool-sized per query) and the
+    * K steps run over them; `selected` re-checkpoints per step so the
+    * growing plan stays flat (the labelPropagate discipline). */
+  private[graft] def mmrDiversify(cand: DataFrame, base: DataFrame,
+      k: Int): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = cand.select($"qid", $"nid", $"sim")
+      .join(base.select($"vec_id".as("nid"), $"e", $"nrm"), "nid")
+      .localCheckpoint(true) // pool-sized × #queries; feeds pairs + steps
+    val pairs = c.as("a").join(c.as("b"),
+        $"a.qid" === $"b.qid" && $"a.nid" =!= $"b.nid")
+      .select($"a.qid".as("qid"), $"a.nid".as("i"), $"b.nid".as("j"),
+        safeCos(DotLongs($"a.e", $"b.e"), $"a.nrm" * $"b.nrm").as("psim"))
+      .localCheckpoint(true) // pool² × #queries
+    val slim = c.select($"qid", $"nid", $"sim")
+    val w = Window.partitionBy($"qid").orderBy($"mmr".desc, $"nid".asc)
+    var selected = slim
+      .withColumn("mmr", lit(MmrLambda) * $"sim") // nothing selected yet
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select($"qid", $"nid", lit(1L).as("rk"), $"mmr")
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val rem = slim.join(selected.select($"qid", $"nid"),
+        Seq("qid", "nid"), "left_anti")
+      // every remaining candidate has a pairwise row to every selected
+      // one (the pool self-join), so the inner joins lose nothing
+      val maxPrev = pairs
+        .join(selected.select($"qid", $"nid".as("j")), Seq("qid", "j"))
+        .groupBy($"qid", $"i")
+        .agg(max($"psim").as("maxprev"))
+        .select($"qid", $"i".as("nid"), $"maxprev")
+      val pick = rem.join(maxPrev, Seq("qid", "nid"))
+        .withColumn("mmr",
+          lit(MmrLambda) * $"sim" - lit(MmrOneMinusLambda) * $"maxprev")
+        .withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1)
+        .select($"qid", $"nid", lit(step.toLong).as("rk"), $"mmr")
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    selected
+  }
 
   /** Deterministic Rademacher hyperplanes (md5-derived ±1 components),
     * computed once on the driver — literal constants in the plan, a
@@ -1376,6 +1458,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ann_brute" -> (q38AnnBrute _),
+    "q129_mmr_diversify" -> (q129MmrDiversify _),
     "q39_ann_lsh_recall" -> (q39AnnLshRecall _),
     "q43_embedding_dedup" -> (q43EmbeddingDedup _),
     "q44_ann_ivf_recall" -> (q44AnnIvfRecall _),
@@ -1778,6 +1861,59 @@ object Similarity {
         |      FROM p)
         |SELECT qid, nid, CAST(rk AS BIGINT) AS rk, sim FROM r
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q129_mmr_diversify" -> {
+      // the greedy unrolled as CTE steps, mirroring the engine's k
+      // dataframe steps: u{k} = selections so far, m{k} = remaining
+      // candidates with their max pairwise sim against u{k-1}, s{k} =
+      // that step's argmax pick (λ·sim − (1−λ)·max, ties → min nid).
+      // λ and (1−λ) are the SAME parsed literals as the engine's
+      // (0.7 / 0.3 — never computed as 1.0−0.7, which rounds
+      // differently than parse("0.3")).
+      val steps = (2 to MmrK).map { k =>
+        s"""m$k AS (SELECT c.qid, c.nid, c.sim, MAX(pr.psim) mp
+           |  FROM cand c
+           |  JOIN pr ON pr.qid = c.qid AND pr.i = c.nid
+           |  JOIN u${k - 1} u ON u.qid = pr.qid AND u.nid = pr.j
+           |  WHERE NOT EXISTS (SELECT 1 FROM u${k - 1} x
+           |                    WHERE x.qid = c.qid AND x.nid = c.nid)
+           |  GROUP BY c.qid, c.nid, c.sim),
+           |s$k AS (SELECT qid, nid, CAST($k AS BIGINT) rk, mmr FROM (
+           |    SELECT qid, nid, $MmrLambda * sim - $MmrOneMinusLambda * mp mmr,
+           |      ROW_NUMBER() OVER (PARTITION BY qid
+           |        ORDER BY $MmrLambda * sim - $MmrOneMinusLambda * mp DESC,
+           |          nid ASC) rn
+           |    FROM m$k) WHERE rn = 1),
+           |u$k AS (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM s$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$scaledCte,
+        |p AS (SELECT q.vec_id qid, c.vec_id nid,
+        |        CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+        |          ELSE list_inner_product(list_transform(q.e, x -> CAST(x AS DOUBLE)),
+        |                                  list_transform(c.e, x -> CAST(x AS DOUBLE)))
+        |            / (q.nrm * c.nrm) END sim
+        |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT qid, nid, sim FROM (
+        |    SELECT qid, nid, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rn
+        |    FROM p) WHERE rn <= $MmrPool),
+        |pr AS (SELECT a.qid, a.nid i, b.nid j,
+        |        CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+        |          ELSE list_inner_product(list_transform(na.e, x -> CAST(x AS DOUBLE)),
+        |                                  list_transform(nb.e, x -> CAST(x AS DOUBLE)))
+        |            / (na.nrm * nb.nrm) END psim
+        |      FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+        |      JOIN n na ON na.vec_id = a.nid
+        |      JOIN n nb ON nb.vec_id = b.nid),
+        |s1 AS (SELECT qid, nid, CAST(1 AS BIGINT) rk, $MmrLambda * sim mmr FROM (
+        |    SELECT qid, nid, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY $MmrLambda * sim DESC, nid ASC) rn
+        |    FROM cand) WHERE rn = 1),
+        |u1 AS (SELECT * FROM s1),
+        |$steps
+        |SELECT qid, rk, nid, mmr FROM u$MmrK ORDER BY qid, rk""".stripMargin
+    },
     "q43_embedding_dedup" -> pairwiseDedupSql,
     "q45_embedding_dedup_blocked" -> pairwiseDedupSql,
     "q107_semantic_dedup" ->

@@ -873,6 +873,51 @@ class RangeJoinSpec extends AnyFunSuite {
       (Similarity.CurveNprobes.size * Similarity.CurveShortlists.size).toLong)
   }
 
+  /** q129 MMR diversification: the greedy must actually TRADE relevance
+    * for diversity — planted: the query's top-2 candidates are
+    * near-duplicates of each other (1° apart), a third sits on the
+    * OTHER side of the query (52° from the pair) with slightly lower
+    * relevance. Plain top-k orders (10, 11, 12); MMR must pick the
+    * diverse 12 at rank 2 and demote the redundant twin 11 to rank 3.
+    * Plus the monotonicity theorem on the real corpus: per query, mmr
+    * scores are non-increasing in rank (remaining shrinks and penalties
+    * grow, so each step's max can only fall). */
+  test("q129 MMR demotes the redundant twin and scores non-increasing") {
+    import spark.implicits._
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val emb = Seq(
+      (0L, v(0.0)),   // the query
+      (10L, v(25.0)), // most relevant
+      (11L, v(26.0)), // near-duplicate of 10 (1 degree apart)
+      (12L, v(-27.0)) // diverse: 52 degrees from the 10/11 pair
+    ).toDF("vec_id", "embedding")
+    val base = Similarity.scaledOf(emb)
+    val got = Similarity
+      .mmrDiversify(Similarity.exactTopK(base, Similarity.MmrPool),
+        base, Similarity.MmrK)
+      .orderBy($"qid", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))) // (qid, nid, mmr)
+    assert(got.map(_._2).toSeq == Seq(10L, 12L, 11L),
+      s"MMR must order (relevant, diverse, twin): ${got.toSeq}")
+    // top-k WITHOUT the diversity term orders the twin second
+    val plain = Similarity.exactTopK(base, 3).orderBy($"qid", $"rk")
+      .collect().map(_.getLong(1))
+    assert(plain.toSeq == Seq(10L, 11L, 12L), plain.toSeq.toString)
+    // monotonicity on the real corpus
+    val real = Similarity.q129MmrDiversify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))) // (qid, rk, mmr)
+      .groupBy(_._1)
+    real.foreach { case (q, rows) =>
+      val scores = rows.sortBy(_._2).map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"qid $q mmr not non-increasing: ${scores.toSeq}")
+    }
+    assert(real.forall(_._2.length == Similarity.MmrK))
+  }
+
   /** Drift-gate AUTOMATION (VERDICT r12 #5): `audit --fail-over <p>`
     * turns the distortion report into a cron-consumable verdict. Exit
     * contract: 0 = within threshold, 3 = drifted (re-freeze), 2 = usage,
