@@ -470,6 +470,14 @@ object Bench {
       graft.operators.Similarity.pqServeQuery(s, dir, pqPath(s, dir))
         .write.format("noop").mode("overwrite").save()
     }),
+    // x_mmr_serve_loaded (r13): q129's loaded twin — the saved-index
+    // serve (ADC + exact re-rank, top-10 pool) plus the 5-step greedy
+    // MMR re-rank; its delta vs x_ivfpq_serve_loaded is what result
+    // diversification costs a serving tier per query batch.
+    "x_mmr_serve_loaded" -> ((s, dir) => {
+      graft.operators.Similarity.mmrServeQuery(s, dir, pqPath(s, dir))
+        .write.format("noop").mode("overwrite").save()
+    }),
     // x_perceptual_pairs_loaded (r12): the q117 corpus sweep FROM the
     // saved descriptor index — multiprobe value-grid candidates + exact
     // verify, no payload decode and no all-pairs grid join. Its delta

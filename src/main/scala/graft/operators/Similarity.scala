@@ -134,8 +134,11 @@ object Similarity {
     val s = cand.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val c = cand.select($"qid", $"nid", $"sim")
-      .join(base.select($"vec_id".as("nid"), $"e", $"nrm"), "nid")
+    // the pool is broadcastable BY CONTRACT (one result page per
+    // query), so the candidate-vector fetch is one corpus scan with a
+    // broadcast join — never a corpus shuffle
+    val c = base.select($"vec_id".as("nid"), $"e", $"nrm")
+      .join(broadcast(cand.select($"qid", $"nid", $"sim")), "nid")
       .localCheckpoint(true) // pool-sized × #queries; feeds pairs + steps
     val pairs = c.as("a").join(c.as("b"),
         $"a.qid" === $"b.qid" && $"a.nid" =!= $"b.nid")
@@ -166,7 +169,11 @@ object Similarity {
         .withColumn("_rn", row_number().over(w))
         .filter($"_rn" === 1)
         .select($"qid", $"nid", lit(step.toLong).as("rk"), $"mmr")
-      selected = selected.union(pick).localCheckpoint(true)
+      selected = selected.union(pick)
+      // the growing frame feeds the NEXT step twice (anti-join +
+      // penalty join) — checkpoint keeps the plan flat; the final
+      // union has no further consumer and skips the barrier
+      if (step < k) selected = selected.localCheckpoint(true)
     }
     selected
   }
@@ -926,6 +933,25 @@ object Similarity {
     val enc = s.read.parquet(s"$indexPath/enc")
     pqAnn(scaled(s, dir), enc, cents, books, nprobe, shortlist, k, qids)
       .orderBy($"qid", $"rk")
+  }
+
+  /** Diversified SERVING from the saved compressed index:
+    * [[pqServeQuery]]'s top-[[MmrPool]] (ADC shortlist + exact re-rank
+    * over the persisted codes) fed through [[mmrDiversify]] — the
+    * re-rank a result page pays after retrieval (q129's loaded twin).
+    * Candidate vectors come from a pool-sized equi-join against the
+    * corpus, the same shortlist-fetch discipline the serve path itself
+    * uses; everything past the ADC scan is pool-bounded per query.
+    * Composes with the r13 `qids` restriction: a batch asking for a
+    * subset of the standing queries diversifies only those. */
+  def mmrServeQuery(s: SparkSession, dir: String, indexPath: String,
+      k: Int = MmrK, pool: Int = MmrPool,
+      nprobe: Int = MultiprobeNprobe, shortlist: Int = PqShortlist,
+      qids: Option[Seq[Long]] = None): DataFrame = {
+    import s.implicits._
+    val cand = pqServeQuery(s, dir, indexPath, pool, nprobe, shortlist, qids)
+      .select($"qid", $"nid", $"sim")
+    mmrDiversify(cand, scaled(s, dir), k).orderBy($"qid", $"rk")
   }
 
   private[graft] def ivfPqRecall(s: SparkSession, dir: String,

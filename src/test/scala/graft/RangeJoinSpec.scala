@@ -918,6 +918,38 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(real.forall(_._2.length == Similarity.MmrK))
   }
 
+  /** mmrServeQuery — q129's loaded twin: the saved-index serve pool fed
+    * through the same greedy. Pins the composition contract: MMR's
+    * rank-1 is the serve path's top hit (step 1 is pure relevance),
+    * every selection comes from the served pool, each standing query
+    * gets exactly MmrK rows, and the r13 qids restriction composes
+    * (sub-batch output ≡ the filtered full serve — per-qid greedy). */
+  test("MMR serving from the saved PQ index composes with the qid restriction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mmrserve").toString
+    Similarity.savePqIndex(spark, dir, s"$tmp/idx")
+    val pool = Similarity.pqServeQuery(spark, dir, s"$tmp/idx",
+        k = Similarity.MmrPool).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Similarity.mmrServeQuery(spark, dir, s"$tmp/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byQ = full.groupBy(_._1)
+    assert(byQ.keySet == pool.map(_._1).toSet &&
+      byQ.values.forall(_.length == Similarity.MmrK),
+      s"every standing query diversifies to MmrK rows: ${byQ.view.mapValues(_.length).toMap}")
+    val top1 = pool.filter(_._3 == 1L).map(x => (x._1, x._2)).toSet
+    assert(full.filter(_._3 == 1L).map(x => (x._1, x._2)).toSet == top1,
+      "MMR rank 1 must be the serve path's top hit")
+    val poolSet = pool.map(x => (x._1, x._2)).toSet
+    assert(full.forall(x => poolSet((x._1, x._2))),
+      "every MMR selection must come from the served pool")
+    val sub = Similarity.mmrServeQuery(spark, dir, s"$tmp/idx",
+        qids = Some(Seq(2L, 7L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sub == full.filter(x => Set(2L, 7L)(x._1)),
+      "sub-batch MMR serve must equal the filtered full serve")
+  }
+
   /** Drift-gate AUTOMATION (VERDICT r12 #5): `audit --fail-over <p>`
     * turns the distortion report into a cron-consumable verdict. Exit
     * contract: 0 = within threshold, 3 = drifted (re-freeze), 2 = usage,
