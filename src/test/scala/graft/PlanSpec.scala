@@ -53,6 +53,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("q129: greedy steps run over checkpoints; picks are WindowGroupLimit") {
+    val df = castToImpl(SparkEntry.queries("q129_mmr_diversify")(spark, dir))
+    val p = df.queryExecution.executedPlan.toString
+    // every corpus-touching frame (pool fetch, pairwise sims) is paid
+    // once behind a checkpoint — no greedy step may reach back to the
+    // parquet scan (the q88 iteration discipline)
+    assert(!p.contains("FileScan"),
+      s"a greedy step recomputes a corpus scan\n${p.take(1200)}")
+    assert(p.contains("Scan ExistingRDD"), p.take(500))
+    // the per-step argmax pick is a rank-1 cut — must plan as the
+    // WindowGroupLimit partial top-1, never a full per-qid sort
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("q88: iteration subtrees reuse exchanges; top-20 is TakeOrdered") {
     val df = castToImpl(SparkEntry.queries("q88_textrank")(spark, dir))
     assert(df.queryExecution.executedPlan.toString
