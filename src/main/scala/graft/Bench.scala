@@ -57,7 +57,7 @@ object Bench {
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
     "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
     "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam",
-    "q128_door_divergence", "q129_mmr_diversify")
+    "q128_door_divergence", "q129_mmr_diversify", "q130_dropout_presence")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -240,7 +240,10 @@ object Bench {
     // q129 added r13: MMR diversification — the q38 exact top-10 arm +
     // pool-bounded pairwise sims + 5 unrolled greedy steps (isolated
     // child 1.91/2.41, loadavg ~2)
-    "q129_mmr_diversify" -> 2.2)
+    "q129_mmr_diversify" -> 2.2,
+    // q130 added r13: last-closed-hour presence audit — one rollup
+    // aggregate + a #types left join (isolated child 0.64/0.73)
+    "q130_dropout_presence" -> 0.7)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -72,7 +72,11 @@ object ScaleSmoke {
   private val eventQueries = Seq(
     "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill",
     "q105_anomaly_hours", "q106_series_transforms", "q108_rolling_users",
-    "q109_theil_sen", "q110_theil_sen_sampled")
+    "q109_theil_sen", "q110_theil_sen_sampled",
+    // r13: replicated copies keep every (ts, type), so the last-hour
+    // presence counts scale exactly ×factor — timed here, the exact
+    // invariant rides the q74-style replication property
+    "q130_dropout_presence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -382,6 +382,47 @@ object Relational {
       .orderBy($"event_type", $"wstart")
   }
 
+  // --------------------------------------------------------------- q130
+  /** q130: the LAST-CLOSED-HOUR presence audit — ONE shared definition
+    * with [[graft.streaming.StreamingDropout]] (the q105-family dropout
+    * half, VERDICT r12 #4): one row per expected type with its event
+    * count at the NEWEST hour of the rollup; `n_events = 0` IS the
+    * dropout alert set the streaming watcher fires on. Registered as
+    * its own oracle query so the batch twin of the door's dropout
+    * semantics is hash-checked, not just spec-asserted. Cost: one
+    * filtered rollup hour + a #types-row left join — the rollup is
+    * time-range × #types sized, never raw events. */
+  def q130DropoutPresence(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    lastHourPresenceOf(hourBuckets(ev), ev.select(col("event_type")))
+  }
+
+  /** One row per expected type: (event_type, h = the newest bucket
+    * hour, n_events at that hour; 0 = dropout). Empty rollup → empty
+    * frame: no closed hour means nothing is judgeable yet (the
+    * feed-level-blackout case StreamingDropout documents). */
+  private[graft] def lastHourPresenceOf(buckets: DataFrame,
+      expectedTypes: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val base = buckets.select($"event_type", $"h", $"n").localCheckpoint(true)
+    val mx = base.agg(max($"h")).collect()(0) // 1-value driver read
+    if (mx.isNullAt(0))
+      expectedTypes
+        .select($"event_type", lit(0L).as("h"), lit(0L).as("n_events"))
+        .limit(0)
+    else {
+      val h = mx.getLong(0)
+      expectedTypes.select($"event_type").distinct()
+        .join(base.filter($"h" === h)
+            .groupBy($"event_type").agg(sum($"n").as("_n")),
+          Seq("event_type"), "left")
+        .select($"event_type", lit(h).as("h"),
+          coalesce($"_n", lit(0L)).as("n_events"))
+        .orderBy($"event_type")
+    }
+  }
+
   /** Per-type (med_n, mad_n) thresholds from a dense (wstart,
     * event_type, n) grid — q105's statistic, shared with
     * [[graft.streaming.StreamingAnomaly]]'s at-the-door alerting. */
@@ -1219,6 +1260,7 @@ object Relational {
     "q14_time_window" -> (q14TimeWindow _),
     "q103_gapfill" -> (q103Gapfill _),
     "q105_anomaly_hours" -> (q105AnomalyHours _),
+    "q130_dropout_presence" -> (q130DropoutPresence _),
     "q106_series_transforms" -> (q106SeriesTransforms _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
@@ -1548,6 +1590,17 @@ object Relational {
         |SELECT strftime(make_timestamp(h * ${GapfillHourUs}), '%Y-%m-%d %H:%M:%S')
         |    AS wstart, event_type, n, sum_value, mean_prev
         |FROM f ORDER BY wstart, event_type""".stripMargin,
+    "q130_dropout_presence" ->
+      s"""WITH b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h, event_type
+        |  FROM events),
+        |mx AS (SELECT MAX(h) m FROM b),
+        |att AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n
+        |        FROM b JOIN mx ON b.h = mx.m GROUP BY 1)
+        |SELECT t.event_type, CAST(mx.m AS BIGINT) AS h,
+        |  COALESCE(att.n, CAST(0 AS BIGINT)) AS n_events
+        |FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN mx
+        |LEFT JOIN att USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q105_anomaly_hours" ->
       // the lower-median rank picks a VALUE of the multiset, so the
       // within-ties order convention cannot matter; (cnt+1)//2 on

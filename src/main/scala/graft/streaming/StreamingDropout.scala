@@ -32,26 +32,21 @@ object StreamingDropout {
 
   /** One (event_type, h) alert row per expected type with NO finalized
     * bucket at the newest closed hour of `rollup` (= max h over the
-    * finalized (h, event_type, …) rows the downsample emitted).
+    * finalized (h, event_type, n, …) rows the downsample emitted).
     * `expectedTypes` is any frame with an `event_type` column — pass
     * [[StreamingAnomaly.thresholds]]' output. An empty rollup has no
     * closed hour yet: nothing is judgeable, the result is empty (the
-    * feed-level-blackout case documented above). */
-  def dropouts(rollup: DataFrame, expectedTypes: DataFrame): DataFrame = {
-    val s = rollup.sparkSession
-    import s.implicits._
-    val base = rollup.select($"event_type", $"h").localCheckpoint(true)
-    val mx = base.agg(max($"h")).collect()(0) // 1-value driver read
-    if (mx.isNullAt(0))
-      expectedTypes.select($"event_type", lit(0L).as("h")).limit(0)
-    else {
-      val h = mx.getLong(0)
-      expectedTypes.select($"event_type").distinct()
-        .join(base.filter($"h" === h), Seq("event_type"), "left_anti")
-        .select($"event_type", lit(h).as("h"))
-        .orderBy($"event_type")
-    }
-  }
+    * feed-level-blackout case documented above).
+    *
+    * ONE definition with the batch q130 presence audit
+    * ([[graft.operators.Relational.lastHourPresenceOf]], hash-checked
+    * against DuckDB): the alert set is exactly its n_events = 0 rows —
+    * the medianThresholds sharing convention, so door and batch can
+    * never drift. */
+  def dropouts(rollup: DataFrame, expectedTypes: DataFrame): DataFrame =
+    graft.operators.Relational.lastHourPresenceOf(rollup, expectedTypes)
+      .filter(col("n_events") === 0L)
+      .select(col("event_type"), col("h"))
 
   /** The driver-side watcher: re-runs [[dropouts]] after every
     * micro-batch of the named downsample query that finalized new rows
