@@ -81,4 +81,18 @@ object StreamingPqServe {
       .select(col("qid"), col("qe"), col("qn"), col("vec_id"))
     Similarity.cosineTopK(sl.join(base, "vec_id"), k)
   }
+
+  /** DIVERSIFIED per-batch serve — q129's continuous twin, completing
+    * the serving symmetry (every other serving path has a streaming
+    * twin): the batch's top-[[Similarity.MmrPool]] from [[serveBatch]]
+    * fed through the SHARED greedy [[Similarity.mmrDiversify]], so a
+    * streamed query diversifies to exactly the rows the batch
+    * [[Similarity.mmrServeQuery]] computes for it. Per-qid greedy ⇒
+    * batches compose; zero cross-batch state, restart is offset-log
+    * only. */
+  def serveBatchDiversified(candBatch: DataFrame, base: DataFrame,
+      k: Int = Similarity.MmrK, pool: Int = Similarity.MmrPool,
+      shortlist: Int = Similarity.PqShortlist): DataFrame =
+    Similarity.mmrDiversify(
+      serveBatch(candBatch, base, pool, shortlist), base, k)
 }

@@ -1455,6 +1455,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** StreamingMMR serve — q129's continuous twin: streamed queries
+    * diversified per micro-batch against the saved compressed index
+    * must produce, query for query, exactly the batch mmrServeQuery
+    * rows (per-qid greedy ⇒ batches compose), and a bounce re-serves
+    * only the unserved queries. */
+  test("streaming diversified serve matches the batch MMR arm across a restart") {
+    val sfDir = "/root/testdata/sf0.001"
+    val idxPath = Files.createTempDirectory("mmr_serve_idx").toString + "/pq"
+    graft.operators.Similarity.savePqIndex(spark, sfDir, idxPath)
+    val (cents, books) = graft.operators.Similarity.loadPqIndex(spark, idxPath)
+    val enc = graft.streaming.StreamingPqServe.encodedCorpus(spark, idxPath)
+    val base = graft.operators.Similarity.scaled(spark, sfDir)
+    val streamDir = Files.createTempDirectory("mmr_serve_in")
+    val ckpt = Files.createTempDirectory("mmr_serve_ckpt")
+    val emb = graft.util.Tables(spark, sfDir, "embeddings")
+    def writeBatch(lo: Long, hi: Long): Unit = emb
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id".as("qid"), $"embedding")
+      .write.mode("append").parquet(streamDir.toString)
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("qid LONG, embedding ARRAY<FLOAT>")
+        .parquet(streamDir.toString)
+      graft.streaming.StreamingPqServe.adcCandidates(stream, enc, cents, books)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.StreamingPqServe
+            .serveBatchDiversified(batch.toDF(), base)
+            .collect().foreach(r =>
+              served.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    writeBatch(0L, 5L)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterB1 = served.toArray(Array.empty[(Long, Long, Long, Double)]).toSeq
+    assert(afterB1.nonEmpty && afterB1.forall(_._1 < 5L),
+      s"pre-restart batch must serve only qids 0-4: ${afterB1.map(_._1).distinct}")
+    writeBatch(5L, 10L)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val all = served.toArray(Array.empty[(Long, Long, Long, Double)]).toSeq
+      val afterRestart = all.diff(afterB1)
+      assert(afterRestart.nonEmpty && afterRestart.forall(_._1 >= 5L),
+        s"restart re-served pre-restart qids: ${afterRestart.map(_._1).distinct}")
+      val batchArm = graft.operators.Similarity
+        .mmrServeQuery(spark, sfDir, idxPath)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(all.toSet == batchArm,
+        s"streaming MMR serve diverges from the batch arm: " +
+          s"missing=${(batchArm -- all.toSet).take(3)} extra=${(all.toSet -- batchArm).take(3)}")
+      assert(all.size == all.toSet.size, "a query was served twice")
+    } finally {
+      q2.stop()
+      enc.unpersist()
+    }
+  }
+
   /** VERDICT r9 #7, the composed curate DOOR: the at-the-door twins
     * (clean → stream near-dup → dup-existing → vs-base near-dup →
     * decontam → q116 strip → redact) wired into ONE ingest pipeline,
