@@ -403,8 +403,15 @@ object CleanPipeline {
     val gopherRules =
       if (gi >= 0) args(gi + 1).split(",").toSeq.filter(_.nonEmpty)
       else Seq.empty[String]
+    // --door-divergence: after the refresh, print the q128 door-vs-batch
+    // keeper accounting ([[graft.operators.Dedup.doorKeeperDivergence]])
+    // — the number a door deployment quotes for how far its streamed
+    // corpus sits from this batch answer (VERDICT r12 #7; the audit
+    // itself is oracle- and spec-gated as q128)
+    val doorDiv = args.contains("--door-divergence")
     val pos = args.zipWithIndex.collect {
       case (a, i) if a != "--full" && a != "--lm-tail-filter" &&
+        a != "--door-divergence" &&
         (mi < 0 || (i != mi && i != mi + 1)) &&
         (gi < 0 || (i != gi && i != gi + 1)) => a
     }
@@ -441,6 +448,12 @@ object CleanPipeline {
       acct.show(100, truncate = false)
       summary.show(100, truncate = false)
     } else run(spark, inDir, table, buckets).show(100, truncate = false)
+    if (doorDiv) {
+      println("[door-divergence] door first-wins vs batch keeper, this corpus:")
+      graft.operators.Dedup.doorKeeperDivergence(
+          graft.util.Tables(spark, inDir, "documents"))
+        .show(truncate = false)
+    }
     spark.stop()
   }
 }
