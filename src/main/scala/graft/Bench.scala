@@ -57,7 +57,8 @@ object Bench {
     "q119_gopher_rules", "q120_eval_overlap", "q121_winnowing",
     "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
     "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam",
-    "q128_door_divergence", "q129_mmr_diversify", "q130_dropout_presence")
+    "q128_door_divergence", "q129_mmr_diversify", "q130_dropout_presence",
+    "q131_quality_classifier", "q132_classifier_auc")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -243,7 +244,13 @@ object Bench {
     "q129_mmr_diversify" -> 2.2,
     // q130 added r13: last-closed-hour presence audit — one rollup
     // aggregate + a #types left join (isolated child 0.64/0.73)
-    "q130_dropout_presence" -> 0.7)
+    "q130_dropout_presence" -> 0.7,
+    // q131/q132 added r13: trained quality classifier — one token
+    // explode into the checkpointed 257-cell feature frame, 3 training
+    // epochs + calibration, rollup / exact AUC off the scores
+    // checkpoint (isolated child 2.72/3.22 and 1.87/2.29, loadavg ~1.5)
+    "q131_quality_classifier" -> 3.0,
+    "q132_classifier_auc" -> 2.1)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

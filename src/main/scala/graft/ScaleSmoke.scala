@@ -57,7 +57,13 @@ object ScaleSmoke {
     // exact-dup group (both arms drop the copies identically, so the
     // divergence counts shift rather than scale ×factor) — timed only;
     // the collapse-first machinery is exactly q36's mega-cluster defense
-    "q128_door_divergence")
+    "q128_door_divergence",
+    // r13: trained quality classifier — replicated copies land in
+    // different md5 split buckets (the q118/q127 caveat), so the train
+    // set and the learned weights shift rather than scale — timed only;
+    // the point is the bounded feature frame and the epoch passes
+    // staying linear
+    "q131_quality_classifier", "q132_classifier_auc")
 
   /** Embedding-suite coverage (r13): replicated embeddings with offset
     * ids — replicas TIE on cosine and reshuffle ranks (the q124 caveat),

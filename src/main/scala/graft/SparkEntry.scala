@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextOps, Dedup, Similarity, Multimodal, AprsAnalog, CustomFns}
+import graft.operators.{Relational, TextOps, Dedup, Similarity, Multimodal, AprsAnalog, CustomFns, Classifier}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ AprsAnalog.queries ++
-      CustomFns.queries
+      CustomFns.queries ++ Classifier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ AprsAnalog.oracle ++
-      CustomFns.oracle
+      CustomFns.oracle ++ Classifier.oracle
 }
