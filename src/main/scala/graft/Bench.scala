@@ -310,6 +310,20 @@ object Bench {
   }
   private def bm25Table(s: org.apache.spark.sql.SparkSession,
       dir: String): String = builtBm25Table(s, dir, "graft_bench_bm25")
+  private val qGateWrittenByThisJvm = mutable.Set[String]()
+  private def qualityGateTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val t = s"graft_bench_qgate_${Integer.toHexString(dir.hashCode)}"
+    if (qGateWrittenByThisJvm.add(t)) {
+      Seq(t + "_w", t + "_theta", t + "_rates").foreach(wipeTable(s, _))
+      graft.streaming.StreamingQualityGate.saveQualityModel(
+        graft.util.Tables(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("text")), t)
+    }
+    t
+  }
   private val lmGateWrittenByThisJvm = mutable.Set[String]()
   private def lmGateTable(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
@@ -539,6 +553,34 @@ object Bench {
     // cost is the per-batch bigram explode + broadcast joins — the
     // door-side price of the q118 filter without the corpus-wide
     // tercile re-rank.
+    // x_quality_gate_stream (r13): 200 docs as a file stream gated
+    // against the FROZEN trained classifier (q131's weights + calibrated
+    // θ — a codegen array literal, zero joins, stateless). Its cost is
+    // the per-batch token explode into the bounded feature frame — the
+    // door-side price of the learned quality filter without retraining.
+    "x_quality_gate_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val table = qualityGateTable(s, dir)
+      val (w, theta) =
+        graft.streaming.StreamingQualityGate.loadModel(s, table)
+      val tmp = java.nio.file.Files.createTempDirectory("q_gate_bench")
+      graft.util.Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(tmp.resolve("in").toString)
+      val gatedN = new java.util.concurrent.atomic.AtomicLong()
+      val q = s.readStream.schema("doc_id LONG, lang STRING, text STRING")
+        .parquet(tmp.resolve("in").toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          gatedN.addAndGet(graft.streaming.StreamingQualityGate
+            .gatedBatch(b, w, theta)
+            .filter(col("admitted")).count()): Unit
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      require(gatedN.get() > 0, "quality gate admitted nothing")
+    }),
     "x_lm_gate_stream" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val table = lmGateTable(s, dir)

@@ -3,7 +3,7 @@ package graft.app
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
-import graft.streaming.{StreamingBm25, StreamingLmGate}
+import graft.streaming.{StreamingBm25, StreamingLmGate, StreamingQualityGate}
 
 /** The TEXT serving lifecycle as one spark-submit entry — PqIndexCli's
   * sibling for the text stack, wired to the spec-proven library calls:
@@ -11,9 +11,13 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *   build  <sfDir> <name>             build the BM25 postings index
   *                                     (`<name>_bm25{,_df,_stats}`,
   *                                     [[StreamingBm25.saveBm25Index]])
-  *                                     and the frozen LM gate model
+  *                                     the frozen LM gate model
   *                                     (`<name>_lm_{cells,ctx,cuts}`,
   *                                     [[StreamingLmGate.saveLmModel]])
+  *                                     and the frozen trained quality
+  *                                     classifier (`<name>_q_{w,theta,
+  *                                     rates}`, [[StreamingQualityGate
+  *                                     .saveQualityModel]])
   *   append <name> <docsParquet>       append a (doc_id, text) batch to
   *                                     the postings at batch cost
   *                                     ([[StreamingBm25.appendBm25Index]]);
@@ -39,6 +43,12 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *   gate   <name> <docsParquet>       LM-gate a (doc_id, lang, text)
   *                                     batch against the frozen cuts —
   *                                     per-doc score, cut and verdict
+  *   gate   <name> <docsParquet> --quality
+  *                                     gate the batch with the FROZEN
+  *                                     trained classifier instead
+  *                                     ([[StreamingQualityGate
+  *                                     .gatedBatch]] — q131's weights +
+  *                                     calibrated θ, frozen at build)
   *   audit  <name> <docsParquet> [--fail-over <permille>]
   *                                     STALENESS report for the frozen
   *                                     artifacts (pqIndexDistortion's
@@ -50,12 +60,17 @@ import graft.streaming.{StreamingBm25, StreamingLmGate}
   *                                     tercile ([[StreamingLmGate
   *                                     .lmGateDrift]]) — the numbers
   *                                     that say "re-freeze".
+  *                                     + the classifier admit-rate
+  *                                     drift vs the freeze-time census
+  *                                     ([[StreamingQualityGate
+  *                                     .qualityGateDrift]]).
   *                                     `--fail-over p` additionally
   *                                     GATES: exit 3 when ANY signal —
   *                                     avgdl drift, df total-variation,
-  *                                     or the worst per-language admit
-  *                                     drift — exceeds p‰, so a cron can
-  *                                     branch on the verdict
+  *                                     the worst per-language LM admit
+  *                                     drift, or the worst classifier
+  *                                     admit drift — exceeds p‰, so a
+  *                                     cron can branch on the verdict
   *
   * Exit codes (VERDICT r12 #5, shared with PqIndexCli): 0 = ok / drift
   * within threshold; 2 = usage error; 3 = drift over `--fail-over`;
@@ -86,9 +101,12 @@ object TextIndexCli {
           d.select(col("doc_id"), col("text")), s"${name}_bm25")
         StreamingLmGate.saveLmModel(
           d.select(col("doc_id"), col("lang"), col("text")), s"${name}_lm")
+        StreamingQualityGate.saveQualityModel(
+          d.select(col("doc_id"), col("lang"), col("text")), s"${name}_q")
         val n = spark.table(s"${name}_bm25").count()
         val v = spark.table(s"${name}_bm25_df").count()
-        println(s"built $name: $n posting rows, $v terms, LM gate frozen")
+        println(s"built $name: $n posting rows, $v terms, LM gate + " +
+          "quality classifier frozen")
         0
       case Seq("append", name, docsParquet) =>
         StreamingBm25.appendBm25Index(
@@ -148,6 +166,13 @@ object TextIndexCli {
             cells, ctx, cuts)
           .show(numRows = 100, truncate = false)
         0
+      case Seq("gate", name, docsParquet, "--quality") =>
+        val (w, theta) = StreamingQualityGate.loadModel(spark, s"${name}_q")
+        StreamingQualityGate.gatedBatch(
+            spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
+            w, theta)
+          .show(numRows = 100, truncate = false)
+        0
       case Seq("audit", name, docsParquet, rest @ _*) =>
         // flags validate BEFORE the audit work: a typo'd flag is a
         // usage error (2), not a full audit run
@@ -177,6 +202,22 @@ object TextIndexCli {
               cells, ctx, cuts, spark.table(s"${name}_lm_rates"))
             .localCheckpoint(true) // #langs rows
           lm.show(numRows = 100, truncate = false)
+          // the trained classifier's admit drift — same refusal shape
+          require(spark.catalog.tableExists(s"${name}_q_rates"),
+            s"drift gate refused: ${name}_q has no freeze-time admit-rate " +
+              "baseline (_rates) — rebuild with `build` (saveQualityModel) " +
+              "so there is a reference to measure gate drift against")
+          val (qw, qTheta) = StreamingQualityGate.loadModel(spark, s"${name}_q")
+          val qd = StreamingQualityGate.qualityGateDrift(
+              spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
+              qw, qTheta, spark.table(s"${name}_q_rates"))
+            .localCheckpoint(true) // #langs rows
+          qd.show(numRows = 100, truncate = false)
+          def worst(df: org.apache.spark.sql.DataFrame): Long =
+            df.agg(org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions.col("drift_permille")),
+              org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
           threshold.get match {
             case Some(t) =>
               val bmRow = bm.head
@@ -185,12 +226,8 @@ object TextIndexCli {
                   bmRow.getLong(bmRow.fieldIndex("avgdl_drift_permille")),
                 "df_tv_permille" ->
                   bmRow.getLong(bmRow.fieldIndex("df_tv_permille")),
-                "lm_admit_drift_permille" ->
-                  lm.agg(org.apache.spark.sql.functions.coalesce(
-                    org.apache.spark.sql.functions.max(
-                      org.apache.spark.sql.functions.col("drift_permille")),
-                    org.apache.spark.sql.functions.lit(0L))).head()
-                    .getLong(0))
+                "lm_admit_drift_permille" -> worst(lm),
+                "q_admit_drift_permille" -> worst(qd))
               val over = signals.filter(_._2 > t)
               if (over.nonEmpty) {
                 System.err.println(s"[audit] FAIL: drift over the $t‰ " +
@@ -213,8 +250,11 @@ object TextIndexCli {
              |       TextIndexCli append <name> <docsParquet>
              |       TextIndexCli serve  <name> [--terms a,b,c]
              |       TextIndexCli serve  <name> --hybrid <pqIndex> <sfDir>
-             |       TextIndexCli gate   <name> <docsParquet>
+             |       TextIndexCli gate   <name> <docsParquet> [--quality]
              |       TextIndexCli audit  <name> <docsParquet> [--fail-over <permille>]""".stripMargin)
         2
     }
 }
+
+
+

@@ -132,6 +132,68 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  private def cleanTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    if (loc.exists()) graft.util.Fs.rmTree(loc)
+  }
+
+  test("quality gate: freeze, replay-exact serve, zero-drift audit, refusal") {
+    import spark.implicits._
+    val t = "qgate_spec_model"
+    Seq("_w", "_theta", "_rates").foreach(sfx => cleanTable(t + sfx))
+    val d = graft.util.Tables(spark, dir, "documents")
+    graft.streaming.StreamingQualityGate.saveQualityModel(
+      d.select($"doc_id", $"lang", $"text"), t)
+    val (w, theta) = graft.streaming.StreamingQualityGate.loadModel(spark, t)
+    assert(w.length == Classifier.PerceptronBuckets + 1)
+    // frozen-corpus replay: the door's admit set IS q131's
+    // predicted-positive set — same weights, same θ, shared scoring
+    val gated = graft.streaming.StreamingQualityGate
+      .gatedBatch(d.select($"doc_id", $"lang", $"text"), w, theta)
+      .groupBy($"lang")
+      .agg(sum($"admitted".cast("long")).as("n_admit"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audit = SparkEntry.queries("q131_quality_classifier")(spark, dir)
+      .groupBy($"lang").agg(sum($"n_pred_pos").as("n_pred_pos"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gated == audit, s"door admits ≠ q131 predictions\n$gated\n$audit")
+    // frozen-corpus replay audits at exactly zero drift, every language
+    val rates = spark.table(t + "_rates")
+    val replay = graft.streaming.StreamingQualityGate.qualityGateDrift(
+        d.select($"doc_id", $"lang", $"text"), w, theta, rates)
+      .collect()
+    assert(replay.nonEmpty)
+    replay.foreach(r => assert(r.getLong(4) == 0L,
+      s"frozen-corpus replay must read zero drift: $r"))
+    // planted drift: the rejected tail resubmitted alone — admit rate 0
+    // per language, so drift = the frozen rate (deterministic, no text
+    // surgery), and at least one language sits far from zero
+    val tail = graft.streaming.StreamingQualityGate
+      .gatedBatch(d.select($"doc_id", $"lang", $"text"), w, theta)
+      .filter(!$"admitted").select($"doc_id", $"lang")
+      .join(d, Seq("doc_id", "lang")).select($"doc_id", $"lang", $"text")
+    val drifted = graft.streaming.StreamingQualityGate.qualityGateDrift(
+        tail, w, theta, rates)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    drifted.foreach { case (lang, (admit, frozen, drift)) =>
+      assert(admit == 0L && drift == frozen,
+        s"$lang: resubmitted tail must read drift = frozen rate")
+    }
+    assert(drifted.values.map(_._3).max >= 300L,
+      s"tail resubmission must register as real drift: $drifted")
+    // a language with no freeze-time baseline refuses, naming the remedy
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingQualityGate.qualityGateDrift(
+        d.limit(5).select($"doc_id", lit("xx").as("lang"), $"text"),
+        w, theta, rates).collect()
+    }
+    assert(e.getMessage.contains("no freeze-time admit-rate baseline"),
+      e.getMessage)
+  }
+
   test("real corpus: the classifier genuinely learns the quality signal") {
     // deterministic (fixed data, integer training): held-out AUC and
     // accuracy far above chance — the bar that failed the lang-label

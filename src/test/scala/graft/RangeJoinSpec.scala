@@ -1017,7 +1017,8 @@ class RangeJoinSpec extends AnyFunSuite {
     val name = "txtgate"
     Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
       "_bm25_frozen_df", "_lm_cells", "_lm_ctx", "_lm_rates",
-      "_lm_cuts").foreach(sfx => clean(name + sfx))
+      "_lm_cuts", "_q_w", "_q_theta", "_q_rates")
+      .foreach(sfx => clean(name + sfx))
     assert(graft.app.TextIndexCli.run(spark, Seq("build", dir, name)) == 0)
     // FULL frozen-corpus replay batch: every signal exactly zero (a
     // subset's per-language admit rates would legitimately differ from
@@ -1041,7 +1042,14 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(graft.app.TextIndexCli.run(spark,
       Seq("audit", name, "/tmp/txtgate_replay", "--fail-over", "50")) == 3,
       "new-vocabulary append must trip the 50-permille gate")
-    // refusal keeps its channel: no freeze-time rates baseline
+    // refusal keeps its channel: no freeze-time rates baseline — the
+    // classifier side first (the LM check passes, the quality check
+    // throws), then the LM side (checked before quality)
+    clean(name + "_q_rates")
+    intercept[IllegalArgumentException] {
+      graft.app.TextIndexCli.run(spark,
+        Seq("audit", name, "/tmp/txtgate_replay", "--fail-over", "50"))
+    }
     clean(name + "_lm_rates")
     intercept[IllegalArgumentException] {
       graft.app.TextIndexCli.run(spark,
@@ -1068,7 +1076,8 @@ class RangeJoinSpec extends AnyFunSuite {
     val name = "txtcli"
     Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
       "_bm25_frozen_df", "_lm_cells", "_lm_ctx", "_lm_rates",
-      "_lm_cuts").foreach(sfx => clean(name + sfx))
+      "_lm_cuts", "_q_w", "_q_theta", "_q_rates")
+      .foreach(sfx => clean(name + sfx))
     graft.app.TextIndexCli.run(spark, Seq("build", dir, name))
     val n0 = spark.table(s"${name}_bm25").count()
     assert(n0 > 0 && spark.table(s"${name}_lm_cuts").count() > 0)
@@ -1106,9 +1115,17 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(gated.nonEmpty &&
       gated.exists(r => r.getBoolean(r.fieldIndex("admitted"))),
       "gate admitted nothing from the frozen corpus")
-    // audit wiring (r12): the staleness verb drives both drift gates
-    // against the CLI-built artifacts (the signals themselves are
-    // spec-pinned in StreamingSpec) — must not throw on a frozen-corpus
+    // quality-gate wiring (r13): the frozen classifier gates the same
+    // batch through the CLI path; the gate semantics themselves are
+    // spec-pinned in ClassifierSpec
+    assert(graft.app.TextIndexCli.run(spark,
+      Seq("gate", name, "/tmp/txtcli_gate", "--quality")) == 0)
+    assert(spark.table(s"${name}_q_w").count() ==
+      graft.operators.Classifier.PerceptronBuckets + 1L)
+    // audit wiring (r12; r13 adds the classifier admit-drift signal):
+    // the staleness verb drives all drift gates against the CLI-built
+    // artifacts (the signals themselves are spec-pinned in
+    // StreamingSpec/ClassifierSpec) — must not throw on a frozen-corpus
     // replay batch
     graft.app.TextIndexCli.run(spark,
       Seq("audit", name, "/tmp/txtcli_gate"))
