@@ -58,7 +58,7 @@ object Bench {
     "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
     "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam",
     "q128_door_divergence", "q129_mmr_diversify", "q130_dropout_presence",
-    "q131_quality_classifier", "q132_classifier_auc")
+    "q131_quality_classifier", "q132_classifier_auc", "q133_bpe_vocab")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -250,7 +250,12 @@ object Bench {
     // epochs + calibration, rollup / exact AUC off the scores
     // checkpoint (isolated child 2.72/3.22 and 1.87/2.29, loadavg ~1.5)
     "q131_quality_classifier" -> 3.0,
-    "q132_classifier_auc" -> 2.1)
+    "q132_classifier_auc" -> 2.1,
+    // q133 added r13: tokenizer id layer — the q100 12-merge training
+    // (the dominant cost, shared shape with q104) + vocab census + the
+    // positional id join over word forms (isolated child 2.32/2.42,
+    // loadavg ~1.5)
+    "q133_bpe_vocab" -> 2.4)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -63,7 +63,13 @@ object ScaleSmoke {
     // set and the learned weights shift rather than scale — timed only;
     // the point is the bounded feature frame and the epoch passes
     // staying linear
-    "q131_quality_classifier", "q132_classifier_auc")
+    "q131_quality_classifier", "q132_classifier_auc",
+    // r13: tokenizer id layer — replicated copies multiply word COUNTS
+    // but not word FORMS, so vocab/ids/roundtrip are replication-
+    // invariant and n_words scales ×factor; the merge training argmax
+    // is count-scale-invariant (all pair counts scale together) — the
+    // exact ×factor invariant is asserted below
+    "q133_bpe_vocab")
 
   /** Embedding-suite coverage (r13): replicated embeddings with offset
     * ids — replicas TIE on cosine and reshuffle ranks (the q124 caveat),
@@ -225,6 +231,19 @@ object ScaleSmoke {
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     require(q88base == q88scaled,
       "scale-up changed TextRank ranks — the integer diffusion is scale-sensitive somewhere")
+    // q133 invariant: replication multiplies word COUNTS, not word
+    // FORMS — pair counts and vocab occurrences all scale together, so
+    // the learned merges, the id assignment (ids_chk), the roundtrip
+    // and the vocab are BIT-IDENTICAL while n_words scales ×factor
+    val q133base = SparkEntry.queries("q133_bpe_vocab")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val q133scaled = SparkEntry.queries("q133_bpe_vocab")(spark, workDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    require(q133scaled == q133base.map { case (k, (f, w, v, ok, chk)) =>
+        k -> ((f, w * factor, v, ok, chk)) },
+      "scale-up changed the tokenizer id layer — vocab/ids must be replication-invariant")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor

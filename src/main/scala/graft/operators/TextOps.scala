@@ -2327,9 +2327,12 @@ object TextOps {
     * ON TRUE so a DRY stage (empty `m_i`) passes the encoding through
     * unchanged — mirroring the Spark side's shorter fold — where the
     * learn chain's CROSS JOIN would empty everything downstream. */
-  private def bpeEncodeOracleSql(k: Int): String = {
+  /** The apply-side CTE cascade (lw, e0..ek) shared by the q104 and
+    * q133 twins: per-(lang, word) counts re-encoded through the learned
+    * rules, each stage LEFT JOINed ON TRUE so a dry stage passes the
+    * encoding through unchanged. */
+  private def bpeApplyCtes(k: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
-    ctes ++= bpeLearnCtes(k)
     ctes += s"""lw AS MATERIALIZED (
       |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
@@ -2348,6 +2351,13 @@ object TextOps {
         |         ELSE replace(seq, ' ' || m.a || '  ' || m.b || ' ',
         |                      ' ' || m.a || m.b || ' ') END AS seq
         |  FROM e${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
+    ctes.toSeq
+  }
+
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes ++= bpeLearnCtes(k)
+    ctes ++= bpeApplyCtes(k)
     "WITH " + ctes.mkString(",\n") + s"""
       |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
       |  CAST(SUM(cnt * (length(word) + 1)) AS BIGINT) AS tokens_char,
@@ -2357,9 +2367,126 @@ object TextOps {
       |FROM e$k GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** The q133 twin: the shared learn + apply cascades, then the vocab
+    * census (weighted occurrences → ROW_NUMBER ids), the positional id
+    * join, and the per-language rollup with the order-independent
+    * md5-int32 checksum of every form's id assignment. */
+  private def bpeVocabOracleSql(k: Int): String = {
+    val hexChk =
+      "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(word || ':' || idstr), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b)"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes ++= bpeLearnCtes(k)
+    ctes ++= bpeApplyCtes(k)
+    ctes += s"""sy AS MATERIALIZED (
+      |  SELECT lang, word, cnt, string_split(trim(seq), '  ') AS syms
+      |  FROM e$k)""".stripMargin
+    ctes += s"""vb AS MATERIALIZED (
+      |  SELECT sym, SUM(cnt) AS occ
+      |  FROM (SELECT unnest(syms) AS sym, cnt FROM sy) GROUP BY sym)""".stripMargin
+    ctes += s"""vid AS MATERIALIZED (
+      |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY occ DESC, sym ASC)
+      |    AS BIGINT) AS id FROM vb)""".stripMargin
+    ctes += s"""px AS MATERIALIZED (
+      |  SELECT lang, word, cnt, i, syms[CAST(i AS INTEGER)+1] AS sym
+      |  FROM (SELECT lang, word, cnt, syms, unnest(range(len(syms))) AS i
+      |        FROM sy))""".stripMargin
+    ctes += s"""wi AS MATERIALIZED (
+      |  SELECT lang, word, cnt,
+      |    string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY i) AS idstr,
+      |    string_agg(p.sym, '' ORDER BY i) AS joined
+      |  FROM px p JOIN vid v USING (sym) GROUP BY lang, word, cnt)""".stripMargin
+    ctes += "vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM vid)"
+    "WITH " + ctes.mkString(",\n") + s"""
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_forms,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |  (SELECT vocab_size FROM vsz) AS vocab_size,
+      |  CAST(SUM(CASE WHEN replace(joined, '</w>', '') = word
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+      |  CAST(SUM($hexChk) AS BIGINT) AS ids_chk
+      |FROM wi GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q133
+  /** q133: the tokenizer's ID layer — the artifact a trainer actually
+    * ships and the half q100/q104 leave implicit: materialize the VOCAB
+    * (every symbol of the final encoding, id-ranked by weighted corpus
+    * occurrences, ties by symbol — the frequency-ranked id convention
+    * real tokenizers use), encode every word form to its id sequence,
+    * DECODE the ids back, and PROVE the roundtrip (BPE merges only
+    * concatenate adjacent symbols, so symbol-concat minus the `</w>`
+    * marker must reproduce every word — n_roundtrip_ok ≡ n_forms is the
+    * losslessness theorem, asserted per language, not assumed).
+    *
+    * Output per language: word forms, word instances, the global vocab
+    * size, the roundtrip count, and `ids_chk` — an ORDER-INDEPENDENT
+    * exact checksum of the full id assignment (Σ over forms of the
+    * first-8-hex-chars-of-md5 integer of `word:id,id,...`). The sum
+    * shape matters at scale: a sorted string_agg manifest would build
+    * one lang-vocabulary-sized row on a single task, while a SUM of
+    * 32-bit values distributes and stays exact (≤ 2³² per form, ~10⁸
+    * forms → far inside a long).
+    *
+    * Scale shape: q104's word-form economics throughout — the merge
+    * chain is a codegen projection, the vocab is tokenizer-sized
+    * (chars + merges) and broadcasts into the id join, and every
+    * aggregate is a partial-agg rollup. */
+  def q133BpeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeVocabWith(s, dir, q100BpeMerges(s, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Vocab + id-encode + decode-roundtrip against an explicit rule list
+    * (shared learn/apply split, as [[bpeEncodeWith]]). */
+  def bpeVocabWith(s: SparkSession, dir: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lw = docs(s, dir)
+      .select($"lang", explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+    val seq0 = concat(
+      expr("array_join(transform(sequence(1, length(word))," +
+        " i -> concat(' ', substring(word, i, 1), ' ')), '')"),
+      lit(" </w> "))
+    val enc = rules.foldLeft(seq0) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b ")) }
+    // checkpoint: the symbol frame feeds the vocab census AND the id
+    // join (the q101 barrier — one merge-chain evaluation)
+    val sy = lw.withColumn("syms", split(trim(enc), "  "))
+      .localCheckpoint(true)
+    val vocab = sy.select(explode($"syms").as("sym"), $"cnt")
+      .groupBy($"sym").agg(sum($"cnt").as("occ"))
+      .withColumn("id", row_number()
+        .over(Window.orderBy($"occ".desc, $"sym".asc)).cast("long"))
+      .select($"sym", $"id")
+    val perForm = sy
+      .select($"lang", $"word", $"cnt", posexplode($"syms").as(Seq("pos", "sym")))
+      .join(broadcast(vocab), "sym")
+      .groupBy($"lang", $"word", $"cnt")
+      .agg(sort_array(collect_list(struct($"pos", $"id", $"sym"))).as("toks"))
+      .select($"lang", $"word", $"cnt",
+        expr("array_join(transform(toks, x -> cast(x.id as string)), ',')")
+          .as("idstr"),
+        expr("array_join(transform(toks, x -> x.sym), '')").as("joined"))
+      .withColumn("ok",
+        (replace($"joined", lit("</w>"), lit("")) === $"word").cast("long"))
+    val vocabSize = broadcast(vocab.agg(count(lit(1)).as("vocab_size")))
+    perForm
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_forms"), sum($"cnt").as("n_words"),
+        sum($"ok").as("n_roundtrip_ok"),
+        sum(expr("cast(conv(substring(md5(cast(concat(word, ':', idstr) " +
+          "as binary)), 1, 8), 16, 10) as long)")).as("ids_chk"))
+      .crossJoin(vocabSize)
+      .select($"lang", $"n_forms", $"n_words", $"vocab_size",
+        $"n_roundtrip_ok", $"ids_chk")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_bpe_merges" -> (q100BpeMerges _),
     "q104_bpe_encode" -> (q104BpeEncode _),
+    "q133_bpe_vocab" -> (q133BpeVocab _),
     "q76_mixture_weights" -> (q76MixtureWeights _),
     "q78_boilerplate" -> (q78Boilerplate _),
     "q80_snapshot_diff" -> (q80SnapshotDiff _),
@@ -2652,6 +2779,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q100_bpe_merges" -> bpeOracleSql(BpeMerges),
     "q104_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
+    "q133_bpe_vocab" -> bpeVocabOracleSql(BpeMerges),
     "q81_heavy_hitters" ->
       // the exact threshold set the MG-candidate + verify pipeline must
       // land on regardless of its internal sketch state

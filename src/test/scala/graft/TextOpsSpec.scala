@@ -825,6 +825,54 @@ class TextOpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r._4 <= r._3 && r._5 <= 1.0 && r._5 > 0.0, r))
   }
 
+  /** q133 planted: one explicit rule, hand-computed vocab — ids rank by
+    * (weighted occurrences desc, symbol asc), the id strings and the
+    * order-independent md5-int32 checksum follow, and the decode
+    * roundtrip holds for the merged and unmerged form alike. */
+  test("q133 planted: vocab ids, checksum and roundtrip hand-verified") {
+    import spark.implicits._
+    val tmp = bpeCorpus(Seq("ab ab b"))
+    // 'ab' merges ([ab, </w>], cnt 2); 'b' stays ([b, </w>], cnt 1):
+    // occ </w>=3 → id 1, ab=2 → id 2, b=1 → id 3
+    val got = TextOps.bpeVocabWith(spark, tmp, Seq(("a", "b"))).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("en", 2L, 3L, 3L, 2L)), r)
+    val chk = spark.range(1).selectExpr(
+      "cast(conv(substring(md5(cast('ab:2,1' as binary)), 1, 8), 16, 10) as long) + " +
+        "cast(conv(substring(md5(cast('b:3,1' as binary)), 1, 8), 16, 10) as long)")
+      .head().getLong(0)
+    assert(r.getLong(5) == chk, s"ids_chk ${r.getLong(5)} != $chk")
+  }
+
+  /** q133 on the real corpus: the losslessness theorem (BPE merges only
+    * concatenate, so decode reproduces every word form) must hold for
+    * every language, and the vocab stays tokenizer-sized. */
+  test("q133: decode roundtrip holds corpus-wide; vocab is model-sized") {
+    val got = TextOps.q133BpeVocab(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1),
+        s"${r.getString(0)}: ${r.getLong(1) - r.getLong(4)} forms failed decode")
+      assert(r.getLong(3) > 1L && r.getLong(3) <= 128L,
+        s"vocab_size ${r.getLong(3)} outside the chars+merges band")
+    }
+  }
+
+  /** q133 with the saved+loaded model equals inline (the q104
+    * loaded-vs-inline discipline, extended to the id layer). */
+  test("q133: vocab/ids from the saved+loaded model equal inline") {
+    val path = java.nio.file.Files.createTempDirectory("bpe_vocab_model")
+      .resolve("model").toString
+    TextOps.saveBpeModel(spark, dir, path)
+    val loaded = TextOps.bpeVocabWith(spark, dir,
+      TextOps.loadBpeRules(spark, path)).collect().map(_.toString).toSeq
+    val inline = TextOps.q133BpeVocab(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(loaded == inline)
+  }
+
   /** q104 on the real corpus: 12 learned merges must strictly compress
     * every language (the corpus shares high-frequency character pairs). */
   test("q104: learned merges compress the real corpus") {
