@@ -126,7 +126,8 @@ object CleanPipeline {
       minStripSpan: Long = graft.operators.Dedup.MinStripSpan,
       lmTailFilter: Boolean = false,
       gopherRules: Seq[String] = Nil,
-      statePath: Option[String] = None)
+      statePath: Option[String] = None,
+      qualityModel: Option[String] = None)
       : (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val docsAll = Tables(spark, inDir, "documents")
@@ -169,11 +170,28 @@ object CleanPipeline {
           when(col("stage") === "kept" && col("lm_tail") === 1, "lm_tail")
             .otherwise(col("stage")))
     }
-    val staged = gopher.fold(lmStaged) { gf =>
+    val gopherStaged = gopher.fold(lmStaged) { gf =>
       lmStaged.join(gf, Seq("doc_id"), "left")
         .withColumn("stage",
           when(col("stage") === "kept" && col("gopher_fail") === 1,
             "gopher_fail")
+            .otherwise(col("stage")))
+    }
+    // trained-classifier stage knob (r13): drop docs the FROZEN quality
+    // model rejects (score ≤ θ against the saved weights — q131's gate,
+    // [[graft.streaming.StreamingQualityGate]]'s artifact). Unlike the
+    // LM/Gopher knobs this decision is per-doc ABSOLUTE, so the same
+    // knob is legal on runIncremental and the door: gate the SAME frozen
+    // table everywhere and append ≡ recurate ≡ door still holds
+    val staged = qualityModel.fold(gopherStaged) { t =>
+      val (qw, qTheta) =
+        graft.streaming.StreamingQualityGate.loadModel(spark, t)
+      gopherStaged.join(
+          graft.operators.Classifier.qualityRejects(docsAll, qw, qTheta)
+            .withColumn("q_reject", lit(1)),
+          Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("stage") === "kept" && col("q_reject") === 1, "q_reject")
             .otherwise(col("stage")))
     }.persist()
     try {
@@ -271,6 +289,12 @@ object CleanPipeline {
     * append ≡ recurate equivalence holds ONLY against a base published
     * by runFull WITHOUT `--lm-tail-filter`/`--gopher-rules` (main()
     * refuses the combination rather than silently diverging).
+    * EXCEPTION (r13): `qualityModel` — the frozen trained classifier's
+    * gate IS legal here, because its decision is per-doc ABSOLUTE
+    * (frozen weights, frozen θ; nothing corpus-relative shifts when
+    * docs append). The contract is symmetric: pass the SAME frozen
+    * table the base was published with, and append ≡ recurate holds
+    * with the gate on both sides (spec-pinned in ClassifierSpec).
     *
     * Cost shape: every stage touches batch text only; base-side inputs
     * are the persisted hash/signature/gram indexes (probed by equi-join,
@@ -283,7 +307,8 @@ object CleanPipeline {
       newInDir: String, table: String, statePath: String,
       buckets: Int = 32,
       minStripSpan: Long = graft.operators.Dedup.MinStripSpan,
-      pqIndexPath: Option[String] = None): (DataFrame, DataFrame) = {
+      pqIndexPath: Option[String] = None,
+      qualityModel: Option[String] = None): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.broadcast
     val prevDocs = Tables(spark, prevInDir, "documents")
@@ -306,16 +331,31 @@ object CleanPipeline {
     val contam = Dedup.incrementalContaminated(batch, statePath,
         splitBucket >= 980)
       .withColumn("contaminated", lit(1))
+    // the one quality stage legal here (r13): the frozen classifier's
+    // per-doc ABSOLUTE gate — the base was gated doc-by-doc against the
+    // same frozen table, so gating the batch identically preserves
+    // append ≡ recurate (the property the corpus-relative LM/Gopher
+    // knobs cannot have; main() still refuses those)
+    val qRej = qualityModel.map { t =>
+      val (qw, qTheta) =
+        graft.streaming.StreamingQualityGate.loadModel(spark, t)
+      graft.operators.Classifier.qualityRejects(batch, qw, qTheta)
+        .withColumn("q_reject", lit(1))
+    }.getOrElse(spark.range(0).select(col("id").as("doc_id"),
+      lit(1).as("q_reject")))
     val staged = TextOps.stagedDocs(batch)
       .join(dupEx, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .join(qRej, Seq("doc_id"), "left")
       .withColumn("stage",
         when(col("stage") === "kept" && col("dup_existing") === 1,
           "dup_existing")
           .when(col("stage") === "kept" && col("neardup") === 1, "neardup")
           .when(col("stage") === "kept" && col("contaminated") === 1,
             "contaminated")
+          .when(col("stage") === "kept" && col("q_reject") === 1,
+            "q_reject")
           .otherwise(col("stage")))
       // EAGER materialization, not lazy persist: appendCurateState below
       // mutates the very state tables this plan's joins read — a lazy
@@ -409,11 +449,19 @@ object CleanPipeline {
     // corpus sits from this batch answer (VERDICT r12 #7; the audit
     // itself is oracle- and spec-gated as q128)
     val doorDiv = args.contains("--door-divergence")
+    // --quality-model <table>: gate with the frozen trained classifier
+    // (q131's saved weights + θ). Legal on BOTH --full and --incremental
+    // — the gate is per-doc absolute, so appending with the SAME frozen
+    // table preserves append ≡ recurate (the corpus-relative LM/Gopher
+    // knobs stay full-only below)
+    val qi = args.indexOf("--quality-model")
+    val qualityModel = if (qi >= 0) Some(args(qi + 1)) else None
     val pos = args.zipWithIndex.collect {
       case (a, i) if a != "--full" && a != "--lm-tail-filter" &&
         a != "--door-divergence" &&
         (mi < 0 || (i != mi && i != mi + 1)) &&
-        (gi < 0 || (i != gi && i != gi + 1)) => a
+        (gi < 0 || (i != gi && i != gi + 1)) &&
+        (qi < 0 || (i != qi && i != qi + 1)) => a
     }
     if (args.contains("--incremental")) {
       // usage: --incremental <prevInDir> <newInDir> <table> <statePath>
@@ -432,7 +480,8 @@ object CleanPipeline {
       val p = pos.filterNot(_ == "--incremental")
       val spark = graft.util.GraftSession.local("graft-clean-pipeline")
       val (acct, summary) = runIncremental(spark, p(0), p(1), p(2), p(3),
-        p.lift(4).map(_.toInt).getOrElse(32), minSpan)
+        p.lift(4).map(_.toInt).getOrElse(32), minSpan,
+        qualityModel = qualityModel)
       acct.show(100, truncate = false)
       summary.show(100, truncate = false)
       spark.stop()
@@ -443,8 +492,8 @@ object CleanPipeline {
     val buckets = pos.lift(2).map(_.toInt).getOrElse(32)
     val spark = graft.util.GraftSession.local("graft-clean-pipeline")
     if (full) {
-      val (acct, summary) =
-        runFull(spark, inDir, table, buckets, minSpan, lmTail, gopherRules)
+      val (acct, summary) = runFull(spark, inDir, table, buckets, minSpan,
+        lmTail, gopherRules, qualityModel = qualityModel)
       acct.show(100, truncate = false)
       summary.show(100, truncate = false)
     } else run(spark, inDir, table, buckets).show(100, truncate = false)

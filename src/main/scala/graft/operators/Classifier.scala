@@ -210,6 +210,20 @@ object Classifier {
     cand.orderBy($"ok".desc, $"t".asc).limit(1).head().getLong(0)
   }
 
+  /** The drop-list form of the frozen gate (score ≤ θ → reject) — the
+    * shape [[graft.app.CleanPipeline]]'s stage cascade joins. Unlike the
+    * LM-tail and Gopher stage knobs, this decision is per-doc ABSOLUTE
+    * (frozen weights, frozen θ — nothing corpus-relative), so it is the
+    * one quality stage that composes into the INCREMENTAL refresh and
+    * the door while preserving append ≡ recurate: every arm gates every
+    * document identically, whenever it arrives. */
+  def qualityRejects(d: DataFrame, w: Array[Long], theta: Long): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    scoresOf(perceptronPerDoc(d), w)
+      .filter($"score" <= theta).select($"doc_id")
+  }
+
   // --------------------------------------------------------------- q131
   /** Train the classifier on the train split, calibrate its threshold
     * there, score the WHOLE corpus, and roll up per (lang, split): docs,

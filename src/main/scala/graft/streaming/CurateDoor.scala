@@ -139,8 +139,9 @@ object CurateDoor {
     * strip+redact chain. Returns the admitted rows:
     * `(doc_id, lang, source, text, n_pii, n_tok, n_kept, n_dup_kept)`. */
   def admitBatch(verdictBatch: DataFrame, statePath: String,
-      isEval: Column, minStripSpan: Long = Dedup.MinStripSpan): DataFrame =
-    admitBatchKept(verdictBatch, statePath, isEval, minStripSpan)._2
+      isEval: Column, minStripSpan: Long = Dedup.MinStripSpan,
+      qGate: Option[(Array[Long], Long)] = None): DataFrame =
+    admitBatchKept(verdictBatch, statePath, isEval, minStripSpan, qGate)._2
 
   /** [[admitBatch]] plus the admitted docs' ORIGINAL (pre-strip) rows —
     * the frame the gram catch-up spools: the persisted `stripgrams` are
@@ -148,8 +149,8 @@ object CurateDoor {
     * occurrences in the q116 first-occurrence rule), so the door's
     * contribution must be too. */
   private[streaming] def admitBatchKept(verdictBatch: DataFrame,
-      statePath: String, isEval: Column,
-      minStripSpan: Long): (DataFrame, DataFrame) = {
+      statePath: String, isEval: Column, minStripSpan: Long,
+      qGate: Option[(Array[Long], Long)] = None): (DataFrame, DataFrame) = {
     val docs = verdictBatch.groupBy(col("doc_id"))
       .agg(max(col("collided").cast("int")).as("collided"),
         first(col("text"), ignoreNulls = true).as("text"),
@@ -169,7 +170,15 @@ object CurateDoor {
     val dropped = Dedup.vsBaseLinkedDocs(ib, statePath)
       .union(Dedup.incrementalContaminated(batchDocs, statePath, isEval))
       .distinct()
-    val kept = batchDocs.join(dropped, Seq("doc_id"), "left_anti")
+    // the frozen classifier's absolute gate (r13) — the SAME decision
+    // CleanPipeline's q_reject stage makes, so door ≡ refresh holds
+    // with the knob on both sides
+    val gated = qGate.fold(batchDocs) { case (qw, qTheta) =>
+      batchDocs.join(
+        graft.operators.Classifier.qualityRejects(batchDocs, qw, qTheta),
+        Seq("doc_id"), "left_anti")
+    }
+    val kept = gated.join(dropped, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val admitted = Dedup.stripRedactAgainstState(
         kept.select(col("doc_id"), col("text")), statePath, minStripSpan)
@@ -212,13 +221,18 @@ object CurateDoor {
       checkpoint: String, isEval: Column,
       minStripSpan: Long = Dedup.MinStripSpan, orderCol: String = "doc_id",
       ttl: Option[java.time.Duration] = None,
-      gramCatchupEvery: Int = 0): StreamingQuery =
+      gramCatchupEvery: Int = 0,
+      qualityModel: Option[String] = None): StreamingQuery = {
+    // load the frozen classifier ONCE at open (driver values — 257
+    // longs + θ); per-batch gating is then a pure projection, r13
+    val qGate = qualityModel.map(t => StreamingQualityGate
+      .loadModel(stream.sparkSession, t))
     verdicts(stream, orderCol, ttl).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         val (kept, admitted) =
-          admitBatchKept(b, statePath, isEval, minStripSpan)
+          admitBatchKept(b, statePath, isEval, minStripSpan, qGate)
         admitted.write.mode("overwrite").parquet(s"$outPath/batch=$id")
         if (gramCatchupEvery > 0) {
           val spool = s"$outPath/_gramspool"
@@ -240,4 +254,5 @@ object CurateDoor {
         }
       }
       .start()
+  }
 }

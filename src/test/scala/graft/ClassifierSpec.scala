@@ -194,6 +194,95 @@ class ClassifierSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  /** r13, the gate's pipeline composition: the frozen classifier is the
+    * one quality stage whose decision is per-doc ABSOLUTE (frozen
+    * weights + θ), so — unlike the corpus-relative LM/Gopher knobs,
+    * which runIncremental refuses — it may ride ALL THREE arms, and the
+    * pipeline equivalences must survive it: base-published ∪
+    * incrementally-appended ≡ full recurate ROW FOR ROW (incl. split
+    * and pack offsets), and door-admitted ≡ incrementally-appended for
+    * the same batch. Real corpus, batch ids strictly above base ids
+    * (the pack-continuation precondition the PublishSpec contract
+    * documents). */
+  test("frozen quality gate: append ≡ recurate ≡ door with the knob on") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val tmp = java.nio.file.Files.createTempDirectory("qpipe").toString
+    val model = "qpipe_model"
+    Seq("_w", "_theta", "_rates").foreach(sfx => cleanTable(model + sfx))
+    Seq("qpipe_base", "qpipe_recur").foreach(cleanTable)
+    // the documented incremental-contract precondition (PublishSpec):
+    // an append cannot unpublish, so a batch near-dup that would OUTRANK
+    // a base keeper diverges by design — exclude the near-dup components
+    // spanning the id-400 boundary (the real corpus has one: a longer
+    // batch-side twin of a base doc) and prove the equivalence on the
+    // rest
+    val dAll = graft.util.Tables(spark, dir, "documents")
+    val comp = graft.operators.Dedup.memberComponentsOf(dAll)
+    val crossLbl = comp.groupBy($"lbl")
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .filter($"lo" < 400 && $"hi" >= 400).select($"lbl")
+    val excluded = comp.join(crossLbl, "lbl").select($"doc_id")
+    val d = dAll.join(excluded, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val prev = d.filter($"doc_id" < 400)
+    val added = d.filter($"doc_id" >= 400)
+    prev.write.mode("overwrite").parquet(s"$tmp/prev/documents.parquet")
+    d.write.mode("overwrite").parquet(s"$tmp/full/documents.parquet")
+    for (side <- Seq("prev", "full"))
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$side/embeddings.parquet")
+    // freeze the model on the BASE corpus — the artifact every arm gates
+    // against (the symmetric-contract precondition)
+    graft.streaming.StreamingQualityGate.saveQualityModel(
+      prev.select($"doc_id", $"lang", $"text"), model)
+    // base publish WITH the gate
+    val (acctB, _) = graft.app.CleanPipeline.runFull(spark, s"$tmp/prev",
+      "qpipe_base", buckets = 4, statePath = Some(s"$tmp/state"),
+      qualityModel = Some(model))
+    val rejB = acctB.filter($"stage" === "q_reject")
+      .agg(coalesce(sum($"n_docs"), lit(0L))).head().getLong(0)
+    assert(rejB > 0L, "the gate never fired on the base corpus")
+    // door replay of the added docs (state still pristine) WITH the gate
+    added.select($"doc_id", $"lang", $"source", $"text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, lang STRING, source STRING, text STRING")
+      .parquet(s"$tmp/in")
+    val q = graft.streaming.CurateDoor.open(stream, s"$tmp/state",
+      s"$tmp/out", s"$tmp/ckpt",
+      isEval = graft.app.CleanPipeline.splitBucket >= 980,
+      qualityModel = Some(model))
+    try q.processAllAvailable() finally q.stop()
+    // incremental append WITH the gate (mutates state after the door)
+    val (acctI, _) = graft.app.CleanPipeline.runIncremental(spark,
+      s"$tmp/prev", s"$tmp/full", "qpipe_base", s"$tmp/state",
+      buckets = 4, qualityModel = Some(model))
+    val rejI = acctI.filter($"stage" === "q_reject")
+      .agg(coalesce(sum($"n_docs"), lit(0L))).head().getLong(0)
+    assert(rejI > 0L, "the gate never fired on the appended batch")
+    // door-admitted ≡ incrementally-appended, column for column
+    val acm = Seq(col("doc_id"), col("lang"), col("source"),
+      md5(col("text").cast("binary")).as("m"), col("n_pii"),
+      col("n_tok"), col("n_kept"), col("n_dup_kept"))
+    val doorRows = spark.read.parquet(s"$tmp/out").select(acm: _*)
+      .collect().map(_.toString).sorted.toSeq
+    val incRows = spark.table("qpipe_base").filter($"doc_id" >= 400)
+      .select(acm: _*).collect().map(_.toString).sorted.toSeq
+    assert(doorRows.nonEmpty && doorRows == incRows,
+      s"door ≠ incremental with the gate on:\n${doorRows.take(3)}\n${incRows.take(3)}")
+    // append ≡ recurate with the gate on both runs
+    graft.app.CleanPipeline.runFull(spark, s"$tmp/full", "qpipe_recur",
+      buckets = 4, statePath = Some(s"$tmp/state2"),
+      qualityModel = Some(model))
+    val cols = Seq("doc_id", "lang", "source", "text", "n_pii", "n_tok",
+      "n_kept", "n_dup_kept", "split", "start_off", "pack_id", "n_chars")
+    def rowsOf(t: String) = spark.table(t).select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsOf("qpipe_base") == rowsOf("qpipe_recur"),
+      "gated incremental append diverges from the gated full recurate")
+  }
+
   test("real corpus: the classifier genuinely learns the quality signal") {
     // deterministic (fixed data, integer training): held-out AUC and
     // accuracy far above chance — the bar that failed the lang-label
