@@ -58,7 +58,8 @@ object Bench {
     "q122_bm25", "q123_quality_mixture", "q124_hybrid_retrieval",
     "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam",
     "q128_door_divergence", "q129_mmr_diversify", "q130_dropout_presence",
-    "q131_quality_classifier", "q132_classifier_auc", "q133_bpe_vocab")
+    "q131_quality_classifier", "q132_classifier_auc", "q133_bpe_vocab",
+    "q134_classifier_evidence")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -255,7 +256,11 @@ object Bench {
     // (the dominant cost, shared shape with q104) + vocab census + the
     // positional id join over word forms (isolated child 2.32/2.42,
     // loadavg ~1.5)
-    "q133_bpe_vocab" -> 2.4)
+    "q133_bpe_vocab" -> 2.4,
+    // q134 added r13: classifier evidence — q131's training + the
+    // vocab-sized (cell, token) census and top-3 windows (isolated
+    // child 1.87/1.96, loadavg ~2.5)
+    "q134_classifier_evidence" -> 2.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

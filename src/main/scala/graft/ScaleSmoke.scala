@@ -69,7 +69,11 @@ object ScaleSmoke {
     // invariant and n_words scales ×factor; the merge training argmax
     // is count-scale-invariant (all pair counts scale together) — the
     // exact ×factor invariant is asserted below
-    "q133_bpe_vocab")
+    "q133_bpe_vocab",
+    // r13: classifier evidence — same caveat as q131 (replication moves
+    // the md5 split, so weights shift) — timed only; the census and
+    // top-3 windows are vocab-sized
+    "q134_classifier_evidence")
 
   /** Embedding-suite coverage (r13): replicated embeddings with offset
     * ids — replicas TIE on cosine and reshuffle ranks (the q124 caveat),

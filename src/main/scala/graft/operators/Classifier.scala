@@ -104,17 +104,31 @@ object Classifier {
     * token (null hashes to null → coalesced to [[BiasBucket]]), so no
     * second pass or union re-shuffle is needed. Callers checkpoint —
     * training, calibration and scoring all consume this frame. */
-  private[graft] def perceptronPerDoc(d: DataFrame): DataFrame = {
+  private[graft] def perceptronPerDoc(d: DataFrame): DataFrame =
+    perDocFromTokens(tokenFrame(d))
+
+  /** The exploded (doc_id, lang, db, tok, fb) token frame — one text
+    * decode, one explode; the bias cell rides as a trailing null token
+    * (null hashes to null → coalesced to [[BiasBucket]]). Split out so
+    * q134's evidence census and the feature aggregation share ONE
+    * explode behind a caller-placed checkpoint. */
+  private[graft] def tokenFrame(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy($"doc_id")
     d.select($"doc_id", $"lang", Buckets.mod1000("doc_id").as("db"),
         explode(concat(split(lower($"text"), " "),
           array(lit(null).cast("string")))).as("tok"))
-      .groupBy($"doc_id", $"lang", $"db",
-        coalesce(Buckets.modN("tok", PerceptronBuckets),
-          lit(BiasBucket)).as("fb"))
+      .withColumn("fb", coalesce(Buckets.modN("tok", PerceptronBuckets),
+        lit(BiasBucket)))
+  }
+
+  private[graft] def perDocFromTokens(tf: DataFrame): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy($"doc_id")
+    tf
+      .groupBy($"doc_id", $"lang", $"db", $"fb")
       .agg(count(lit(1)).as("c"),
         sum($"tok".isInCollection(StopWords).cast("long")).as("cs"))
       // n_tok/n_stop exclude the bias cell (it is not a token)
@@ -255,6 +269,52 @@ object Classifier {
       .orderBy($"lang", $"split")
   }
 
+  // --------------------------------------------------------------- q134
+  /** q134: the gate's EVIDENCE — which hashed feature cells carry the
+    * decision, and what actually hashes there. A deployed quality gate
+    * gets asked "why was this shard rejected?"; for a linear model the
+    * honest answer is its weight vector read back through the feature
+    * hash: the top-[[EvidenceTopK]] cells by |weight| (tie → lower
+    * cell), each with its weight and the top-3 corpus tokens occupying
+    * the cell (by occurrence desc, token asc — hash collisions are
+    * VISIBLE here, by design: a collided cell's token list is exactly
+    * the ambiguity the model carries). The bias cell is excluded (no
+    * tokens — it is the calibrated intercept's raw cousin).
+    *
+    * Scale shape: ONE text decode/explode into the checkpointed token
+    * frame feeds BOTH training features and the (cell, token) census
+    * (the q101 barrier discipline — the census is vocab-sized after its
+    * partial agg); weights re-enter as the array literal; the top-3 cut
+    * is a per-cell WindowGroupLimit shape over the vocab-sized census. */
+  def q134ClassifierEvidence(s: SparkSession, dir: String): DataFrame =
+    classifierEvidenceOf(docs(s, dir))
+
+  val EvidenceTopK = 8
+
+  private[graft] def classifierEvidenceOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokenFrame(d).localCheckpoint(true)
+    val w = trainPerceptron(perDocFromTokens(tf).localCheckpoint(true))
+    val census = tf.filter($"tok".isNotNull)
+      .groupBy($"fb", $"tok").agg(count(lit(1)).as("occ"))
+    val rn = row_number().over(
+      Window.partitionBy($"fb").orderBy($"occ".desc, $"tok".asc))
+    val topToks = census.withColumn("rn", rn).filter($"rn" <= 3)
+      .groupBy($"fb")
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(rn, tok))), x -> x.tok), ',')").as("top_tokens"))
+    topToks
+      .withColumn("w", wLookup(w))
+      .filter($"w" =!= 0L)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(abs($"w").desc, $"fb".asc)).cast("long"))
+      .filter($"rank" <= EvidenceTopK)
+      .select($"rank", $"fb", $"w", $"top_tokens")
+      .orderBy($"rank")
+  }
+
   // --------------------------------------------------------------- q132
   /** EXACT ROC-AUC of the trained classifier on the HELD-OUT split — the
     * threshold-free number that decides whether the model gates the
@@ -303,12 +363,12 @@ object Classifier {
   private val fbHex =
     s"list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % $PerceptronBuckets"
 
-  /** Shared CTE chain: tokenize → normalized bucket features (+ bias
+  /** Training CTE chain: tokenize → normalized bucket features (+ bias
     * cell) → the E unrolled training epochs (w0 = 257 zeros; per epoch
     * score / misclassify / mean-update — `//` truncates toward zero,
-    * matching trainPerceptron's BigInt fold) → `sc` margins of the whole
-    * corpus under the final weights → `best` calibrated threshold. */
-  private def perceptronCtes: String = {
+    * matching trainPerceptron's BigInt fold). [[perceptronCtes]] extends
+    * it with scoring + calibration; the q134 evidence twin stops here. */
+  private def trainCtes: String = {
     val stopsIn = StopWords.map(w => s"'$w'").mkString(", ")
     val epochs = (1 to PerceptronEpochs).map { i =>
       val pw = s"w${i - 1}"
@@ -342,7 +402,13 @@ object Classifier {
        |tr AS MATERIALIZED (SELECT * FROM pd WHERE db >= 100),
        |w0 AS MATERIALIZED (SELECT fb, CAST(0 AS BIGINT) AS w
        |       FROM range(${PerceptronBuckets + 1}) t(fb)),
-       |$epochs,
+       |$epochs""".stripMargin
+  }
+
+  /** [[trainCtes]] + whole-corpus margins under the final weights +
+    * threshold calibration — the chain q131/q132 consume. */
+  private def perceptronCtes: String =
+    s"""$trainCtes,
        |sc AS MATERIALIZED (SELECT p.doc_id, p.lang, p.db, p.y, SUM(p.x * w.w) AS score
        |  FROM pd p JOIN w$PerceptronEpochs w USING (fb)
        |  GROUP BY p.doc_id, p.lang, p.db, p.y),
@@ -356,11 +422,11 @@ object Classifier {
        |  UNION ALL SELECT (SELECT MIN(score) - 1 FROM gt), 0, 0),
        |best AS MATERIALIZED (SELECT t FROM (SELECT t, (SELECT p FROM tot) - cp + cn AS ok
        |  FROM cand) ORDER BY ok DESC, t ASC LIMIT 1)""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_quality_classifier" -> (q131QualityClassifier _),
     "q132_classifier_auc" -> (q132ClassifierAuc _),
+    "q134_classifier_evidence" -> (q134ClassifierEvidence _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -378,6 +444,23 @@ object Classifier {
          |    best)) THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
          |    AS acc_permille
          |FROM sc GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q134_classifier_evidence" ->
+      s"""WITH $trainCtes,
+         |census AS MATERIALIZED (SELECT $fbHex AS fb, tok, COUNT(*) AS occ
+         |  FROM tok GROUP BY fb, tok),
+         |topt AS MATERIALIZED (SELECT fb,
+         |    string_agg(tok, ',' ORDER BY rn) AS top_tokens
+         |  FROM (SELECT fb, tok, ROW_NUMBER() OVER (PARTITION BY fb
+         |      ORDER BY occ DESC, tok ASC) AS rn FROM census)
+         |  WHERE rn <= 3 GROUP BY fb),
+         |ev AS (SELECT w.fb, w.w, t.top_tokens
+         |  FROM w$PerceptronEpochs w JOIN topt t USING (fb)
+         |  WHERE w.w <> 0)
+         |SELECT * FROM (SELECT
+         |  CAST(ROW_NUMBER() OVER (ORDER BY abs(w) DESC, fb ASC) AS BIGINT)
+         |    AS rank,
+         |  CAST(fb AS BIGINT) AS fb, CAST(w AS BIGINT) AS w, top_tokens
+         |FROM ev) WHERE rank <= $EvidenceTopK ORDER BY rank""".stripMargin,
     "q132_classifier_auc" ->
       s"""WITH $perceptronCtes,
          |g AS MATERIALIZED (SELECT score,

@@ -132,6 +132,31 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("planted: evidence reads back the trained separation") {
+    // the converged planted model has exactly two nonzero cells; the
+    // evidence must list them, |w|-ranked with the fb tiebreak, each
+    // carrying its own token
+    val got = Classifier.classifierEvidenceOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (fThe, fData) = (fb("the"), fb("data"))
+    val want =
+      if (fThe < fData) Seq((1L, fThe, 500L, "the"), (2L, fData, -500L, "data"))
+      else Seq((1L, fData, -500L, "data"), (2L, fThe, 500L, "the"))
+    assert(got.toSeq == want, got.toSeq)
+  }
+
+  test("real corpus: the top evidence cell is stopword mass") {
+    // the label is stopword density, so the heaviest positive cell must
+    // actually CONTAIN a stopword — the interpretability the audit
+    // exists to provide (and collisions stay visible in the token list)
+    val top = SparkEntry.queries("q134_classifier_evidence")(spark, dir)
+      .orderBy(col("rank")).head()
+    assert(top.getLong(2) > 0L, s"rank-1 evidence not positive: $top")
+    assert(Classifier.StopWords.exists(
+      top.getString(3).split(",").contains(_)),
+      s"rank-1 cell carries no stopword: $top")
+  }
+
   private def cleanTable(t: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val loc = new java.io.File(new java.net.URI(
