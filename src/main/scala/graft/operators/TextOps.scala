@@ -2470,16 +2470,17 @@ object TextOps {
         expr("array_join(transform(toks, x -> x.sym), '')").as("joined"))
       .withColumn("ok",
         (replace($"joined", lit("</w>"), lit("")) === $"word").cast("long"))
-    val vocabSize = broadcast(vocab.agg(count(lit(1)).as("vocab_size")))
+    // model-sized driver read (the vocab IS the model) — a 1-row
+    // crossJoin here would plan as a nested-loop the BNLJ ban rejects
+    val vocabSize = vocab.count()
     perForm
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_forms"), sum($"cnt").as("n_words"),
         sum($"ok").as("n_roundtrip_ok"),
         sum(expr("cast(conv(substring(md5(cast(concat(word, ':', idstr) " +
           "as binary)), 1, 8), 16, 10) as long)")).as("ids_chk"))
-      .crossJoin(vocabSize)
-      .select($"lang", $"n_forms", $"n_words", $"vocab_size",
-        $"n_roundtrip_ok", $"ids_chk")
+      .select($"lang", $"n_forms", $"n_words",
+        lit(vocabSize).as("vocab_size"), $"n_roundtrip_ok", $"ids_chk")
       .orderBy($"lang")
   }
 
