@@ -24,6 +24,11 @@ import graft.operators.Dedup
   *   → q116 threshold strip + q114 redact ([[Dedup.stripRedactAgainstState]]
   *          — the SAME function `CleanPipeline.runIncremental` publishes
   *          through, so door bytes ≡ published bytes by construction)
+  *   → [optional, r13] frozen-classifier quality gate (`qualityModel` on
+  *          [[open]]: score ≤ θ against the saved q131 weights drops the
+  *          doc — the per-doc ABSOLUTE decision, so the door stays
+  *          row-equivalent to a refresh gated with the same frozen table;
+  *          applied to the kept set before strip, like the batch stage)
   *   → admitted (one parquet dir per micro-batch — idempotent on replay).
   *
   * Relationship to the batch paths, spec-pinned (StreamingSpec): for a

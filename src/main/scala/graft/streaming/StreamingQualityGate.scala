@@ -65,12 +65,21 @@ object StreamingQualityGate {
     * broadcast frames, here a codegen literal instead of a join. */
   def loadModel(s: SparkSession, table: String): (Array[Long], Long) = {
     val rows = s.table(table + "_w").collect()
-    require(rows.length == Classifier.PerceptronBuckets + 1,
-      s"$table's weight table has ${rows.length} rows, expected " +
-        s"${Classifier.PerceptronBuckets + 1} — rebuild (saveQualityModel)")
+    // 257 rows is not enough: a duplicated cell id would silently
+    // last-write a weight and gate every batch with a corrupt model —
+    // demand exact coverage of 0..256, and exactly one θ
+    require(rows.length == Classifier.PerceptronBuckets + 1 &&
+      rows.map(_.getLong(0)).sorted.toSeq ==
+        (0L to Classifier.BiasBucket),
+      s"$table's weight table does not cover cells 0..${Classifier.BiasBucket} " +
+        s"exactly once (${rows.length} rows) — rebuild (saveQualityModel)")
     val w = Array.fill(Classifier.PerceptronBuckets + 1)(0L)
     rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
-    (w, s.table(table + "_theta").head().getLong(0))
+    val thetas = s.table(table + "_theta").collect()
+    require(thetas.length == 1,
+      s"$table's theta table has ${thetas.length} rows, expected 1 — " +
+        "rebuild (saveQualityModel)")
+    (w, thetas(0).getLong(0))
   }
 
   /** Gate one micro-batch against the frozen (w, θ): one row per
