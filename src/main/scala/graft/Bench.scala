@@ -59,7 +59,7 @@ object Bench {
     "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam",
     "q128_door_divergence", "q129_mmr_diversify", "q130_dropout_presence",
     "q131_quality_classifier", "q132_classifier_auc", "q133_bpe_vocab",
-    "q134_classifier_evidence")
+    "q134_classifier_evidence", "q135_series_correlation")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -260,7 +260,10 @@ object Bench {
     // q134 added r13: classifier evidence — q131's training + the
     // vocab-sized (cell, token) census and top-3 windows (isolated
     // child 1.87/1.96, loadavg ~2.5)
-    "q134_classifier_evidence" -> 2.0)
+    "q134_classifier_evidence" -> 2.0,
+    // q135 added r13: series correlation — the q103 grid + #types-row
+    // moments + the hour-keyed pair join (isolated child 0.92/0.95)
+    "q135_series_correlation" -> 1.0)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

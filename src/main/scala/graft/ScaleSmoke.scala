@@ -92,7 +92,13 @@ object ScaleSmoke {
     // r13: replicated copies keep every (ts, type), so the last-hour
     // presence counts scale exactly ×factor — timed here, the exact
     // invariant rides the q74-style replication property
-    "q130_dropout_presence")
+    "q130_dropout_presence",
+    // r13: series correlation — hourly counts scale ×factor exactly, so
+    // the long moments (cov, variances) scale ×factor² bit-exactly and
+    // the corr² ranking is replication-invariant (asserted below; the
+    // double re-rounds through a different association, so corr²
+    // compares to 1e-9 like the q69 averages)
+    "q135_series_correlation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -248,6 +254,26 @@ object ScaleSmoke {
     require(q133scaled == q133base.map { case (k, (f, w, v, ok, chk)) =>
         k -> ((f, w * factor, v, ok, chk)) },
       "scale-up changed the tokenizer id layer — vocab/ids must be replication-invariant")
+    // q135 invariant: hourly counts scale ×factor exactly, so cov and
+    // the variances scale ×factor² bit-exactly in the longs, the pair
+    // RANKING is unchanged, and corr² re-derives to 1e-9 (the double
+    // re-rounds through a different association — the q69 tolerance)
+    val f2 = factor.toLong * factor
+    val q135base = SparkEntry.queries("q135_series_correlation")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    val q135scaled = SparkEntry.queries("q135_series_correlation")(spark, workDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    require(q135base.length == q135scaled.length &&
+      q135base.zip(q135scaled).forall { case (b, sc) =>
+        (b._1, b._2, b._3, b._4) == ((sc._1, sc._2, sc._3, sc._4)) &&
+          sc._5 == b._5 * f2 && sc._6 == b._6 * f2 && sc._7 == b._7 * f2 &&
+          math.abs(b._8 - sc._8) < 1e-9
+      },
+      "scale-up changed the series-correlation ranking — the moment arithmetic is scale-sensitive")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor

@@ -423,6 +423,67 @@ object Relational {
     }
   }
 
+  // --------------------------------------------------------------- q135
+  /** q135: time-series similarity search over the telemetry rollup —
+    * the all-pairs correlation RANKING of the per-type hourly count
+    * series (the "which series move together" question a monitoring
+    * stack asks right after q105's "which hours are anomalous"; the
+    * distributed-similarity-search family the retrieved EDBT/ICDE
+    * streaming-similarity papers study, expressed on the q103 grid).
+    * Series align on the DENSE gap-filled hour grid (a silent hour is a
+    * 0, not a missing sample — correlating only co-present hours would
+    * bias toward busy periods), and pairs rank by SIGNED Pearson²:
+    * sign(cov) · cov²/(var_a·var_b). No square root: cov and the
+    * variances are EXACT longs (n·Σxy − ΣxΣy over hourly counts), and
+    * the reported statistic needs one correctly-rounded multiply each
+    * side and ONE division — the q87-lift/q90-cosine exactness
+    * convention, so the twin is bit-identical. A zero-variance
+    * (constant) series correlates with nothing: its pairs report 0.0
+    * (the allocTokensCol zero-denominator convention), never NaN/Inf.
+    *
+    * Scale shape: everything runs on the time-range-sized bucket grid
+    * (checkpointed once); per-type moments are #types rows (broadcast
+    * back); the Σxy pair join is hour-keyed, producing #hours ×
+    * #pairs rows. Pairs grow quadratically in #series — fine at tag
+    * cardinality; a deployment with 10⁵+ series takes the q38→q39 road
+    * (sign-LSH bucketing over the series vectors) before the pair join.
+    * Moment sums fit a long through ~10⁹ events/hour·decade; past that
+    * the q42 int128 sum swaps in, same oracle. */
+  def q135SeriesCorrelation(s: SparkSession, dir: String): DataFrame =
+    seriesCorrelationOf(t(s, dir, "events"))
+
+  private[graft] def seriesCorrelationOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (j, _, _) = denseGrid(hourBuckets(ev))
+    val g = j.select($"h", $"event_type", $"n").localCheckpoint(true)
+    val stats = g.groupBy($"event_type")
+      .agg(count(lit(1)).as("nh"), sum($"n").as("sx"),
+        sum($"n" * $"n").as("sxx"))
+    val sxy = g.select($"h", $"event_type".as("type_a"), $"n".as("na"))
+      .join(g.select($"h", $"event_type".as("type_b"), $"n".as("nb")), "h")
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b").agg(sum($"na" * $"nb").as("sxy"))
+    sxy
+      .join(broadcast(stats.select($"event_type".as("type_a"), $"nh",
+        $"sx".as("sxa"), $"sxx".as("sxxa"))), "type_a")
+      .join(broadcast(stats.select($"event_type".as("type_b"),
+        $"sx".as("sxb"), $"sxx".as("sxxb"))), "type_b")
+      .withColumn("cov", $"nh" * $"sxy" - $"sxa" * $"sxb")
+      .withColumn("var_a", $"nh" * $"sxxa" - $"sxa" * $"sxa")
+      .withColumn("var_b", $"nh" * $"sxxb" - $"sxb" * $"sxb")
+      .withColumn("corr2_signed",
+        when($"var_a" === 0L || $"var_b" === 0L, 0.0)
+          .otherwise(expr("if(cov < 0, -1.0, 1.0) * " +
+            "((cast(cov as double) * cast(cov as double)) / " +
+            "(cast(var_a as double) * cast(var_b as double)))")))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        $"corr2_signed".desc, $"type_a".asc, $"type_b".asc)).cast("long"))
+      .select($"rank", $"type_a", $"type_b", $"nh".as("n_hours"),
+        $"cov", $"var_a", $"var_b", $"corr2_signed")
+      .orderBy($"rank")
+  }
+
   /** Per-type (med_n, mad_n) thresholds from a dense (wstart,
     * event_type, n) grid — q105's statistic, shared with
     * [[graft.streaming.StreamingAnomaly]]'s at-the-door alerting. */
@@ -1261,6 +1322,7 @@ object Relational {
     "q103_gapfill" -> (q103Gapfill _),
     "q105_anomaly_hours" -> (q105AnomalyHours _),
     "q130_dropout_presence" -> (q130DropoutPresence _),
+    "q135_series_correlation" -> (q135SeriesCorrelation _),
     "q106_series_transforms" -> (q106SeriesTransforms _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
@@ -1601,6 +1663,35 @@ object Relational {
         |FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN mx
         |LEFT JOIN att USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "q135_series_correlation" ->
+      // one correctly-rounded multiply per side + ONE division (the
+      // q87/q90 convention) — the double is bit-identical across
+      // engines; zero-variance pairs report 0.0 by the CASE guard
+      s"""WITH $gapfillGridCtes,
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(n*n) AS BIGINT) AS sxx
+        |  FROM j GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+        |  FROM j a JOIN j b ON a.h = b.h AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |c AS (SELECT p.ta, p.tb, sa.nh,
+        |    sa.nh * p.sxy - sa.sx * sb.sx AS cov,
+        |    sa.nh * sa.sxx - sa.sx * sa.sx AS var_a,
+        |    sa.nh * sb.sxx - sb.sx * sb.sx AS var_b
+        |  FROM p JOIN st sa ON p.ta = sa.event_type
+        |         JOIN st sb ON p.tb = sb.event_type),
+        |r AS (SELECT *, CASE WHEN var_a = 0 OR var_b = 0 THEN 0.0
+        |    ELSE (CASE WHEN cov < 0 THEN -1.0 ELSE 1.0 END) *
+        |      ((CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)) /
+        |       (CAST(var_a AS DOUBLE) * CAST(var_b AS DOUBLE)))
+        |    END AS corr2_signed FROM c)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY corr2_signed DESC,
+        |    ta ASC, tb ASC) AS BIGINT) AS rank,
+        |  ta AS type_a, tb AS type_b, nh AS n_hours,
+        |  CAST(cov AS BIGINT) AS cov, CAST(var_a AS BIGINT) AS var_a,
+        |  CAST(var_b AS BIGINT) AS var_b, corr2_signed
+        |FROM r ORDER BY rank""".stripMargin,
     "q105_anomaly_hours" ->
       // the lower-median rank picks a VALUE of the multiset, so the
       // within-ties order convention cannot matter; (cnt+1)//2 on

@@ -229,7 +229,10 @@ object CurateDoor {
       gramCatchupEvery: Int = 0,
       qualityModel: Option[String] = None): StreamingQuery = {
     // load the frozen classifier ONCE at open (driver values — 257
-    // longs + θ); per-batch gating is then a pure projection, r13
+    // longs + θ); per-batch gating is then a pure projection, r13.
+    // A re-freeze (rebuild of the _q tables) is picked up at the next
+    // door RESTART, not mid-stream — the frozen-artifact contract every
+    // loaded model here shares (the LM cuts and state paths likewise)
     val qGate = qualityModel.map(t => StreamingQualityGate
       .loadModel(stream.sparkSession, t))
     verdicts(stream, orderCol, ttl).writeStream

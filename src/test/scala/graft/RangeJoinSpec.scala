@@ -373,6 +373,39 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** q135 planted: four series over four hours whose correlation
+    * structure is hand-computed — a perfect positive pair (B = 2A,
+    * corr² = +1 exactly: cov 40, vars 20/80), two perfect ANTI pairs
+    * (C reverses A: −1 exactly), and a CONSTANT series D whose variance
+    * is 0 and whose pairs must report 0.0 (the zero-denominator guard),
+    * never NaN/Inf. Ranks break ties on (type_a, type_b). Alignment on
+    * the DENSE grid matters: the counts are event multiplicities per
+    * hour, not values. */
+  test("q135 planted: exact corr² ranking with anti and constant series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val counts = Map("a" -> Seq(1, 2, 3, 4), "b" -> Seq(2, 4, 6, 8),
+      "c" -> Seq(4, 3, 2, 1), "d" -> Seq(5, 5, 5, 5))
+    val rows = for {
+      (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 100 + h * 10 + i,
+      (500000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val got = Relational.seriesCorrelationOf(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4), r.getDouble(7)))
+    val want = Seq(
+      (1L, "a", "b", 40L, 1.0),
+      (2L, "a", "d", 0L, 0.0), (3L, "b", "d", 0L, 0.0),
+      (4L, "c", "d", 0L, 0.0),
+      (5L, "a", "c", -20L, -1.0), (6L, "b", "c", -40L, -1.0))
+    assert(got.toSeq == want, got.toSeq.mkString("\n"))
+  }
+
   /** q109 planted: the defining Theil–Sen property — a clean unit
     * slope with ONE massive spike hour still reports slope exactly 1.0
     * (the 19 outlier pairs sit in the tails, the median lands in the
