@@ -452,10 +452,20 @@ object Relational {
   def q135SeriesCorrelation(s: SparkSession, dir: String): DataFrame =
     seriesCorrelationOf(t(s, dir, "events"))
 
-  private[graft] def seriesCorrelationOf(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
+  private[graft] def seriesCorrelationOf(ev: DataFrame): DataFrame =
+    seriesCorrelationFromBuckets(hourBuckets(ev))
+
+  /** q135 over an EXISTING (h, event_type, n) rollup — the shared
+    * definition [[graft.streaming.StreamingDownsample]] consumers run
+    * against the watermark-FINALIZED rollup (the StreamingDropout
+    * batch-over-rollup convention: correlation is a whole-history
+    * statistic, so the continuous twin audits the finalized buckets on
+    * a timer rather than keeping quadratic pair state in the stream). */
+  private[graft] def seriesCorrelationFromBuckets(
+      buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
     import s.implicits._
-    val (j, _, _) = denseGrid(hourBuckets(ev))
+    val (j, _, _) = denseGrid(buckets)
     val g = j.select($"h", $"event_type", $"n").localCheckpoint(true)
     val stats = g.groupBy($"event_type")
       .agg(count(lit(1)).as("nh"), sum($"n").as("sx"),
