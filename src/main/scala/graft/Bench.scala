@@ -59,7 +59,9 @@ object Bench {
     "q125_mixture_manifest", "q126_epoch_order", "q127_norm_decontam",
     "q128_door_divergence", "q129_mmr_diversify", "q130_dropout_presence",
     "q131_quality_classifier", "q132_classifier_auc", "q133_bpe_vocab",
-    "q134_classifier_evidence", "q135_series_correlation")
+    "q134_classifier_evidence", "q135_series_correlation",
+    "q136_perlang_theta", "q137_distilled_classifier",
+    "q138_series_corr_lsh")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -261,6 +263,16 @@ object Bench {
     // vocab-sized (cell, token) census and top-3 windows (isolated
     // child 1.87/1.96, loadavg ~2.5)
     "q134_classifier_evidence" -> 2.0,
+    // q136 added r14: q131's training + the keyed two-pass per-lang
+    // calibration + the broadcast theta join (cold forks 3.36/4.31)
+    "q136_perlang_theta" -> 3.9,
+    // q137 added r14: the teacher LM pass (q118's bigram chain + frozen
+    // cut) + q131's training under the teacher label + per-lang
+    // held-out AUC (cold forks 6.18/6.36)
+    "q137_distilled_classifier" -> 6.3,
+    // q138 added r14: the series sign-LSH road — the grid ×16-plane
+    // projection pass + candidate-only re-check (cold forks 1.47/1.77)
+    "q138_series_corr_lsh" -> 1.6,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join (isolated child 0.92/0.95)
     "q135_series_correlation" -> 1.0)

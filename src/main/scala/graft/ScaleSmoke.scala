@@ -73,7 +73,12 @@ object ScaleSmoke {
     // r13: classifier evidence — same caveat as q131 (replication moves
     // the md5 split, so weights shift) — timed only; the census and
     // top-3 windows are vocab-sized
-    "q134_classifier_evidence")
+    "q134_classifier_evidence",
+    // r14: per-lang calibration and teacher distillation — the q131
+    // md5-split caveat again (weights, thetas and the teacher's frozen
+    // cut all shift under replication) — timed only; the point is the
+    // keyed two-pass calibration and the teacher LM pass staying linear
+    "q136_perlang_theta", "q137_distilled_classifier")
 
   /** Embedding-suite coverage (r13): replicated embeddings with offset
     * ids — replicas TIE on cosine and reshuffle ranks (the q124 caveat),
@@ -98,7 +103,13 @@ object ScaleSmoke {
     // the corr² ranking is replication-invariant (asserted below; the
     // double re-rounds through a different association, so corr²
     // compares to 1e-9 like the q69 averages)
-    "q135_series_correlation")
+    "q135_series_correlation",
+    // r14: the sign-LSH candidate arm — replication scales every
+    // centered value ×factor (cx = nh·fn − f·sx = f·cx), so every
+    // hyperplane dot keeps its sign: bits, bands and the CANDIDATE SET
+    // are replication-invariant and the re-check moments scale ×factor²
+    // exactly like q135's (asserted below)
+    "q138_series_corr_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -171,6 +182,36 @@ object ScaleSmoke {
     val base = allQueries.map(n => n -> time(n, sfDir)).toMap
     val scaled = allQueries.map(n =>
       n -> time(n, specialDirs.getOrElse(n, workDir))).toMap
+
+    // VERDICT r13 #8: the iterated-training family reads hotter inside
+    // the interleaved sweep than alone (r13: q131 3.65× in-sweep vs
+    // 2.00× isolated — the JIT/ambient sensitivity of sequential
+    // driver-coordinated epochs). Record BOTH modes in the sweep JSON
+    // for the flagged set — after the sweep, each flagged query
+    // re-times back-to-back with no interleaved work — so the honest
+    // ratio ships in the artifact instead of manual probes.
+    val flaggedIsolated = Seq("q131_quality_classifier",
+        "q132_classifier_auc", "q134_classifier_evidence",
+        "q136_perlang_theta", "q137_distilled_classifier")
+      .filter(allQueries.contains)
+      .map { n =>
+        n -> ((time(n, sfDir), time(n, specialDirs.getOrElse(n, workDir))))
+      }.toMap
+
+    // VERDICT r13 #3: SERIES-CARDINALITY mode — hold event volume
+    // roughly constant while the series count multiplies: each event's
+    // type is suffixed with user_id % factor, splitting every base
+    // series into `factor` sub-series with real (partial) correlation
+    // structure. The exact all-pairs arm (q135) faces ~factor² the pair
+    // space; the LSH arm (q138) faces ~factor the grid plus actual
+    // collisions — the measured gap is the road's reason to exist.
+    val seriesDir = s"$workDir/series"
+    ev.withColumn("event_type", concat($"event_type", lit("_"),
+        ($"user_id" % factor).cast("string")))
+      .write.mode("overwrite").parquet(s"$seriesDir/events.parquet")
+    val seriesCard = Seq("q135_series_correlation", "q138_series_corr_lsh")
+      .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
+      .map(n => n -> ((time(n, sfDir), time(n, seriesDir)))).toMap
 
     if (prefixes.isEmpty) {
     // correctness under scale-up, not just speed: exact duplication must
@@ -259,21 +300,27 @@ object ScaleSmoke {
     // RANKING is unchanged, and corr² re-derives to 1e-9 (the double
     // re-rounds through a different association — the q69 tolerance)
     val f2 = factor.toLong * factor
-    val q135base = SparkEntry.queries("q135_series_correlation")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getDouble(7)))
-    val q135scaled = SparkEntry.queries("q135_series_correlation")(spark, workDir)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getDouble(7)))
-    require(q135base.length == q135scaled.length &&
-      q135base.zip(q135scaled).forall { case (b, sc) =>
-        (b._1, b._2, b._3, b._4) == ((sc._1, sc._2, sc._3, sc._4)) &&
-          sc._5 == b._5 * f2 && sc._6 == b._6 * f2 && sc._7 == b._7 * f2 &&
-          math.abs(b._8 - sc._8) < 1e-9
-      },
-      "scale-up changed the series-correlation ranking — the moment arithmetic is scale-sensitive")
+    def corrRows(name: String, dir: String) =
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7)))
+    def corrInvariant(name: String): Unit = {
+      val b0 = corrRows(name, sfDir)
+      val s0 = corrRows(name, workDir)
+      require(b0.length == s0.length &&
+        b0.zip(s0).forall { case (b, sc) =>
+          (b._1, b._2, b._3, b._4) == ((sc._1, sc._2, sc._3, sc._4)) &&
+            sc._5 == b._5 * f2 && sc._6 == b._6 * f2 && sc._7 == b._7 * f2 &&
+            math.abs(b._8 - sc._8) < 1e-9
+        },
+        s"scale-up changed the $name ranking — the moment arithmetic is scale-sensitive")
+    }
+    corrInvariant("q135_series_correlation")
+    // q138 rides the same invariant AND more: its candidate set must be
+    // replication-invariant (signatures are scale-invariant), which the
+    // row-count equality inside corrInvariant asserts
+    corrInvariant("q138_series_corr_lsh")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor
@@ -561,10 +608,19 @@ object ScaleSmoke {
         Double.box(v))
     val qJson = allQueries.map { n =>
       val ratio = scaled(n) / base(n)
-      s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},"ratio":${num(ratio, 2)}}"""
+      val iso = flaggedIsolated.get(n).map { case (b, sc) =>
+        s""","isolated":{"base":${num(b, 3)},"scaled":${num(sc, 3)},"ratio":${num(sc / b, 2)}}"""
+      }.getOrElse("")
+      s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},"ratio":${num(ratio, 2)}$iso}"""
     }.mkString(",")
+    // the series-cardinality arm: base = sf0.1's 5 series, scaled =
+    // ×factor sub-series at the SAME event volume
+    val scJson = seriesCard.map { case (n, (b, sc)) =>
+      s""""x_series_card_${n.takeWhile(_ != '_')}":{"base":${num(b, 3)},"scaled":${num(sc, 3)},"ratio":${num(sc / b, 2)}}"""
+    }.mkString(",")
+    val allJson = if (scJson.isEmpty) qJson else s"$qJson,$scJson"
     val inv = if (prefixes.isEmpty) "ok" else "skipped"
-    println(s"""{"factor":$factor,"invariants":"$inv","queries":{$qJson}}""")
+    println(s"""{"factor":$factor,"invariants":"$inv","queries":{$allJson}}""")
     spark.stop()
   }
 }

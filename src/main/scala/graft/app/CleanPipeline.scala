@@ -435,13 +435,21 @@ object CleanPipeline {
   def main(args: Array[String]): Unit = {
     val full = args.contains("--full")
     val lmTail = args.contains("--lm-tail-filter")
+    // a value-taking flag in last position is a usage error (exit 2,
+    // the Main.scala argparse convention), not an
+    // ArrayIndexOutOfBoundsException (ADVICE r13)
+    def reqValue(i: Int, flag: String): String = args.lift(i + 1).getOrElse {
+      System.err.println(s"usage: CleanPipeline: $flag requires a value")
+      sys.exit(2)
+    }
     val mi = args.indexOf("--min-strip-span")
-    val minSpan = if (mi >= 0) args(mi + 1).toLong
+    val minSpan = if (mi >= 0) reqValue(mi, "--min-strip-span").toLong
       else graft.operators.Dedup.MinStripSpan
     // --gopher-rules fail_dup_line,fail_top2  (comma-separated subset)
     val gi = args.indexOf("--gopher-rules")
     val gopherRules =
-      if (gi >= 0) args(gi + 1).split(",").toSeq.filter(_.nonEmpty)
+      if (gi >= 0) reqValue(gi, "--gopher-rules").split(",").toSeq
+        .filter(_.nonEmpty)
       else Seq.empty[String]
     // --door-divergence: after the refresh, print the q128 door-vs-batch
     // keeper accounting ([[graft.operators.Dedup.doorKeeperDivergence]])
@@ -455,7 +463,8 @@ object CleanPipeline {
     // table preserves append ≡ recurate (the corpus-relative LM/Gopher
     // knobs stay full-only below)
     val qi = args.indexOf("--quality-model")
-    val qualityModel = if (qi >= 0) Some(args(qi + 1)) else None
+    val qualityModel =
+      if (qi >= 0) Some(reqValue(qi, "--quality-model")) else None
     val pos = args.zipWithIndex.collect {
       case (a, i) if a != "--full" && a != "--lm-tail-filter" &&
         a != "--door-divergence" &&

@@ -474,6 +474,17 @@ object Relational {
       .join(g.select($"h", $"event_type".as("type_b"), $"n".as("nb")), "h")
       .filter($"type_a" < $"type_b")
       .groupBy($"type_a", $"type_b").agg(sum($"na" * $"nb").as("sxy"))
+    corrRanking(sxy, stats)
+  }
+
+  /** q135's exact-moment ranking tail over an explicit (type_a, type_b,
+    * sxy) pair frame — ONE definition shared by the all-pairs arm and
+    * q138's LSH-candidate arm, so the candidate re-check is q135's
+    * arithmetic verbatim. The rank window is pair-frame-sized (q135:
+    * #types², documented; q138: candidate-bounded). */
+  private def corrRanking(sxy: DataFrame, stats: DataFrame): DataFrame = {
+    val s = sxy.sparkSession
+    import s.implicits._
     sxy
       .join(broadcast(stats.select($"event_type".as("type_a"), $"nh",
         $"sx".as("sxa"), $"sxx".as("sxxa"))), "type_a")
@@ -492,6 +503,93 @@ object Relational {
       .select($"rank", $"type_a", $"type_b", $"nh".as("n_hours"),
         $"cov", $"var_a", $"var_b", $"corr2_signed")
       .orderBy($"rank")
+  }
+
+  // --------------------------------------------------------------- q138
+  /** Sign-LSH hyperplane count for the series-similarity road: 16 bits
+    * = [[SeriesLshBands]] bands × 4 bits (q39's bit/table trade). */
+  val SeriesLshPlanes = 16
+  val SeriesLshBands = 4
+
+  /** q138 (VERDICT r13 #3): q135's documented sign-LSH road, BUILT —
+    * the candidate arm a 10⁵-series deployment runs before the pair
+    * join. Pearson correlation is the cosine of the CENTERED series
+    * vectors, so q39's sign-LSH transfers: hash each series to
+    * [[SeriesLshPlanes]] sign bits h_p = sign(Σ_h r(p,h)·c(h)) against
+    * deterministic ±1 hyperplanes r(p,h) = 1 − 2·(md5("p:h") mod 2)
+    * (the shared md5 family — replayable in both engines, no RNG), cut
+    * the bits into [[SeriesLshBands]] bands, and take as candidates the
+    * pairs agreeing on SOME band either directly (positively
+    * correlated: small angle → equal signs) or bitwise-COMPLEMENTED
+    * (anti-correlated: a negated vector flips every sign — q135 ranks
+    * both tails, so the candidate arm must cover both). Candidates then
+    * re-check EXACTLY — [[corrRanking]], q135's moment arithmetic
+    * verbatim, re-ranked over the surviving pairs — so every reported
+    * row is bit-identical to q135's row for that pair; what the road
+    * trades is only RECALL of weakly-correlated pairs (near-orthogonal
+    * series land in shared buckets by chance alone), never the
+    * correctness of a reported statistic.
+    *
+    * Centering without rationals: c(h) = nh·n(h) − sx = nh·(n(h) − x̄)
+    * — a positive scalar multiple, so every dot product's sign (and so
+    * every bit, band and candidate) is EXACTLY that of the true
+    * centered series, in long arithmetic.
+    *
+    * Scale shape: the projection pass explodes the grid ×16 planes and
+    * partial-aggregates map-side to #series × 16 rows; signatures are
+    * #series × #bands; the candidate join is an EQUI-join on (band,
+    * bucket) (the complement arm rides a 2-way explode on the probe
+    * side — no OR predicate, no BNLJ, plan-pinned) hitting only
+    * colliding pairs; the exact re-check is hour-keyed over candidate
+    * pairs only. At 10⁵ series the all-pairs frame is 5·10⁹ pairs;
+    * this arm's work is grid×16 + collisions — the ScaleSmoke series-
+    * cardinality mode measures exactly that gap. */
+  def q138SeriesCorrLsh(s: SparkSession, dir: String): DataFrame =
+    seriesCorrLshOf(t(s, dir, "events"))
+
+  private[graft] def seriesCorrLshOf(ev: DataFrame): DataFrame =
+    seriesCorrLshFromBuckets(hourBuckets(ev))
+
+  private[graft] def seriesCorrLshFromBuckets(
+      buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val (j, _, _) = denseGrid(buckets)
+    val g = j.select($"h", $"event_type", $"n").localCheckpoint(true)
+    val stats = g.groupBy($"event_type")
+      .agg(count(lit(1)).as("nh"), sum($"n").as("sx"),
+        sum($"n" * $"n").as("sxx"))
+      .localCheckpoint(true) // #types rows — feeds centering AND moments
+    val nBits = SeriesLshPlanes / SeriesLshBands
+    val proj = g
+      .join(broadcast(stats.select($"event_type", $"nh", $"sx")),
+        "event_type")
+      .select($"h", $"event_type", ($"nh" * $"n" - $"sx").as("cx"))
+      .withColumn("p", explode(expr(s"sequence(0, ${SeriesLshPlanes - 1})")))
+      .withColumn("r", lit(1L) - lit(2L) * graft.util.Buckets.modN(
+        "concat(cast(p as string), ':', cast(h as string))", 2))
+      .groupBy($"event_type", $"p")
+      .agg(sum($"r" * $"cx").as("dot"))
+    val sigs = proj
+      .select($"event_type", expr(s"p div $nBits").as("band"),
+        expr(s"p % $nBits").as("pos"),
+        ($"dot" >= 0L).cast("long").as("bit"))
+      .groupBy($"event_type", $"band")
+      .agg(sum(expr("bit * shiftleft(1, cast(pos as int))")).as("bk"))
+      .localCheckpoint(true) // #series × #bands — feeds both join sides
+    val mask = (1L << nBits) - 1L
+    val probe = sigs.select($"event_type".as("type_b"), $"band",
+      explode(array($"bk", lit(mask) - $"bk")).as("bk"))
+    val cands = sigs.select($"band", $"bk", $"event_type".as("type_a"))
+      .join(probe, Seq("band", "bk"))
+      .filter($"type_a" < $"type_b")
+      .select($"type_a", $"type_b").distinct()
+    val sxy = g.select($"h", $"event_type".as("type_a"), $"n".as("na"))
+      .join(broadcast(cands), "type_a")
+      .join(g.select($"h", $"event_type".as("type_b"), $"n".as("nb")),
+        Seq("h", "type_b"))
+      .groupBy($"type_a", $"type_b").agg(sum($"na" * $"nb").as("sxy"))
+    corrRanking(sxy, stats)
   }
 
   /** Per-type (med_n, mad_n) thresholds from a dense (wstart,
@@ -1333,6 +1431,7 @@ object Relational {
     "q105_anomaly_hours" -> (q105AnomalyHours _),
     "q130_dropout_presence" -> (q130DropoutPresence _),
     "q135_series_correlation" -> (q135SeriesCorrelation _),
+    "q138_series_corr_lsh" -> (q138SeriesCorrLsh _),
     "q106_series_transforms" -> (q106SeriesTransforms _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
@@ -1673,6 +1772,55 @@ object Relational {
         |FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN mx
         |LEFT JOIN att USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "q138_series_corr_lsh" ->
+      // the full LSH road replayed: centered-scaled longs → md5-derived
+      // ±1 hyperplanes → band buckets → (direct ∪ complement) candidate
+      // collisions → q135's exact moment arithmetic on candidates only
+      s"""WITH $gapfillGridCtes,
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(n*n) AS BIGINT) AS sxx
+        |  FROM j GROUP BY 1),
+        |cg AS (SELECT j.h, j.event_type, st.nh * j.n - st.sx AS cx
+        |  FROM j JOIN st USING (event_type)),
+        |pr AS (SELECT event_type, p,
+        |    SUM((1 - 2 * (list_reduce(list_transform(range(8),
+        |        ii -> CAST(strpos('0123456789abcdef', substr(
+        |          md5(CAST(p AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
+        |          CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1),
+        |        (a,b) -> a*16 + b) % 2)) * cx) AS dot
+        |  FROM cg, range(${SeriesLshPlanes}) t(p) GROUP BY 1, 2),
+        |sg AS (SELECT event_type, p // ${SeriesLshPlanes / SeriesLshBands}
+        |      AS band,
+        |    SUM((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) *
+        |        (1 << (p % ${SeriesLshPlanes / SeriesLshBands}))) AS bk
+        |  FROM pr GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+        |  FROM sg a JOIN sg b ON a.band = b.band
+        |    AND (a.bk = b.bk OR
+        |         a.bk = ${(1L << (SeriesLshPlanes / SeriesLshBands)) - 1}
+        |           - b.bk)
+        |    AND a.event_type < b.event_type),
+        |p2 AS (SELECT c.ta, c.tb, CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+        |  FROM cand c JOIN j a ON a.event_type = c.ta
+        |    JOIN j b ON b.event_type = c.tb AND b.h = a.h
+        |  GROUP BY 1, 2),
+        |c2 AS (SELECT p2.ta, p2.tb, sa.nh,
+        |    sa.nh * p2.sxy - sa.sx * sb.sx AS cov,
+        |    sa.nh * sa.sxx - sa.sx * sa.sx AS var_a,
+        |    sa.nh * sb.sxx - sb.sx * sb.sx AS var_b
+        |  FROM p2 JOIN st sa ON p2.ta = sa.event_type
+        |          JOIN st sb ON p2.tb = sb.event_type),
+        |r2 AS (SELECT *, CASE WHEN var_a = 0 OR var_b = 0 THEN 0.0
+        |    ELSE (CASE WHEN cov < 0 THEN -1.0 ELSE 1.0 END) *
+        |      ((CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)) /
+        |       (CAST(var_a AS DOUBLE) * CAST(var_b AS DOUBLE)))
+        |    END AS corr2_signed FROM c2)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY corr2_signed DESC,
+        |    ta ASC, tb ASC) AS BIGINT) AS rank,
+        |  ta AS type_a, tb AS type_b, nh AS n_hours,
+        |  CAST(cov AS BIGINT) AS cov, CAST(var_a AS BIGINT) AS var_a,
+        |  CAST(var_b AS BIGINT) AS var_b, corr2_signed
+        |FROM r2 ORDER BY rank""".stripMargin,
     "q135_series_correlation" ->
       // one correctly-rounded multiply per side + ONE division (the
       // q87/q90 convention) — the double is bit-identical across

@@ -2621,7 +2621,7 @@ object TextOps {
   private def mixtureCtes: String = {
     val subsetSum = MixGopherRules.mkString(" + ")
     s"""$gopherDocCtes,
-      |$lmDocCtes,
+      |${lmDocCtes()},
       |pdq AS (SELECT gf.lang, d.source, gf.doc_id, gf.n_words,
       |    CASE WHEN lb.lm_bucket <> 'tail' AND ($subsetSum) = 0
       |      THEN 1 ELSE 0 END AS kept
@@ -2643,45 +2643,57 @@ object TextOps {
     * division on positives — the Spark `div`; the smoothed conditional
     * falls out of ONE formula at every (c12, c1) including the
     * unseen-bigram/unseen-context cases. */
-  private def lmDocCtes: String = {
+  /** `prefix` renames every CTE (`b` → `${prefix}b` …) so the chain can
+    * compose into a WITH whose own names collide — the q137 distilled
+    * classifier's twin embeds this chain as the TEACHER next to the
+    * perceptron training chain (whose `b`/`pd`/`sc` it would otherwise
+    * shadow); `refPred` picks the LM's reference slice (q118's contract
+    * is the standing eval split `db < 100`; q137's teacher freezes on
+    * the STUDENT's train split `db >= 100` so the student's eval is
+    * held out from both models). Defaults keep the q118/q123 oracles
+    * semantically identical. */
+  private[graft] def lmDocCtes(prefix: String = "",
+      refPred: String = "db < 100"): String = {
+    val p = prefix
     val dbHex =
       "list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % 1000"
     val tokHex =
       s"list_reduce(list_transform(range(8), ii -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(ii AS INTEGER)+1, 1)) AS BIGINT) - 1), (a,b) -> a*16 + b) % $LmBuckets"
     val K = LmBuckets
-    s"""b AS (SELECT doc_id, lang, $dbHex AS db,
+    s"""${p}b AS (SELECT doc_id, lang, $dbHex AS db,
       |    list_transform(string_split(lower(text), ' '),
       |      tok -> $tokHex) AS bs FROM documents),
-      |bg AS (SELECT doc_id, lang, db, bs, unnest(range(len(bs) - 1)) AS i
-      |  FROM b WHERE len(bs) >= 2),
-      |pp AS (SELECT doc_id, lang, db,
+      |${p}bg AS (SELECT doc_id, lang, db, bs, unnest(range(len(bs) - 1)) AS i
+      |  FROM ${p}b WHERE len(bs) >= 2),
+      |${p}pp AS (SELECT doc_id, lang, db,
       |    bs[CAST(i + 1 AS INTEGER)] AS b1,
-      |    bs[CAST(i + 2 AS INTEGER)] AS b2 FROM bg),
-      |pd AS (SELECT doc_id, lang, db, b1, b2, COUNT(*) AS c
-      |  FROM pp GROUP BY doc_id, lang, db, b1, b2),
-      |cells AS (SELECT lang, b1, b2, SUM(c) AS c12
-      |  FROM pd WHERE db < 100 GROUP BY lang, b1, b2),
-      |ctx AS (SELECT lang, b1, SUM(c12) AS c1 FROM cells GROUP BY lang, b1),
-      |sc AS (SELECT pd.doc_id, pd.lang,
+      |    bs[CAST(i + 2 AS INTEGER)] AS b2 FROM ${p}bg),
+      |${p}pd AS (SELECT doc_id, lang, db, b1, b2, COUNT(*) AS c
+      |  FROM ${p}pp GROUP BY doc_id, lang, db, b1, b2),
+      |${p}cells AS (SELECT lang, b1, b2, SUM(c) AS c12
+      |  FROM ${p}pd WHERE $refPred GROUP BY lang, b1, b2),
+      |${p}ctx AS (SELECT lang, b1, SUM(c12) AS c1
+      |  FROM ${p}cells GROUP BY lang, b1),
+      |${p}sc AS (SELECT pd.doc_id, pd.lang,
       |    SUM(c * ((CAST($LmScale AS HUGEINT) * (2*COALESCE(c12, 0)+1))
       |             // (2*COALESCE(c1, 0)+$K))) AS ssum,
       |    SUM(c) AS nbg
-      |  FROM pd LEFT JOIN cells USING (lang, b1, b2)
-      |    LEFT JOIN ctx USING (lang, b1)
+      |  FROM ${p}pd pd LEFT JOIN ${p}cells USING (lang, b1, b2)
+      |    LEFT JOIN ${p}ctx USING (lang, b1)
       |  GROUP BY pd.doc_id, pd.lang),
-      |lf AS (SELECT d.lang, d.doc_id,
+      |${p}lf AS (SELECT d.lang, d.doc_id,
       |    CAST(COALESCE(nbg, 0) AS BIGINT) AS n_bigrams,
       |    CAST(COALESCE(ssum // nbg, 0) AS BIGINT) AS lm_score
       |  FROM documents d
-      |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = d.lang),
-      |lrk AS (SELECT lang, doc_id, n_bigrams, lm_score,
+      |  LEFT JOIN ${p}sc sc ON sc.doc_id = d.doc_id AND sc.lang = d.lang),
+      |${p}lrk AS (SELECT lang, doc_id, n_bigrams, lm_score,
       |    ROW_NUMBER() OVER (PARTITION BY lang
       |      ORDER BY lm_score DESC, doc_id ASC) AS rk,
-      |    COUNT(*) OVER (PARTITION BY lang) AS n FROM lf),
-      |lb AS (SELECT lang, doc_id, n_bigrams, lm_score,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n FROM ${p}lf),
+      |${p}lb AS (SELECT lang, doc_id, n_bigrams, lm_score,
       |    CASE WHEN 3*rk <= n THEN 'head'
       |         WHEN 3*rk <= 2*n THEN 'middle' ELSE 'tail' END AS lm_bucket
-      |  FROM lrk)""".stripMargin
+      |  FROM ${p}lrk)""".stripMargin
   }
 
   /** The per-document Gopher flag CTE chain (no leading WITH): ends in
@@ -2873,7 +2885,7 @@ object TextOps {
         |FROM rk WHERE rk <= $DsirK ORDER BY lang, rk""".stripMargin
     },
     "q118_lm_quality" ->
-      s"""WITH $lmDocCtes
+      s"""WITH ${lmDocCtes()}
         |SELECT lang, doc_id, n_bigrams, lm_score, lm_bucket
         |FROM lb ORDER BY lang, doc_id""".stripMargin,
     "q123_quality_mixture" ->

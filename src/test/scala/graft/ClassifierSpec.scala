@@ -118,6 +118,55 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  /** VERDICT r13 #1: the calibration/AUC cumulative pass must not run
+    * as an unpartitioned window. The two-pass prefix sum must (a)
+    * reproduce the naive single-window cumulative EXACTLY on a skewed
+    * score frame and (b) hash-partition the heavy window on rbucket —
+    * the q58/q125 pin, applied at the score-group level. */
+  test("cumByScore matches the single window; partitions on rbucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 1000 distinct scores with gaps and negative values, skewed counts
+    val gt = (0L until 1000L)
+      .map(i => (i * 7 - 3000L, i % 5, i % 3))
+      .toDF("score", "ps", "ns")
+      .select($"score", $"ps".cast("long").as("ps"),
+        $"ns".cast("long").as("ns"))
+    val got = Classifier.cumByScore(gt)
+      .select("score", "cp", "cn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val w = Window.orderBy($"score".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = gt
+      .withColumn("cp", sum($"ps").over(w))
+      .withColumn("cn", sum($"ns").over(w))
+      .select("score", "cp", "cn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.sameElements(want))
+    // keyed arm: per-lang cumulative equals the per-lang window
+    val gtl = (0L until 400L)
+      .map(i => (if (i % 4 == 0) "xx" else "en", i * 3 - 500L, 1L, i % 2))
+      .toDF("lang", "score", "ps", "ns")
+      .select($"lang", $"score", $"ps", $"ns".cast("long").as("ns"))
+    val gotL = Classifier.cumByScore(gtl, Seq("lang"))
+      .select("lang", "score", "cp", "cn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    val wl = Window.partitionBy($"lang").orderBy($"score".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantL = gtl
+      .withColumn("cp", sum($"ps").over(wl))
+      .withColumn("cn", sum($"ns").over(wl))
+      .select("lang", "score", "cp", "cn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(gotL.sameElements(wantL))
+    // the heavy window exchanges on rbucket — never an unpartitioned sort
+    val plan = castToImpl(Classifier.cumByScore(gt))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\([^)]*rbucket.*"), plan)
+  }
+
   test("q131/q132 final plans: checkpoint-fed, no text, no file scan, no join") {
     // training + scoring happen against the checkpointed bounded frame;
     // the returned plan must not re-touch the corpus (a FileScan or a
@@ -167,7 +216,7 @@ class ClassifierSpec extends AnyFunSuite {
   test("quality gate: freeze, replay-exact serve, zero-drift audit, refusal") {
     import spark.implicits._
     val t = "qgate_spec_model"
-    Seq("_w", "_theta", "_rates").foreach(sfx => cleanTable(t + sfx))
+    Seq("_w", "_theta", "_ltheta", "_rates").foreach(sfx => cleanTable(t + sfx))
     val d = graft.util.Tables(spark, dir, "documents")
     graft.streaming.StreamingQualityGate.saveQualityModel(
       d.select($"doc_id", $"lang", $"text"), t)
@@ -234,7 +283,7 @@ class ClassifierSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.md5
     val tmp = java.nio.file.Files.createTempDirectory("qpipe").toString
     val model = "qpipe_model"
-    Seq("_w", "_theta", "_rates").foreach(sfx => cleanTable(model + sfx))
+    Seq("_w", "_theta", "_ltheta", "_rates").foreach(sfx => cleanTable(model + sfx))
     Seq("qpipe_base", "qpipe_recur").foreach(cleanTable)
     // the documented incremental-contract precondition (PublishSpec):
     // an append cannot unpublish, so a batch near-dup that would OUTRANK
@@ -325,5 +374,114 @@ class ClassifierSpec extends AnyFunSuite {
     val preds = SparkEntry.queries("q131_quality_classifier")(spark, dir)
       .agg(sum($"n_pred_pos"), sum($"n_docs")).head()
     assert(preds.getLong(0) > 0L && preds.getLong(0) < preds.getLong(1))
+  }
+
+  /** VERDICT r13 #4's demonstration case: a minority language whose
+    * score distribution sits entirely BELOW the majority's operating
+    * point. The global θ lands where the majority is separable and
+    * writes the minority off; the per-language θ calibrates each
+    * language on its own ROC. All hand-computed. */
+  test("planted minority language: global θ misclassifies it, per-lang θ fixes it") {
+    import spark.implicits._
+    // en: pos +100 / neg −100 (8+8 train, 2+2 eval);
+    // xx: pos −300 / neg −500 (2+2 train, 1+1 eval) — all xx scores
+    // below en's separating point
+    def rows(lang: String, db: Long, y: Long, score: Long, n: Int,
+        base: Long) =
+      (0 until n).map(i => (base + i, lang, db, y, score))
+    val scores = (
+      rows("en", 500L, 1L, 100L, 8, 0L) ++
+      rows("en", 500L, -1L, -100L, 8, 100L) ++
+      rows("en", 50L, 1L, 100L, 2, 200L) ++
+      rows("en", 50L, -1L, -100L, 2, 300L) ++
+      rows("xx", 500L, 1L, -300L, 2, 400L) ++
+      rows("xx", 500L, -1L, -500L, 2, 500L) ++
+      rows("xx", 50L, 1L, -300L, 1, 600L) ++
+      rows("xx", 50L, -1L, -500L, 1, 700L)
+    ).toDF("doc_id", "lang", "db", "y", "score")
+    // global θ: candidates {−500, −300, −100, +100} on the train split;
+    // ok(−100) = P − cp + cn = 10 − 2 + 10 = 18 beats every other point
+    // (−500: 12, −300: 10, +100: 10, sentinel: 10) → θ = −100, which
+    // predicts every xx doc negative: xx positives are all wrong
+    val thetaG = Classifier.calibrateTheta(scores.filter($"db" >= 100L))
+    assert(thetaG == -100L)
+    val xxWrongGlobal = scores.filter($"lang" === "xx")
+      .filter(($"y" === 1L) =!= ($"score" > thetaG)).count()
+    assert(xxWrongGlobal == 3L, s"global θ should miss all 3 xx positives")
+    // per-lang: θ_en = −100 (unchanged), θ_xx = −500 (its own ROC:
+    // ok(−500) = 2 − 0 + 2 = 4, all four xx train docs correct)
+    val audit = Classifier.perLangAuditFromScores(scores).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(6), r.getLong(7)))).toMap
+    assert(audit(("xx", "train")) == ((-500L, 4L, 4L, 1000L)))
+    assert(audit(("xx", "eval")) == ((-500L, 2L, 2L, 1000L)))
+    assert(audit(("en", "train")) == ((-100L, 16L, 16L, 1000L)))
+    assert(audit(("en", "eval")) == ((-100L, 4L, 4L, 1000L)))
+  }
+
+  /** VERDICT r13 #2's done bar: the distilled student genuinely ranks
+    * the held-out teacher verdict (measured per-lang eval AUC well
+    * above chance), imitates it on the train split, and the teacher's
+    * train-side freeze keeps the eval labels NON-DEGENERATE (the
+    * q118-reference-slice design was measured degenerate: an LM that
+    * memorized the eval split labels every eval doc positive and the
+    * held-out AUC reads the one-class 0). */
+  test("real corpus: distillation learns the LM-tercile teacher") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q137_distilled_classifier")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(6), r.getLong(7)))).toMap
+    // eval labels carry both classes for the biggest language (the
+    // non-degeneracy the train-side teacher freeze buys)
+    val (enN, enPos, _, enAuc) = out(("en", "eval"))
+    assert(enPos > 0L && enPos < enN,
+      s"en eval teacher labels degenerate: $enPos of $enN positive")
+    // student ranks the held-out teacher verdict far above chance
+    assert(enAuc > 700000L, s"en eval AUC $enAuc ≤ 0.70")
+    // and imitates the teacher on every language's train split
+    out.collect { case ((l, "train"), (_, _, agree, _)) =>
+      assert(agree >= 700L, s"$l train agreement ${agree}‰ < 700‰")
+    }
+    // train rows never report an AUC (it would be training-set flattery)
+    out.collect { case ((_, "train"), (_, _, _, auc)) =>
+      assert(auc == 0L)
+    }
+  }
+
+  /** The per-language gate option (VERDICT r13 #4): the frozen _ltheta
+    * table replays q136's per-language predictions exactly at the door,
+    * and an unseen language falls back to the global θ. */
+  test("per-lang quality gate: replay matches q136; unseen lang uses global θ") {
+    import spark.implicits._
+    val t = "qgate_perlang_model"
+    Seq("_w", "_theta", "_ltheta", "_rates").foreach(sfx =>
+      cleanTable(t + sfx))
+    val d = graft.util.Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    graft.streaming.StreamingQualityGate.saveQualityModel(d, t)
+    val (w, theta) = graft.streaming.StreamingQualityGate.loadModel(spark, t)
+    val lthetas = graft.streaming.StreamingQualityGate
+      .loadPerLangThetas(spark, t)
+    assert(lthetas.nonEmpty)
+    val gated = graft.streaming.StreamingQualityGate
+      .gatedBatchPerLang(d, w, lthetas, theta)
+      .groupBy($"lang").agg(sum($"admitted".cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audit = SparkEntry.queries("q136_perlang_theta")(spark, dir)
+      .groupBy($"lang").agg(sum($"n_pred_pos").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gated == audit,
+      s"per-lang door admits ≠ q136 predictions\n$gated\n$audit")
+    // an unseen language has no per-lang θ: it gates at the global θ
+    val unseen = graft.streaming.StreamingQualityGate
+      .gatedBatchPerLang(d.limit(20)
+        .select($"doc_id", lit("xx").as("lang"), $"text"), w, lthetas, theta)
+    val viaGlobal = graft.streaming.StreamingQualityGate
+      .gatedBatch(d.limit(20)
+        .select($"doc_id", lit("xx").as("lang"), $"text"), w, theta)
+    assert(unseen.select("doc_id", "admitted").collect().map(_.toString)
+        .sorted.toSeq ==
+      viaGlobal.select("doc_id", "admitted").collect().map(_.toString)
+        .sorted.toSeq)
   }
 }

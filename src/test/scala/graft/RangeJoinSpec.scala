@@ -406,6 +406,58 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSeq == want, got.toSeq.mkString("\n"))
   }
 
+  /** q138 (VERDICT r13 #3): the sign-LSH candidate arm must (a) report
+    * every row BIT-IDENTICALLY to exact q135 for the same pair (the
+    * re-check is q135's moment arithmetic verbatim — the road trades
+    * recall of weak pairs, never the correctness of a reported
+    * statistic) and (b) RECALL every strongly-correlated pair: an exact
+    * positive scaling preserves every centered sign (identical
+    * signatures, direct collision in all bands), a reversal flips every
+    * sign (complement collision). Fixture: the q135 quartet + six
+    * deterministic noise series. */
+  test("q138 LSH road: rows ≡ q135 per pair; strong pairs all recalled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val counts: Map[String, Seq[Int]] = Map(
+      "a" -> Seq(1, 2, 3, 4, 2, 5, 1, 3),
+      "b" -> Seq(2, 4, 6, 8, 4, 10, 2, 6), // 2·a: same centered direction
+      "c" -> Seq(5, 4, 3, 2, 4, 1, 5, 3),  // 6−a: centered = −centered(a)
+      "d" -> Seq(5, 5, 5, 5, 5, 5, 5, 5)   // constant: variance 0
+    ) ++ (0 until 6).map(i =>
+      s"n$i" -> (0 until 8).map(h => (h * 7 + i * 3 + i * h) % 5 + 1))
+    val rows = for {
+      (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 1000 + h * 100 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    def byPair(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7)))).toMap
+    val exact = byPair(Relational.seriesCorrelationOf(ev))
+    val lsh = byPair(Relational.seriesCorrLshOf(ev))
+    // (a) every reported candidate row is exact-q135's row, bit for bit
+    lsh.foreach { case (pair, st) =>
+      assert(exact(pair) == st, s"$pair: LSH row ≠ exact row")
+    }
+    // (b) candidates ⊇ strong pairs (both tails: |corr²| ≥ 0.9)
+    val strong = exact.collect {
+      case (pair, (_, _, _, _, c2)) if math.abs(c2) >= 0.9 => pair
+    }.toSet
+    assert(strong.nonEmpty && strong.subsetOf(lsh.keySet),
+      s"missed strong pairs: ${strong -- lsh.keySet}")
+    // the scaling pair and the reversal pair are recalled by name
+    assert(lsh.contains(("a", "b")) && lsh.contains(("a", "c")))
+    // and the top-1 exact pair is rank 1 in the candidate ranking too
+    val top1 = Relational.seriesCorrLshOf(ev)
+      .orderBy($"rank").limit(1).collect()(0)
+    assert((top1.getString(1), top1.getString(2)) == (("a", "b")))
+  }
+
   /** q109 planted: the defining Theil–Sen property — a clean unit
     * slope with ONE massive spike hour still reports slope exactly 1.0
     * (the 19 outlier pairs sit in the tails, the median lands in the
