@@ -61,7 +61,7 @@ object Bench {
     "q131_quality_classifier", "q132_classifier_auc", "q133_bpe_vocab",
     "q134_classifier_evidence", "q135_series_correlation",
     "q136_perlang_theta", "q137_distilled_classifier",
-    "q138_series_corr_lsh")
+    "q138_series_corr_lsh", "q139_decoder_audit")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -270,6 +270,10 @@ object Bench {
     // cut) + q131's training under the teacher label + per-lang
     // held-out AUC (cold forks 6.18/6.36)
     "q137_distilled_classifier" -> 6.3,
+    // q139 added r14: decoder stub-fraction audit — one decode pass
+    // (mapPartitions dispatch) + a map-side-combined rollup (cold forks
+    // 0.51/0.51)
+    "q139_decoder_audit" -> 0.8,
     // q138 added r14: the series sign-LSH road — the grid ×16-plane
     // projection pass + candidate-only re-check (cold forks 1.47/1.77)
     "q138_series_corr_lsh" -> 1.6,
@@ -340,7 +344,8 @@ object Bench {
       dir: String): String = {
     val t = s"graft_bench_qgate_${Integer.toHexString(dir.hashCode)}"
     if (qGateWrittenByThisJvm.add(t)) {
-      Seq(t + "_w", t + "_theta", t + "_rates").foreach(wipeTable(s, _))
+      Seq(t + "_w", t + "_theta", t + "_ltheta", t + "_rates")
+        .foreach(wipeTable(s, _))
       graft.streaming.StreamingQualityGate.saveQualityModel(
         graft.util.Tables(s, dir, "documents")
           .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -605,6 +610,28 @@ object Bench {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       require(gatedN.get() > 0, "quality gate admitted nothing")
+    }),
+    // x_decode_audit_stream (r14): 500 assets as a file stream through
+    // the q139 decode audit against a frozen baseline — the per-batch
+    // decode (mapPartitions dispatch) + family-sized census/alert check,
+    // the ingest-side price of stub-fraction monitoring.
+    "x_decode_audit_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val assets = graft.operators.Multimodal.assets(s, dir)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("payload"), col("n_bytes"))
+      val base = graft.streaming.StreamingDecodeAudit.baseline(assets)
+      val tmp = java.nio.file.Files.createTempDirectory("decode_audit_bench")
+      assets.write.mode("overwrite").parquet(tmp.resolve("in").toString)
+      val stream = s.readStream
+        .schema("doc_id LONG, payload BINARY, n_bytes LONG")
+        .parquet(tmp.resolve("in").toString)
+      val q = graft.streaming.StreamingDecodeAudit.start(stream,
+        tmp.resolve("ckpt").toString, tmp.resolve("census").toString,
+        base, marginPermille = 100L, _ => ())
+      try q.processAllAvailable() finally q.stop()
+      require(s.read.parquet(tmp.resolve("census").toString).count() > 0,
+        "decode audit wrote no census rows")
     }),
     "x_lm_gate_stream" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col

@@ -78,7 +78,12 @@ object ScaleSmoke {
     // md5-split caveat again (weights, thetas and the teacher's frozen
     // cut all shift under replication) — timed only; the point is the
     // keyed two-pass calibration and the teacher LM pass staying linear
-    "q136_perlang_theta", "q137_distilled_classifier")
+    "q136_perlang_theta", "q137_distilled_classifier",
+    // r14: decoder stub-fraction audit — sniff + decode outcome are pure
+    // per-doc functions, so every family's counts scale ×factor exactly
+    // and the permille floor-div cancels the factor ((1000·f·s) div
+    // (f·n) = (1000·s) div n) — exact invariant below
+    "q139_decoder_audit")
 
   /** Embedding-suite coverage (r13): replicated embeddings with offset
     * ids — replicas TIE on cosine and reshuffle ranks (the q124 caveat),
@@ -295,6 +300,17 @@ object ScaleSmoke {
     require(q133scaled == q133base.map { case (k, (f, w, v, ok, chk)) =>
         k -> ((f, w * factor, v, ok, chk)) },
       "scale-up changed the tokenizer id layer — vocab/ids must be replication-invariant")
+    // q139 invariant: per-family n_assets/n_stub/n_bytes scale ×factor
+    // exactly; stub_permille's floor-div cancels the factor bit-exactly
+    val q139base = SparkEntry.queries("q139_decoder_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val q139scaled = SparkEntry.queries("q139_decoder_audit")(spark, workDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    require(q139scaled == q139base.map { case (k, (a, st, b, p)) =>
+        k -> ((a * factor, st * factor, b * factor, p)) },
+      "scale-up broke the decoder-audit per-family count invariant")
     // q135 invariant: hourly counts scale ×factor exactly, so cov and
     // the variances scale ×factor² bit-exactly in the longs, the pair
     // RANKING is unchanged, and corr² re-derives to 1e-9 (the double

@@ -113,6 +113,15 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // keyed state (per-station calibration, TelemetryTWS) lives in the
+      // RocksDB store: off-heap, disk-spillable, incremental (changelog)
+      // checkpoints — at 100× station cardinality the default HDFS-backed
+      // store holds every version on-heap and OOMs first. NOTE: the
+      // provider is part of the checkpoint format — a pre-existing
+      // checkpoint written by the HDFS provider cannot be resumed under
+      // RocksDB (start a fresh checkpoint dir to migrate).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (cfg.debug) "DEBUG" else "WARN")
 

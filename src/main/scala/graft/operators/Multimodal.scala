@@ -504,6 +504,7 @@ object Multimodal {
     "q40_frame_sample" -> (q40FrameSample _),
     "q55_frame_dedup" -> (q55FrameDedup _),
     "q117_perceptual_dedup" -> (q117PerceptualDedup _),
+    "q139_decoder_audit" -> (q139DecoderAudit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -564,6 +565,38 @@ object Multimodal {
         |  (ROW_NUMBER() OVER (PARTITION BY j ORDER BY i) = 1) AS first_removal
         |FROM pr WHERE cosine >= $PerceptualDupThreshold
         |ORDER BY i, j""".stripMargin,
+    // q139 twin: replays the magic sniff (hex-prefix checks, SAME probe
+    // order + length guards as dispatch) in SQL. The decode OUTCOME is
+    // SQL-replayable only for the opaque family (→ stub by definition);
+    // a sniffed family whose decode would fail (corrupt body) can't be
+    // re-decoded by DuckDB — on this corpus no payload sniffs as a real
+    // family (all text bytes; hash-exactness at three SFs pins that),
+    // and the failure-degradation arm is FunctionsSpec-planted.
+    "q139_decoder_audit" ->
+      """WITH a AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |    CASE
+        |      WHEN (n >= 8 AND substr(h, 1, 8) = '89504E47')
+        |        OR (n >= 3 AND substr(h, 1, 6) = 'FFD8FF') THEN 'image'
+        |      WHEN n >= 12 AND substr(h, 1, 8) = '52494646'
+        |        AND substr(h, 17, 8) = '57415645' THEN 'wav'
+        |      WHEN (n >= 6 AND substr(h, 1, 8) = '47494638')
+        |        OR (n >= 12 AND substr(h, 1, 8) = '52494646'
+        |          AND substr(h, 17, 8) = '41564920') THEN 'video'
+        |      ELSE 'opaque' END AS family
+        |  FROM a),
+        |g AS (SELECT family, n,
+        |    CASE WHEN family = 'opaque' THEN 'stub' ELSE family END AS decoder
+        |  FROM f)
+        |SELECT COALESCE(family, 'ALL') AS family,
+        |  CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(CASE WHEN decoder = 'stub' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stub,
+        |  CAST(SUM(n) AS BIGINT) AS n_bytes,
+        |  (1000 * CAST(SUM(CASE WHEN decoder = 'stub' THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS stub_permille
+        |FROM g GROUP BY ROLLUP (family) ORDER BY 1""".stripMargin,
   )
 
   // ------------------------------------------------------------ decode
@@ -887,18 +920,87 @@ object Multimodal {
       // executor temp file — decode stays in-memory per batch
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val p = r.getAs[Array[Byte]](1)
-        val (f, d) = try {
-          if (ImageDecoder.isImage(p)) (ImageDecoder.decodeOne(p), "image")
-          else if (WavDecoder.isWav(p)) (WavDecoder.decodeOne(p), "wav")
-          else if (VideoDecoder.isVideo(p)) (VideoDecoder.decodeOne(p), "video")
-          else (DecoderStub.decodeOne(p), "stub")
-        } catch {
-          case scala.util.control.NonFatal(_) => (DecoderStub.decodeOne(p), "stub")
-        }
+        val (f, d) = dispatch(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), f.toSeq, d)
       }
     }
     s.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** THE decode dispatch, shared by [[decodeFeatures]] and
+    * [[decodeAudit]]: magic sniff → real decoder, anything unsniffable
+    * or failing its decode degrades to the deterministic stub (one bad
+    * row must never kill a 100 TB job). */
+  private[operators] def dispatch(p: Array[Byte]): (Array[Float], String) =
+    try {
+      if (ImageDecoder.isImage(p)) (ImageDecoder.decodeOne(p), "image")
+      else if (WavDecoder.isWav(p)) (WavDecoder.decodeOne(p), "wav")
+      else if (VideoDecoder.isVideo(p)) (VideoDecoder.decodeOne(p), "video")
+      else (DecoderStub.decodeOne(p), "stub")
+    } catch {
+      case scala.util.control.NonFatal(_) => (DecoderStub.decodeOne(p), "stub")
+    }
+
+  /** What the payload's magic CLAIMS it is, in [[dispatch]]'s own probe
+    * order — "opaque" when no real decoder's sniff matches (text, codec
+    * video, anything else). Family ≠ outcome: a sniffed family whose
+    * decode fails (corrupt body, unsupported sub-format, H.264 inside a
+    * sniffable container) still lands on the stub, and that gap is
+    * exactly what [[q139DecoderAudit]] measures. */
+  def sniffFamily(p: Array[Byte]): String =
+    if (ImageDecoder.isImage(p)) "image"
+    else if (WavDecoder.isWav(p)) "wav"
+    else if (VideoDecoder.isVideo(p)) "video"
+    else "opaque"
+
+  val auditSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("family", StringType),
+    StructField("decoder", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** Per-asset decode accounting: (sniffed family, actual decoder
+    * outcome, payload size). Runs the REAL [[dispatch]] — the outcome
+    * column is what [[decodeFeatures]] would mark, not a re-derivation —
+    * so a production pipeline piggybacks this on the decode stage for
+    * free (the descriptor is computed anyway; here it is dropped). */
+  def decodeAudit(s: SparkSession, assetsDf: DataFrame): DataFrame = {
+    val rdd = assetsDf.select("doc_id", "payload", "n_bytes").rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val p = r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), sniffFamily(p), dispatch(p)._2, r.getLong(2))
+        }
+      }
+    s.createDataFrame(rdd, auditSchema)
+  }
+
+  // --------------------------------------------------------------- q139
+  /** Stub-decoder fraction audit (VERDICT r13 #7): per sniffed family —
+    * what fraction of a corpus's assets ended up with the stub's opaque
+    * byte-histogram descriptor instead of a real decode? Codec video is
+    * a permanent, documented stub; this query makes the resulting
+    * unusable-descriptor volume OPERATIONAL per corpus, so a mixed-asset
+    * ingest can't silently carry stub-graded descriptors into q117 / the
+    * perceptual index. One decode pass + one map-side-combined rollup;
+    * permille is integer floor-div (exact, oracle-replayable). The "ALL"
+    * row is the corpus-level headline a dashboard alerts on. */
+  def q139DecoderAudit(s: SparkSession, dir: String): DataFrame =
+    decoderAuditOf(s, assets(s, dir))
+
+  /** [[q139DecoderAudit]] over an explicit assets frame (doc_id, payload,
+    * n_bytes) — the spec-facing seam for planted mixed corpora. */
+  def decoderAuditOf(s: SparkSession, assetsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    decodeAudit(s, assetsDf)
+      .rollup($"family")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when($"decoder" === "stub", 1L).otherwise(0L)).as("n_stub"),
+        sum($"n_bytes").as("n_bytes"))
+      .withColumn("stub_permille", expr("(1000 * n_stub) div n_assets"))
+      .select(coalesce($"family", lit("ALL")).as("family"),
+        $"n_assets", $"n_stub", $"n_bytes", $"stub_permille")
+      .orderBy($"family")
   }
 }

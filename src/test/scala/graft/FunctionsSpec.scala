@@ -409,4 +409,61 @@ class FunctionsSpec extends AnyFunSuite {
       s"expected exactly the re-encoded pair, got ${pairs.toSeq}")
     assert(pairs.head._3 > 0.99999, s"identical pixels must read cosine ~1: ${pairs.head._3}")
   }
+
+  /** VERDICT r13 #7: the stub-decoder fraction is OPERATIONAL — a planted
+    * mixed corpus (real PNG, corrupt PNG, real WAV, corrupt WAV, corrupt
+    * GIF, two text payloads) must account every family's stub share
+    * exactly, including the decode-failure degradation arm the q139
+    * oracle twin cannot replay in SQL. */
+  test("q139 decoder audit: planted mixed corpus accounts stub fractions exactly") {
+    import java.awt.image.BufferedImage
+    // real PNG (decodes -> image)
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    // corrupt PNG: the magic sniffs image, ImageIO.read returns null -> stub
+    val badPng = png.take(12)
+    // real WAV (decodes -> wav)
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = Array[Byte](0, 1, 0, -1)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val wb = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2L),
+      AudioFileFormat.Type.WAVE, wb)
+    val wav = wb.toByteArray
+    // corrupt WAV: RIFF/WAVE magic, no fmt chunk -> stub
+    val badWav = "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVEgarbage-no-fmt-chunk".getBytes("ISO-8859-1")
+    // corrupt GIF: sniffs video, truncated body -> stub
+    val badGif = "GIF89a-truncated".getBytes("ISO-8859-1")
+    val txt1 = "plain text payload".getBytes("UTF-8")
+    val txt2 = "another opaque doc".getBytes("UTF-8")
+    val docs = Seq(1L -> png, 2L -> badPng, 3L -> wav, 4L -> badWav,
+      5L -> badGif, 6L -> txt1, 7L -> txt2)
+    val assets = docs.toDF("doc_id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val got = Multimodal.decoderAuditOf(spark, assets).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    def bytes(ids: Long*) =
+      ids.map(i => docs.find(_._1 == i).get._2.length.toLong).sum
+    val want = Seq(
+      ("ALL", 7L, 5L, bytes(1L, 2L, 3L, 4L, 5L, 6L, 7L), 1000L * 5 / 7),
+      ("image", 2L, 1L, bytes(1L, 2L), 500L),
+      ("opaque", 2L, 2L, bytes(6L, 7L), 1000L),
+      ("video", 1L, 1L, bytes(5L), 1000L),
+      ("wav", 2L, 1L, bytes(3L, 4L), 500L))
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the outcome column IS decodeFeatures' marking (one dispatch)
+    val outcomes = Multimodal.decodeAudit(spark, assets).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(outcomes == Map(
+      1L -> ("image", "image"), 2L -> ("image", "stub"),
+      3L -> ("wav", "wav"), 4L -> ("wav", "stub"),
+      5L -> ("video", "stub"), 6L -> ("opaque", "stub"),
+      7L -> ("opaque", "stub")), s"per-doc audit: $outcomes")
+  }
 }

@@ -1102,7 +1102,7 @@ class RangeJoinSpec extends AnyFunSuite {
     val name = "txtgate"
     Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
       "_bm25_frozen_df", "_lm_cells", "_lm_ctx", "_lm_rates",
-      "_lm_cuts", "_q_w", "_q_theta", "_q_rates")
+      "_lm_cuts", "_q_w", "_q_theta", "_q_ltheta", "_q_rates")
       .foreach(sfx => clean(name + sfx))
     assert(graft.app.TextIndexCli.run(spark, Seq("build", dir, name)) == 0)
     // FULL frozen-corpus replay batch: every signal exactly zero (a
@@ -1161,7 +1161,7 @@ class RangeJoinSpec extends AnyFunSuite {
     val name = "txtcli"
     Seq("_bm25", "_bm25_df", "_bm25_stats", "_bm25_frozen_stats",
       "_bm25_frozen_df", "_lm_cells", "_lm_ctx", "_lm_rates",
-      "_lm_cuts", "_q_w", "_q_theta", "_q_rates")
+      "_lm_cuts", "_q_w", "_q_theta", "_q_ltheta", "_q_rates")
       .foreach(sfx => clean(name + sfx))
     graft.app.TextIndexCli.run(spark, Seq("build", dir, name))
     val n0 = spark.table(s"${name}_bm25").count()

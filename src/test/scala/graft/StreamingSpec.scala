@@ -18,6 +18,23 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   import spark.implicits._
 
+  /** VERDICT r13 #6: the heavy keyed-state twins must DEMONSTRABLY run on
+    * the RocksDB store (the session conf alone could be silently ignored
+    * by a future provider-selection change) — the proof is the store's
+    * own telemetry: only RocksDBStateStoreProvider reports rocksdb*
+    * custom metrics in the state-operator progress. At 100× ingest the
+    * provider is load-bearing: off-heap + disk-spillable state,
+    * incremental checkpoints, no per-version on-heap map. */
+  private def assertRocksDbState(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import scala.jdk.CollectionConverters._
+    val keys = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet().asScala)
+    assert(keys.exists(_.startsWith("rocksdb")),
+      s"state op reported no rocksdb* metrics — store is not RocksDB " +
+        s"(saw ${keys.distinct.take(8).mkString(", ")})")
+  }
+
   test("transformWithState state op matches the FMGWS twin (streaming, RocksDB)") {
     val fixtures = scala.io.Source
       .fromURL(getClass.getResource("/aprs_fixtures.jsonl")).getLines().toSeq
@@ -691,6 +708,7 @@ class StreamingSpec extends AnyFunSuite {
         .map(_.numRowsTotal).sum
       assert(stateRows <= 3,
         s"dedup/agg state did not evict finalized hours: $stateRows rows")
+      assertRocksDbState(q) // the dedup→window chain runs on RocksDB
       // parity with the batch arm on the same finalized hours
       val batch = graft.operators.Relational.rollingUsersOf(
         Seq((100L * hUs, 1L), (100L * hUs + 1000L, 1L),
@@ -747,6 +765,7 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = startQuery()
     try {
       q2.processAllAvailable()
+      assertRocksDbState(q2) // window state reloads from RocksDB
       val got = out.toArray(Array.empty[(Long, Long)]).toSeq
       assert(got == Seq((100L, 3L), (102L, 1L)),
         s"post-restart rollup must append exactly hour 102: $got")
@@ -1216,7 +1235,10 @@ class StreamingSpec extends AnyFunSuite {
     Files.write(dir.resolve("b1.json"),
       Seq(doc(1, a), doc(2, b)).mkString("\n").getBytes)
     val q1 = startQuery()
-    try q1.processAllAvailable() finally q1.stop()
+    try {
+      q1.processAllAvailable()
+      assertRocksDbState(q1) // the band-bucket store runs on RocksDB
+    } finally q1.stop()
     assert(alerts.isEmpty, s"unrelated docs must not collide: $alerts")
     // restart on the same checkpoint: an exact copy and a near-copy arrive
     Files.write(dir.resolve("b2.json"),
@@ -1224,6 +1246,7 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = startQuery()
     try {
       q2.processAllAvailable()
+      assertRocksDbState(q2) // ...and reloads RocksDB state post-restart
       val got = alerts.toArray(Array.empty[(Long, Long, Int)]).toSeq
       // the exact copy shares every band with the PRE-restart owner
       assert(got.filter(x => x._1 == 4L && x._2 == 1L).map(_._3).toSet
@@ -2330,5 +2353,78 @@ class StreamingSpec extends AnyFunSuite {
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
       table)
     if (loc.exists()) graft.util.Fs.rmTree(loc)
+  }
+
+  /** StreamingDecodeAudit (q139's ingestion-time twin): a clean batch
+    * stays quiet; a batch where a sniffable family's decode fails (the
+    * codec-video shape) alerts with the exact per-batch permille vs the
+    * frozen q139 baseline; a family the BASELINE already marks fully
+    * stubbed (opaque text) never alerts; the census sink carries the
+    * same rows q139's audit computes per batch (one definition). */
+  test("streaming decode audit alerts on stub-share breaches vs the frozen baseline") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val wb = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](0, 1, 0, -1)), fmt, 2L),
+      AudioFileFormat.Type.WAVE, wb)
+    val wav = wb.toByteArray
+    val codec = "GIF89a-truncated".getBytes("ISO-8859-1") // sniffs video, decode fails
+    val txt = "plain text".getBytes("UTF-8")
+    def assetsDf(rows: (Long, Array[Byte])*) = rows.toDF("doc_id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    // frozen baseline: image 0permille, wav 0permille, opaque 1000permille
+    val base = graft.streaming.StreamingDecodeAudit.baseline(
+      assetsDf(1L -> png, 2L -> wav, 3L -> txt))
+    assert(base == Map("image" -> 0L, "wav" -> 0L, "opaque" -> 1000L), base)
+    val dir = Files.createTempDirectory("decode_audit")
+    val ckpt = Files.createTempDirectory("decode_audit_ckpt")
+    val sink = Files.createTempDirectory("decode_audit_sink").resolve("census")
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingDecodeAudit.Alert]()
+    // each planted batch lands as ONE flat parquet file in the watched dir
+    def writeBatch(name: String, rows: (Long, Array[Byte])*): Unit = {
+      val tmp = Files.createTempDirectory("decode_audit_tmp").resolve("p")
+      assetsDf(rows: _*).coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, dir.resolve(name))
+    }
+    // batch 1 (clean): real image + real wav
+    writeBatch("b1.parquet", 10L -> png, 11L -> wav)
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY, n_bytes LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = graft.streaming.StreamingDecodeAudit.start(stream,
+      ckpt.toString, sink.toString, base, marginPermille = 100L,
+      a => { alerts.add(a); () })
+    try {
+      q.processAllAvailable()
+      assert(alerts.isEmpty, s"clean batch must not alert: $alerts")
+      // batch 2: an image, a codec-video payload (sniffs video, decode
+      // fails -> stub, baseline share 0), and a text payload (opaque --
+      // baseline already 1000permille, must stay quiet)
+      writeBatch("b2.parquet", 20L -> png, 21L -> codec, 22L -> txt)
+      q.processAllAvailable()
+      val got = alerts.toArray(
+        Array.empty[graft.streaming.StreamingDecodeAudit.Alert]).toSeq
+      assert(got.map(a => (a.family, a.stubPermille, a.baselinePermille))
+        == Seq(("video", 1000L, 0L)), s"alerts: $got")
+      // census sink parity: the batch-2 rows ARE q139's audit over that batch
+      val census = spark.read.parquet(sink.toString)
+        .filter(col("batch_id") === got.head.batchId).drop("batch_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      val want = graft.operators.Multimodal.decoderAuditOf(spark,
+          assetsDf(20L -> png, 21L -> codec, 22L -> txt)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(census == want, s"\ncensus: $census\nwant:   $want")
+    } finally q.stop()
   }
 }
