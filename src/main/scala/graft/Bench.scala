@@ -61,7 +61,8 @@ object Bench {
     "q131_quality_classifier", "q132_classifier_auc", "q133_bpe_vocab",
     "q134_classifier_evidence", "q135_series_correlation",
     "q136_perlang_theta", "q137_distilled_classifier",
-    "q138_series_corr_lsh", "q139_decoder_audit")
+    "q138_series_corr_lsh", "q139_decoder_audit",
+    "q140_series_accumulate", "q141_holt_forecast")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -201,25 +202,30 @@ object Bench {
     // exchange on lang (isolated child 0.97, loadavg ~3)
     "q119_gopher_rules" -> 1.0,
     // q120 added r11: graded eval overlap — q60's checkpointed gram
-    // scan + the distinct-train-gram join + per-eval-doc rollup
-    // (isolated child 2.84, quiet box)
-    "q120_eval_overlap" -> 2.9,
+    // scan + the distinct-train-gram join + per-eval-doc rollup.
+    // Re-based r14 (VERDICT r13 #5): the 2.9 came from an isolated
+    // cold-probe read; every ref records the full-suite discipline
+    // (the q54 convention), which reads 0.92-1.07 — at 0.37x the 1.3x
+    // alarm was toothless
+    "q120_eval_overlap" -> 1.4,
     // q121 added r11: winnowing fingerprints — gram explode + window-min
     // partial agg + the q89-shaped df-capped pair join over the ~40%
     // selected density (isolated child 1.94, loadavg ~2)
     "q121_winnowing" -> 1.9,
     // q122 added r11: BM25 retrieval — one token-explode partial agg into
     // the checkpointed per-doc frame, broadcast query/df/stats joins,
-    // WindowGroupLimit top-k (isolated child 1.50, loadavg ~1.9)
-    "q122_bm25" -> 1.5,
+    // WindowGroupLimit top-k. Re-based r14 (VERDICT r13 #5): 1.5 was an
+    // isolated cold-probe read; full-suite discipline reads 0.45-0.52
+    "q122_bm25" -> 0.7,
     // q123 added r11: quality-aware mixture — the q118 LM pass + the
     // q119 Gopher pass + doc-sized joins + a metadata-sized cell window
     // (isolated child 2.96, loadavg ~2.6)
     "q123_quality_mixture" -> 2.9,
     // q124 added r11: hybrid retrieval — the q122 arm + the broadcast
-    // 4-query cosine arm + a (4·k)-row RRF fusion (isolated child 1.98,
-    // loadavg ~2.3)
-    "q124_hybrid_retrieval" -> 2.0,
+    // 4-query cosine arm + a (4·k)-row RRF fusion. Re-based r14 (VERDICT
+    // r13 #5): 2.0 was an isolated cold-probe read; full-suite
+    // discipline reads 0.65-0.87
+    "q124_hybrid_retrieval" -> 1.2,
     // q125 added r11: manifest materialization — q123's two quality
     // passes into a CHECKPOINTED per-doc verdict frame (it feeds both
     // the cell allocation and the selection), plus the per-cell greedy
@@ -246,8 +252,10 @@ object Bench {
     // child 1.91/2.41, loadavg ~2)
     "q129_mmr_diversify" -> 2.2,
     // q130 added r13: last-closed-hour presence audit — one rollup
-    // aggregate + a #types left join (isolated child 0.64/0.73)
-    "q130_dropout_presence" -> 0.7,
+    // aggregate + a #types left join. Re-based r14 (VERDICT r13 #5):
+    // 0.7 was an isolated cold-probe read; full-suite discipline reads
+    // 0.25-0.33
+    "q130_dropout_presence" -> 0.45,
     // q131/q132 added r13: trained quality classifier — one token
     // explode into the checkpointed 257-cell feature frame, 3 training
     // epochs + calibration, rollup / exact AUC off the scores
@@ -272,14 +280,25 @@ object Bench {
     "q137_distilled_classifier" -> 6.3,
     // q139 added r14: decoder stub-fraction audit — one decode pass
     // (mapPartitions dispatch) + a map-side-combined rollup (cold forks
-    // 0.51/0.51)
-    "q139_decoder_audit" -> 0.8,
+    // 0.51/0.51; re-based same round to the full-suite discipline read
+    // of 0.25 — the q54 convention, first full-suite sweep)
+    "q139_decoder_audit" -> 0.35,
     // q138 added r14: the series sign-LSH road — the grid ×16-plane
-    // projection pass + candidate-only re-check (cold forks 1.47/1.77)
-    "q138_series_corr_lsh" -> 1.6,
+    // projection pass + candidate-only re-check (cold forks 1.47/1.77;
+    // re-based same round to the full-suite discipline read of 0.82)
+    "q138_series_corr_lsh" -> 1.1,
+    // q140/q141 added r14: the InfluxQL accumulators (one grid window
+    // pass per type) and the Holt 9-candidate fit (grid-sized arrays +
+    // aggregate-HOF folds). Warm-context probe read 0.60/0.73 alongside
+    // q103 at 1.04 (full-suite q103 steady state is 0.31), cold forks
+    // 2.2/1.2 — refs set at the q103-relative steady estimate
+    "q140_series_accumulate" -> 0.55,
+    "q141_holt_forecast" -> 0.65,
     // q135 added r13: series correlation — the q103 grid + #types-row
-    // moments + the hour-keyed pair join (isolated child 0.92/0.95)
-    "q135_series_correlation" -> 1.0)
+    // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
+    // #5): 1.0 was an isolated cold-probe read; full-suite discipline
+    // reads 0.36-0.42
+    "q135_series_correlation" -> 0.55)
   private val AnomalyK = 3.0
   private val ContendedK = 1.25
   private val LoadavgGate = 4.0

@@ -114,7 +114,14 @@ object ScaleSmoke {
     // hyperplane dot keeps its sign: bits, bands and the CANDIDATE SET
     // are replication-invariant and the re-check moments scale ×factor²
     // exactly like q135's (asserted below)
-    "q138_series_corr_lsh")
+    "q138_series_corr_lsh",
+    // r14: the InfluxQL accumulators — cum_n and the scaled-long
+    // trapezoid steps scale ×factor exactly (each row's one division
+    // re-rounds: integral compares f·base to 1e-9), elapsed is
+    // replication-invariant (exact invariant below); the Holt fit is
+    // timed only — ×factor inputs re-round every fold step, so l/b/sse
+    // (and occasionally the argmin pick) legitimately shift
+    "q140_series_accumulate", "q141_holt_forecast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -337,6 +344,24 @@ object ScaleSmoke {
     // replication-invariant (signatures are scale-invariant), which the
     // row-count equality inside corrInvariant asserts
     corrInvariant("q138_series_corr_lsh")
+    // q140 invariant: cum_n scales ×factor exactly and elapsed is
+    // replication-invariant (both integer); the integral's exact long
+    // steps scale ×factor but each row's single division re-rounds, so
+    // it compares f·base to 1e-9 (scaled by magnitude — the q69 rule)
+    def accRows(dir: String) = SparkEntry
+      .queries("q140_series_accumulate")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val q140base = accRows(sfDir)
+    val q140scaled = accRows(workDir)
+    require(q140base.length == q140scaled.length &&
+      q140base.zip(q140scaled).forall { case (b, sc) =>
+        (b._1, b._2) == ((sc._1, sc._2)) && sc._3 == b._3 * factor &&
+          sc._5 == b._5 &&
+          math.abs(sc._4 - b._4 * factor) <=
+            1e-9 * math.max(1.0, math.abs(b._4 * factor))
+      },
+      "scale-up broke the q140 accumulator invariant")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor

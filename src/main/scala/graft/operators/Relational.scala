@@ -614,6 +614,127 @@ object Relational {
       .select($"event_type", $"med_n", $"mad_n")
   }
 
+  // --------------------------------------------------------------- q140
+  /** q140: the remaining InfluxQL per-series ACCUMULATORS over the dense
+    * grid — `cumulative_sum()` (running event count), `integral()`
+    * (trapezoidal area under the hourly value-sum series, unit = 1 h)
+    * and `elapsed()` (hours since the previous non-empty hour, reported
+    * at non-empty hours — the raw-event spacing InfluxQL measures,
+    * downsampled to the grid where a per-type total order of raw events
+    * would shuffle event volume by type).
+    *
+    * Exactness: cum_n is a long running sum; the integral keeps the
+    * EXACT 1e4-scaled-long trapezoid steps (s_prev + s_cur — sum_value
+    * IS a scaled long divided once, the q106 re-derivation) cumulated
+    * in longs and divides ONCE per emitted row (by 2·1e4), so every row
+    * is one correctly-rounded division of an exact integer; elapsed is
+    * integer hour arithmetic over the running last non-empty hour.
+    * Scale: one window pass per type over the time-range-sized grid —
+    * the q106 class; nothing touches raw events after the bucket
+    * collapse. */
+  def q140SeriesAccumulate(s: SparkSession, dir: String): DataFrame =
+    seriesAccumulateOf(t(s, dir, "events"))
+
+  private[graft] def seriesAccumulateOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (j, _, _) = denseGrid(hourBuckets(ev))
+    val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    j.withColumn("s", slong($"sum_value"))
+      .withColumn("s_prev", lag($"s", 1).over(w))
+      .withColumn("step",
+        when($"s_prev".isNotNull, $"s_prev" + $"s").otherwise(lit(0L)))
+      .withColumn("cum_n", sum($"n").over(wc))
+      .withColumn("integral_v",
+        sum($"step").over(wc).cast("double") / lit(20000.0))
+      .withColumn("prev_h",
+        last(when($"n" > 0, $"h"), ignoreNulls = true).over(wp))
+      .withColumn("elapsed_h",
+        when($"n" > 0 && $"prev_h".isNotNull, $"h" - $"prev_h"))
+      .select($"event_type",
+        tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
+        $"cum_n", $"integral_v", $"elapsed_h")
+      .orderBy($"event_type", $"wstart")
+  }
+
+  // --------------------------------------------------------------- q141
+  /** Forecast horizon (hours) and the fixed (α, β) candidate grid. */
+  val HoltForecastHours = 6
+  val HoltGrid: Seq[Double] = Seq(0.2, 0.5, 0.8)
+
+  /** q141: HOLT_WINTERS — InfluxQL's per-series forecast function,
+    * expressed deterministically: Holt's linear (double-exponential)
+    * smoothing over each type's dense hourly count series, with the
+    * smoothing constants picked from the FIXED [[HoltGrid]]² candidate
+    * grid by minimum in-sample one-step-ahead SSE (tie → smaller α,
+    * then smaller β) — the same "fit then forecast" shape InfluxDB's
+    * Nelder–Mead fit performs, made replayable (no RNG, no
+    * convergence-order sensitivity). Recurrence, pinned identically in
+    * both engines (the literal parse trees match, so every IEEE
+    * rounding matches): l₁ = x₁, b₁ = 0; l₂ = x₂, b₂ = x₂ − x₁; for
+    * t ≥ 3: pred = l + b, sse += (x − pred)², l' = α·x + (1−α)·(l+b),
+    * b' = β·(l' − l) + (1−β)·b. Forecast m = 1..[[HoltForecastHours]]:
+    * l_T + m·b_T.
+    *
+    * Scale shape: the per-type series materializes ONCE as a
+    * time-range-sized array (sorted collect_list over the dense grid —
+    * the q115 scale class: bounded by the time range, never by event
+    * volume); the 9-candidate fold is an `aggregate` higher-order
+    * function over that array (interpreted, but grid-sized — never on
+    * an event-volume path), 9 rows per type; the argmin is ONE
+    * max-of-struct aggregation (no ordered pick pass, the q136
+    * convention). A span of < 2 hours has no trend estimate and emits
+    * nothing (both engines). */
+  def q141HoltForecast(s: SparkSession, dir: String): DataFrame =
+    holtForecastOf(t(s, dir, "events"))
+
+  private[graft] def holtForecastOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (j, _, hi) = denseGrid(hourBuckets(ev))
+    val series = j.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"h", $"n"))).as("hx"))
+      .select($"event_type",
+        expr("transform(hx, p -> cast(p.n as double))").as("xs"))
+      .filter(size($"xs") >= 2)
+    val candArr = HoltGrid.flatMap(a => HoltGrid.map(b =>
+      s"named_struct('alpha', cast($a as double), 'beta', cast($b as double))"))
+      .mkString("array(", ", ", ")")
+    val fold = expr(
+      """aggregate(xs,
+        |  named_struct('i', 0L, 'l', cast(0.0 as double),
+        |    'b', cast(0.0 as double), 'sse', cast(0.0 as double)),
+        |  (a, x) -> CASE
+        |    WHEN a.i = 0L THEN named_struct('i', 1L, 'l', x,
+        |      'b', cast(0.0 as double), 'sse', cast(0.0 as double))
+        |    WHEN a.i = 1L THEN named_struct('i', 2L, 'l', x,
+        |      'b', x - a.l, 'sse', cast(0.0 as double))
+        |    ELSE named_struct('i', a.i + 1L,
+        |      'l', c.alpha * x + (1.0d - c.alpha) * (a.l + a.b),
+        |      'b', c.beta * ((c.alpha * x + (1.0d - c.alpha) * (a.l + a.b))
+        |             - a.l) + (1.0d - c.beta) * a.b,
+        |      'sse', a.sse + (x - (a.l + a.b)) * (x - (a.l + a.b)))
+        |  END)""".stripMargin)
+    series
+      .select($"event_type", $"xs", explode(expr(candArr)).as("c"))
+      .withColumn("f", fold)
+      .groupBy($"event_type")
+      .agg(min(struct($"f.sse".as("sse"), $"c.alpha".as("alpha"),
+        $"c.beta".as("beta"), $"f.l".as("l"), $"f.b".as("b"))).as("best"))
+      .select($"event_type", $"best.*")
+      .select($"event_type",
+        explode(sequence(lit(1L), lit(HoltForecastHours.toLong))).as("m"),
+        $"sse", $"alpha", $"beta", $"l", $"b")
+      .select($"event_type", $"m",
+        tsStr(timestamp_micros((lit(hi) + $"m") * lit(GapfillHourUs)))
+          .as("wstart"),
+        ($"l" + $"m".cast("double") * $"b").as("forecast"),
+        $"alpha", $"beta", $"sse")
+      .orderBy($"event_type", $"m")
+  }
+
   // --------------------------------------------------------------- q106
   /** Moving-average window width (hours). */
   val MovingAvgHours = 3
@@ -1433,6 +1554,8 @@ object Relational {
     "q135_series_correlation" -> (q135SeriesCorrelation _),
     "q138_series_corr_lsh" -> (q138SeriesCorrLsh _),
     "q106_series_transforms" -> (q106SeriesTransforms _),
+    "q140_series_accumulate" -> (q140SeriesAccumulate _),
+    "q141_holt_forecast" -> (q141HoltForecast _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -1894,6 +2017,81 @@ object Relational {
         |SELECT event_type, wstart, n, diff_n,
         |  CASE WHEN diff_n >= 0 THEN diff_n END AS nnd_n, ma_sum
         |FROM t ORDER BY event_type, wstart""".stripMargin,
+    // q140 twin: the integral keeps exact scaled-long trapezoid steps
+    // cumulated in BIGINT and divides once per row; elapsed's running
+    // last-non-empty hour is MAX over the preceding frame (h is strictly
+    // increasing per type, so last-non-null ≡ max)
+    "q140_series_accumulate" ->
+      s"""WITH $gapfillGridCtes,
+        |f AS (SELECT event_type, h, n,
+        |    CAST(floor(sum_value * 10000.0 + 0.5) AS BIGINT) AS s FROM j),
+        |t AS (SELECT event_type, h, n, s,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h)
+        |      AS BIGINT) AS cum_n,
+        |    lag(s, 1) OVER (PARTITION BY event_type ORDER BY h) AS s_prev,
+        |    MAX(CASE WHEN n > 0 THEN h END)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_h
+        |  FROM f),
+        |u AS (SELECT event_type, h, n, cum_n, prev_h,
+        |    CAST(SUM(CASE WHEN s_prev IS NULL THEN CAST(0 AS BIGINT)
+        |        ELSE s_prev + s END)
+        |      OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE)
+        |      / 20000.0 AS integral_v
+        |  FROM t)
+        |SELECT event_type,
+        |  strftime(make_timestamp(h * ${GapfillHourUs}), '%Y-%m-%d %H:%M:%S')
+        |    AS wstart, cum_n, integral_v,
+        |  CASE WHEN n > 0 AND prev_h IS NOT NULL THEN h - prev_h END
+        |    AS elapsed_h
+        |FROM u ORDER BY event_type, wstart""".stripMargin,
+    // q141 twin: the SAME recurrence with literally matching parse
+    // trees (every +,−,×,/ in the same order on the same doubles), so
+    // each IEEE rounding matches the engine's aggregate-fold; the
+    // 9-candidate fit is a recursive CTE over (type, α, β, t); argmin
+    // replays the struct-min as ROW_NUMBER over (sse, alpha, beta)
+    "q141_holt_forecast" -> {
+      val candVals = HoltGrid.map(a => s"(CAST($a AS DOUBLE))").mkString(", ")
+      s"""WITH RECURSIVE $gapfillGridCtes,
+        |x AS (SELECT event_type, CAST(n AS DOUBLE) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t
+        |  FROM j),
+        |tm AS (SELECT MAX(t) AS tmax FROM x),
+        |cand AS (SELECT a.alpha, b.beta
+        |  FROM (VALUES $candVals) a(alpha), (VALUES $candVals) b(beta)),
+        |hw(event_type, alpha, beta, t, l, b, sse) AS (
+        |  SELECT x2.event_type, c.alpha, c.beta, CAST(2 AS BIGINT),
+        |      x2.x, x2.x - x1.x, CAST(0.0 AS DOUBLE)
+        |    FROM x x1 JOIN x x2 ON x1.event_type = x2.event_type
+        |      AND x1.t = 1 AND x2.t = 2
+        |    CROSS JOIN cand c
+        |  UNION ALL
+        |  SELECT hw.event_type, hw.alpha, hw.beta, hw.t + 1,
+        |      hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
+        |        * (hw.l + hw.b),
+        |      hw.beta * ((hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
+        |          * (hw.l + hw.b)) - hw.l)
+        |        + (CAST(1.0 AS DOUBLE) - hw.beta) * hw.b,
+        |      hw.sse + (x.x - (hw.l + hw.b)) * (x.x - (hw.l + hw.b))
+        |    FROM hw JOIN x ON x.event_type = hw.event_type
+        |      AND x.t = hw.t + 1),
+        |fin AS (SELECT event_type, alpha, beta, l, b, sse
+        |  FROM hw, tm WHERE t = tmax),
+        |best AS (SELECT event_type, alpha, beta, l, b, sse,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY sse, alpha, beta) AS rn
+        |  FROM fin),
+        |hb AS (SELECT MAX(h) AS hi FROM j),
+        |ms AS (SELECT CAST(unnest(generate_series(1, $HoltForecastHours))
+        |    AS BIGINT) AS m)
+        |SELECT b.event_type, ms.m,
+        |  strftime(make_timestamp((hb.hi + ms.m) * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  b.l + CAST(ms.m AS DOUBLE) * b.b AS forecast,
+        |  b.alpha, b.beta, b.sse
+        |FROM best b, ms, hb WHERE b.rn = 1
+        |ORDER BY event_type, m""".stripMargin
+    },
     "q108_rolling_users" ->
       // the range join replays the cover-set semantics: a (hour, user)
       // pair contributes to every window ending within RollingHours

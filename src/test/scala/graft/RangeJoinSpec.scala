@@ -1347,4 +1347,99 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got("embeddings.vec_id->documents") == ((2L, 2L, 1L, 1L)), got)
     assert(got("supplier.s_nationkey->nation") == ((1L, 1L, 0L, 0L)), got)
   }
+
+  /** q140 planted: hand-computed cumulative / trapezoid-integral /
+    * elapsed over a 5-hour grid with gaps, two types (the dense grid
+    * fills type b's silent hours with true zeros that integrate and
+    * accumulate like any other value). */
+  test("q140 planted: cumulative sum, trapezoid integral and elapsed exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // type a: hours 0,2,4 carry 2x/3x/1x value 1.5; type b: hour 2 one 2.0
+    val rows =
+      (0 until 2).map(i => ("a", 0, 1.5, i)) ++
+      (0 until 3).map(i => ("a", 2, 1.5, i)) ++
+      (0 until 1).map(i => ("a", 4, 1.5, i)) ++
+      Seq(("b", 2, 2.0, 0))
+    val ev = rows.zipWithIndex.map { case ((tpe, h, v, _), k) =>
+      (k.toLong, (600000L + h) * 3600000000L, 1L, tpe, v, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val got = Relational.seriesAccumulateOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // integral steps (1e4-scaled): a = 0,30000,45000,45000,15000 ->
+    // cum 0,30000,75000,120000,135000 -> /2e4 = 0,1.5,3.75,6.0,6.75
+    val want = Seq(
+      ("a", 2L, 0.0, -1L), ("a", 2L, 1.5, -1L), ("a", 5L, 3.75, 2L),
+      ("a", 5L, 6.0, -1L), ("a", 6L, 6.75, 2L),
+      ("b", 0L, 0.0, -1L), ("b", 0L, 0.0, -1L), ("b", 1L, 1.0, -1L),
+      ("b", 1L, 2.0, -1L), ("b", 1L, 2.0, -1L))
+    assert(got.toSeq == want, got.toSeq.mkString("\n"))
+  }
+
+  /** q141: the engine's 9-candidate Holt fit + forecast must match a
+    * driver-side fold running the SAME recurrence in the SAME IEEE op
+    * order, bit for bit (the q106/q110 driver-model convention); a
+    * perfectly linear series must fit with in-sample SSE exactly 0 and
+    * forecast the continuation exactly; a single-hour span emits
+    * nothing (no trend estimate). */
+  test("q141 Holt forecast matches the driver fold; linear series exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val counts = Map("a" -> (1 to 8), "c" -> Seq(5, 1, 4, 2, 6, 3, 7, 2))
+    val rows = for {
+      (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 1000 + h * 100 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    // the driver model: same recurrence, same candidate grid, same
+    // lexicographic (sse, alpha, beta) argmin
+    def holtDriver(xs: Seq[Double]): (Double, Double, Double, Double, Double) = {
+      val grid = Seq(0.2, 0.5, 0.8)
+      (for (a <- grid; b <- grid) yield {
+        var l = 0.0; var bb = 0.0; var sse = 0.0; var i = 0
+        for (x <- xs) {
+          if (i == 0) { l = x; bb = 0.0 }
+          else if (i == 1) { bb = x - l; l = x }
+          else {
+            val pred = l + bb
+            sse += (x - pred) * (x - pred)
+            val l2 = a * x + (1.0 - a) * (l + bb)
+            bb = b * (l2 - l) + (1.0 - b) * bb
+            l = l2
+          }
+          i += 1
+        }
+        (sse, a, b, l, bb)
+      }).min
+    }
+    val got = Relational.holtForecastOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.size == 12) // 2 types x 6 horizons
+    for ((tpe, ns) <- counts; m <- 1 to 6) {
+      val (sse, a, b, l, bb) = holtDriver(ns.map(_.toDouble).toSeq)
+      val wantF = l + m.toDouble * bb
+      assert(got((tpe, m.toLong)) == ((wantF, a, b, sse)),
+        s"$tpe m=$m: got ${got((tpe, m.toLong))} want ($wantF, $a, $b, $sse)")
+    }
+    // the linear series property the operator exists for
+    val (sseA, _, _, _, _) = holtDriver((1 to 8).map(_.toDouble))
+    assert(sseA == 0.0, s"linear series must fit exactly, sse $sseA")
+    assert(got(("a", 1L))._1 == 9.0 && got(("a", 6L))._1 == 14.0,
+      "linear series must forecast the continuation exactly")
+    // single-hour span: no trend estimate, nothing to forecast
+    val one = Seq((1L, 600000L * 3600000000L, 1L, "z", 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    assert(Relational.holtForecastOf(one).count() == 0L)
+  }
 }
