@@ -62,7 +62,8 @@ object Bench {
     "q134_classifier_evidence", "q135_series_correlation",
     "q136_perlang_theta", "q137_distilled_classifier",
     "q138_series_corr_lsh", "q139_decoder_audit",
-    "q140_series_accumulate", "q141_holt_forecast")
+    "q140_series_accumulate", "q141_holt_forecast",
+    "q142_forecast_backtest")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -294,6 +295,9 @@ object Bench {
     // 2.2/1.2 — refs set at the q103-relative steady estimate
     "q140_series_accumulate" -> 0.55,
     "q141_holt_forecast" -> 0.65,
+    // q142 added r14: the q141 fit on all-but-newest + a #types actuals
+    // join — the q141 cost class
+    "q142_forecast_backtest" -> 0.65,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -121,7 +121,10 @@ object ScaleSmoke {
     // replication-invariant (exact invariant below); the Holt fit is
     // timed only — ×factor inputs re-round every fold step, so l/b/sse
     // (and occasionally the argmin pick) legitimately shift
-    "q140_series_accumulate", "q141_holt_forecast")
+    "q140_series_accumulate", "q141_holt_forecast",
+    // r14: backtest rides q141's caveat (actual scales xfactor, the
+    // refit re-rounds, the alert flag may legitimately flip) — timed
+    "q142_forecast_backtest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -690,10 +690,13 @@ object Relational {
   def q141HoltForecast(s: SparkSession, dir: String): DataFrame =
     holtForecastOf(t(s, dir, "events"))
 
-  private[graft] def holtForecastOf(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
+  /** The 9-candidate Holt fit over a dense (h, event_type, n) grid
+    * frame: one row per type — (event_type, sse, alpha, beta, l, b),
+    * the SSE-argmin candidate's final state. Shared verbatim by q141
+    * (forecast) and q142 (backtest alert), so the two can never drift. */
+  private[graft] def holtFitFromGrid(j: DataFrame): DataFrame = {
+    val s = j.sparkSession
     import s.implicits._
-    val (j, _, hi) = denseGrid(hourBuckets(ev))
     val series = j.groupBy($"event_type")
       .agg(array_sort(collect_list(struct($"h", $"n"))).as("hx"))
       .select($"event_type",
@@ -724,6 +727,13 @@ object Relational {
       .agg(min(struct($"f.sse".as("sse"), $"c.alpha".as("alpha"),
         $"c.beta".as("beta"), $"f.l".as("l"), $"f.b".as("b"))).as("best"))
       .select($"event_type", $"best.*")
+  }
+
+  private[graft] def holtForecastOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (j, _, hi) = denseGrid(hourBuckets(ev))
+    holtFitFromGrid(j)
       .select($"event_type",
         explode(sequence(lit(1L), lit(HoltForecastHours.toLong))).as("m"),
         $"sse", $"alpha", $"beta", $"l", $"b")
@@ -733,6 +743,54 @@ object Relational {
         ($"l" + $"m".cast("double") * $"b").as("forecast"),
         $"alpha", $"beta", $"sse")
       .orderBy($"event_type", $"m")
+  }
+
+  // --------------------------------------------------------------- q142
+  /** Deviation multiplier: the newest closed hour alerts when its
+    * absolute forecast error exceeds this many in-sample RMSEs. */
+  val ForecastAlertK = 3.0
+
+  /** q142: forecast backtest + deviation alert — the ops layer q141
+    * exists for: fit Holt on every closed hour EXCEPT the newest, 1-step
+    * forecast the newest, and flag each type whose actual count deviates
+    * by more than [[ForecastAlertK]]·RMSE (the in-sample one-step
+    * error scale: √(sse/(T−2)), defined for train spans ≥ 3 — shorter
+    * spans report a NULL rmse and never alert). Complements q105's
+    * median/MAD arm: a level-shift INSIDE the historical range (which
+    * the median band can't see) still breaks the trend forecast.
+    * [[graft.streaming.StreamingForecastAlert]] re-runs THIS function
+    * over the live rollup each time a new hour closes — ONE definition,
+    * the q130/StreamingDropout convention, so door and batch never
+    * drift. Scale: the q141 class (grid-sized arrays, one fit pass) +
+    * a #types-row join against the newest hour's actuals. */
+  def q142ForecastBacktest(s: SparkSession, dir: String): DataFrame =
+    forecastBacktestOf(t(s, dir, "events"))
+
+  private[graft] def forecastBacktestOf(ev: DataFrame): DataFrame =
+    forecastBacktestFromBuckets(hourBuckets(ev))
+
+  private[graft] def forecastBacktestFromBuckets(
+      buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val (j, lo, hi) = denseGrid(buckets)
+    val tn = hi - lo // train span (hours lo .. hi−1)
+    val fit = holtFitFromGrid(j.filter($"h" < hi))
+    val actual = j.filter($"h" === hi)
+      .select($"event_type", $"n".as("actual"))
+    fit.join(actual, "event_type")
+      .withColumn("forecast", $"l" + $"b")
+      .withColumn("abs_err",
+        abs($"actual".cast("double") - $"forecast"))
+      .withColumn("rmse", when(lit(tn) >= 3L,
+        sqrt($"sse" / lit((tn - 2).toDouble))))
+      .withColumn("alert",
+        $"rmse".isNotNull && $"abs_err" > lit(ForecastAlertK) * $"rmse")
+      .select($"event_type",
+        tsStr(timestamp_micros(lit(hi) * lit(GapfillHourUs))).as("wstart"),
+        $"actual", $"forecast", $"alpha", $"beta", $"rmse", $"abs_err",
+        $"alert")
+      .orderBy($"event_type")
   }
 
   // --------------------------------------------------------------- q106
@@ -1556,6 +1614,7 @@ object Relational {
     "q106_series_transforms" -> (q106SeriesTransforms _),
     "q140_series_accumulate" -> (q140SeriesAccumulate _),
     "q141_holt_forecast" -> (q141HoltForecast _),
+    "q142_forecast_backtest" -> (q142ForecastBacktest _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2091,6 +2150,59 @@ object Relational {
         |  b.alpha, b.beta, b.sse
         |FROM best b, ms, hb WHERE b.rn = 1
         |ORDER BY event_type, m""".stripMargin
+    },
+    // q142 twin: the q141 recursive-CTE fit restricted to t < tfull
+    // (all closed hours but the newest), then the 1-step forecast
+    // compared against the newest hour's actual; rmse/alert replay the
+    // same doubles in the same order, FALSE AND NULL = FALSE both ways
+    "q142_forecast_backtest" -> {
+      val candVals = HoltGrid.map(a => s"(CAST($a AS DOUBLE))").mkString(", ")
+      s"""WITH RECURSIVE $gapfillGridCtes,
+        |xall AS (SELECT event_type, h, n, CAST(n AS DOUBLE) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t
+        |  FROM j),
+        |tmf AS (SELECT MAX(t) AS tfull FROM xall),
+        |x AS (SELECT event_type, x, t FROM xall, tmf WHERE t < tfull),
+        |tm AS (SELECT tfull - 1 AS tmax FROM tmf),
+        |cand AS (SELECT a.alpha, b.beta
+        |  FROM (VALUES $candVals) a(alpha), (VALUES $candVals) b(beta)),
+        |hw(event_type, alpha, beta, t, l, b, sse) AS (
+        |  SELECT x2.event_type, c.alpha, c.beta, CAST(2 AS BIGINT),
+        |      x2.x, x2.x - x1.x, CAST(0.0 AS DOUBLE)
+        |    FROM x x1 JOIN x x2 ON x1.event_type = x2.event_type
+        |      AND x1.t = 1 AND x2.t = 2
+        |    CROSS JOIN cand c
+        |  UNION ALL
+        |  SELECT hw.event_type, hw.alpha, hw.beta, hw.t + 1,
+        |      hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
+        |        * (hw.l + hw.b),
+        |      hw.beta * ((hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
+        |          * (hw.l + hw.b)) - hw.l)
+        |        + (CAST(1.0 AS DOUBLE) - hw.beta) * hw.b,
+        |      hw.sse + (x.x - (hw.l + hw.b)) * (x.x - (hw.l + hw.b))
+        |    FROM hw JOIN x ON x.event_type = hw.event_type
+        |      AND x.t = hw.t + 1),
+        |fin AS (SELECT event_type, alpha, beta, l, b, sse
+        |  FROM hw, tm WHERE t = tmax),
+        |best AS (SELECT event_type, alpha, beta, l, b, sse,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY sse, alpha, beta) AS rn
+        |  FROM fin),
+        |act AS (SELECT a.event_type, a.n AS actual, a.h AS hi
+        |  FROM xall a, tmf WHERE a.t = tfull),
+        |res AS (SELECT b.event_type, act.hi, act.actual,
+        |    b.l + b.b AS forecast, b.alpha, b.beta,
+        |    CASE WHEN tm.tmax >= 3
+        |      THEN sqrt(b.sse / CAST(tm.tmax - 2 AS DOUBLE)) END AS rmse,
+        |    abs(CAST(act.actual AS DOUBLE) - (b.l + b.b)) AS abs_err
+        |  FROM best b JOIN act USING (event_type), tm WHERE b.rn = 1)
+        |SELECT event_type,
+        |  strftime(make_timestamp(hi * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  actual, forecast, alpha, beta, rmse, abs_err,
+        |  rmse IS NOT NULL
+        |    AND abs_err > CAST($ForecastAlertK AS DOUBLE) * rmse AS alert
+        |FROM res ORDER BY event_type""".stripMargin
     },
     "q108_rolling_users" ->
       // the range join replays the cover-set semantics: a (hour, user)

@@ -1442,4 +1442,64 @@ class RangeJoinSpec extends AnyFunSuite {
         $"event_type", $"value", $"props")
     assert(Relational.holtForecastOf(one).count() == 0L)
   }
+
+  /** q142 planted: a clean linear type backtests with zero error and no
+    * alert; a type whose newest hour spikes off its linear trend alerts
+    * with forecast/RMSE/abs_err matching the driver fold bit-for-bit
+    * (same holtDriver recurrence as the q141 spec, run on the TRAIN
+    * prefix — the newest hour held out). */
+  test("q142 backtest: clean trend quiet, broken trend alerts, driver-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hours 0..8; a: n = h+1 throughout; s: n = h+2 for h<8, 100 at h=8
+    val counts = Map(
+      "a" -> (0 to 8).map(_ + 1),
+      "s" -> ((0 to 7).map(_ + 2) :+ 100))
+    val rows = for {
+      (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 10000 + h * 200 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    def holtDriver(xs: Seq[Double]): (Double, Double, Double, Double, Double) = {
+      val grid = Seq(0.2, 0.5, 0.8)
+      (for (a <- grid; b <- grid) yield {
+        var l = 0.0; var bb = 0.0; var sse = 0.0; var i = 0
+        for (x <- xs) {
+          if (i == 0) { l = x; bb = 0.0 }
+          else if (i == 1) { bb = x - l; l = x }
+          else {
+            val pred = l + bb
+            sse += (x - pred) * (x - pred)
+            val l2 = a * x + (1.0 - a) * (l + bb)
+            bb = b * (l2 - l) + (1.0 - b) * bb
+            l = l2
+          }
+          i += 1
+        }
+        (sse, a, b, l, bb)
+      }).min
+    }
+    val got = Relational.forecastBacktestOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(6), r.getDouble(7), r.getBoolean(8)))).toMap
+    assert(got.size == 2)
+    val tn = 8 // train hours 0..7
+    for ((tpe, ns) <- counts) {
+      val (sse, _, _, l, b) = holtDriver(ns.dropRight(1).map(_.toDouble))
+      val forecast = l + b
+      val rmse = math.sqrt(sse / (tn - 2).toDouble)
+      val absErr = math.abs(ns.last.toDouble - forecast)
+      val alert = absErr > 3.0 * rmse
+      assert(got(tpe) == ((ns.last.toLong, forecast, rmse, absErr, alert)),
+        s"$tpe: got ${got(tpe)}")
+    }
+    // the planted semantics in plain terms: the clean trend forecasts
+    // its own continuation (error 0, quiet) and the broken one pages
+    assert(got("a") == ((9L, 9.0, 0.0, 0.0, false)))
+    assert(got("s")._5 && got("s")._2 == 10.0 && got("s")._4 == 90.0)
+  }
 }

@@ -2427,4 +2427,76 @@ class StreamingSpec extends AnyFunSuite {
       assert(census == want, s"\ncensus: $census\nwant:   $want")
     } finally q.stop()
   }
+
+  /** StreamingForecastAlert: the watcher over the live downsample
+    * rollup stays quiet while the feed follows its trend, pages exactly
+    * once when a finalized hour breaks it (per (type, hour) - monotone
+    * guard), and its alert set IS batch q142's alert=true rows over the
+    * same rollup (one definition). */
+  test("streaming forecast alert pages on a broken trend, once per closed hour") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fc_alert_stream")
+    val outName = "fc_alert_out"
+    val hUs = graft.operators.Relational.GapfillHourUs
+    def ev(h: Long, k: Int) = (0 until k).map(i =>
+      s"""{"us":${h * hUs + i * 1000L},"event_type":"a","value":1.0}""")
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Double, Double)]()
+    val watcher = new graft.streaming.StreamingForecastAlert.Watcher(
+      outName, () => spark.table(outName),
+      (t, h, actual, fc, rmse) => { alerts.add((t, h, actual, fc, rmse)); () },
+      minTrainHours = 5L)
+    spark.streams.addListener(watcher)
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    // batch 1: hours 100..109 linear (n = h-99); hour 110 seeds the
+    // watermark flush, so closed hours are 100..109 - a clean trend
+    Files.write(dir.resolve("b1.json"),
+      ((100L to 109L).flatMap(h => ev(h, (h - 99).toInt)) ++ ev(110L, 11))
+        .mkString("\n").getBytes)
+    val q = graft.streaming.StreamingDownsample.buckets(stream)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(alerts.isEmpty, s"clean trend must not page: $alerts")
+      // batch 2: hour 110 already carries its on-trend 11 events; hour
+      // 111 SPIKES to 100; the flush event sits at hour 113 so the
+      // 10 s watermark passes hour 111's window END (112h) and closes it
+      Files.write(dir.resolve("b2.json"),
+        (ev(111L, 100) ++ ev(113L, 1)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // the watcher refits on the listener bus thread - poll, don't race
+      locally {
+        val deadline = System.currentTimeMillis() + 90000
+        while (alerts.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(250)
+      }
+      val got = alerts.toArray(
+        Array.empty[(String, Long, Long, Double, Double)]).toSeq
+      assert(got.map(a => (a._1, a._2, a._3)) == Seq(("a", 111L, 100L)),
+        s"expected exactly the spike-hour page: $got")
+      assert(got.head._4 == 12.0 && got.head._5 == 0.0,
+        s"linear history must forecast 12.0 with rmse 0: $got")
+      // one definition: the watcher's set IS q142's alert rows
+      val batch = graft.operators.Relational
+        .forecastBacktestFromBuckets(spark.table(outName))
+        .filter(col("alert")).collect()
+        .map(r => (r.getString(0), r.getLong(2)))
+      assert(batch.toSeq == Seq(("a", 100L)),
+        s"batch backtest over the same rollup: ${batch.toSeq}")
+      // re-processing with no new closed hour must not re-page
+      q.processAllAvailable()
+      Thread.sleep(1000)
+      assert(alerts.size == 1, s"monotone hour guard broken: $alerts")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(watcher)
+      spark.catalog.dropTempView(outName)
+    }
+  }
 }
