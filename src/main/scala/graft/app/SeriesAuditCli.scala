@@ -1,0 +1,100 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Relational
+
+/** The time-series monitoring family as one cron-runnable entry — the
+  * BATCH verdicts behind the three streaming watchers, over any events
+  * parquet (the table the reference's daemon feeds InfluxDB with):
+  *
+  *   anomaly <sfDir>                 q105: hours breaching the per-type
+  *                                   median/3-MAD band (spikes AND
+  *                                   silent-hour dropouts on the dense
+  *                                   grid)
+  *   dropout <sfDir>                 q130: expected types with ZERO
+  *                                   events at the newest closed hour
+  *   trend   <sfDir> [--min-train h] q142: types whose newest closed
+  *                                   hour deviates > 3 in-sample RMSEs
+  *                                   from the Holt 1-step forecast
+  *                                   (a level shift INSIDE the q105
+  *                                   band still trips this one)
+  *
+  * Exit codes (the TextIndexCli/PqIndexCli convention): 0 = quiet,
+  * 2 = usage error, 3 = alerts exist — a cron branches on the verdict.
+  * Refusals — too little history to JUDGE (an empty corpus; a trend
+  * span shorter than max(3, --min-train) hours) — keep their own
+  * channel: an IllegalArgumentException that exits the JVM at 1,
+  * because "no verdict" must never read as "quiet".
+  *
+  * The nightly shape: all three verbs per retention window; page on
+  * exit 3, investigate the refusal 1s (a refusing feed is itself news).
+  */
+object SeriesAuditCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.util.GraftSession.local("graft-series-audit")
+    val code = try run(spark, args.toSeq) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  private def eventsOf(spark: SparkSession, sfDir: String) =
+    graft.util.Tables(spark, sfDir, "events")
+
+  private[graft] def run(spark: SparkSession, args: Seq[String]): Int =
+    args match {
+      case Seq("anomaly", sfDir) =>
+        val ev = eventsOf(spark, sfDir)
+        require(!ev.isEmpty, "empty corpus: no hours to judge")
+        val rows = Relational.anomalyHoursOf(ev).collect()
+        rows.foreach(r => println(s"ANOMALY ${r.getString(0)} " +
+          s"${r.getString(1)} n=${r.getLong(2)} med=${r.getLong(3)} " +
+          s"mad=${r.getLong(4)}"))
+        println(s"anomaly: ${rows.length} breaching hours")
+        if (rows.nonEmpty) 3 else 0
+      case Seq("dropout", sfDir) =>
+        val ev = eventsOf(spark, sfDir)
+        val presence = Relational
+          .lastHourPresenceOf(Relational.hourBuckets(ev),
+            ev.select(col("event_type")))
+          .collect()
+        require(presence.nonEmpty, "no closed hour yet: nothing to judge")
+        val silent = presence.filter(_.getLong(2) == 0L)
+        silent.foreach(r =>
+          println(s"DROPOUT ${r.getString(0)} h=${r.getLong(1)}"))
+        println(s"dropout: ${silent.length} silent of ${presence.length} " +
+          s"expected types at h=${presence.head.getLong(1)}")
+        if (silent.nonEmpty) 3 else 0
+      case Seq("trend", sfDir, rest @ _*) =>
+        val minTrain = rest match {
+          case Seq() => 12L
+          case Seq("--min-train", h) => h.toLong
+          case _ =>
+            System.err.println(
+              "usage: trend <sfDir> [--min-train <hours>]")
+            return 2
+        }
+        val ev = eventsOf(spark, sfDir)
+        val buckets = Relational.hourBuckets(ev).localCheckpoint(true)
+        val b = buckets.agg(
+          org.apache.spark.sql.functions.min(col("h")),
+          org.apache.spark.sql.functions.max(col("h"))).collect()(0)
+        require(!b.isNullAt(0), "empty corpus: no hours to judge")
+        val span = b.getLong(1) - b.getLong(0) // train hours
+        require(span >= math.max(3L, minTrain),
+          s"train span $span h is under max(3, --min-train $minTrain): " +
+            "refusing to judge a trend")
+        val rows = Relational.forecastBacktestFromBuckets(buckets)
+          .filter(col("alert")).collect()
+        rows.foreach(r => println(s"TREND ${r.getString(0)} " +
+          s"${r.getString(1)} actual=${r.getLong(2)} " +
+          s"forecast=${r.getDouble(3)} rmse=${r.getDouble(6)}"))
+        println(s"trend: ${rows.length} deviating types")
+        if (rows.nonEmpty) 3 else 0
+      case _ =>
+        System.err.println(
+          "usage: graft.app.SeriesAuditCli anomaly|dropout|trend <sfDir> ...")
+        2
+    }
+}

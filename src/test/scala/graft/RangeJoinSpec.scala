@@ -1502,4 +1502,53 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got("a") == ((9L, 9.0, 0.0, 0.0, false)))
     assert(got("s")._5 && got("s")._2 == 10.0 && got("s")._4 == 90.0)
   }
+
+  /** SeriesAuditCli: the three batch verdicts behind the streaming
+    * watchers wire to the shared exit-code convention — 0 quiet,
+    * 3 alerts, 2 usage, refusals (too little history to judge) throw
+    * and exit 1 — so a cron can branch on the verdict. */
+  test("SeriesAuditCli: quiet 0, alerts 3, usage 2, refusal throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def writeEvents(dir: String, counts: Map[String, Seq[Int]]): Unit = {
+      val rows = for {
+        (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+        i <- 0 until n
+      } yield (tpe.hashCode.toLong * 100000 + h * 500 + i,
+        (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+      rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val clean = java.nio.file.Files.createTempDirectory("sacli_clean").toString
+    // two linear types over 20 hours: within the median/MAD band, both
+    // present at the newest hour, both on-trend
+    writeEvents(clean, Map("a" -> (1 to 20), "b" -> (2 to 21)))
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("anomaly", clean)) == 0)
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("dropout", clean)) == 0)
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("trend", clean)) == 0)
+    val broken = java.nio.file.Files.createTempDirectory("sacli_bad").toString
+    // type a spikes to 100 at the newest hour (trips anomaly AND trend);
+    // type b goes silent there (trips dropout)
+    writeEvents(broken, Map("a" -> ((1 to 20) :+ 100),
+      "b" -> ((2 to 21) :+ 0)))
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("anomaly", broken)) == 3)
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("dropout", broken)) == 3)
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("trend", broken)) == 3)
+    // usage errors
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("bogus")) == 2)
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("trend", clean, "--wat", "1")) == 2)
+    // refusal: a span too short to judge a trend throws (exit-1 channel)
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark,
+        Seq("trend", clean, "--min-train", "50"))
+    }
+    val empty = java.nio.file.Files.createTempDirectory("sacli_empty").toString
+    writeEvents(empty, Map.empty)
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark, Seq("dropout", empty))
+    }
+  }
 }
