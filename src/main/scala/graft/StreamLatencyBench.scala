@@ -110,6 +110,11 @@ object StreamLatencyBench {
 
     // ---- the real daemon wiring ----
     val spark = graft.util.GraftSession.local("graft-stream-latency")
+    // mirror Main's state store (r14): the daemon runs keyed calibration
+    // state on RocksDB, so the latency bench must measure THAT path, not
+    // the default HDFS-backed store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val cfg = AppConfig(
       dbhost = "127.0.0.1", dbport = http.getAddress.getPort,
       host = "127.0.0.1", port = aprs.getLocalPort,
