@@ -77,7 +77,18 @@ object Bench {
     * second gate: when loadavg exceeds `LoadavgGate` at either end of the
     * run, anything above `ContendedK`× steady state is ALSO annotated
     * `contended` (the tighter multiplier only applies when the load
-    * reading corroborates, so quiet-box variance never trips it). */
+    * reading corroborates, so quiet-box variance never trips it).
+    *
+    * HEAP CONFIG (r15): references are calibrated at the committed
+    * default child heap, `-Xmx8g` (no `SPARK_DRIVER_MEM` override) — the
+    * realistic per-executor sizing, and what the r14 re-bases ran under.
+    * The r13-and-earlier closing artifacts carried an undocumented
+    * `SPARK_DRIVER_MEM=89g` env override; dropping it is most of the
+    * uniform ~1.3× r13→r14 whole-suite shift that BASELINE r14 attributed
+    * to host state (72 s → 111 s total, flat across untouched queries —
+    * more GC at 8g, same plans). A closing bench run with a non-default
+    * heap must name it in BASELINE next to the round row; `jvm_flags` in
+    * the JSON makes the actual value auditable either way. */
   private val refSecSf01: Map[String, Double] = Map(
     "q01_agg" -> 0.6, "q02_join_broadcast" -> 0.5, "q03_join_multi" -> 0.8,
     "q06_filter_pushdown" -> 0.2, "q07_window_topn" -> 0.45, "q09_topk" -> 0.15,
