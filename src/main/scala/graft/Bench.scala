@@ -63,7 +63,8 @@ object Bench {
     "q136_perlang_theta", "q137_distilled_classifier",
     "q138_series_corr_lsh", "q139_decoder_audit",
     "q140_series_accumulate", "q141_holt_forecast",
-    "q142_forecast_backtest")
+    "q142_forecast_backtest", "q143_holt_winters",
+    "q144_forecast_model_select")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -309,6 +310,14 @@ object Bench {
     // q142 added r14: the q141 fit on all-but-newest + a #types actuals
     // join — the q141 cost class
     "q142_forecast_backtest" -> 0.65,
+    // q143/q144 added r15: the seasonal Holt–Winters 27-candidate fit
+    // (24-double array state per fold step, 3× q141's candidate count)
+    // and the linear+seasonal model-select backtest that runs both fits.
+    // Warm-context probes 1.48/1.51 and 2.29/1.74 alongside q141 at
+    // 0.88/1.00 (its full-suite steady ref 0.65) — refs set at the
+    // probe mid, same discipline as the r14 q140/q141 entries
+    "q143_holt_winters" -> 1.5,
+    "q144_forecast_model_select" -> 2.0,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

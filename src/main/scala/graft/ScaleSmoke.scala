@@ -124,7 +124,13 @@ object ScaleSmoke {
     "q140_series_accumulate", "q141_holt_forecast",
     // r14: backtest rides q141's caveat (actual scales xfactor, the
     // refit re-rounds, the alert flag may legitimately flip) — timed
-    "q142_forecast_backtest")
+    "q142_forecast_backtest",
+    // r15: the seasonal fit and the model-select backtest ride the same
+    // caveat (×factor inputs re-round every fold step) — timed; the
+    // cost driver is the 27-candidate × 24-array fold, whose input is
+    // the time-range-sized grid, NOT the event volume, so the 10× wall
+    // ratio should read well under 10× by construction
+    "q143_holt_winters", "q144_forecast_model_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -205,9 +211,14 @@ object ScaleSmoke {
     // for the flagged set — after the sweep, each flagged query
     // re-times back-to-back with no interleaved work — so the honest
     // ratio ships in the artifact instead of manual probes.
+    // r15 (VERDICT r14 #5): the decontam/span families showed the same
+    // in-sweep ambient sensitivity (q60 1.96× / q121 2.31× / q127
+    // 2.28× / q118 2.18× in the r14 sweep) — they get dual readings too
     val flaggedIsolated = Seq("q131_quality_classifier",
         "q132_classifier_auc", "q134_classifier_evidence",
-        "q136_perlang_theta", "q137_distilled_classifier")
+        "q136_perlang_theta", "q137_distilled_classifier",
+        "q60_decontam", "q118_lm_quality", "q121_winnowing",
+        "q127_norm_decontam")
       .filter(allQueries.contains)
       .map { n =>
         n -> ((time(n, sfDir), time(n, specialDirs.getOrElse(n, workDir))))
@@ -221,11 +232,16 @@ object ScaleSmoke {
     // space; the LSH arm (q138) faces ~factor the grid plus actual
     // collisions — the measured gap is the road's reason to exist.
     val seriesDir = s"$workDir/series"
-    ev.withColumn("event_type", concat($"event_type", lit("_"),
-        ($"user_id" % factor).cast("string")))
-      .write.mode("overwrite").parquet(s"$seriesDir/events.parquet")
-    val seriesCard = Seq("q135_series_correlation", "q138_series_corr_lsh")
+    val seriesCardQueries = Seq("q135_series_correlation",
+        "q138_series_corr_lsh")
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
+    // the suffixed corpus is only written when a series-cardinality
+    // query survived the prefix filter (ADVICE r14 #3)
+    if (seriesCardQueries.nonEmpty)
+      ev.withColumn("event_type", concat($"event_type", lit("_"),
+          ($"user_id" % factor).cast("string")))
+        .write.mode("overwrite").parquet(s"$seriesDir/events.parquet")
+    val seriesCard = seriesCardQueries
       .map(n => n -> ((time(n, sfDir), time(n, seriesDir)))).toMap
 
     if (prefixes.isEmpty) {

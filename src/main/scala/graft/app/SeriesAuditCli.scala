@@ -15,11 +15,14 @@ import graft.operators.Relational
   *                                   grid)
   *   dropout <sfDir>                 q130: expected types with ZERO
   *                                   events at the newest closed hour
-  *   trend   <sfDir> [--min-train h] q142: types whose newest closed
+  *   trend   <sfDir> [--min-train h] q144: types whose newest closed
   *                                   hour deviates > 3 in-sample RMSEs
-  *                                   from the Holt 1-step forecast
-  *                                   (a level shift INSIDE the q105
-  *                                   band still trips this one)
+  *                                   from the 1-step forecast of the
+  *                                   better-MSE model — Holt linear or
+  *                                   additive-seasonal Holt–Winters, so
+  *                                   a diurnal feed's peak hours don't
+  *                                   page (a level shift INSIDE the
+  *                                   q105 band still trips this one)
   *
   * Exit codes (the TextIndexCli/PqIndexCli convention): 0 = quiet,
   * 2 = usage error, 3 = alerts exist — a cron branches on the verdict.
@@ -67,13 +70,18 @@ object SeriesAuditCli {
           s"expected types at h=${presence.head.getLong(1)}")
         if (silent.nonEmpty) 3 else 0
       case Seq("trend", sfDir, rest @ _*) =>
+        // flags validate BEFORE the corpus-sized work (the TextIndexCli
+        // convention): a non-numeric --min-train is a USAGE error (2),
+        // never a refusal — NumberFormatException would ride the
+        // IllegalArgumentException refusal channel out at 1 (r14 #3)
         val minTrain = rest match {
-          case Seq() => 12L
-          case Seq("--min-train", h) => h.toLong
-          case _ =>
-            System.err.println(
-              "usage: trend <sfDir> [--min-train <hours>]")
-            return 2
+          case Seq() => Some(12L)
+          case Seq("--min-train", h) => h.toLongOption
+          case _ => None
+        }
+        if (minTrain.isEmpty) {
+          System.err.println("usage: trend <sfDir> [--min-train <hours>]")
+          return 2
         }
         val ev = eventsOf(spark, sfDir)
         val buckets = Relational.hourBuckets(ev).localCheckpoint(true)
@@ -82,14 +90,15 @@ object SeriesAuditCli {
           org.apache.spark.sql.functions.max(col("h"))).collect()(0)
         require(!b.isNullAt(0), "empty corpus: no hours to judge")
         val span = b.getLong(1) - b.getLong(0) // train hours
-        require(span >= math.max(3L, minTrain),
-          s"train span $span h is under max(3, --min-train $minTrain): " +
-            "refusing to judge a trend")
-        val rows = Relational.forecastBacktestFromBuckets(buckets)
+        require(span >= math.max(3L, minTrain.get),
+          s"train span $span h is under max(3, --min-train " +
+            s"${minTrain.get}): refusing to judge a trend")
+        val rows = Relational.forecastModelSelectFromBuckets(buckets)
           .filter(col("alert")).collect()
         rows.foreach(r => println(s"TREND ${r.getString(0)} " +
           s"${r.getString(1)} actual=${r.getLong(2)} " +
-          s"forecast=${r.getDouble(3)} rmse=${r.getDouble(6)}"))
+          s"model=${r.getString(3)} forecast=${r.getDouble(4)} " +
+          s"rmse=${r.getDouble(5)}"))
         println(s"trend: ${rows.length} deviating types")
         if (rows.nonEmpty) 3 else 0
       case _ =>

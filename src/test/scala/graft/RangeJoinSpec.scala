@@ -1503,6 +1503,119 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got("s")._5 && got("s")._2 == 10.0 && got("s")._4 == 90.0)
   }
 
+  /** q143/q144 planted (VERDICT r14 #1): a 24 h-periodic spike feed
+    * defeats the linear model — q142 pages the peak hour every cycle —
+    * while the seasonal fit explains it: the model-select backtest
+    * picks 'seasonal' by per-step in-sample MSE, forecasts the spike,
+    * and STOPS paging. Engine doubles must match a driver-side fold
+    * running the same recurrences in the same IEEE op order bit for
+    * bit. Type `p` (pure periodic) fits EXACTLY — sse and the holdout
+    * error are both exactly 0.0, pinning the rmse = 0
+    * any-deviation-alerts convention on its quiet side; type `q` adds
+    * a period-7 jitter so the seasonal fit is non-degenerate (rmse > 0)
+    * and still wins and stays quiet. */
+  test("q143/q144 seasonal: periodic feed stops paging, driver-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val counts = Map(
+      "p" -> (0 to 36).map(h => if (h % 24 == 12) 100 else 1),
+      "q" -> (0 to 36).map(h => (if (h % 24 == 12) 100 else 1) + (h * 5) % 7))
+    val rows = for {
+      (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 100000 + h * 500 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    // the driver model: same init, same recurrence, same rotating
+    // P-array, same lexicographic (sse, alpha, beta, gamma) argmin
+    val P = Relational.HoltSeasonPeriod
+    def holtSea(xs: Seq[Double])
+        : (Double, Double, Double, Double, Double, Double, Seq[Double]) = {
+      val grid = Seq(0.2, 0.5, 0.8)
+      val l0 = xs.take(P).foldLeft(0.0)(_ + _) / P.toDouble
+      val s0 = xs.take(P).map(_ - l0)
+      (for (a <- grid; b <- grid; g <- grid) yield {
+        var l = l0; var bb = 0.0; var seas = s0; var sse = 0.0
+        for (x <- xs.drop(P)) {
+          val sold = seas.head
+          val pred = l + bb + sold
+          sse += (x - pred) * (x - pred)
+          val l2 = a * (x - sold) + (1.0 - a) * (l + bb)
+          bb = b * (l2 - l) + (1.0 - b) * bb
+          seas = seas.tail :+ (g * (x - l2) + (1.0 - g) * sold)
+          l = l2
+        }
+        (sse, a, b, g, l, bb, seas)
+      }).minBy(c => (c._1, c._2, c._3, c._4))
+    }
+    // q142 (linear-only) pages both types' newest (spike) hour
+    val page = Relational.forecastBacktestOf(ev).collect()
+      .map(r => r.getString(0) -> r.getBoolean(8)).toMap
+    assert(page == Map("p" -> true, "q" -> true),
+      s"linear must page the peak: $page")
+    // q144 picks seasonal, matches the driver fold bits, stays quiet
+    val got = Relational.forecastModelSelectOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))))
+      .toMap
+    assert(got.size == 2)
+    for ((tpe, ns) <- counts) {
+      val train = ns.dropRight(1).map(_.toDouble)
+      val (sse, _, _, _, l, bb, seas) = holtSea(train)
+      val rmse = math.sqrt(sse / (train.size - P).toDouble)
+      val fc = l + bb + seas.head
+      val err = math.abs(ns.last.toDouble - fc)
+      assert(got(tpe) == ((ns.last.toLong, "seasonal", fc, rmse, err, false)),
+        s"$tpe: got ${got(tpe)} want ($fc, $rmse, $err)")
+    }
+    // the exact-fit type: sse and holdout error are EXACTLY zero, so
+    // the rmse = 0 convention's quiet side holds (0 > 3·0 is false)
+    assert(got("p")._4 == 0.0 && got("p")._5 == 0.0)
+    assert(got("q")._4 > 0.0)
+    // q143 over the full span: per-(type, m) forecast matches the
+    // driver fold bit for bit and tracks the cycle — the six hours
+    // after the spike are quiet, so `p` forecasts exactly 1.0
+    val f143 = Relational.holtWintersSeasonalOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(f143.size == 12)
+    for ((tpe, ns) <- counts; m <- 1 to 6) {
+      val (_, _, _, _, l, bb, seas) = holtSea(ns.map(_.toDouble))
+      val want = l + m.toDouble * bb + seas((m - 1) % P)
+      assert(f143((tpe, m.toLong)) == want, s"$tpe m=$m")
+    }
+    for (m <- 1 to 6) assert(f143(("p", m.toLong)) == 1.0,
+      "pure periodic must forecast its own continuation exactly")
+    // short span (< P+1 train hours): no seasonal candidate — q144
+    // falls back to linear and reproduces q142's verdict verbatim
+    val shortCounts = Map(
+      "a" -> (0 to 8).map(_ + 1),
+      "s" -> ((0 to 7).map(_ + 2) :+ 100))
+    val shortRows = for {
+      (tpe, ns) <- shortCounts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 10000 + h * 200 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val shortEv = shortRows.toDF("event_id", "us", "user_id", "event_type",
+        "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val q142Rows = Relational.forecastBacktestOf(shortEv).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(6), r.getDouble(7), r.getBoolean(8)))).toMap
+    val q144Rows = Relational.forecastModelSelectOf(shortEv).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))))
+      .toMap
+    for (tpe <- shortCounts.keys) {
+      val (actual, fc, rmse, err, alert) = q142Rows(tpe)
+      assert(q144Rows(tpe) == ((actual, "linear", fc, rmse, err, alert)),
+        s"$tpe: q144 short-span row must equal q142's")
+    }
+  }
+
   /** SeriesAuditCli: the three batch verdicts behind the streaming
     * watchers wire to the shared exit-code convention — 0 quiet,
     * 3 alerts, 2 usage, refusals (too little history to judge) throw
@@ -1540,6 +1653,11 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(graft.app.SeriesAuditCli.run(spark, Seq("bogus")) == 2)
     assert(graft.app.SeriesAuditCli.run(spark,
       Seq("trend", clean, "--wat", "1")) == 2)
+    // a malformed flag VALUE is a usage error too (2, before any
+    // corpus work), not a NumberFormatException riding the refusal
+    // channel out at 1 (r14 verdict #3)
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("trend", clean, "--min-train", "XYZ")) == 2)
     // refusal: a span too short to judge a trend throws (exit-1 channel)
     intercept[IllegalArgumentException] {
       graft.app.SeriesAuditCli.run(spark,

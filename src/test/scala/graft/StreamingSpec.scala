@@ -2431,8 +2431,8 @@ class StreamingSpec extends AnyFunSuite {
   /** StreamingForecastAlert: the watcher over the live downsample
     * rollup stays quiet while the feed follows its trend, pages exactly
     * once when a finalized hour breaks it (per (type, hour) - monotone
-    * guard), and its alert set IS batch q142's alert=true rows over the
-    * same rollup (one definition). */
+    * guard), and its alert set IS batch q144's alert=true rows over the
+    * same rollup (one definition; the short span here selects linear). */
   test("streaming forecast alert pages on a broken trend, once per closed hour") {
     import org.apache.spark.sql.types._
     import spark.implicits._
@@ -2442,10 +2442,11 @@ class StreamingSpec extends AnyFunSuite {
     def ev(h: Long, k: Int) = (0 until k).map(i =>
       s"""{"us":${h * hUs + i * 1000L},"event_type":"a","value":1.0}""")
     val alerts = new java.util.concurrent.ConcurrentLinkedQueue[
-      (String, Long, Long, Double, Double)]()
+      (String, Long, Long, String, Double, Double)]()
     val watcher = new graft.streaming.StreamingForecastAlert.Watcher(
       outName, () => spark.table(outName),
-      (t, h, actual, fc, rmse) => { alerts.add((t, h, actual, fc, rmse)); () },
+      (t, h, actual, model, fc, rmse) =>
+        { alerts.add((t, h, actual, model, fc, rmse)); () },
       minTrainHours = 5L)
     spark.streams.addListener(watcher)
     val schema = StructType(Seq(StructField("us", LongType),
@@ -2477,14 +2478,17 @@ class StreamingSpec extends AnyFunSuite {
           Thread.sleep(250)
       }
       val got = alerts.toArray(
-        Array.empty[(String, Long, Long, Double, Double)]).toSeq
-      assert(got.map(a => (a._1, a._2, a._3)) == Seq(("a", 111L, 100L)),
+        Array.empty[(String, Long, Long, String, Double, Double)]).toSeq
+      assert(got.map(a => (a._1, a._2, a._3, a._4)) ==
+        Seq(("a", 111L, 100L, "linear")),
         s"expected exactly the spike-hour page: $got")
-      assert(got.head._4 == 12.0 && got.head._5 == 0.0,
+      assert(got.head._5 == 12.0 && got.head._6 == 0.0,
         s"linear history must forecast 12.0 with rmse 0: $got")
-      // one definition: the watcher's set IS q142's alert rows
+      // one definition: the watcher's set IS q144's alert rows (the
+      // 11-hour train span has no seasonal candidate, so the selected
+      // model is q142's linear verdict verbatim)
       val batch = graft.operators.Relational
-        .forecastBacktestFromBuckets(spark.table(outName))
+        .forecastModelSelectFromBuckets(spark.table(outName))
         .filter(col("alert")).collect()
         .map(r => (r.getString(0), r.getLong(2)))
       assert(batch.toSeq == Seq(("a", 100L)),
@@ -2493,6 +2497,85 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       Thread.sleep(1000)
       assert(alerts.size == 1, s"monotone hour guard broken: $alerts")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(watcher)
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
+  /** The r14 verdict-#1 scenario, live: a 24 h-periodic spike feed. The
+    * linear-only q142 pages every on-cycle peak hour (asserted as the
+    * batch contrast over the same rollup); the model-selecting watcher
+    * fits the seasonal arm, forecasts the peak, and stays QUIET — then
+    * still pages, model = seasonal, when a spike lands OFF-cycle. */
+  test("streaming forecast alert: seasonal model quiets a periodic feed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("fc_sea_stream")
+    val outName = "fc_sea_out"
+    val hUs = graft.operators.Relational.GapfillHourUs
+    val H0 = 1000L
+    // pattern count for series hour i: the diurnal spike
+    def pat(i: Long): Int = if (i % 24 == 12) 100 else 1
+    def ev(i: Long, k: Int) = (0 until k).map(n =>
+      s"""{"us":${(H0 + i) * hUs + n * 1000L},"event_type":"p","value":1.0}""")
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, String, Double, Double)]()
+    val watcher = new graft.streaming.StreamingForecastAlert.Watcher(
+      outName, () => spark.table(outName),
+      (t, h, actual, model, fc, rmse) =>
+        { alerts.add((t, h, actual, model, fc, rmse)); () })
+    spark.streams.addListener(watcher)
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    // batch 1: series hours 0..35 on-pattern (spike at 12); the flush
+    // event at hour 37 (itself on-pattern: 37 % 24 = 13 -> 1) closes
+    // hours 0..35 - the newest closed hour 35 is a quiet one
+    Files.write(dir.resolve("b1.json"),
+      ((0L to 35L).flatMap(i => ev(i, pat(i))) ++ ev(37L, 1))
+        .mkString("\n").getBytes)
+    val q = graft.streaming.StreamingDownsample.buckets(stream)
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(alerts.isEmpty, s"on-pattern quiet hour must not page: $alerts")
+      // batch 2: hour 36 is the next ON-CYCLE spike (36 % 24 = 12); the
+      // flush at 38 closes it. The exact-fit seasonal model forecasts
+      // the spike (sse = 0, forecast exactly 100.0) -> still quiet
+      Files.write(dir.resolve("b2.json"),
+        (ev(36L, 100) ++ ev(38L, 1)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      assert(alerts.isEmpty,
+        s"seasonal model must forecast the on-cycle spike: $alerts")
+      // ...while the linear-only q142 over the SAME rollup pages it —
+      // the r14 state of the world, kept as the measured contrast
+      val lin = graft.operators.Relational
+        .forecastBacktestFromBuckets(spark.table(outName))
+        .filter(col("alert")).collect()
+        .map(r => (r.getString(0), r.getLong(2)))
+      assert(lin.toSeq == Seq(("p", 100L)),
+        s"linear-only must page the on-cycle peak: ${lin.toSeq}")
+      // batch 3: 100 events at hour 39 - OFF-cycle (39 % 24 = 15,
+      // expected 1); flush at 41 (on-pattern) closes it. The exact fit
+      // forecasts 1.0 with rmse 0, so ANY deviation alerts (the MAD-0
+      // convention's loud side, live)
+      Files.write(dir.resolve("b3.json"),
+        (ev(39L, 100) ++ ev(41L, 1)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      locally {
+        val deadline = System.currentTimeMillis() + 90000
+        while (alerts.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(250)
+      }
+      val got = alerts.toArray(
+        Array.empty[(String, Long, Long, String, Double, Double)]).toSeq
+      assert(got == Seq(("p", H0 + 39L, 100L, "seasonal", 1.0, 0.0)),
+        s"off-cycle spike must page the seasonal model: $got")
     } finally {
       q.stop()
       spark.streams.removeListener(watcher)
