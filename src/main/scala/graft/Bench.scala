@@ -64,7 +64,7 @@ object Bench {
     "q138_series_corr_lsh", "q139_decoder_audit",
     "q140_series_accumulate", "q141_holt_forecast",
     "q142_forecast_backtest", "q143_holt_winters",
-    "q144_forecast_model_select")
+    "q144_forecast_model_select", "q145_series_stats")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -318,6 +318,11 @@ object Bench {
     // probe mid, same discipline as the r14 q140/q141 entries
     "q143_holt_winters" -> 1.5,
     "q144_forecast_model_select" -> 2.0,
+    // q145 added r15: spread/stddev/mode — two partial-agg collapses
+    // over the dense grid. Warm probes 0.59/0.55 alongside q140 at
+    // 0.68/0.76 (its steady ref 0.55) — ref at the q140-relative
+    // steady estimate
+    "q145_series_stats" -> 0.5,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -130,7 +130,12 @@ object ScaleSmoke {
     // cost driver is the 27-candidate × 24-array fold, whose input is
     // the time-range-sized grid, NOT the event volume, so the 10× wall
     // ratio should read well under 10× by construction
-    "q143_holt_winters", "q144_forecast_model_select")
+    "q143_holt_winters", "q144_forecast_model_select",
+    // r15: spread/mode are pure integer functions of the hourly counts
+    // (scale ×factor exactly); the stddev moments scale exactly in
+    // int64 but the one division re-rounds (f is not a power of two) —
+    // exact invariant below, stddev to 1e-9 relative
+    "q145_series_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -381,6 +386,24 @@ object ScaleSmoke {
             1e-9 * math.max(1.0, math.abs(b._4 * factor))
       },
       "scale-up broke the q140 accumulator invariant")
+    // q145 invariant: hourly counts scale ×factor exactly, so spread
+    // and the mode VALUE scale ×factor in pure integer arithmetic (the
+    // mode's frequency ranking is replication-invariant: distinct
+    // scaled values keep their frequencies); stddev's int64 moments
+    // scale exactly but the single division re-rounds — 1e-9 relative
+    def statRows(dir: String) = SparkEntry
+      .queries("q145_series_stats")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val q145base = statRows(sfDir)
+    val q145scaled = statRows(workDir)
+    require(q145base.length == q145scaled.length &&
+      q145base.zip(q145scaled).forall { case (b, sc) =>
+        b._1 == sc._1 && sc._2 == b._2 * factor && sc._3 == b._3 * factor &&
+          math.abs(sc._4 - b._4 * factor) <=
+            1e-9 * math.max(1.0, math.abs(b._4 * factor))
+      },
+      "scale-up broke the q145 spread/mode/stddev invariant")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor

@@ -36,6 +36,24 @@ object Verify {
     require(minTs.isNullAt(0) || minTs.getLong(0) >= 0L,
       s"events.ts has pre-1970 timestamps (min ${minTs.getLong(0)} µs): " +
         "the oracle twins' // truncation diverges from Spark's div there")
+    // ADVICE r14 #1: the q139 DuckDB twin derives the decode outcome
+    // purely from the magic sniff (family != opaque => real decode
+    // assumed to succeed), while the engine degrades failed decodes to
+    // the stub. That is sound on the oracle corpora only because no
+    // document text happens to START with a sniffable magic ('GIF8',
+    // 'RIFF..WAVE', ... as plain ASCII would sniff non-opaque and then
+    // fail to decode). Enforce the assumption at the gate so a future
+    // data-generator change fails loudly here instead of as an opaque
+    // q139 hash mismatch.
+    val nonOpaque = graft.operators.Multimodal.assets(spark, sfDir)
+      .select("payload").rdd
+      .map(r => graft.operators.Multimodal
+        .sniffFamily(r.getAs[Array[Byte]](0)))
+      .filter(_ != "opaque").count()
+    require(nonOpaque == 0L,
+      s"$nonOpaque document payloads sniff as a real decoder family: " +
+        "the q139 oracle twin assumes text corpora sniff opaque — " +
+        "plant and document the expected divergence before re-running")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1038,6 +1038,51 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------------------- q145
+  /** q145: the InfluxQL aggregate long tail over the dense grid —
+    * `spread()` (max − min of the hourly count series), `stddev()`
+    * (sample standard deviation) and `mode()` (most frequent count;
+    * InfluxDB's tie-break: highest frequency first, then the SMALLEST
+    * value) per event_type, the three dashboard aggregates a weekly
+    * user reaches for that q140 didn't cover (VERDICT r14 #6).
+    *
+    * Exactness: spread and mode are pure integer arithmetic; stddev is
+    * ONE correctly-rounded division of exact int64 moments then one
+    * sqrt — √((T·Σx² − (Σx)²) / (T·(T−1))) with every product exact in
+    * longs (counts are hourly event tallies: Σx² stays far under 2⁶³
+    * at any SF here; a 100 TB deployment lifts the moments onto the
+    * [[graft.functions.Sum128]] int128 path, the q71 convention), so
+    * both engines round identically. T ≤ 1 → NULL stddev.
+    *
+    * Scale shape: grid → ONE partial-aggregated (type, n) frequency
+    * collapse (map-side combine does the heavy lifting: at most
+    * #distinct-counts rows per type survive the shuffle) → a #types-row
+    * final aggregate where the mode is a min-of-struct argmin
+    * ((−freq, n) lexicographic — the q136/q141 no-ordered-pick
+    * convention) riding the SAME pass as the moments. Nothing touches
+    * raw events after the bucket collapse. */
+  def q145SeriesStats(s: SparkSession, dir: String): DataFrame =
+    seriesStatsOf(t(s, dir, "events"))
+
+  private[graft] def seriesStatsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (j, _, _) = denseGrid(hourBuckets(ev))
+    j.groupBy($"event_type", $"n").agg(count(lit(1)).as("cnt"))
+      .groupBy($"event_type")
+      .agg(
+        (max($"n") - min($"n")).as("spread"),
+        min(struct((-$"cnt").as("negcnt"), $"n".as("v"))).as("mb"),
+        sum($"cnt").as("tt"),
+        sum($"n" * $"cnt").as("sx"),
+        sum($"n" * $"n" * $"cnt").as("sx2"))
+      .select($"event_type", $"spread", $"mb.v".as("mode_n"),
+        when($"tt" > 1L,
+          sqrt(($"tt" * $"sx2" - $"sx" * $"sx").cast("double") /
+            ($"tt" * ($"tt" - 1L)).cast("double"))).as("stddev"))
+      .orderBy($"event_type")
+  }
+
   // --------------------------------------------------------------- q106
   /** Moving-average window width (hours). */
   val MovingAvgHours = 3
@@ -1862,6 +1907,7 @@ object Relational {
     "q142_forecast_backtest" -> (q142ForecastBacktest _),
     "q143_holt_winters" -> (q143HoltWintersSeasonal _),
     "q144_forecast_model_select" -> (q144ForecastModelSelect _),
+    "q145_series_stats" -> (q145SeriesStats _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2548,6 +2594,29 @@ object Relational {
         |    AND abs_err > CAST($ForecastAlertK AS DOUBLE) * rmse AS alert
         |FROM res ORDER BY event_type""".stripMargin
     },
+    // q145 twin: identical exact-moments arithmetic (int64 products,
+    // one division, one sqrt); the mode tie-break is an explicit
+    // (cnt DESC, n ASC) ROW_NUMBER — DuckDB's own mode() leaves ties
+    // implementation-defined, so the twin never calls it
+    "q145_series_stats" ->
+      s"""WITH $gapfillGridCtes,
+        |c AS (SELECT event_type, n, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+        |r AS (SELECT event_type, n, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, n ASC) AS rn
+        |  FROM c),
+        |a AS (SELECT event_type,
+        |    MAX(n) - MIN(n) AS spread,
+        |    CAST(SUM(cnt) AS BIGINT) AS tt,
+        |    CAST(SUM(n * cnt) AS BIGINT) AS sx,
+        |    CAST(SUM(n * n * cnt) AS BIGINT) AS sx2
+        |  FROM c GROUP BY event_type)
+        |SELECT a.event_type, a.spread, r.n AS mode_n,
+        |  CASE WHEN a.tt > 1 THEN
+        |    sqrt(CAST(a.tt * a.sx2 - a.sx * a.sx AS DOUBLE)
+        |      / CAST(a.tt * (a.tt - 1) AS DOUBLE)) END AS stddev
+        |FROM a JOIN r ON r.event_type = a.event_type AND r.rn = 1
+        |ORDER BY a.event_type""".stripMargin,
     "q108_rolling_users" ->
       // the range join replays the cover-set semantics: a (hour, user)
       // pair contributes to every window ending within RollingHours

@@ -627,13 +627,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q105_anomaly_hours").contains("BroadcastHashJoin"))
   }
 
-  test("q140-q144: the forecast family runs on the grid checkpoint") {
+  test("q140-q145: the forecast family runs on the grid checkpoint") {
     // the accumulators are per-type windows over the checkpointed dense
     // grid; the Holt fit folds grid-sized arrays (ObjectHashAggregate
     // collect_list) — no FileScan in any returned plan, no nested loop
     for (name <- Seq("q140_series_accumulate", "q141_holt_forecast",
         "q142_forecast_backtest", "q143_holt_winters",
-        "q144_forecast_model_select")) {
+        "q144_forecast_model_select", "q145_series_stats")) {
       val p = plan(name)
       assert(!p.contains("FileScan"), s"$name: ${p.take(400)}")
       assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -792,6 +792,43 @@ class RangeJoinSpec extends AnyFunSuite {
       s"novel payload matched: ${matches.filter(_._1 == 999999L)}")
   }
 
+  /** Stub/real family isolation in perceptual SERVING (VERDICT r14 #7):
+    * the blocking meta and the candidate join are both keyed per
+    * decoder family, so a stub-histogram descriptor must never pair
+    * with a real-decode descriptor — a q139-flagged corpus (stub share
+    * breached) can't silently cross-match into a real-image index.
+    * Planted: a codec-video payload (sniffs video, decode FAILS → stub)
+    * served against an index of REAL images returns nothing, while a
+    * re-sent image proves the same index is alive. */
+  test("perceptual serving: stub-family query never matches a real-image index") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def pngOf(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 4)
+        img.setRGB(x, y, (seed * 2654435761L + x * 131 + y * 31).toInt)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val idx = java.nio.file.Files.createTempDirectory("pidx_fam").toString
+    Multimodal.savePerceptualIndex(spark,
+      Seq((1L, pngOf(1)), (2L, pngOf(2)), (3L, pngOf(3)))
+        .toDF("doc_id", "payload"), idx)
+    val codec = "GIF89a-truncated".getBytes("ISO-8859-1")
+    val stubHit = Multimodal.servePerceptualMatches(spark, idx,
+      Seq((50L, codec)).toDF("doc_id", "payload")).collect()
+    assert(stubHit.isEmpty,
+      s"stub-family query crossed into the image index: ${stubHit.toSeq}")
+    // the emptiness above is family isolation, not a dead index
+    val alive = Multimodal.servePerceptualMatches(spark, idx,
+        Seq((60L, pngOf(1))).toDF("doc_id", "payload")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(alive.contains((60L, 1L)),
+      s"re-sent image must match its indexed original: $alive")
+  }
+
   /** q112 planted-free exactness: the per-subspace distortion report
     * must equal a brute-force driver recomputation (argmin over ALL
     * codes per residual — an independent evaluation path from the
@@ -1443,6 +1480,47 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(Relational.holtForecastOf(one).count() == 0L)
   }
 
+  /** q145 planted: hand-computed spread / mode / stddev over a 5-hour
+    * grid — the mode tie-break (highest frequency, then SMALLEST value),
+    * the dense grid's true zeros entering all three aggregates, and the
+    * exact-moment stddev (one int64-exact division then one sqrt)
+    * checked against driver arithmetic bit for bit; a single-hour
+    * corpus reports NULL stddev (T = 1). */
+  test("q145 planted: spread, mode tie-break and exact-moment stddev") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def evOf(counts: Map[String, Seq[Int]]) = {
+      val rows = for {
+        (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+        i <- 0 until n
+      } yield (tpe.hashCode.toLong * 100000 + h * 500 + i,
+        (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+      rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+    }
+    // a: counts [2,2,7,7,1] — 2 and 7 tie at frequency 2, mode must be
+    //    the SMALLER (2); spread 6; moments T=5 sx=19 sx2=107 ->
+    //    (5*107-361)/20 = 174/20, stddev = sqrt(8.7)
+    // b: constant [1,1,1,1,1] — spread 0, mode 1, stddev exactly 0
+    // c: hours 0 and 4 only (count 3) — the grid's zeros DOMINATE:
+    //    mode 0 (freq 3), spread 3, (5*18-36)/20 = 54/20
+    val got = Relational.seriesStatsOf(evOf(Map(
+        "a" -> Seq(2, 2, 7, 7, 1),
+        "b" -> Seq(1, 1, 1, 1, 1),
+        "c" -> Seq(3, 0, 0, 0, 3))))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got("a") == ((6L, 2L, math.sqrt(174.0 / 20.0))), got("a"))
+    assert(got("b") == ((0L, 1L, 0.0)), got("b"))
+    assert(got("c") == ((3L, 0L, math.sqrt(54.0 / 20.0))), got("c"))
+    // a one-hour corpus has T = 1: spread/mode degenerate, stddev NULL
+    val one = Relational.seriesStatsOf(evOf(Map("z" -> Seq(4)))).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 0L &&
+      one(0).getLong(2) == 4L && one(0).isNullAt(3), one.toSeq)
+  }
+
   /** q142 planted: a clean linear type backtests with zero error and no
     * alert; a type whose newest hour spikes off its linear trend alerts
     * with forecast/RMSE/abs_err matching the driver fold bit-for-bit
@@ -1667,6 +1745,70 @@ class RangeJoinSpec extends AnyFunSuite {
     writeEvents(empty, Map.empty)
     intercept[IllegalArgumentException] {
       graft.app.SeriesAuditCli.run(spark, Seq("dropout", empty))
+    }
+  }
+
+  /** MediaAuditCli (VERDICT r14 #2): the decode-audit lifecycle's
+    * cron-runnable verdict on the four shared channels — 0 within
+    * margin, 3 breach (incl. the unseen-family-vs-share-0 convention),
+    * 2 usage (flags validated before any decode), refusal throws
+    * (missing/empty baseline, empty candidate corpus — "no verdict"
+    * must never read as "quiet"). */
+  test("MediaAuditCli: freeze + audit verdicts on all four channels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, octet_length}
+    import java.nio.file.Files
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val codec = "GIF89a-truncated".getBytes("ISO-8859-1") // sniffs video, decode fails
+    val txt = "plain text".getBytes("UTF-8")
+    def writeAssets(path: String, rows: (Long, Array[Byte])*): Unit =
+      rows.toDF("doc_id", "payload")
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+        .write.mode("overwrite").parquet(path)
+    val cli = graft.app.MediaAuditCli
+    val root = Files.createTempDirectory("macli").toString
+    val ref = s"$root/ref"; val baseDir = s"$root/baseline"
+    writeAssets(ref, 1L -> png, 2L -> png, 3L -> png, 4L -> txt)
+    // freeze over the reference corpus: image 0permille, opaque 1000permille
+    assert(cli.run(spark, Seq("freeze", ref, baseDir)) == 0)
+    val frozen = spark.read.parquet(baseDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frozen == Map("image" -> 0L, "opaque" -> 1000L), frozen)
+    // quiet: same family mix, shares within margin (opaque is ALREADY
+    // fully stubbed in the baseline, so it never pages)
+    val clean = s"$root/clean"
+    writeAssets(clean, 10L -> png, 11L -> txt)
+    assert(cli.run(spark, Seq("audit", clean, baseDir)) == 0)
+    // breach: a codec-video payload sniffs as a family the baseline
+    // never saw (judged against share 0) and decodes to the stub
+    val bad = s"$root/bad"
+    writeAssets(bad, 20L -> png, 21L -> codec, 22L -> txt)
+    assert(cli.run(spark, Seq("audit", bad, baseDir)) == 3)
+    // ...but a wide-open margin keeps it quiet (the knob reaches the gate)
+    assert(cli.run(spark,
+      Seq("audit", bad, baseDir, "--margin-permille", "1000")) == 0)
+    // usage: unknown verb / unknown flag / non-numeric margin VALUE —
+    // all exit 2 with no decode work
+    assert(cli.run(spark, Seq("bogus")) == 2)
+    assert(cli.run(spark, Seq("audit", bad, baseDir, "--wat", "1")) == 2)
+    assert(cli.run(spark,
+      Seq("audit", bad, baseDir, "--margin-permille", "XYZ")) == 2)
+    // refusals: a missing baseline, an empty frozen baseline, an empty
+    // candidate corpus, an empty freeze corpus
+    intercept[IllegalArgumentException] {
+      cli.run(spark, Seq("audit", clean, s"$root/nowhere"))
+    }
+    val emptyAssets = s"$root/empty"
+    writeAssets(emptyAssets)
+    intercept[IllegalArgumentException] {
+      cli.run(spark, Seq("audit", emptyAssets, baseDir))
+    }
+    intercept[IllegalArgumentException] {
+      cli.run(spark, Seq("freeze", emptyAssets, s"$root/baseline2"))
     }
   }
 }
