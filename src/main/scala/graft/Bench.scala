@@ -64,7 +64,8 @@ object Bench {
     "q138_series_corr_lsh", "q139_decoder_audit",
     "q140_series_accumulate", "q141_holt_forecast",
     "q142_forecast_backtest", "q143_holt_winters",
-    "q144_forecast_model_select", "q145_series_stats")
+    "q144_forecast_model_select", "q145_series_stats",
+    "q146_series_selectors")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -323,6 +324,10 @@ object Bench {
     // 0.68/0.76 (its steady ref 0.55) — ref at the q140-relative
     // steady estimate
     "q145_series_stats" -> 0.5,
+    // q146 added r15: selectors — one raw-bucket collapse, no grid.
+    // Warm probes 0.44/0.41 alongside q145 at 0.70/0.78 (ref 0.5) —
+    // the same relative-steady discipline
+    "q146_series_selectors" -> 0.35,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -135,7 +135,12 @@ object ScaleSmoke {
     // (scale ×factor exactly); the stddev moments scale exactly in
     // int64 but the one division re-rounds (f is not a power of two) —
     // exact invariant below, stddev to 1e-9 relative
-    "q145_series_stats")
+    "q145_series_stats",
+    // r15: the selectors are pure integer picks from the ×factor-scaled
+    // count multiset — first/last/p95 scale ×factor exactly, and even
+    // the median double is exact (the ÷2 never rounds a representable
+    // integer sum) — fully exact invariant below
+    "q146_series_selectors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -404,6 +409,22 @@ object ScaleSmoke {
             1e-9 * math.max(1.0, math.abs(b._4 * factor))
       },
       "scale-up broke the q145 spread/mode/stddev invariant")
+    // q146 invariant: replication scales the count multiset ×factor, so
+    // every selector scales ×factor EXACTLY — including the median
+    // double: f·(a+b) stays under 2⁵³ and the ÷2 is IEEE-exact, so
+    // both sides are the same representable rational (no tolerance)
+    def selRows(dir: String) = SparkEntry
+      .queries("q146_series_selectors")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val q146base = selRows(sfDir)
+    val q146scaled = selRows(workDir)
+    require(q146base.length == q146scaled.length &&
+      q146base.zip(q146scaled).forall { case (b, sc) =>
+        b._1 == sc._1 && sc._2 == b._2 * factor && sc._3 == b._3 * factor &&
+          sc._4 == b._4 * factor && sc._5 == b._5 * factor
+      },
+      "scale-up broke the q146 selector invariant")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor

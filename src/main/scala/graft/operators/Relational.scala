@@ -1083,6 +1083,52 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------------------- q146
+  /** q146: the InfluxQL SELECTORS per series — `first()`, `last()`,
+    * `median()` and `percentile(95)` over each type's hourly count
+    * series. Selectors operate on the series' ACTUAL points (the
+    * non-empty bucket hours), not the fill(0) grid: InfluxQL's
+    * first/last/percentile pick real samples, where q145's aggregates
+    * follow the q103 fill(0) convention — the asymmetry is InfluxQL's
+    * own and is documented here on purpose.
+    *
+    * Determinism: first/last are min/max-of-struct((h, n)) argmins (h
+    * is unique per type — no ordered pick); percentile is InfluxDB's
+    * nearest-rank (1-based index ⌈p·T/100⌉, computed in PURE integer
+    * arithmetic as (95·T + 99) div 100 — no double rounds); median is
+    * the true median (odd T → the middle value; even T → the mean of
+    * the two middle values, whose division by 2 is IEEE-exact for any
+    * representable sum, so even the double column is bit-determined).
+    *
+    * Scale shape: one partial-agg collapse per type; the sorted array
+    * is active-hours-sized (≤ the time range — the q141 grid-array
+    * class, never event volume). */
+  def q146SeriesSelectors(s: SparkSession, dir: String): DataFrame =
+    seriesSelectorsOf(t(s, dir, "events"))
+
+  private[graft] def seriesSelectorsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    hourBuckets(ev).groupBy($"event_type")
+      .agg(
+        min(struct($"h", $"n")).as("fst"),
+        max(struct($"h", $"n")).as("lst"),
+        array_sort(collect_list($"n")).as("xs"))
+      .select($"event_type",
+        $"fst.n".as("first_n"), $"lst.n".as("last_n"),
+        when(expr("size(xs) % 2 = 1"),
+          expr("cast(element_at(xs, cast((size(xs) + 1) div 2 as int)) " +
+            "as double)"))
+          .otherwise(
+            expr("cast(element_at(xs, cast(size(xs) div 2 as int)) + " +
+              "element_at(xs, cast(size(xs) div 2 + 1 as int)) as double)")
+              / lit(2.0))
+          .as("median_n"),
+        expr("element_at(xs, cast((95 * size(xs) + 99) div 100 as int))")
+          .as("p95_n"))
+      .orderBy($"event_type")
+  }
+
   // --------------------------------------------------------------- q106
   /** Moving-average window width (hours). */
   val MovingAvgHours = 3
@@ -1908,6 +1954,7 @@ object Relational {
     "q143_holt_winters" -> (q143HoltWintersSeasonal _),
     "q144_forecast_model_select" -> (q144ForecastModelSelect _),
     "q145_series_stats" -> (q145SeriesStats _),
+    "q146_series_selectors" -> (q146SeriesSelectors _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2617,6 +2664,32 @@ object Relational {
         |      / CAST(a.tt * (a.tt - 1) AS DOUBLE)) END AS stddev
         |FROM a JOIN r ON r.event_type = a.event_type AND r.rn = 1
         |ORDER BY a.event_type""".stripMargin,
+    // q146 twin: first/last replay the argmin as ROW_NUMBER over the
+    // unique per-type hour; the sorted list + pure-integer nearest-rank
+    // index match the engine's element_at arithmetic; the even-median
+    // division by 2 is IEEE-exact on both engines
+    "q146_series_selectors" ->
+      s"""WITH $gapfillGridCtes,
+        |s AS (SELECT event_type, h, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC)
+        |      AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC)
+        |      AS rd
+        |  FROM b),
+        |l AS (SELECT event_type, list(n ORDER BY n) AS xs
+        |  FROM b GROUP BY event_type),
+        |f AS (SELECT event_type, n AS first_n FROM s WHERE ra = 1),
+        |z AS (SELECT event_type, n AS last_n FROM s WHERE rd = 1)
+        |SELECT l.event_type, f.first_n, z.last_n,
+        |  CASE WHEN len(xs) % 2 = 1
+        |    THEN CAST(xs[CAST((len(xs) + 1) // 2 AS INT)] AS DOUBLE)
+        |    ELSE CAST(xs[CAST(len(xs) // 2 AS INT)]
+        |        + xs[CAST(len(xs) // 2 + 1 AS INT)] AS DOUBLE)
+        |      / CAST(2.0 AS DOUBLE)
+        |  END AS median_n,
+        |  xs[CAST((95 * len(xs) + 99) // 100 AS INT)] AS p95_n
+        |FROM l JOIN f USING (event_type) JOIN z USING (event_type)
+        |ORDER BY l.event_type""".stripMargin,
     "q108_rolling_users" ->
       // the range join replays the cover-set semantics: a (hour, user)
       // pair contributes to every window ending within RollingHours

@@ -647,6 +647,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q144_forecast_model_select").contains("ObjectHashAggregate"))
   }
 
+  test("q146: selectors are one events scan into one object-agg collapse") {
+    // the selectors run on the RAW bucket points (no fill(0) grid, so
+    // no checkpoint barrier): exactly one FileScan, the sorted-array
+    // build on the object-agg path, no nested loop
+    val p = plan("q146_series_selectors")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(600))
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q107: within-cell pair join is an equi-join, assignment map-side") {
     // the fit + assignment happen eagerly behind the checkpoint; the
     // returned plan is the cell-keyed self-join (never a nested loop)

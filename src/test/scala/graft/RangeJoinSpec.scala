@@ -1521,6 +1521,36 @@ class RangeJoinSpec extends AnyFunSuite {
       one(0).getLong(2) == 4L && one(0).isNullAt(3), one.toSeq)
   }
 
+  /** q146 planted: the selectors run on ACTUAL points (silent hours
+    * never enter — InfluxQL's own selector semantics, unlike q145's
+    * fill(0) aggregates): hand-computed first/last by hour, odd and
+    * even (half-integer) medians, and the pure-integer nearest-rank
+    * 95th percentile. */
+  test("q146 planted: first/last/median/percentile selector semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a: all five hours active [5,3,8,1,9] — first 5, last 9, sorted
+    //    [1,3,5,8,9] (T=5 odd) -> median 5.0, p95 rank (475+99)//100=5 -> 9
+    // b: hours 1 and 3 ONLY (gaps absent from the point set): first 4,
+    //    last 3, sorted [3,4] (T=2 even) -> median 3.5, p95 rank 2 -> 4
+    val rows = (Seq(5, 3, 8, 1, 9).zipWithIndex.map { case (n, h) =>
+        ("a", h, n) } ++ Seq(("b", 1, 4), ("b", 3, 3))).flatMap {
+      case (tpe, h, n) => (0 until n).map(i =>
+        (tpe.hashCode.toLong * 100000 + h * 500 + i,
+          (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val got = Relational.seriesSelectorsOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "a" -> ((5L, 9L, 5.0, 9L)),
+      "b" -> ((4L, 3L, 3.5, 4L))), got)
+  }
+
   /** q142 planted: a clean linear type backtests with zero error and no
     * alert; a type whose newest hour spikes off its linear trend alerts
     * with forecast/RMSE/abs_err matching the driver fold bit-for-bit
