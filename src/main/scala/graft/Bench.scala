@@ -65,7 +65,7 @@ object Bench {
     "q140_series_accumulate", "q141_holt_forecast",
     "q142_forecast_backtest", "q143_holt_winters",
     "q144_forecast_model_select", "q145_series_stats",
-    "q146_series_selectors")
+    "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -328,6 +328,13 @@ object Bench {
     // Warm probes 0.44/0.41 alongside q145 at 0.70/0.78 (ref 0.5) —
     // the same relative-steady discipline
     "q146_series_selectors" -> 0.35,
+    // q147/q148 added r15: the ranked selectors (checkpointed bucket
+    // collapse + two WindowGroupLimit arms) and the daily cascade (one
+    // scan, two partial-agg collapses). Warm probes 0.53/0.54 and
+    // 0.44/0.44 alongside q146 at 0.46/0.49 (ref 0.35) — same
+    // relative-steady discipline
+    "q147_top_bottom" -> 0.4,
+    "q148_daily_rollup" -> 0.35,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -140,7 +140,17 @@ object ScaleSmoke {
     // count multiset — first/last/p95 scale ×factor exactly, and even
     // the median double is exact (the ÷2 never rounds a representable
     // integer sum) — fully exact invariant below
-    "q146_series_selectors")
+    "q146_series_selectors",
+    // r15: the ranked selectors — replication scales every count
+    // ×factor, preserving both arms' total order (ties stay ties, the
+    // hour tie-break is untouched), so rows are identical with n
+    // ×factor (exact invariant below)
+    "q147_top_bottom",
+    // r15: the daily cascade — counts/envelope ×factor in integers,
+    // the daily sum's one division re-rounds (1e-9), and the per-event
+    // mean is fully INVARIANT (numerator and denominator scale by the
+    // same exact factor, so the rounded quotient is bit-identical)
+    "q148_daily_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -425,6 +435,40 @@ object ScaleSmoke {
           sc._4 == b._4 * factor && sc._5 == b._5 * factor
       },
       "scale-up broke the q146 selector invariant")
+    // q147 invariant: replication preserves both rank orders exactly —
+    // identical (type, arm, rank, wstart) rows with n ×factor
+    def tbRows(dir: String) = SparkEntry
+      .queries("q147_top_bottom")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getLong(4)))
+    val q147base = tbRows(sfDir)
+    val q147scaled = tbRows(workDir)
+    require(q147base.length == q147scaled.length &&
+      q147base.zip(q147scaled).forall { case (b, sc) =>
+        (b._1, b._2, b._3, b._4) == ((sc._1, sc._2, sc._3, sc._4)) &&
+          sc._5 == b._5 * factor
+      },
+      "scale-up broke the q147 ranked-selector invariant")
+    // q148 invariant: integer columns ×factor exactly; the daily sum's
+    // single division re-rounds (1e-9 relative); the per-event mean is
+    // bit-IDENTICAL (both division operands scale by the same exact
+    // factor) and dstart/active_hours are replication-invariant
+    def dayRows(dir: String) = SparkEntry
+      .queries("q148_daily_rollup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val q148base = dayRows(sfDir)
+    val q148scaled = dayRows(workDir)
+    require(q148base.length == q148scaled.length &&
+      q148base.zip(q148scaled).forall { case (b, sc) =>
+        (b._1, b._2) == ((sc._1, sc._2)) && sc._3 == b._3 * factor &&
+          math.abs(sc._4 - b._4 * factor) <=
+            1e-9 * math.max(1.0, math.abs(b._4 * factor)) &&
+          sc._5 == b._5 && sc._6 == b._6 &&
+          sc._7 == b._7 * factor && sc._8 == b._8 * factor
+      },
+      "scale-up broke the q148 daily-cascade invariant")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor

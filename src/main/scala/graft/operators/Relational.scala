@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
 import graft.util.Tables
 import graft.util.OracleSafe._
@@ -1129,6 +1129,87 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------------------- q147
+  /** How many extreme hours each arm of q147 keeps per series. */
+  val TopBottomK = 3
+
+  /** q147: InfluxQL `top(field, N)` / `bottom(field, N)` — the ranked
+    * selectors: per series, the [[TopBottomK]] highest- and
+    * lowest-count ACTUAL hours with their timestamps. InfluxDB's tie
+    * rule: equal values resolve to the EARLIER timestamp — so the
+    * ordering (n DESC|ASC, h ASC) is total per series (h unique) and
+    * the pick is deterministic, never an ordered-pick race.
+    *
+    * Scale shape: the rank-≤-K filter collapses each window to
+    * WindowGroupLimit (per-partition top-K heaps BEFORE the shuffle —
+    * the q07/q09 class, plan-pinned), both arms read ONE checkpointed
+    * bucket collapse, and everything after the bucket frame is
+    * #types × K-sized. */
+  def q147TopBottom(s: SparkSession, dir: String): DataFrame =
+    topBottomOf(t(s, dir, "events"))
+
+  private[graft] def topBottomOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    // one events scan feeds both window arms
+    val b = hourBuckets(ev).localCheckpoint(true)
+    def arm(name: String, w: WindowSpec) = b
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopBottomK)
+      .select($"event_type", lit(name).as("arm"), $"rank",
+        tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
+        $"n")
+    arm("top", Window.partitionBy($"event_type")
+        .orderBy($"n".desc, $"h".asc))
+      .union(arm("bottom", Window.partitionBy($"event_type")
+        .orderBy($"n".asc, $"h".asc)))
+      .orderBy($"event_type", $"arm", $"rank")
+  }
+
+  // --------------------------------------------------------------- q148
+  /** q148: the downsample CASCADE — the daily tier computed from the
+    * HOURLY rollup, never from raw events: per (day, series) the event
+    * count, the EXACT daily value sum and per-event mean, the active
+    * hour count and the burst envelope (max/min hourly count over
+    * active hours — actual points, the q146 selector convention).
+    *
+    * This is the retention economics the reference feeds InfluxDB for:
+    * raw points age out, the hourly continuous-query rollup persists,
+    * and week-scale dashboards read a DAILY tier built from the hourly
+    * one. [[dailyFromHourly]] consumes ANY bucket frame — the batch
+    * [[hourBuckets]] here, or the live [[graft.streaming
+    * .StreamingDownsample]] sink (spec-pinned equal) — so the cascade
+    * costs #types × #hours rows, not an events scan.
+    *
+    * Exactness: hourly sum_value IS a 1e4-scaled long divided once
+    * (dsum), so the daily tier re-derives the exact long (slong — the
+    * q140 re-derivation), sums in longs, and divides ONCE per output
+    * row; the per-event mean divides by (1e4 · n_day) — one exact
+    * product (n_day < 2⁴⁹), one division, identical parse both engines. */
+  def q148DailyRollup(s: SparkSession, dir: String): DataFrame =
+    dailyFromHourly(hourBuckets(t(s, dir, "events")))
+
+  private[graft] def dailyFromHourly(buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    buckets
+      .withColumn("s", slong($"sum_value"))
+      .withColumn("day", expr("h div 24"))
+      .groupBy($"day", $"event_type")
+      .agg(sum($"n").as("n_day"), sum($"s").as("sd"),
+        count(lit(1)).as("active_hours"),
+        max($"n").as("max_hour_n"), min($"n").as("min_hour_n"))
+      .select($"event_type",
+        tsStr(timestamp_micros($"day" * lit(24L) * lit(GapfillHourUs)))
+          .as("dstart"),
+        $"n_day",
+        ($"sd".cast("double") / lit(10000.0)).as("sum_value_day"),
+        ($"sd".cast("double") / (lit(10000.0) * $"n_day".cast("double")))
+          .as("mean_value_day"),
+        $"active_hours", $"max_hour_n", $"min_hour_n")
+      .orderBy($"event_type", $"dstart")
+  }
+
   // --------------------------------------------------------------- q106
   /** Moving-average window width (hours). */
   val MovingAvgHours = 3
@@ -1955,6 +2036,8 @@ object Relational {
     "q144_forecast_model_select" -> (q144ForecastModelSelect _),
     "q145_series_stats" -> (q145SeriesStats _),
     "q146_series_selectors" -> (q146SeriesSelectors _),
+    "q147_top_bottom" -> (q147TopBottom _),
+    "q148_daily_rollup" -> (q148DailyRollup _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2690,6 +2773,49 @@ object Relational {
         |  xs[CAST((95 * len(xs) + 99) // 100 AS INT)] AS p95_n
         |FROM l JOIN f USING (event_type) JOIN z USING (event_type)
         |ORDER BY l.event_type""".stripMargin,
+    // q147 twin: the same total (n DESC|ASC, h ASC) per-series order —
+    // InfluxDB's earlier-timestamp tie rule makes both picks exact
+    "q147_top_bottom" ->
+      s"""WITH $gapfillGridCtes,
+        |tp AS (SELECT event_type, h, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, h ASC) AS rnk
+        |  FROM b),
+        |bt AS (SELECT event_type, h, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n ASC, h ASC) AS rnk
+        |  FROM b),
+        |u AS (SELECT event_type, 'top' AS arm, rnk, h, n FROM tp
+        |    WHERE rnk <= $TopBottomK
+        |  UNION ALL
+        |  SELECT event_type, 'bottom' AS arm, rnk, h, n FROM bt
+        |    WHERE rnk <= $TopBottomK)
+        |SELECT event_type, arm, CAST(rnk AS INT) AS rank,
+        |  strftime(make_timestamp(h * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart, n
+        |FROM u ORDER BY event_type, arm, rank""".stripMargin,
+    // q148 twin: the identical re-derived scaled-long daily sums with
+    // exactly one division per output double
+    "q148_daily_rollup" ->
+      s"""WITH $gapfillGridCtes,
+        |f AS (SELECT event_type, h // 24 AS day, n,
+        |    CAST(floor(sum_value * 10000.0 + 0.5) AS BIGINT) AS s
+        |  FROM b),
+        |d AS (SELECT day, event_type, CAST(SUM(n) AS BIGINT) AS n_day,
+        |    CAST(SUM(s) AS BIGINT) AS sd,
+        |    CAST(COUNT(*) AS BIGINT) AS active_hours,
+        |    MAX(n) AS max_hour_n, MIN(n) AS min_hour_n
+        |  FROM f GROUP BY day, event_type)
+        |SELECT event_type,
+        |  strftime(make_timestamp(day * 24 * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS dstart,
+        |  n_day,
+        |  CAST(sd AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_value_day,
+        |  CAST(sd AS DOUBLE)
+        |    / (CAST(10000.0 AS DOUBLE) * CAST(n_day AS DOUBLE))
+        |    AS mean_value_day,
+        |  active_hours, max_hour_n, min_hour_n
+        |FROM d ORDER BY event_type, dstart""".stripMargin,
     "q108_rolling_users" ->
       // the range join replays the cover-set semantics: a (hour, user)
       // pair contributes to every window ending within RollingHours

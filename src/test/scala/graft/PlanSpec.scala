@@ -647,6 +647,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q144_forecast_model_select").contains("ObjectHashAggregate"))
   }
 
+  test("q147: both rank arms ride WindowGroupLimit off one checkpointed scan") {
+    // the rank <= K filters must collapse to per-partition top-K heaps
+    // (two WindowGroupLimits, one per arm) and the bucket checkpoint
+    // means NO FileScan re-plan for the second arm
+    val p = plan("q147_top_bottom")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(800))
+    assert(!p.contains("FileScan"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q148: the daily tier is one scan into two partial-agg collapses") {
+    val p = plan("q148_daily_rollup")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q146: selectors are one events scan into one object-agg collapse") {
     // the selectors run on the RAW bucket points (no fill(0) grid, so
     // no checkpoint barrier): exactly one FileScan, the sorted-array

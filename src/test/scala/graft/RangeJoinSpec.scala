@@ -1551,6 +1551,62 @@ class RangeJoinSpec extends AnyFunSuite {
       "b" -> ((4L, 3L, 3.5, 4L))), got)
   }
 
+  /** q147 planted: InfluxDB's ranked-selector tie rule — equal values
+    * resolve to the EARLIER timestamp — plus both arms' ordering over a
+    * hand-built series. */
+  test("q147 planted: top/bottom ranks with the earlier-timestamp tie rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // counts by hour: [7, 2, 7, 5, 2] — top: 7@h0, 7@h2 (tie -> earlier
+    // first), 5@h3; bottom: 2@h1, 2@h4 (tie -> earlier), 5@h3
+    val rows = Seq(7, 2, 7, 5, 2).zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => (h * 500L + i,
+        (600000L + h) * 3600000000L, 1L, "a", 0.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    def hourStr(h: Long) = java.time.Instant
+      .ofEpochSecond((600000L + h) * 3600L).toString
+      .replace("T", " ").replace("Z", "")
+    val got = Relational.topBottomOf(ev).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("bottom", 1, hourStr(1), 2L), ("bottom", 2, hourStr(4), 2L),
+      ("bottom", 3, hourStr(3), 5L),
+      ("top", 1, hourStr(0), 7L), ("top", 2, hourStr(2), 7L),
+      ("top", 3, hourStr(3), 5L)), got.toSeq)
+  }
+
+  /** q148 planted: the daily tier from a hand-built hourly rollup —
+    * exact scaled-long daily sums (one division per output double),
+    * the per-event mean, day-boundary splitting, and the active-hours
+    * burst envelope over actual points. */
+  test("q148 planted: daily cascade from hourly buckets is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hours 22, 23 (day 0) and 25 (day 1): counts 2, 3, 4 with per-event
+    // value 0.25 -> day 0: n=5, sum=1.25, mean=0.25, 2 active hours,
+    // max 3 min 2; day 1: n=4, sum=1.0, mean=0.25, 1 active hour
+    val rows = Seq((22, 2), (23, 3), (25, 4)).flatMap { case (h, n) =>
+      (0 until n).map(i => (h * 500L + i, h.toLong * 3600000000L, 1L,
+        "a", 0.25, "{}"))
+    }
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val got = Relational.dailyFromHourly(Relational.hourBuckets(ev))
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got == Map(
+      "1970-01-01 00:00:00" -> ((5L, 1.25, 0.25, 2L, 3L, 2L)),
+      "1970-01-02 00:00:00" -> ((4L, 1.0, 0.25, 1L, 4L, 4L))), got)
+  }
+
   /** q142 planted: a clean linear type backtests with zero error and no
     * alert; a type whose newest hour spikes off its linear trend alerts
     * with forecast/RMSE/abs_err matching the driver fold bit-for-bit

@@ -2497,6 +2497,16 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       Thread.sleep(1000)
       assert(alerts.size == 1, s"monotone hour guard broken: $alerts")
+      // q148 cascade seam: the daily tier consumes the LIVE rollup
+      // directly (schema-identical to hourBuckets) — closed hours
+      // 100..111 all fall in epoch-day 4: n = 55+11+100, per-event
+      // value 1.0 throughout, burst envelope (max 100, min 1)
+      val daily = graft.operators.Relational
+        .dailyFromHourly(spark.table(outName)).collect()
+      assert(daily.length == 1 && daily(0).getLong(2) == 166L &&
+        daily(0).getDouble(3) == 166.0 && daily(0).getDouble(4) == 1.0 &&
+        daily(0).getLong(5) == 12L && daily(0).getLong(6) == 100L &&
+        daily(0).getLong(7) == 1L, daily.toSeq)
     } finally {
       q.stop()
       spark.streams.removeListener(watcher)
