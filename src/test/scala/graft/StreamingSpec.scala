@@ -2592,4 +2592,65 @@ class StreamingSpec extends AnyFunSuite {
       spark.catalog.dropTempView(outName)
     }
   }
+
+  /** The live cascade (q148's streaming half): hourly AND daily tiers
+    * chained in ONE streaming query — a daily row emits when the
+    * watermark passes its day end, carries the EXACT scaled-long value
+    * sum through both tiers, and equals the batch q148 tier over the
+    * same closed days bit for bit (one definition). */
+  test("streaming daily cascade: chained window tiers match batch q148 exactly") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("daily_cascade")
+    val hUs = graft.operators.Relational.GapfillHourUs
+    val H0 = 600000L // = 24 * 25000: hour 0 of epoch-day 25000
+    // day 25000: hours 22 (2 events), 23 (3); day 25001: hour 25 (4) —
+    // per-event value 0.25; the flush at hour 49 (day 25002) closes
+    // BOTH days (watermark 49 h − 10 s ≥ 48 h = day 25001's end)
+    def ev(i: Long, k: Int) = (0 until k).map(n =>
+      s"""{"us":${(H0 + i) * hUs + n * 1000L},"event_type":"a","value":0.25}""")
+    Files.write(dir.resolve("b1.json"),
+      (ev(22L, 2) ++ ev(23L, 3) ++ ev(25L, 4) ++ ev(49L, 1))
+        .mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.StreamingDownsample.dailyBuckets(stream)
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val live = spark.table("daily_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).sortBy(_._2).toSeq
+      // hand-computed: day 25000 = (5 events, 1.25, 0.25/event, 2 active
+      // hours, burst 3/2); day 25001 = (4, 1.0, 0.25, 1, 4/4)
+      def dayStr(d: Long) = java.time.Instant.ofEpochSecond(d * 86400L)
+        .toString.replace("T", " ").replace("Z", "")
+      assert(live == Seq(
+        ("a", dayStr(25000L), 5L, 1.25, 0.25, 2L, 3L, 2L),
+        ("a", dayStr(25001L), 4L, 1.0, 0.25, 1L, 4L, 4L)), live)
+      // one definition: the batch tier over the same closed days
+      import spark.implicits._
+      val batchEv = (Seq((22L, 2), (23L, 3), (25L, 4)).flatMap {
+        case (i, k) => (0 until k).map(n =>
+          ((H0 + i) * 500 + n, (H0 + i) * hUs + n * 1000L, 1L, "a", 0.25,
+            "{}"))
+      }).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+      val batch = graft.operators.Relational
+        .dailyFromHourly(graft.operators.Relational.hourBuckets(batchEv))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).sortBy(_._2).toSeq
+      assert(live == batch, s"\nlive:  $live\nbatch: $batch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("daily_out")
+    }
+  }
 }
