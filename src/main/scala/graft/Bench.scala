@@ -65,7 +65,8 @@ object Bench {
     "q140_series_accumulate", "q141_holt_forecast",
     "q142_forecast_backtest", "q143_holt_winters",
     "q144_forecast_model_select", "q145_series_stats",
-    "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup")
+    "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup",
+    "q149_tech_indicators")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -335,6 +336,10 @@ object Bench {
     // relative-steady discipline
     "q147_top_bottom" -> 0.4,
     "q148_daily_rollup" -> 0.35,
+    // q149 added r15: EMA fold (grid arrays, per-step array append) +
+    // CMO window pass + the grid re-join. Warm probes 0.68/0.71
+    // alongside q141 at 0.78/0.75 (ref 0.65) — same discipline
+    "q149_tech_indicators" -> 0.6,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

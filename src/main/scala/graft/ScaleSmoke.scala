@@ -150,7 +150,11 @@ object ScaleSmoke {
     // the daily sum's one division re-rounds (1e-9), and the per-event
     // mean is fully INVARIANT (numerator and denominator scale by the
     // same exact factor, so the rounded quotient is bit-identical)
-    "q148_daily_rollup")
+    "q148_daily_rollup",
+    // r15: the TA transforms — the EMA fold re-rounds per step (×factor
+    // to 1e-9 relative); the CMO is bit-IDENTICAL (both division
+    // operands scale by the same exact integer factor) — invariant below
+    "q149_tech_indicators")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -469,6 +473,24 @@ object ScaleSmoke {
           sc._7 == b._7 * factor && sc._8 == b._8 * factor
       },
       "scale-up broke the q148 daily-cascade invariant")
+    // q149 invariant: counts/diffs scale ×factor, so the CMO quotient's
+    // operands both scale by the same exact factor (bit-identical,
+    // NULLs aligned); the EMA fold re-rounds per step (1e-9 relative)
+    def taRows(dir: String) = SparkEntry
+      .queries("q149_tech_indicators")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    val q149base = taRows(sfDir)
+    val q149scaled = taRows(workDir)
+    require(q149base.length == q149scaled.length &&
+      q149base.zip(q149scaled).forall { case (b, sc) =>
+        (b._1, b._2) == ((sc._1, sc._2)) && sc._3 == b._3 * factor &&
+          math.abs(sc._4 - b._4 * factor) <=
+            1e-9 * math.max(1.0, math.abs(b._4 * factor)) &&
+          (b._5.isNaN == sc._5.isNaN) && (b._5.isNaN || sc._5 == b._5)
+      },
+      "scale-up broke the q149 TA invariant")
     // q90 invariant: replicated docs leave every per-source centroid
     // component bit-identical (floor((f·sv)/(f·cnt)+0.5) = floor(sv/cnt
     // +0.5)) so the drift matrix is unchanged while counts scale ×factor

@@ -1210,6 +1210,74 @@ object Relational {
       .orderBy($"event_type", $"dstart")
   }
 
+  // --------------------------------------------------------------- q149
+  /** EMA period: 9 ⇒ the multiplier 2/(N+1) = 0.2 is an EXACT double,
+    * so the recurrence's constants never carry representation error —
+    * the same reason [[HoltGrid]] is {0.2, 0.5, 0.8}. */
+  val EmaPeriod = 9
+
+  /** How many consecutive hour-over-hour changes the Chande momentum
+    * window sums (CMO emits once the window is full). */
+  val CmoChanges = 4
+
+  /** q149: the InfluxQL TECHNICAL-ANALYSIS transforms over the dense
+    * grid — `exponential_moving_average(N)` and
+    * `chande_momentum_oscillator(N)` per series, the two styles the
+    * whole TA family reduces to: a RECURRENCE (EMA — the q141 fold
+    * machinery: e₁ = x₁, e' = x·k + e·(1−k) with k = 2/(N+1) = 0.2
+    * exact, pinned with literally matching parse trees against the
+    * DuckDB recursive CTE) and a ROLLING WINDOW (CMO — hour-over-hour
+    * diffs split into integer gain/loss sums over the last
+    * [[CmoChanges]] changes, then 100·(G−L)/(G+L) as ONE division of
+    * exact longs; NULL while the window is short or G+L = 0). Every
+    * remaining InfluxQL TA function (DEMA/TEMA, Kaufman's, RSI's Wilder
+    * smoothing) is one of these two shapes with different constants.
+    *
+    * Scale shape: the q141/q106 class — one grid checkpoint feeds a
+    * grid-sized fold (interpreted HOF, never event volume) and a
+    * per-type window pass, joined back on the (type, hour) grid key. */
+  def q149TechIndicators(s: SparkSession, dir: String): DataFrame =
+    techIndicatorsOf(t(s, dir, "events"))
+
+  private[graft] def techIndicatorsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (j, lo, _) = denseGrid(hourBuckets(ev))
+    // EMA arm: per-type ordered array, one fold emitting every step
+    val ema = j.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"h", $"n"))).as("hx"))
+      .select($"event_type",
+        expr("transform(hx, p -> cast(p.n as double))").as("xs"))
+      .filter(size($"xs") >= 1)
+      .select($"event_type", posexplode(expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  named_struct('e', element_at(xs, 1),
+          |    'out', array(element_at(xs, 1))),
+          |  (a, x) -> named_struct(
+          |    'e', x * 0.2d + a.e * 0.8d,
+          |    'out', concat(a.out, array(x * 0.2d + a.e * 0.8d))),
+          |  a -> a.out)""".stripMargin)).as(Seq("pos", "ema")))
+      .select($"event_type", (lit(lo) + $"pos").as("h"), $"ema")
+    // CMO arm: integer gain/loss rolling sums over the same grid
+    val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+    val wc = w.rowsBetween(-(CmoChanges - 1), Window.currentRow)
+    val cmo = j
+      .withColumn("d", $"n" - lag($"n", 1).over(w))
+      .withColumn("g", sum(greatest($"d", lit(0L))).over(wc))
+      .withColumn("l", sum(greatest(-$"d", lit(0L))).over(wc))
+      .withColumn("nd", count($"d").over(wc))
+      .select($"event_type", $"h", $"n",
+        when($"nd" === CmoChanges && ($"g" + $"l") > 0L,
+          ($"g" - $"l").cast("double") * lit(100.0) /
+            ($"g" + $"l").cast("double")).as("cmo"))
+    cmo.join(ema, Seq("event_type", "h"))
+      .select($"event_type",
+        tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
+        $"n", $"ema", $"cmo")
+      .orderBy($"event_type", $"wstart")
+  }
+
   // --------------------------------------------------------------- q106
   /** Moving-average window width (hours). */
   val MovingAvgHours = 3
@@ -2038,6 +2106,7 @@ object Relational {
     "q146_series_selectors" -> (q146SeriesSelectors _),
     "q147_top_bottom" -> (q147TopBottom _),
     "q148_daily_rollup" -> (q148DailyRollup _),
+    "q149_tech_indicators" -> (q149TechIndicators _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2816,6 +2885,40 @@ object Relational {
         |    AS mean_value_day,
         |  active_hours, max_hour_n, min_hour_n
         |FROM d ORDER BY event_type, dstart""".stripMargin,
+    // q149 twin: the EMA recursion's parse tree matches the fold
+    // literally (x·0.2 + e·0.8, both constants exact doubles); the CMO
+    // side is integer window sums with one division, identical ops
+    "q149_tech_indicators" ->
+      s"""WITH RECURSIVE $gapfillGridCtes,
+        |x AS (SELECT event_type, h, n, CAST(n AS DOUBLE) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t
+        |  FROM j),
+        |rec(event_type, t, e) AS (
+        |  SELECT event_type, CAST(1 AS BIGINT), x FROM x WHERE t = 1
+        |  UNION ALL
+        |  SELECT rec.event_type, rec.t + 1,
+        |      x.x * CAST(0.2 AS DOUBLE) + rec.e * CAST(0.8 AS DOUBLE)
+        |    FROM rec JOIN x ON x.event_type = rec.event_type
+        |      AND x.t = rec.t + 1),
+        |c AS (SELECT event_type, h, n, t,
+        |    n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY h) AS d
+        |  FROM x),
+        |m AS (SELECT event_type, h, n, t,
+        |    CAST(SUM(GREATEST(d, 0)) OVER wdw AS BIGINT) AS g,
+        |    CAST(SUM(GREATEST(-d, 0)) OVER wdw AS BIGINT) AS l,
+        |    COUNT(d) OVER wdw AS nd
+        |  FROM c WINDOW wdw AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN ${CmoChanges - 1} PRECEDING AND CURRENT ROW))
+        |SELECT m.event_type,
+        |  strftime(make_timestamp(h * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  m.n, rec.e AS ema,
+        |  CASE WHEN nd = $CmoChanges AND (g + l) > 0 THEN
+        |    CAST(g - l AS DOUBLE) * CAST(100.0 AS DOUBLE)
+        |      / CAST(g + l AS DOUBLE)
+        |  END AS cmo
+        |FROM m JOIN rec ON rec.event_type = m.event_type AND rec.t = m.t
+        |ORDER BY m.event_type, wstart""".stripMargin,
     "q108_rolling_users" ->
       // the range join replays the cover-set semantics: a (hour, user)
       // pair contributes to every window ending within RollingHours

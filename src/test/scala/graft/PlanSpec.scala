@@ -633,7 +633,8 @@ class PlanSpec extends AnyFunSuite {
     // collect_list) — no FileScan in any returned plan, no nested loop
     for (name <- Seq("q140_series_accumulate", "q141_holt_forecast",
         "q142_forecast_backtest", "q143_holt_winters",
-        "q144_forecast_model_select", "q145_series_stats")) {
+        "q144_forecast_model_select", "q145_series_stats",
+        "q149_tech_indicators")) {
       val p = plan(name)
       assert(!p.contains("FileScan"), s"$name: ${p.take(400)}")
       assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -1607,6 +1607,51 @@ class RangeJoinSpec extends AnyFunSuite {
       "1970-01-02 00:00:00" -> ((4L, 1.0, 0.25, 1L, 4L, 4L))), got)
   }
 
+  /** q149 planted: EMA recurrence driver-exact (same IEEE op order),
+    * CMO gain/loss window hand-computed, warm-up and zero-change NULLs. */
+  test("q149 planted: EMA fold and CMO window with warm-up semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val counts = Map("a" -> Seq(4, 2, 6, 1, 1, 9), "b" -> Seq.fill(6)(3))
+    val rows = for {
+      (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 100000 + h * 500 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val got = Relational.techIndicatorsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))))
+      .toMap
+    assert(got.size == 12)
+    // driver EMA: the same fold, same op order
+    def emaOf(ns: Seq[Int]): Seq[Double] =
+      ns.map(_.toDouble).tail.scanLeft(ns.head.toDouble)(
+        (e, x) => x * 0.2 + e * 0.8)
+    val wstarts = (0 to 5).map(h => java.time.Instant
+      .ofEpochSecond((600000L + h) * 3600L).toString
+      .replace("T", " ").replace("Z", ""))
+    for ((tpe, ns) <- counts; (w, i) <- wstarts.zipWithIndex) {
+      val (n, e, _) = got((tpe, w))
+      assert(n == ns(i).toLong && e == emaOf(ns)(i), s"$tpe h$i: ${got((tpe, w))}")
+    }
+    // CMO: diffs of a = [-2,4,-5,0,8]; t4 windows are full from hour 4:
+    // h4 (-2,4,-5,0): G=4 L=7 -> -300/11; h5 (4,-5,0,8): G=12 L=5 -> 700/17
+    val aCmo = wstarts.map(w => got(("a", w))._3)
+    assert(aCmo.take(4).forall(_.isNaN), s"warm-up must be NULL: $aCmo")
+    assert(aCmo(4) == -3.0 * 100.0 / 11.0 && aCmo(5) == 7.0 * 100.0 / 17.0,
+      aCmo)
+    // constant series: every window has G+L=0 -> CMO NULL forever (the
+    // EMA is covered by the driver-fold loop above — note x·0.2 + e·0.8
+    // of a constant 3 reads 3.0000000000000004, NOT 3.0: 0.6 + 2.4
+    // rounds up, on BOTH engines identically)
+    assert(wstarts.forall(w => got(("b", w))._3.isNaN), got)
+  }
+
   /** q142 planted: a clean linear type backtests with zero error and no
     * alert; a type whose newest hour spikes off its linear trend alerts
     * with forecast/RMSE/abs_err matching the driver fold bit-for-bit
