@@ -698,6 +698,32 @@ object Bench {
       require(s.read.parquet(tmp.resolve("census").toString).count() > 0,
         "decode audit wrote no census rows")
     }),
+    // x_daily_cascade_stream (r15): the FULL events table as a file
+    // stream through the chained hourly+daily window tiers — the live
+    // q148 cascade's end-to-end price (two stateful operators, one
+    // query; the closed daily tier emits to a memory sink).
+    "x_daily_cascade_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files.createTempDirectory("daily_cascade_bench")
+      graft.util.Tables(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(tmp.resolve("in").toString)
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(tmp.resolve("in").toString)
+      val name = s"daily_cascade_${System.nanoTime()}"
+      val q = graft.streaming.StreamingDownsample.dailyBuckets(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        require(s.table(name).count() > 0,
+          "cascade emitted no closed daily rows")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    }),
     "x_lm_gate_stream" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val table = lmGateTable(s, dir)
