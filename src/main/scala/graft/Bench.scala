@@ -66,7 +66,7 @@ object Bench {
     "q142_forecast_backtest", "q143_holt_winters",
     "q144_forecast_model_select", "q145_series_stats",
     "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup",
-    "q149_tech_indicators")
+    "q149_tech_indicators", "q150_forecast_road")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -340,6 +340,10 @@ object Bench {
     // CMO window pass + the grid re-join. Warm probes 0.68/0.71
     // alongside q141 at 0.78/0.75 (ref 0.65) — same discipline
     "q149_tech_indicators" -> 0.6,
+    // q150 added r15: both fits over the full span + the winner's road
+    // — the q144 cost class. Warm probes 2.13/1.71 alongside q144 at
+    // 2.40/1.91 (its ref 2.0; closing read 0.74×) — same discipline
+    "q150_forecast_road" -> 1.9,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -154,7 +154,12 @@ object ScaleSmoke {
     // r15: the TA transforms — the EMA fold re-rounds per step (×factor
     // to 1e-9 relative); the CMO is bit-IDENTICAL (both division
     // operands scale by the same exact integer factor) — invariant below
-    "q149_tech_indicators")
+    "q149_tech_indicators",
+    // r15: the forward road rides the q141/q143 re-rounding caveat
+    // (×factor inputs re-round every fold step; the model pick may
+    // legitimately flip at a near-tie) — timed; its series-count axis
+    // is measured by the series-cardinality mode below
+    "q150_forecast_road")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -256,8 +261,14 @@ object ScaleSmoke {
     // space; the LSH arm (q138) faces ~factor the grid plus actual
     // collisions — the measured gap is the road's reason to exist.
     val seriesDir = s"$workDir/series"
+    // r15: the forecast family joins the mode — its 100 TB axis is the
+    // SERIES COUNT (fit cost = #series × grid × candidates), which event
+    // replication never exercises: the suffixed corpus splits every type
+    // into `factor` sub-series, so the fold count multiplies while the
+    // grid span stays fixed
     val seriesCardQueries = Seq("q135_series_correlation",
-        "q138_series_corr_lsh")
+        "q138_series_corr_lsh", "q141_holt_forecast", "q143_holt_winters",
+        "q144_forecast_model_select")
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
     // the suffixed corpus is only written when a series-cardinality
     // query survived the prefix filter (ADVICE r14 #3)

@@ -23,6 +23,10 @@ import graft.operators.Relational
   *                                   a diurnal feed's peak hours don't
   *                                   page (a level shift INSIDE the
   *                                   q105 band still trips this one)
+  *   forecast <sfDir> [--min-train h] q150: the forward road — the
+  *                                   MSE-winning model's (linear or
+  *                                   seasonal) next-6-hour forecasts
+  *                                   per series; informational, exit 0
   *
   * Exit codes (the TextIndexCli/PqIndexCli convention): 0 = quiet,
   * 2 = usage error, 3 = alerts exist — a cron branches on the verdict.
@@ -101,9 +105,39 @@ object SeriesAuditCli {
           s"rmse=${r.getDouble(5)}"))
         println(s"trend: ${rows.length} deviating types")
         if (rows.nonEmpty) 3 else 0
+      case Seq("forecast", sfDir, rest @ _*) =>
+        // the forward road (q150): not a verdict — exit 0 after
+        // printing the chosen model's next hours per series. Flags
+        // validate first (usage 2); too little history refuses at 1
+        // like `trend` (a forecast from under 3 hours is noise).
+        val minTrain = rest match {
+          case Seq() => Some(12L)
+          case Seq("--min-train", h) => h.toLongOption
+          case _ => None
+        }
+        if (minTrain.isEmpty) {
+          System.err.println("usage: forecast <sfDir> [--min-train <hours>]")
+          return 2
+        }
+        val ev = eventsOf(spark, sfDir)
+        val buckets = Relational.hourBuckets(ev).localCheckpoint(true)
+        val b = buckets.agg(
+          org.apache.spark.sql.functions.min(col("h")),
+          org.apache.spark.sql.functions.max(col("h"))).collect()(0)
+        require(!b.isNullAt(0), "empty corpus: no hours to forecast from")
+        val span = b.getLong(1) - b.getLong(0)
+        require(span >= math.max(3L, minTrain.get),
+          s"history span $span h is under max(3, --min-train " +
+            s"${minTrain.get}): refusing to forecast")
+        Relational.forecastRoadFromBuckets(buckets).collect()
+          .foreach(r => println(s"FORECAST ${r.getString(0)} " +
+            s"${r.getString(2)} model=${r.getString(3)} " +
+            s"forecast=${r.getDouble(4)}"))
+        0
       case _ =>
         System.err.println(
-          "usage: graft.app.SeriesAuditCli anomaly|dropout|trend <sfDir> ...")
+          "usage: graft.app.SeriesAuditCli anomaly|dropout|trend|forecast " +
+            "<sfDir> ...")
         2
     }
 }

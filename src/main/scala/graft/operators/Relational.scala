@@ -91,6 +91,38 @@ object Relational {
       |  FROM finsea)""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain for the Holt LINEAR fit (q144/q150):
+    * consumes `xt`(event_type, x, t) and `tmt`(tmax), yields
+    * `bestlin`(event_type, alpha, beta, l, b, sse, rn) — rn = 1 is the
+    * SSE-argmin candidate. Mirrors [[holtFitFromGrid]]'s fold. */
+  private def linearFitCtes(xt: String, tmt: String): String = {
+    val candVals = HoltGrid.map(a => s"(CAST($a AS DOUBLE))").mkString(", ")
+    s"""cand AS (SELECT a.alpha, b.beta
+      |  FROM (VALUES $candVals) a(alpha), (VALUES $candVals) b(beta)),
+      |hw(event_type, alpha, beta, t, l, b, sse) AS (
+      |  SELECT x2.event_type, c.alpha, c.beta, CAST(2 AS BIGINT),
+      |      x2.x, x2.x - x1.x, CAST(0.0 AS DOUBLE)
+      |    FROM $xt x1 JOIN $xt x2 ON x1.event_type = x2.event_type
+      |      AND x1.t = 1 AND x2.t = 2
+      |    CROSS JOIN cand c
+      |  UNION ALL
+      |  SELECT hw.event_type, hw.alpha, hw.beta, hw.t + 1,
+      |      hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
+      |        * (hw.l + hw.b),
+      |      hw.beta * ((hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
+      |          * (hw.l + hw.b)) - hw.l)
+      |        + (CAST(1.0 AS DOUBLE) - hw.beta) * hw.b,
+      |      hw.sse + (x.x - (hw.l + hw.b)) * (x.x - (hw.l + hw.b))
+      |    FROM hw JOIN $xt x ON x.event_type = hw.event_type
+      |      AND x.t = hw.t + 1),
+      |finlin AS (SELECT event_type, alpha, beta, l, b, sse
+      |  FROM hw, $tmt WHERE t = tmax),
+      |bestlin AS (SELECT event_type, l, b, sse,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY sse, alpha, beta) AS rn
+      |  FROM finlin)""".stripMargin
+  }
+
   private def SqlRevenue(p: String, d: String) =
     s"CAST(SUM(${sq(p)}*(10000 - ${sq(d)})) AS DOUBLE)/100000000.0"
   private def SqlProdSum(p: String, d: String) =
@@ -1129,6 +1161,62 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------------------- q150
+  /** q150: the FORECAST ROAD — the forward arm the model-select
+    * backtest (q144) exists to validate: fit Holt linear AND
+    * additive-seasonal Holt–Winters on EVERY closed hour, pick the
+    * smaller per-step in-sample MSE (sse/(T−2) vs sse/(T−P), the q144
+    * convention — tie or span < P+1 → linear), and emit the chosen
+    * model's next-[[HoltForecastHours]] forecasts. This is what a
+    * dashboard actually plots: q141/q143 each publish ONE model's road,
+    * q150 publishes the road of whichever model the data supports —
+    * diurnal feeds get the cycle, trending feeds get the line.
+    *
+    * Forecast arithmetic is q141's/q143's verbatim (l + m·b [+ s]), so
+    * a type's q150 rows equal its q143 rows when seasonal wins and its
+    * q141 rows when linear does (spec-pinned both ways). Scale: the
+    * q144 class — two grid-sized fits, a #types-row select, ×6 rows. */
+  def q150ForecastRoad(s: SparkSession, dir: String): DataFrame =
+    forecastRoadOf(t(s, dir, "events"))
+
+  private[graft] def forecastRoadOf(ev: DataFrame): DataFrame =
+    forecastRoadFromBuckets(hourBuckets(ev))
+
+  private[graft] def forecastRoadFromBuckets(buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val P = HoltSeasonPeriod
+    val (j, lo, hi) = denseGrid(buckets)
+    val tn = hi - lo + 1 // full-span observation count T
+    val lin = holtFitFromGrid(j).select($"event_type",
+      $"sse".as("sse_lin"), $"l".as("l_lin"), $"b".as("b_lin"))
+    val sea = holtSeasonalFitFromGrid(j).select($"event_type",
+      $"sse".as("sse_sea"), $"l".as("l_sea"), $"b".as("b_sea"), $"seas")
+    lin.join(sea, Seq("event_type"), "left")
+      .withColumn("mse_lin",
+        when(lit(tn) >= 3L, $"sse_lin" / lit((tn - 2).toDouble)))
+      .withColumn("mse_sea", when($"sse_sea".isNotNull,
+        $"sse_sea" / lit((tn - P).toDouble)))
+      .withColumn("seasonal",
+        $"mse_sea".isNotNull && $"mse_lin".isNotNull &&
+          $"mse_sea" < $"mse_lin")
+      .withColumn("model", when($"seasonal", "seasonal").otherwise("linear"))
+      .select($"event_type", $"model", $"seasonal", $"l_lin", $"b_lin",
+        $"l_sea", $"b_sea", $"seas",
+        explode(sequence(lit(1L), lit(HoltForecastHours.toLong))).as("m"))
+      .select($"event_type", $"m",
+        tsStr(timestamp_micros((lit(hi) + $"m") * lit(GapfillHourUs)))
+          .as("wstart"),
+        $"model",
+        when($"seasonal",
+          $"l_sea" + $"m".cast("double") * $"b_sea" +
+            element_at($"seas",
+              (($"m" - 1L) % lit(P.toLong)).cast("int") + 1))
+          .otherwise($"l_lin" + $"m".cast("double") * $"b_lin")
+          .as("forecast"))
+      .orderBy($"event_type", $"m")
+  }
+
   // --------------------------------------------------------------- q147
   /** How many extreme hours each arm of q147 keeps per series. */
   val TopBottomK = 3
@@ -2107,6 +2195,7 @@ object Relational {
     "q147_top_bottom" -> (q147TopBottom _),
     "q148_daily_rollup" -> (q148DailyRollup _),
     "q149_tech_indicators" -> (q149TechIndicators _),
+    "q150_forecast_road" -> (q150ForecastRoad _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2724,7 +2813,6 @@ object Relational {
     // recursion, both restricted to t < tfull, then per-type MSE argmin
     // (tie/absent-seasonal → linear); FALSE AND NULL = FALSE both ways
     "q144_forecast_model_select" -> {
-      val candVals = HoltGrid.map(a => s"(CAST($a AS DOUBLE))").mkString(", ")
       s"""WITH RECURSIVE $gapfillGridCtes,
         |xall AS (SELECT event_type, h, n, CAST(n AS DOUBLE) AS x,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t
@@ -2732,30 +2820,7 @@ object Relational {
         |tmf AS (SELECT MAX(t) AS tfull FROM xall),
         |x AS (SELECT event_type, x, t FROM xall, tmf WHERE t < tfull),
         |tm AS (SELECT tfull - 1 AS tmax FROM tmf),
-        |cand AS (SELECT a.alpha, b.beta
-        |  FROM (VALUES $candVals) a(alpha), (VALUES $candVals) b(beta)),
-        |hw(event_type, alpha, beta, t, l, b, sse) AS (
-        |  SELECT x2.event_type, c.alpha, c.beta, CAST(2 AS BIGINT),
-        |      x2.x, x2.x - x1.x, CAST(0.0 AS DOUBLE)
-        |    FROM x x1 JOIN x x2 ON x1.event_type = x2.event_type
-        |      AND x1.t = 1 AND x2.t = 2
-        |    CROSS JOIN cand c
-        |  UNION ALL
-        |  SELECT hw.event_type, hw.alpha, hw.beta, hw.t + 1,
-        |      hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
-        |        * (hw.l + hw.b),
-        |      hw.beta * ((hw.alpha * x.x + (CAST(1.0 AS DOUBLE) - hw.alpha)
-        |          * (hw.l + hw.b)) - hw.l)
-        |        + (CAST(1.0 AS DOUBLE) - hw.beta) * hw.b,
-        |      hw.sse + (x.x - (hw.l + hw.b)) * (x.x - (hw.l + hw.b))
-        |    FROM hw JOIN x ON x.event_type = hw.event_type
-        |      AND x.t = hw.t + 1),
-        |finlin AS (SELECT event_type, alpha, beta, l, b, sse
-        |  FROM hw, tm WHERE t = tmax),
-        |bestlin AS (SELECT event_type, l, b, sse,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type
-        |      ORDER BY sse, alpha, beta) AS rn
-        |  FROM finlin),
+        |${linearFitCtes("x", "tm")},
         |${seasonalFitCtes("x", "tm")},
         |sel AS (SELECT l.event_type,
         |    CASE WHEN tm.tmax >= 3
@@ -2793,6 +2858,44 @@ object Relational {
         |    AND abs_err > CAST($ForecastAlertK AS DOUBLE) * rmse AS alert
         |FROM res ORDER BY event_type""".stripMargin
     },
+    // q150 twin: q144's two fits over the FULL span + the q141/q143
+    // forecast emission of whichever model wins the MSE argmin
+    "q150_forecast_road" ->
+      s"""WITH RECURSIVE $gapfillGridCtes,
+        |x AS (SELECT event_type, CAST(n AS DOUBLE) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t
+        |  FROM j),
+        |tm AS (SELECT MAX(t) AS tmax FROM x),
+        |${linearFitCtes("x", "tm")},
+        |${seasonalFitCtes("x", "tm")},
+        |hb AS (SELECT MAX(h) AS hi FROM j),
+        |sel AS (SELECT l.event_type,
+        |    CASE WHEN tm.tmax >= 3
+        |      THEN l.sse / CAST(tm.tmax - 2 AS DOUBLE) END AS mse_lin,
+        |    CASE WHEN s.sse IS NOT NULL
+        |      THEN s.sse / CAST(tm.tmax - $HoltSeasonPeriod AS DOUBLE)
+        |      END AS mse_sea,
+        |    l.l AS l_lin, l.b AS b_lin, s.l AS l_sea, s.b AS b_sea, s.seas
+        |  FROM bestlin l
+        |  LEFT JOIN bestsea s ON s.event_type = l.event_type AND s.rn = 1,
+        |    tm
+        |  WHERE l.rn = 1),
+        |sel2 AS (SELECT sel.*,
+        |    (mse_sea IS NOT NULL AND mse_lin IS NOT NULL
+        |       AND mse_sea < mse_lin) AS seasonal
+        |  FROM sel),
+        |ms AS (SELECT CAST(unnest(generate_series(1, $HoltForecastHours))
+        |    AS BIGINT) AS m)
+        |SELECT s.event_type, ms.m,
+        |  strftime(make_timestamp((hb.hi + ms.m) * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  CASE WHEN s.seasonal THEN 'seasonal' ELSE 'linear' END AS model,
+        |  CASE WHEN s.seasonal
+        |    THEN s.l_sea + CAST(ms.m AS DOUBLE) * s.b_sea
+        |      + s.seas[CAST((ms.m - 1) % $HoltSeasonPeriod AS INT) + 1]
+        |    ELSE s.l_lin + CAST(ms.m AS DOUBLE) * s.b_lin END AS forecast
+        |FROM sel2 s, ms, hb
+        |ORDER BY s.event_type, ms.m""".stripMargin,
     // q145 twin: identical exact-moments arithmetic (int64 products,
     // one division, one sqrt); the mode tie-break is an explicit
     // (cnt DESC, n ASC) ROW_NUMBER — DuckDB's own mode() leaves ties

@@ -1823,6 +1823,25 @@ class RangeJoinSpec extends AnyFunSuite {
       assert(q144Rows(tpe) == ((actual, "linear", fc, rmse, err, alert)),
         s"$tpe: q144 short-span row must equal q142's")
     }
+    // q150 forecast road: the periodic feed's road IS q143's (model
+    // 'seasonal', forecasts equal bit for bit)...
+    val road = Relational.forecastRoadOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(3), r.getDouble(4)))).toMap
+    assert(road.size == 12)
+    for ((tpe, _) <- counts; m <- 1 to 6)
+      assert(road((tpe, m.toLong)) ==
+        (("seasonal", f143((tpe, m.toLong)))), s"$tpe m=$m: road != q143")
+    // ...and the short-span feed's road IS q141's (model 'linear')
+    val roadS = Relational.forecastRoadOf(shortEv).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(3), r.getDouble(4)))).toMap
+    val q141S = Relational.holtForecastOf(shortEv).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(roadS.size == 12 && q141S.size == 12)
+    for ((tpe, m) <- q141S.keys)
+      assert(roadS((tpe, m)) == (("linear", q141S((tpe, m)))),
+        s"$tpe m=$m: road != q141")
   }
 
   /** SeriesAuditCli: the three batch verdicts behind the streaming
@@ -1867,6 +1886,15 @@ class RangeJoinSpec extends AnyFunSuite {
     // channel out at 1 (r14 verdict #3)
     assert(graft.app.SeriesAuditCli.run(spark,
       Seq("trend", clean, "--min-train", "XYZ")) == 2)
+    // the forecast verb: informational 0 on enough history, usage 2 on
+    // a malformed flag, refusal on a short span
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("forecast", clean)) == 0)
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("forecast", clean, "--min-train", "XYZ")) == 2)
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark,
+        Seq("forecast", clean, "--min-train", "50"))
+    }
     // refusal: a span too short to judge a trend throws (exit-1 channel)
     intercept[IllegalArgumentException] {
       graft.app.SeriesAuditCli.run(spark,
