@@ -429,9 +429,13 @@ object ScaleSmoke {
     val q145scaled = statRows(workDir)
     require(q145base.length == q145scaled.length &&
       q145base.zip(q145scaled).forall { case (b, sc) =>
+        // NULL stddev maps to NaN: both sides must agree (NaN != NaN,
+        // so the abs-diff form alone would spuriously fail a T=1
+        // corpus — ADVICE r15 #2, the q149 pattern)
         b._1 == sc._1 && sc._2 == b._2 * factor && sc._3 == b._3 * factor &&
-          math.abs(sc._4 - b._4 * factor) <=
-            1e-9 * math.max(1.0, math.abs(b._4 * factor))
+          b._4.isNaN == sc._4.isNaN &&
+          (b._4.isNaN || math.abs(sc._4 - b._4 * factor) <=
+            1e-9 * math.max(1.0, math.abs(b._4 * factor)))
       },
       "scale-up broke the q145 spread/mode/stddev invariant")
     // q146 invariant: replication scales the count multiset ×factor, so

@@ -1079,12 +1079,16 @@ object Relational {
     * user reaches for that q140 didn't cover (VERDICT r14 #6).
     *
     * Exactness: spread and mode are pure integer arithmetic; stddev is
-    * ONE correctly-rounded division of exact int64 moments then one
-    * sqrt — √((T·Σx² − (Σx)²) / (T·(T−1))) with every product exact in
-    * longs (counts are hourly event tallies: Σx² stays far under 2⁶³
-    * at any SF here; a 100 TB deployment lifts the moments onto the
-    * [[graft.functions.Sum128]] int128 path, the q71 convention), so
-    * both engines round identically. T ≤ 1 → NULL stddev.
+    * ONE correctly-rounded division of exact moments then one sqrt —
+    * √((T·Σx² − (Σx)²) / (T·(T−1))). The int64 moment sums stay far
+    * under 2⁶³ here, but the PRODUCTS T·Σx² and (Σx)² would not at
+    * 100 TB scale, so they compute on a 128-bit-class path on BOTH
+    * engines — decimal(38,0) in Spark, HUGEINT in the twin (ADVICE
+    * r15 #3: the long products diverged past 2⁶³ — a silent wrap vs
+    * DuckDB's loud overflow error; now both are exact to ~10³⁸, a
+    * ceiling no hourly-count corpus reaches) — then ONE cast of the
+    * same exact integer to double, so both engines round identically.
+    * T ≤ 1 → NULL stddev.
     *
     * Scale shape: grid → ONE partial-aggregated (type, n) frequency
     * collapse (map-side combine does the heavy lifting: at most
@@ -1096,10 +1100,15 @@ object Relational {
   def q145SeriesStats(s: SparkSession, dir: String): DataFrame =
     seriesStatsOf(t(s, dir, "events"))
 
-  private[graft] def seriesStatsOf(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
+  private[graft] def seriesStatsOf(ev: DataFrame): DataFrame =
+    seriesStatsFromGrid(denseGrid(hourBuckets(ev))._1)
+
+  /** The stats collapse over any (event_type, n) grid frame — split out
+    * so the overflow spec can plant hourly counts whose moment products
+    * exceed 2⁶³ (unreachable through real events at test scale). */
+  private[graft] def seriesStatsFromGrid(j: DataFrame): DataFrame = {
+    val s = j.sparkSession
     import s.implicits._
-    val (j, _, _) = denseGrid(hourBuckets(ev))
     j.groupBy($"event_type", $"n").agg(count(lit(1)).as("cnt"))
       .groupBy($"event_type")
       .agg(
@@ -1110,7 +1119,9 @@ object Relational {
         sum($"n" * $"n" * $"cnt").as("sx2"))
       .select($"event_type", $"spread", $"mb.v".as("mode_n"),
         when($"tt" > 1L,
-          sqrt(($"tt" * $"sx2" - $"sx" * $"sx").cast("double") /
+          sqrt(($"tt".cast("decimal(20,0)") * $"sx2".cast("decimal(20,0)") -
+              $"sx".cast("decimal(20,0)") * $"sx".cast("decimal(20,0)"))
+            .cast("double") /
             ($"tt" * ($"tt" - 1L)).cast("double"))).as("stddev"))
       .orderBy($"event_type")
   }
@@ -1126,8 +1137,11 @@ object Relational {
     *
     * Determinism: first/last are min/max-of-struct((h, n)) argmins (h
     * is unique per type — no ordered pick); percentile is InfluxDB's
-    * nearest-rank (1-based index ⌈p·T/100⌉, computed in PURE integer
-    * arithmetic as (95·T + 99) div 100 — no double rounds); median is
+    * rounded rank — InfluxQL selects 0-based index floor(p·T/100 + 0.5)
+    * − 1, i.e. 1-based rank floor(0.95·T + 0.5), computed in PURE
+    * integer arithmetic as (95·T + 50) div 100 — no double rounds
+    * (ADVICE r15 #1: the previous ⌈95T/100⌉ ceiling picked a HIGHER
+    * rank whenever T mod 20 ∈ 11..19 and was not InfluxDB's); median is
     * the true median (odd T → the middle value; even T → the mean of
     * the two middle values, whose division by 2 is IEEE-exact for any
     * representable sum, so even the double column is bit-determined).
@@ -1156,7 +1170,7 @@ object Relational {
               "element_at(xs, cast(size(xs) div 2 + 1 as int)) as double)")
               / lit(2.0))
           .as("median_n"),
-        expr("element_at(xs, cast((95 * size(xs) + 99) div 100 as int))")
+        expr("element_at(xs, cast((95 * size(xs) + 50) div 100 as int))")
           .as("p95_n"))
       .orderBy($"event_type")
   }
@@ -1311,10 +1325,12 @@ object Relational {
   /** q149: the InfluxQL TECHNICAL-ANALYSIS transforms over the dense
     * grid — `exponential_moving_average(N)` and
     * `chande_momentum_oscillator(N)` per series, the two styles the
-    * whole TA family reduces to: a RECURRENCE (EMA — the q141 fold
-    * machinery: e₁ = x₁, e' = x·k + e·(1−k) with k = 2/(N+1) = 0.2
-    * exact, pinned with literally matching parse trees against the
-    * DuckDB recursive CTE) and a ROLLING WINDOW (CMO — hour-over-hour
+    * whole TA family reduces to: a RECURRENCE (EMA — e₁ = x₁,
+    * e' = x·k + e·(1−k) with k = 2/(N+1) = 0.2 exact; emitted by the
+    * LINEAR [[graft.functions.EmaScan]] kernel whose per-step IEEE ops
+    * are the pinned fold's verbatim, so it stays bit-identical to the
+    * DuckDB recursive CTE — ADVICE r15 #4 retired the O(span²)
+    * array-append fold) and a ROLLING WINDOW (CMO — hour-over-hour
     * diffs split into integer gain/loss sums over the last
     * [[CmoChanges]] changes, then 100·(G−L)/(G+L) as ONE division of
     * exact longs; NULL while the window is short or G+L = 0). Every
@@ -1331,21 +1347,19 @@ object Relational {
     val s = ev.sparkSession
     import s.implicits._
     val (j, lo, _) = denseGrid(hourBuckets(ev))
-    // EMA arm: per-type ordered array, one fold emitting every step
+    // EMA arm: per-type ordered array, one LINEAR scan emitting every
+    // step (graft.functions.EmaScan — the array-append fold copied the
+    // accumulator array per step, O(span²) per series; ADVICE r15 #4).
+    // Per-step arithmetic is the fold's verbatim (x·0.2 + e·0.8, both
+    // constants exact doubles), spec-pinned bit-equal to a driver fold
+    // and still hash-exact against the twin's recursive CTE.
     val ema = j.groupBy($"event_type")
       .agg(array_sort(collect_list(struct($"h", $"n"))).as("hx"))
       .select($"event_type",
         expr("transform(hx, p -> cast(p.n as double))").as("xs"))
       .filter(size($"xs") >= 1)
-      .select($"event_type", posexplode(expr(
-        """aggregate(
-          |  slice(xs, 2, size(xs) - 1),
-          |  named_struct('e', element_at(xs, 1),
-          |    'out', array(element_at(xs, 1))),
-          |  (a, x) -> named_struct(
-          |    'e', x * 0.2d + a.e * 0.8d,
-          |    'out', concat(a.out, array(x * 0.2d + a.e * 0.8d))),
-          |  a -> a.out)""".stripMargin)).as(Seq("pos", "ema")))
+      .select($"event_type", posexplode(graft.functions.EmaScan(
+        $"xs", lit(0.2d), lit(0.8d))).as(Seq("pos", "ema")))
       .select($"event_type", (lit(lo) + $"pos").as("h"), $"ema")
     // CMO arm: integer gain/loss rolling sums over the same grid
     val w = Window.partitionBy($"event_type").orderBy($"h".asc)
@@ -2896,10 +2910,12 @@ object Relational {
         |    ELSE s.l_lin + CAST(ms.m AS DOUBLE) * s.b_lin END AS forecast
         |FROM sel2 s, ms, hb
         |ORDER BY s.event_type, ms.m""".stripMargin,
-    // q145 twin: identical exact-moments arithmetic (int64 products,
-    // one division, one sqrt); the mode tie-break is an explicit
-    // (cnt DESC, n ASC) ROW_NUMBER — DuckDB's own mode() leaves ties
-    // implementation-defined, so the twin never calls it
+    // q145 twin: identical exact-moments arithmetic (int64 sums,
+    // HUGEINT products mirroring the engine's decimal(38,0) — both
+    // exact to ~10³⁸, ADVICE r15 #3 — one division, one sqrt); the
+    // mode tie-break is an explicit (cnt DESC, n ASC) ROW_NUMBER —
+    // DuckDB's own mode() leaves ties implementation-defined, so the
+    // twin never calls it
     "q145_series_stats" ->
       s"""WITH $gapfillGridCtes,
         |c AS (SELECT event_type, n, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
@@ -2915,14 +2931,16 @@ object Relational {
         |  FROM c GROUP BY event_type)
         |SELECT a.event_type, a.spread, r.n AS mode_n,
         |  CASE WHEN a.tt > 1 THEN
-        |    sqrt(CAST(a.tt * a.sx2 - a.sx * a.sx AS DOUBLE)
+        |    sqrt(CAST(CAST(a.tt AS HUGEINT) * CAST(a.sx2 AS HUGEINT)
+        |        - CAST(a.sx AS HUGEINT) * CAST(a.sx AS HUGEINT) AS DOUBLE)
         |      / CAST(a.tt * (a.tt - 1) AS DOUBLE)) END AS stddev
         |FROM a JOIN r ON r.event_type = a.event_type AND r.rn = 1
         |ORDER BY a.event_type""".stripMargin,
     // q146 twin: first/last replay the argmin as ROW_NUMBER over the
-    // unique per-type hour; the sorted list + pure-integer nearest-rank
-    // index match the engine's element_at arithmetic; the even-median
-    // division by 2 is IEEE-exact on both engines
+    // unique per-type hour; the sorted list + pure-integer rounded-rank
+    // index ((95T+50) div 100 — InfluxDB's floor(0.95T+0.5)) match the
+    // engine's element_at arithmetic; the even-median division by 2 is
+    // IEEE-exact on both engines
     "q146_series_selectors" ->
       s"""WITH $gapfillGridCtes,
         |s AS (SELECT event_type, h, n,
@@ -2942,7 +2960,7 @@ object Relational {
         |        + xs[CAST(len(xs) // 2 + 1 AS INT)] AS DOUBLE)
         |      / CAST(2.0 AS DOUBLE)
         |  END AS median_n,
-        |  xs[CAST((95 * len(xs) + 99) // 100 AS INT)] AS p95_n
+        |  xs[CAST((95 * len(xs) + 50) // 100 AS INT)] AS p95_n
         |FROM l JOIN f USING (event_type) JOIN z USING (event_type)
         |ORDER BY l.event_type""".stripMargin,
     // q147 twin: the same total (n DESC|ASC, h ASC) per-series order —

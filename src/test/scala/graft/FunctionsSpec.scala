@@ -84,6 +84,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(RollingMinHash.minHash(UTF8String.fromString("abc"), 8) == -1L)
   }
 
+  test("EmaScan equals the HOF fold and the driver fold bit-for-bit") {
+    // the linear kernel replacing q149's O(span²) array-append fold
+    // (ADVICE r15 #4): same per-step IEEE ops -> identical doubles on
+    // random series, including the length-1 degenerate
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 40).map(_ =>
+      Tuple1(Seq.fill(1 + rnd.nextInt(50))(rnd.nextInt(1000).toDouble)))
+    val df = rows.toDF("xs")
+      .withColumn("fast", graft.functions.EmaScan($"xs", lit(0.2d), lit(0.8d)))
+      .withColumn("fold", expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  named_struct('e', element_at(xs, 1),
+          |    'out', array(element_at(xs, 1))),
+          |  (a, x) -> named_struct(
+          |    'e', x * 0.2d + a.e * 0.8d,
+          |    'out', concat(a.out, array(x * 0.2d + a.e * 0.8d))),
+          |  a -> a.out)""".stripMargin))
+    assert(df.filter($"fast" =!= $"fold").count() == 0)
+    val got = df.select($"xs", $"fast").collect()
+    got.foreach { r =>
+      val xs = r.getSeq[Double](0)
+      val driver = xs.tail.scanLeft(xs.head)((e, x) => x * 0.2 + e * 0.8)
+      assert(r.getSeq[Double](1) == driver)
+    }
+  }
+
   test("decodeFeatures: partition-wise stub decode, deterministic shape") {
     val assets = Multimodal.assets(spark, "/root/testdata/sf0.001").limit(20)
     val decoded = Multimodal.decodeFeatures(spark, assets)

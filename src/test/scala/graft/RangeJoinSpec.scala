@@ -1521,20 +1521,54 @@ class RangeJoinSpec extends AnyFunSuite {
       one(0).getLong(2) == 4L && one(0).isNullAt(3), one.toSeq)
   }
 
+  /** q145 overflow (ADVICE r15 #3): moment PRODUCTS past 2⁶³ stay exact
+    * on the decimal(38,0) path — planted through the grid-frame entry
+    * (no real corpus reaches these counts at test scale): 10,000 hours
+    * alternating n = 3·10⁷ / 3·10⁷+2 puts tt·sx2 ≈ 9·10²² and
+    * sx² ≈ 9·10²² far past the old int64 ceiling while the SUMS sx/sx2
+    * stay in range; expected stddev from driver-side BigInt arithmetic
+    * (the same correctly-rounded to-double cast then one sqrt). */
+  test("q145 overflow: moment products past 2^63 stay exact (decimal path)") {
+    import spark.implicits._
+    val t = 10000
+    val ns = (0 until t).map(h => if (h % 2 == 0) 30000000L else 30000002L)
+    val j = ns.zipWithIndex.map { case (n, h) => ("big", h.toLong, n) }
+      .toDF("event_type", "h", "n")
+    val got = Relational.seriesStatsFromGrid(j).collect()
+    assert(got.length == 1)
+    val tt = BigInt(t)
+    val sx = ns.map(BigInt(_)).sum
+    val sx2 = ns.map(n => BigInt(n) * n).sum
+    val num = tt * sx2 - sx * sx
+    // the point: BOTH products tower past 2⁶³ (the old int64 path dies
+    // here) while their difference is tiny — the catastrophic
+    // cancellation only exact wide arithmetic survives
+    assert(tt * sx2 > BigInt(Long.MaxValue) && sx * sx > BigInt(Long.MaxValue),
+      s"plant too small: ${tt * sx2}")
+    val expected = math.sqrt(num.toDouble / (tt * (tt - 1)).toDouble)
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 30000000L &&
+      got(0).getDouble(3) == expected, got.toSeq)
+  }
+
   /** q146 planted: the selectors run on ACTUAL points (silent hours
     * never enter — InfluxQL's own selector semantics, unlike q145's
     * fill(0) aggregates): hand-computed first/last by hour, odd and
-    * even (half-integer) medians, and the pure-integer nearest-rank
-    * 95th percentile. */
+    * even (half-integer) medians, and InfluxDB's rounded-rank 95th
+    * percentile — 1-based rank floor(0.95T + 0.5) = (95T+50) div 100
+    * (ADVICE r15 #1), including a T = 11 series where the rounded rank
+    * (10) DIFFERS from the previous ceiling rank (11). */
   test("q146 planted: first/last/median/percentile selector semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // a: all five hours active [5,3,8,1,9] — first 5, last 9, sorted
-    //    [1,3,5,8,9] (T=5 odd) -> median 5.0, p95 rank (475+99)//100=5 -> 9
+    //    [1,3,5,8,9] (T=5 odd) -> median 5.0, p95 rank (475+50)//100=5 -> 9
     // b: hours 1 and 3 ONLY (gaps absent from the point set): first 4,
     //    last 3, sorted [3,4] (T=2 even) -> median 3.5, p95 rank 2 -> 4
+    // c: hours 0..10 with counts 1..11 — T=11, rank (1045+50)//100=10
+    //    -> 10, where ceil(10.45)=11 would have picked the max (11)
     val rows = (Seq(5, 3, 8, 1, 9).zipWithIndex.map { case (n, h) =>
-        ("a", h, n) } ++ Seq(("b", 1, 4), ("b", 3, 3))).flatMap {
+        ("a", h, n) } ++ Seq(("b", 1, 4), ("b", 3, 3)) ++
+        (0 to 10).map(h => ("c", h, h + 1))).flatMap {
       case (tpe, h, n) => (0 until n).map(i =>
         (tpe.hashCode.toLong * 100000 + h * 500 + i,
           (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}"))
@@ -1548,7 +1582,8 @@ class RangeJoinSpec extends AnyFunSuite {
         r.getDouble(3), r.getLong(4)))).toMap
     assert(got == Map(
       "a" -> ((5L, 9L, 5.0, 9L)),
-      "b" -> ((4L, 3L, 3.5, 4L))), got)
+      "b" -> ((4L, 3L, 3.5, 4L)),
+      "c" -> ((1L, 11L, 6.0, 10L))), got)
   }
 
   /** q147 planted: InfluxDB's ranked-selector tie rule — equal values
