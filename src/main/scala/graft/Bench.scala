@@ -66,7 +66,7 @@ object Bench {
     "q142_forecast_backtest", "q143_holt_winters",
     "q144_forecast_model_select", "q145_series_stats",
     "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup",
-    "q149_tech_indicators", "q150_forecast_road")
+    "q149_tech_indicators", "q150_forecast_road", "q151_hw_fitted")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -344,6 +344,11 @@ object Bench {
     // — the q144 cost class. Warm probes 2.13/1.71 alongside q144 at
     // 2.40/1.91 (its ref 2.0; closing read 0.74×) — same discipline
     "q150_forecast_road" -> 1.9,
+    // q151 added r16: the fitted-residual arm — the q143 argmin plus
+    // ONE linear HoltWintersFitScan pass per type. Warm probes
+    // 1.73/1.71 alongside q143 at 1.75/1.70 (its steady ref 1.5) —
+    // the same relative-steady discipline: ref at q143's
+    "q151_hw_fitted" -> 1.5,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

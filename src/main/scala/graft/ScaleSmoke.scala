@@ -159,7 +159,12 @@ object ScaleSmoke {
     // (×factor inputs re-round every fold step; the model pick may
     // legitimately flip at a near-tie) — timed; its series-count axis
     // is measured by the series-cardinality mode below
-    "q150_forecast_road")
+    "q150_forecast_road",
+    // r16: the fitted-residual arm — q143's caveat (×factor re-rounds
+    // the fold, the argmin pick may flip) so timed only; the cost adds
+    // ONE linear scan per type on top of the q143 argmin, so its wall
+    // should track q143's
+    "q151_hw_fitted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -268,7 +273,7 @@ object ScaleSmoke {
     // grid span stays fixed
     val seriesCardQueries = Seq("q135_series_correlation",
         "q138_series_corr_lsh", "q141_holt_forecast", "q143_holt_winters",
-        "q144_forecast_model_select")
+        "q144_forecast_model_select", "q151_hw_fitted")
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
     // the suffixed corpus is only written when a series-cardinality
     // query survived the prefix filter (ADVICE r14 #3)

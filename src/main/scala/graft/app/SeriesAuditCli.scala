@@ -27,6 +27,13 @@ import graft.operators.Relational
   *                                   MSE-winning model's (linear or
   *                                   seasonal) next-6-hour forecasts
   *                                   per series; informational, exit 0
+  *   fitted  <sfDir>                 q151: season-aware anomaly over
+  *                                   HISTORY — hours whose residual
+  *                                   against the seasonal fit's
+  *                                   per-hour fitted value breaches
+  *                                   3·rmse (the off-cycle in-band dip
+  *                                   q105 can't see, at past hours
+  *                                   `trend` never judges)
   *
   * Exit codes (the TextIndexCli/PqIndexCli convention): 0 = quiet,
   * 2 = usage error, 3 = alerts exist — a cron branches on the verdict.
@@ -105,6 +112,33 @@ object SeriesAuditCli {
           s"rmse=${r.getDouble(5)}"))
         println(s"trend: ${rows.length} deviating types")
         if (rows.nonEmpty) 3 else 0
+      case Seq("fitted", sfDir) =>
+        // q151: season-aware anomaly over HISTORY — every hour's
+        // residual against the winning seasonal fit's one-step-ahead
+        // fitted value. This is the arm for the case the other verbs
+        // can't see: an off-cycle dip INSIDE the median band (q105
+        // blind) at a PAST hour (trend judges only the newest).
+        // Refusal: a history shorter than one season + 1 hour has no
+        // seasonal fit to judge against.
+        val ev = eventsOf(spark, sfDir)
+        val buckets = Relational.hourBuckets(ev).localCheckpoint(true)
+        val b = buckets.agg(
+          org.apache.spark.sql.functions.min(col("h")),
+          org.apache.spark.sql.functions.max(col("h"))).collect()(0)
+        require(!b.isNullAt(0), "empty corpus: no hours to judge")
+        val span = b.getLong(1) - b.getLong(0)
+        require(span >= Relational.HoltSeasonPeriod,
+          s"history span ${span + 1} h is under one season + 1 " +
+            s"(${Relational.HoltSeasonPeriod + 1} h): refusing — no " +
+            "seasonal fit to judge against")
+        val rows = Relational.holtWintersFittedFromBuckets(buckets)
+          .filter(col("anom")).collect()
+        rows.foreach(r => println(s"FITTED ${r.getString(0)} " +
+          s"${r.getString(1)} n=${r.getLong(2)} " +
+          s"fitted=${r.getDouble(3)} residual=${r.getDouble(4)} " +
+          s"rmse=${r.getDouble(5)}"))
+        println(s"fitted: ${rows.length} off-fit hours")
+        if (rows.nonEmpty) 3 else 0
       case Seq("forecast", sfDir, rest @ _*) =>
         // the forward road (q150): not a verdict — exit 0 after
         // printing the chosen model's next hours per series. Flags
@@ -136,8 +170,8 @@ object SeriesAuditCli {
         0
       case _ =>
         System.err.println(
-          "usage: graft.app.SeriesAuditCli anomaly|dropout|trend|forecast " +
-            "<sfDir> ...")
+          "usage: graft.app.SeriesAuditCli " +
+            "anomaly|dropout|trend|forecast|fitted <sfDir> ...")
         2
     }
 }

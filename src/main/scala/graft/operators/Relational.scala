@@ -1231,6 +1231,74 @@ object Relational {
       .orderBy($"event_type", $"m")
   }
 
+  // --------------------------------------------------------------- q151
+  /** q151: HOLT_WINTERS_WITH_FIT — the season-aware anomaly arm OVER
+    * HISTORY (VERDICT r15 #1). InfluxQL's `HOLT_WINTERS_WITH_FIT`
+    * exposes the fitted values the plain forecast discards; this is the
+    * detection hole the rest of the watchdog family leaves open: q105's
+    * median/3-MAD band is season-blind (a daily cycle inflates the MAD,
+    * so an off-cycle dip INSIDE the historical range never breaches),
+    * and q142/q144 judge only the NEWEST closed hour — a past-hour
+    * regression pages nobody. Here, per type with span ≥ P+1: re-run
+    * the q143 SSE-argmin winner's recurrence over the full span and
+    * emit EVERY hour t = P+1..T with its one-step-ahead fitted value,
+    * residual (x − fitted), the fit's in-sample rmse = √(sse/(T−P))
+    * (the q144 seasonal-MSE scale), and `anom` = |residual| >
+    * [[ForecastAlertK]]·rmse. rmse = 0 (an exactly-periodic history)
+    * means ANY deviation alerts — the q105 MAD-0 / q142 convention.
+    *
+    * Exactness: stage 1 is `holtSeasonalFitFromGrid` verbatim (the
+    * pinned fold); stage 2 re-runs the winning candidate through the
+    * LINEAR [[graft.functions.HoltWintersFitScan]] kernel, whose
+    * per-step IEEE ops are the fold's parse tree verbatim — so fitted
+    * values are bit-identical to the DuckDB recursion's per-step states
+    * (the twin reads them straight out of the recursive CTE, which
+    * materializes every t). rmse reuses stage 1's sse — the same fold,
+    * never a re-summed Σresidual² (double addition is order-sensitive;
+    * the fold's accumulation order is the pinned one).
+    *
+    * Scale shape: the q143 class + one more grid-sized pass — 27
+    * grid-sized folds per type for the argmin, then ONE linear scan per
+    * type for the emission (#types rows through an interpreted
+    * expression, time-range-sized arrays, never event volume); the
+    * output is grid-sized (one row per active-fit hour). */
+  def q151HoltWintersFitted(s: SparkSession, dir: String): DataFrame =
+    holtWintersFittedOf(t(s, dir, "events"))
+
+  private[graft] def holtWintersFittedOf(ev: DataFrame): DataFrame =
+    holtWintersFittedFromBuckets(hourBuckets(ev))
+
+  private[graft] def holtWintersFittedFromBuckets(
+      buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val P = HoltSeasonPeriod
+    val (j, lo, _) = denseGrid(buckets)
+    val best = holtSeasonalFitFromGrid(j)
+      .select($"event_type", $"sse", $"alpha", $"beta", $"gamma")
+    val series = j.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"h", $"n"))).as("hx"))
+      .select($"event_type",
+        expr("transform(hx, p -> cast(p.n as double))").as("xs"))
+    // inner join: types with span < P+1 have no fit and emit nothing
+    series.join(best, "event_type")
+      .withColumn("rmse",
+        sqrt($"sse" / (size($"xs") - P).cast("double")))
+      .select($"event_type", $"rmse", $"xs",
+        posexplode(graft.functions.HoltWintersFitScan(
+          $"xs", $"alpha", $"beta", $"gamma", lit(P)))
+          .as(Seq("pos", "fitted")))
+      .withColumn("x", element_at($"xs", $"pos" + P + 1))
+      .select($"event_type",
+        tsStr(timestamp_micros(
+          (lit(lo) + lit(P.toLong) + $"pos") * lit(GapfillHourUs)))
+          .as("wstart"),
+        $"x".cast("long").as("n"), $"fitted",
+        ($"x" - $"fitted").as("residual"), $"rmse",
+        (abs($"x" - $"fitted") > lit(ForecastAlertK) * $"rmse").as("anom"))
+      .orderBy($"event_type", $"wstart")
+  }
+
   // --------------------------------------------------------------- q147
   /** How many extreme hours each arm of q147 keeps per series. */
   val TopBottomK = 3
@@ -2210,6 +2278,7 @@ object Relational {
     "q148_daily_rollup" -> (q148DailyRollup _),
     "q149_tech_indicators" -> (q149TechIndicators _),
     "q150_forecast_road" -> (q150ForecastRoad _),
+    "q151_hw_fitted" -> (q151HoltWintersFitted _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2910,6 +2979,35 @@ object Relational {
         |    ELSE s.l_lin + CAST(ms.m AS DOUBLE) * s.b_lin END AS forecast
         |FROM sel2 s, ms, hb
         |ORDER BY s.event_type, ms.m""".stripMargin,
+    // q151 twin: the recursive hws CTE materializes EVERY step's state,
+    // so the fitted value at t is just l + b + seas[1] of the winning
+    // candidate's row at t−1 (the seed row t = P covers the first
+    // emission) joined to the actual at t — the engine's linear scan
+    // kernel replays the same recurrence, bit-identical
+    "q151_hw_fitted" ->
+      s"""WITH RECURSIVE $gapfillGridCtes,
+        |x AS (SELECT event_type, h, n, CAST(n AS DOUBLE) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t
+        |  FROM j),
+        |tm AS (SELECT MAX(t) AS tmax FROM x),
+        |${seasonalFitCtes("x", "tm")},
+        |fitted AS (SELECT h.event_type, h.t + 1 AS t,
+        |    h.l + h.b + h.seas[1] AS fitted,
+        |    sqrt(bs.sse / CAST(tm.tmax - $HoltSeasonPeriod AS DOUBLE))
+        |      AS rmse
+        |  FROM hws h
+        |  JOIN bestsea bs ON bs.event_type = h.event_type AND bs.rn = 1
+        |    AND h.alpha = bs.alpha AND h.beta = bs.beta
+        |    AND h.gamma = bs.gamma, tm
+        |  WHERE h.t < tm.tmax)
+        |SELECT f.event_type,
+        |  strftime(make_timestamp(x.h * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  x.n, f.fitted, x.x - f.fitted AS residual, f.rmse,
+        |  abs(x.x - f.fitted) > CAST($ForecastAlertK AS DOUBLE) * f.rmse
+        |    AS anom
+        |FROM fitted f JOIN x ON x.event_type = f.event_type AND x.t = f.t
+        |ORDER BY f.event_type, wstart""".stripMargin,
     // q145 twin: identical exact-moments arithmetic (int64 sums,
     // HUGEINT products mirroring the engine's decimal(38,0) — both
     // exact to ~10³⁸, ADVICE r15 #3 — one division, one sqrt); the

@@ -634,7 +634,8 @@ class PlanSpec extends AnyFunSuite {
     for (name <- Seq("q140_series_accumulate", "q141_holt_forecast",
         "q142_forecast_backtest", "q143_holt_winters",
         "q144_forecast_model_select", "q145_series_stats",
-        "q149_tech_indicators", "q150_forecast_road")) {
+        "q149_tech_indicators", "q150_forecast_road",
+        "q151_hw_fitted")) {
       val p = plan(name)
       assert(!p.contains("FileScan"), s"$name: ${p.take(400)}")
       assert(!p.contains("BroadcastNestedLoopJoin") &&

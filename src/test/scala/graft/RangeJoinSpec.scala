@@ -1687,6 +1687,89 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(wstarts.forall(w => got(("b", w))._3.isNaN), got)
   }
 
+  /** q151 planted (VERDICT r15 #1, the measured contrast): a strong
+    * daily cycle inflates q105's MAD so far that an off-cycle dip
+    * INSIDE the historical range never breaches the median/3-MAD band —
+    * and the dip sits in the PAST, where q142/q144 (newest-hour-only)
+    * never look. q151's fitted-residual arm catches exactly this. The
+    * planted feed: counts 10+4·(h%24) over 4 days (median 54, MAD 24 →
+    * threshold 72, max deviation 48 → q105 provably silent), with day
+    * 2's peak hour (normally 102) dipped to 14 — deviation 40, still
+    * inside the band. Engine rows must match a driver-side 27-candidate
+    * argmin + winner re-scan bit for bit; the pure periodic twin type
+    * pins the rmse = 0 quiet side. */
+  test("q151 fitted: off-cycle dip inside the median band pages q151, not q105") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val P = Relational.HoltSeasonPeriod
+    def cyc(h: Int) = 10 + 4 * (h % 24)
+    val dipHour = 71 // day 2, cycle peak: 102 -> 14
+    val counts = Map(
+      "d" -> (0 to 95).map(h => if (h == dipHour) 14 else cyc(h)),
+      "p" -> (0 to 95).map(cyc))
+    val rows = for {
+      (tpe, ns) <- counts.toSeq; (n, h) <- ns.zipWithIndex
+      i <- 0 until n
+    } yield (tpe.hashCode.toLong * 1000000 + h * 500 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    // the season-blind arm stays SILENT on both types — the dip included
+    val q105 = Relational.anomalyHoursOf(ev).collect()
+    assert(q105.isEmpty, q105.toSeq)
+    // driver model: the q143 argmin fold, re-scanned emitting every pred
+    def holtSeaFit(xs: Seq[Double]): (Double, Seq[Double]) = {
+      val grid = Seq(0.2, 0.5, 0.8)
+      val l0 = xs.take(P).foldLeft(0.0)(_ + _) / P.toDouble
+      val s0 = xs.take(P).map(_ - l0)
+      val fits = for (a <- grid; b <- grid; g <- grid) yield {
+        var l = l0; var bb = 0.0; var seas = s0; var sse = 0.0
+        val preds = Seq.newBuilder[Double]
+        for (x <- xs.drop(P)) {
+          val sold = seas.head
+          val pred = l + bb + sold
+          preds += pred
+          sse += (x - pred) * (x - pred)
+          val l2 = a * (x - sold) + (1.0 - a) * (l + bb)
+          bb = b * (l2 - l) + (1.0 - b) * bb
+          seas = seas.tail :+ (g * (x - l2) + (1.0 - g) * sold)
+          l = l2
+        }
+        (sse, a, b, g, preds.result())
+      }
+      val best = fits.minBy(c => (c._1, c._2, c._3, c._4))
+      (best._1, best._5)
+    }
+    def wstart(h: Int) = java.time.Instant
+      .ofEpochSecond((600000L + h) * 3600L).toString
+      .replace("T", " ").replace("Z", "")
+    val got = Relational.holtWintersFittedOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(got.size == 2 * (96 - P), got.size)
+    for ((tpe, ns) <- counts) {
+      val (sse, preds) = holtSeaFit(ns.map(_.toDouble))
+      val rmse = math.sqrt(sse / (ns.size - P).toDouble)
+      for (h <- P until 96) {
+        val x = ns(h).toDouble
+        val pred = preds(h - P)
+        assert(got((tpe, wstart(h))) == ((ns(h).toLong, pred, x - pred,
+          rmse, math.abs(x - pred) > 3.0 * rmse)), s"$tpe h=$h")
+      }
+    }
+    // the pure periodic type fits EXACTLY: rmse = 0 and the 0 > 3·0
+    // quiet side of the any-deviation convention holds every hour
+    assert(got(("p", wstart(P)))._4 == 0.0)
+    assert((P until 96).forall(h => !got(("p", wstart(h)))._5))
+    // THE CONTRAST: the in-band dip pages q151; every pre-dip hour is
+    // an exact fit and stays quiet
+    assert(got(("d", wstart(dipHour)))._5, got(("d", wstart(dipHour))))
+    assert((P until dipHour).forall(h => !got(("d", wstart(h)))._5))
+  }
+
   /** q142 planted: a clean linear type backtests with zero error and no
     * alert; a type whose newest hour spikes off its linear trend alerts
     * with forecast/RMSE/abs_err matching the driver fold bit-for-bit
@@ -1939,6 +2022,28 @@ class RangeJoinSpec extends AnyFunSuite {
     writeEvents(empty, Map.empty)
     intercept[IllegalArgumentException] {
       graft.app.SeriesAuditCli.run(spark, Seq("dropout", empty))
+    }
+    // the fitted verb (q151): a 48 h pure-periodic history fits exactly
+    // (rmse = 0, the any-deviation convention's quiet side) -> 0; the
+    // same history with an in-band off-cycle dip at a PAST hour -> 3
+    // (q105 and trend both stay quiet on it — the planted-contrast
+    // spec proves that; here the verdict channel is what's pinned);
+    // the 20 h corpus is shorter than one season + 1 -> refusal
+    def cyc(h: Int) = 10 + 4 * (h % 24)
+    val periodic = java.nio.file.Files
+      .createTempDirectory("sacli_per").toString
+    writeEvents(periodic, Map("d" -> (0 to 47).map(cyc)))
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("fitted", periodic)) == 0)
+    val dipped = java.nio.file.Files
+      .createTempDirectory("sacli_dip").toString
+    writeEvents(dipped,
+      Map("d" -> (0 to 47).map(h => if (h == 40) 14 else cyc(h))))
+    assert(graft.app.SeriesAuditCli.run(spark, Seq("fitted", dipped)) == 3)
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark, Seq("fitted", clean))
+    }
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark, Seq("fitted", empty))
     }
   }
 
