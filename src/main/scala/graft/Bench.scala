@@ -66,7 +66,8 @@ object Bench {
     "q142_forecast_backtest", "q143_holt_winters",
     "q144_forecast_model_select", "q145_series_stats",
     "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup",
-    "q149_tech_indicators", "q150_forecast_road", "q151_hw_fitted")
+    "q149_tech_indicators", "q150_forecast_road", "q151_hw_fitted",
+    "q152_gapfill_linear")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -349,6 +350,11 @@ object Bench {
     // 1.73/1.71 alongside q143 at 1.75/1.70 (its steady ref 1.5) —
     // the same relative-steady discipline: ref at q143's
     "q151_hw_fitted" -> 1.5,
+    // q152 added r16: fill(linear) — the q103 grid + two window passes
+    // per type. Warm probes 1.04/0.74 alongside q103 at 1.28/0.86 (its
+    // steady ref 0.4) — probe-relative at or under q103, so it takes
+    // q103's ref (same class, same discipline)
+    "q152_gapfill_linear" -> 0.4,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -98,6 +98,11 @@ object ScaleSmoke {
   private val eventQueries = Seq(
     "q14_time_window", "q15_sessionize", "q74_transitions", "q103_gapfill",
     "q105_anomaly_hours", "q106_series_transforms", "q108_rolling_users",
+    // r16: fill(linear) — counts ×factor exactly; actual means and the
+    // interpolated doubles re-round under replication (the scaled sums
+    // divide in a different association), so means compare to 1e-9
+    // with NULL agreement — invariant below
+    "q152_gapfill_linear",
     "q109_theil_sen", "q110_theil_sen_sampled",
     // r13: replicated copies keep every (ts, type), so the last-hour
     // presence counts scale exactly ×factor — timed here, the exact
@@ -443,6 +448,24 @@ object ScaleSmoke {
             1e-9 * math.max(1.0, math.abs(b._4 * factor)))
       },
       "scale-up broke the q145 spread/mode/stddev invariant")
+    // q152 invariant: the fill(linear) grid keeps its shape under
+    // replication — identical (wstart, type) rows, counts ×factor
+    // exactly, means (actual AND interpolated) to 1e-9 relative with
+    // NULL (NaN) agreement on the leading/trailing edges
+    def linRows(dir: String) = SparkEntry
+      .queries("q152_gapfill_linear")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val q152base = linRows(sfDir)
+    val q152scaled = linRows(workDir)
+    require(q152base.length == q152scaled.length &&
+      q152base.zip(q152scaled).forall { case (b, sc) =>
+        (b._1, b._2) == ((sc._1, sc._2)) && sc._3 == b._3 * factor &&
+          b._4.isNaN == sc._4.isNaN &&
+          (b._4.isNaN || math.abs(sc._4 - b._4) <=
+            1e-9 * math.max(1.0, math.abs(b._4)))
+      },
+      "scale-up broke the q152 fill(linear) invariant")
     // q146 invariant: replication scales the count multiset ×factor, so
     // every selector scales ×factor EXACTLY — including the median
     // double: f·(a+b) stays under 2⁵³ and the ÷2 is IEEE-exact, so

@@ -400,6 +400,62 @@ object Relational {
       .orderBy($"wstart", $"event_type")
   }
 
+  // --------------------------------------------------------------- q152
+  /** q152: `fill(linear)` — InfluxQL's third fill mode (q103 carries
+    * `fill(0)` and `fill(previous)`): each MISSING grid hour takes the
+    * straight-line interpolation between its neighboring ACTUAL points'
+    * hourly means,
+    *   v = v_prev + (v_next − v_prev) · (h − h_prev) / (h_next − h_prev),
+    * actual hours keep their own mean untouched, and leading/trailing
+    * gaps (no actual point on one side) stay NULL — InfluxDB's own
+    * edge semantics (VERDICT r15 #2: the fill mode a dashboard user
+    * downsampling sparse telemetry reaches for weekly).
+    *
+    * Exactness: the hourly mean is already bit-identical across engines
+    * (the q103 scaled-long davg); the interpolation is pinned as ONE
+    * shared parse tree — pv + (nv − pv) · cast(Δh) / cast(ΔH), two
+    * exact integer-difference casts, one multiply, one divide, in the
+    * same order on both sides — so every filled double matches the twin
+    * bit for bit (the q148 IEEE-parity convention).
+    *
+    * Scale shape: the q103 class exactly — everything after the
+    * checkpointed bucket collapse runs on the time-range-sized grid;
+    * the neighbor lookups are TWO window passes per type (prev-actual
+    * carry-forward, next-actual carry-back), never a join, and the
+    * division count is one per FILLED row. */
+  def q152GapfillLinear(s: SparkSession, dir: String): DataFrame =
+    gapfillLinearOf(t(s, dir, "events"))
+
+  private[graft] def gapfillLinearOf(ev: DataFrame): DataFrame =
+    gapfillLinearFromBuckets(hourBuckets(ev))
+
+  private[graft] def gapfillLinearFromBuckets(
+      buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val (j, _, _) = denseGrid(buckets)
+    val w = Window.partitionBy($"event_type").orderBy($"h".asc)
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("pv", last($"mean_value", ignoreNulls = true).over(wp))
+      .withColumn("ph",
+        last(when($"mean_value".isNotNull, $"h"), ignoreNulls = true)
+          .over(wp))
+      .withColumn("nv", first($"mean_value", ignoreNulls = true).over(wn))
+      .withColumn("nh",
+        first(when($"mean_value".isNotNull, $"h"), ignoreNulls = true)
+          .over(wn))
+      .withColumn("mean_lin",
+        when($"mean_value".isNotNull, $"mean_value")
+          .otherwise(when($"pv".isNotNull && $"nv".isNotNull,
+            $"pv" + ($"nv" - $"pv") * ($"h" - $"ph").cast("double") /
+              ($"nh" - $"ph").cast("double"))))
+      .select(tsStr(timestamp_micros($"h" * lit(GapfillHourUs)))
+          .as("wstart"),
+        $"event_type", $"n", $"mean_lin")
+      .orderBy($"wstart", $"event_type")
+  }
+
   /** The pre-format dense grid — (h, event_type, n fill-0, sum_value
     * fill-0, mean_value) over the INCLUSIVE global hour span, plus its
     * bounds (already collected for the grid, so callers never re-derive
@@ -2279,6 +2335,7 @@ object Relational {
     "q149_tech_indicators" -> (q149TechIndicators _),
     "q150_forecast_road" -> (q150ForecastRoad _),
     "q151_hw_fitted" -> (q151HoltWintersFitted _),
+    "q152_gapfill_linear" -> (q152GapfillLinear _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -2606,6 +2663,33 @@ object Relational {
         |  FROM j)
         |SELECT strftime(make_timestamp(h * ${GapfillHourUs}), '%Y-%m-%d %H:%M:%S')
         |    AS wstart, event_type, n, sum_value, mean_prev
+        |FROM f ORDER BY wstart, event_type""".stripMargin,
+    // q152 twin: the same two IGNORE NULLS window passes over the
+    // shared grid; the interpolation parse tree matches the engine's
+    // literally (one multiply, one divide, exact integer Δ casts), so
+    // filled doubles are bit-identical; leading/trailing gaps NULL
+    "q152_gapfill_linear" ->
+      s"""WITH $gapfillGridCtes,
+        |f AS (SELECT h, event_type, n, mean_value,
+        |    last_value(mean_value IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN mean_value IS NOT NULL THEN h END
+        |      IGNORE NULLS) OVER wp AS ph,
+        |    first_value(mean_value IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN mean_value IS NOT NULL THEN h END
+        |      IGNORE NULLS) OVER wn AS nh
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT strftime(make_timestamp(h * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, n,
+        |  CASE WHEN mean_value IS NOT NULL THEN mean_value
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |       THEN pv + (nv - pv) * CAST(h - ph AS DOUBLE)
+        |         / CAST(nh - ph AS DOUBLE)
+        |  END AS mean_lin
         |FROM f ORDER BY wstart, event_type""".stripMargin,
     "q130_dropout_presence" ->
       s"""WITH b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h, event_type

@@ -617,7 +617,8 @@ class PlanSpec extends AnyFunSuite {
     // both run entirely on the time-range-sized bucket grid: no
     // FileScan in the returned plan, no nested-loop join anywhere,
     // windows present; q105's median/MAD frames come back broadcast
-    for (name <- Seq("q105_anomaly_hours", "q106_series_transforms")) {
+    for (name <- Seq("q105_anomaly_hours", "q106_series_transforms",
+        "q152_gapfill_linear")) {
       val p = plan(name)
       assert(!p.contains("FileScan"), s"$name: ${p.take(400)}")
       assert(!p.contains("BroadcastNestedLoopJoin") &&

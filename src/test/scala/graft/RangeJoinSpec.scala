@@ -1687,6 +1687,48 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(wstarts.forall(w => got(("b", w))._3.isNaN), got)
   }
 
+  /** q152 planted: fill(linear) semantics on hand-built gaps — interior
+    * gaps interpolate between the NEIGHBORING ACTUAL points (exact
+    * fractions, driver-checked bit for bit), actual hours keep their own
+    * mean untouched, and leading/trailing gaps stay NULL (InfluxDB's
+    * edge rule — no extrapolation). */
+  test("q152 fill(linear): interior interpolation, NULL edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // type a: actual at h=2 (mean 1.0), h=5 (mean 2.5), h=6 (mean 2.0)
+    //   -> h=3: 1.0 + 1.5*(1/3) = 1.5, h=4: 1.0 + 1.5*(2/3) = 2.0
+    // type b: actual at h=5 (mean 4.0) ONLY -> h=2..4 leading NULL,
+    //   h=6 trailing NULL (the global grid spans h=2..6)
+    val pts = Seq(("a", 2, 1.0), ("a", 5, 2.5), ("a", 6, 2.0),
+      ("b", 5, 4.0))
+    val ev = pts.zipWithIndex.map { case ((tpe, h, v), i) =>
+        (i.toLong, (600000L + h) * 3600000000L, 1L, tpe, v, "{}")
+      }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    def wstart(h: Int) = java.time.Instant
+      .ofEpochSecond((600000L + h) * 3600L).toString
+      .replace("T", " ").replace("Z", "")
+    val got = Relational.gapfillLinearOf(ev).collect()
+      .map(r => (r.getString(1), r.getString(0)) -> ((r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got.size == 10, got.size) // 2 types x hours 2..6
+    // interior interpolation: the driver computes the same parse tree
+    def lerp(pv: Double, nv: Double, dh: Long, dH: Long) =
+      pv + (nv - pv) * dh.toDouble / dH.toDouble
+    assert(got(("a", wstart(2))) == ((1L, 1.0)))
+    assert(got(("a", wstart(3))) == ((0L, lerp(1.0, 2.5, 1, 3))))
+    assert(got(("a", wstart(4))) == ((0L, lerp(1.0, 2.5, 2, 3))))
+    assert(got(("a", wstart(5))) == ((1L, 2.5)))
+    assert(got(("a", wstart(6))) == ((1L, 2.0)))
+    assert(got(("a", wstart(3)))._2 == 1.5 && got(("a", wstart(4)))._2 == 2.0)
+    // edges: leading and trailing gaps never extrapolate
+    assert(got(("b", wstart(5))) == ((1L, 4.0)))
+    for (h <- Seq(2, 3, 4, 6))
+      assert(got(("b", wstart(h)))._1 == 0L &&
+        got(("b", wstart(h)))._2.isNaN, s"b h=$h: ${got(("b", wstart(h)))}")
+  }
+
   /** q151 planted (VERDICT r15 #1, the measured contrast): a strong
     * daily cycle inflates q105's MAD so far that an off-cycle dip
     * INSIDE the historical range never breaches the median/3-MAD band —
