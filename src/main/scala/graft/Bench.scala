@@ -67,7 +67,7 @@ object Bench {
     "q144_forecast_model_select", "q145_series_stats",
     "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup",
     "q149_tech_indicators", "q150_forecast_road", "q151_hw_fitted",
-    "q152_gapfill_linear")
+    "q152_gapfill_linear", "q153_sample_series")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -355,6 +355,11 @@ object Bench {
     // steady ref 0.4) — probe-relative at or under q103, so it takes
     // q103's ref (same class, same discipline)
     "q152_gapfill_linear" -> 0.4,
+    // q153 added r16: the deterministic per-series sample — one bucket
+    // collapse + a WindowGroupLimit rank cut. Warm probes 0.45/0.46
+    // alongside q147 at 0.96/0.77 (its steady ref 0.4) — same
+    // relative-steady discipline
+    "q153_sample_series" -> 0.25,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -169,7 +169,12 @@ object ScaleSmoke {
     // the fold, the argmin pick may flip) so timed only; the cost adds
     // ONE linear scan per type on top of the q143 argmin, so its wall
     // should track q143's
-    "q151_hw_fitted")
+    "q151_hw_fitted",
+    // r16: the deterministic sample — replication preserves every
+    // (type, hour) and the md5 draw reads neither counts nor values,
+    // so the sampled rows are IDENTICAL with n ×factor (exact
+    // invariant below; the determinism property itself, under scale)
+    "q153_sample_series")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -466,6 +471,20 @@ object ScaleSmoke {
             1e-9 * math.max(1.0, math.abs(b._4)))
       },
       "scale-up broke the q152 fill(linear) invariant")
+    // q153 invariant: the draw is content-free, so the sample is the
+    // SAME (type, rank, wstart) set with n ×factor — exact
+    def sampRows(dir: String) = SparkEntry
+      .queries("q153_sample_series")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val q153base = sampRows(sfDir)
+    val q153scaled = sampRows(workDir)
+    require(q153base.length == q153scaled.length &&
+      q153base.zip(q153scaled).forall { case (b, sc) =>
+        (b._1, b._2, b._3) == ((sc._1, sc._2, sc._3)) &&
+          sc._4 == b._4 * factor
+      },
+      "scale-up broke the q153 deterministic-sample invariant")
     // q146 invariant: replication scales the count multiset ×factor, so
     // every selector scales ×factor EXACTLY — including the median
     // double: f·(a+b) stays under 2⁵³ and the ÷2 is IEEE-exact, so

@@ -1392,6 +1392,45 @@ object Relational {
       .orderBy($"event_type", $"arm", $"rank")
   }
 
+  // --------------------------------------------------------------- q153
+  /** How many points `sample()` keeps per series. */
+  val SampleN = 5
+
+  /** q153: InfluxQL `sample(field, N)` — the one selector left after
+    * q146/q147 (VERDICT r15 #4): per series, N actual points. InfluxDB
+    * draws them with an RNG; a pipeline engine must NOT — a re-run that
+    * samples differently breaks replay, audits and cross-engine
+    * checking — so this is the q46/q82 DETERMINISTIC draw applied per
+    * series: order actual bucket hours by md5("type:hour") (a
+    * content-free hash — uniform over hours, uncorrelated with time or
+    * value, identical in any engine), keep the first [[SampleN]]. The
+    * divergence from InfluxDB's RNG is deliberate and documented: same
+    * marginal behavior (a uniform N-subset of the series' points),
+    * replayable forever.
+    *
+    * Scale shape: the q82 class — the rank-≤-N filter collapses to
+    * WindowGroupLimit (per-partition top-N heaps BEFORE the shuffle,
+    * plan-pinned), over the bucket collapse (the only events scan);
+    * output is #types × N rows. */
+  def q153SampleSeries(s: SparkSession, dir: String): DataFrame =
+    sampleSeriesOf(t(s, dir, "events"))
+
+  private[graft] def sampleSeriesOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"hx".asc, $"h".asc)
+    hourBuckets(ev)
+      .withColumn("hx", expr(
+        "md5(cast(concat(event_type, ':', cast(h as string)) as binary))"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= SampleN)
+      .select($"event_type", $"rank".cast("long").as("rank"),
+        tsStr(timestamp_micros($"h" * lit(GapfillHourUs))).as("wstart"),
+        $"n")
+      .orderBy($"event_type", $"rank")
+  }
+
   // --------------------------------------------------------------- q148
   /** q148: the downsample CASCADE — the daily tier computed from the
     * HOURLY rollup, never from raw events: per (day, series) the event
@@ -2336,6 +2375,7 @@ object Relational {
     "q150_forecast_road" -> (q150ForecastRoad _),
     "q151_hw_fitted" -> (q151HoltWintersFitted _),
     "q152_gapfill_linear" -> (q152GapfillLinear _),
+    "q153_sample_series" -> (q153SampleSeries _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -3145,6 +3185,23 @@ object Relational {
         |  xs[CAST((95 * len(xs) + 50) // 100 AS INT)] AS p95_n
         |FROM l JOIN f USING (event_type) JOIN z USING (event_type)
         |ORDER BY l.event_type""".stripMargin,
+    // q153 twin: the identical md5("type:hour") draw — the hash input
+    // string and the (hx, h) total order replay exactly, so the sample
+    // IS the same N points (the whole reason the draw is deterministic)
+    "q153_sample_series" ->
+      s"""WITH b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, h, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_type || ':' || CAST(h AS VARCHAR)) ASC,
+        |        h ASC) AS rank
+        |  FROM b)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank,
+        |  strftime(make_timestamp(h * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart, n
+        |FROM r WHERE rank <= $SampleN
+        |ORDER BY event_type, rank""".stripMargin,
     // q147 twin: the same total (n DESC|ASC, h ASC) per-series order —
     // InfluxDB's earlier-timestamp tie rule makes both picks exact
     "q147_top_bottom" ->

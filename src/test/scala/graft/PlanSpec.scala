@@ -661,6 +661,16 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q153: the per-series sample is a WindowGroupLimit over one scan") {
+    // the rank <= N filter must collapse to per-partition top-N heaps
+    // before the shuffle — the q82 shape on the bucket collapse
+    val p = plan("q153_sample_series")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q148: the daily tier is one scan into two partial-agg collapses") {
     val p = plan("q148_daily_rollup")
     assert("FileScan".r.findAllIn(p).length == 1, p.take(800))

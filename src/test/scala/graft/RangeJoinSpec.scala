@@ -1729,6 +1729,49 @@ class RangeJoinSpec extends AnyFunSuite {
         got(("b", wstart(h)))._2.isNaN, s"b h=$h: ${got(("b", wstart(h)))}")
   }
 
+  /** q153 planted: the deterministic sample IS the md5("type:hour")
+    * order (driver-replayed), a series with fewer than N points returns
+    * all of them, and the draw is REPLAYABLE — the whole divergence
+    * from InfluxDB's RNG sample, asserted as two identical runs. */
+  test("q153 sample: md5-order draw, short series, replayable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val counts = Map(
+      "a" -> (0 until 12).map(h => (h, h + 1)), // 12 points, sample 5
+      "b" -> Seq((2, 7), (5, 9))) // 2 points < N: both kept
+    val rows = for {
+      (tpe, hs) <- counts.toSeq; (h, n) <- hs; i <- 0 until n
+    } yield (tpe.hashCode.toLong * 100000 + h * 500 + i,
+      (600000L + h) * 3600000000L, 1L, tpe, 0.0, "{}")
+    val ev = rows.toDF("event_id", "us", "user_id", "event_type", "value",
+        "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def wstart(h: Int) = java.time.Instant
+      .ofEpochSecond((600000L + h) * 3600L).toString
+      .replace("T", " ").replace("Z", "")
+    // the driver draw: hours ordered by md5("type:epochHour"), first N
+    def draw(tpe: String, hs: Seq[(Int, Int)]) = hs
+      .sortBy { case (h, _) => (md5Hex(s"$tpe:${600000L + h}"), h) }
+      .take(Relational.SampleN)
+      .zipWithIndex
+      .map { case ((h, n), i) =>
+        (tpe, (i + 1).toLong, wstart(h), n.toLong) }
+    val want = counts.toSeq.flatMap { case (t, hs) => draw(t, hs) }
+      .sortBy(r => (r._1, r._2))
+    val run1 = Relational.sampleSeriesOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(run1 == want, s"got $run1\nwant $want")
+    assert(run1.count(_._1 == "b") == 2) // short series: all points
+    val run2 = Relational.sampleSeriesOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(run2 == run1, "the draw must be replayable")
+  }
+
   /** q151 planted (VERDICT r15 #1, the measured contrast): a strong
     * daily cycle inflates q105's MAD so far that an off-cycle dip
     * INSIDE the historical range never breaches the median/3-MAD band —
