@@ -67,7 +67,7 @@ object Bench {
     "q144_forecast_model_select", "q145_series_stats",
     "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup",
     "q149_tech_indicators", "q150_forecast_road", "q151_hw_fitted",
-    "q152_gapfill_linear", "q153_sample_series")
+    "q152_gapfill_linear", "q153_sample_series", "q154_two_tag_rollup")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -360,6 +360,11 @@ object Bench {
     // alongside q147 at 0.96/0.77 (its steady ref 0.4) — same
     // relative-steady discipline
     "q153_sample_series" -> 0.25,
+    // q154 added r16: the two-tag rollup — the q148 cascade over a 4×
+    // series product plus the dense grid. Warm probes 0.91/0.75
+    // alongside q148 at 0.77/0.80 (its steady ref 0.35) — same
+    // relative-steady discipline, a notch over q148 for the grid
+    "q154_two_tag_rollup" -> 0.4,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -174,7 +174,14 @@ object ScaleSmoke {
     // (type, hour) and the md5 draw reads neither counts nor values,
     // so the sampled rows are IDENTICAL with n ×factor (exact
     // invariant below; the determinism property itself, under scale)
-    "q153_sample_series")
+    "q153_sample_series",
+    // r16: the two-tag rollup — the replication offset (k·10⁶ user_id)
+    // is divisible by UserBuckets, so every copy lands in its source's
+    // bucket: identical (type, ubucket, dstart) rows, integer columns
+    // ×factor, the daily sum re-rounds (1e-9), the per-event mean is
+    // bit-IDENTICAL (q148's both-operands-scale argument) — invariant
+    // below; its tag-product axis rides the series-cardinality mode
+    "q154_two_tag_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -283,7 +290,8 @@ object ScaleSmoke {
     // grid span stays fixed
     val seriesCardQueries = Seq("q135_series_correlation",
         "q138_series_corr_lsh", "q141_holt_forecast", "q143_holt_winters",
-        "q144_forecast_model_select", "q151_hw_fitted")
+        "q144_forecast_model_select", "q151_hw_fitted",
+        "q154_two_tag_rollup")
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
     // the suffixed corpus is only written when a series-cardinality
     // query survived the prefix filter (ADVICE r14 #3)
@@ -535,6 +543,33 @@ object ScaleSmoke {
           sc._7 == b._7 * factor && sc._8 == b._8 * factor
       },
       "scale-up broke the q148 daily-cascade invariant")
+    // q154 invariant: the two-tag rollup rides q148's exactly — the
+    // replication user offset is bucket-preserving (k·10⁶ ≡ 0 mod 4),
+    // so rows are identical keys with integer columns ×factor, the
+    // daily sum to 1e-9, the per-event mean bit-identical (NULLs — the
+    // silent-day rows — aligned) and active/silent hours invariant
+    def tagRows(dir: String) = SparkEntry
+      .queries("q154_two_tag_rollup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+        r.getLong(6), r.getLong(7),
+        if (r.isNullAt(8)) -1L else r.getLong(8),
+        if (r.isNullAt(9)) -1L else r.getLong(9)))
+    val q154base = tagRows(sfDir)
+    val q154scaled = tagRows(workDir)
+    require(q154base.length == q154scaled.length &&
+      q154base.zip(q154scaled).forall { case (b, sc) =>
+        (b._1, b._2, b._3) == ((sc._1, sc._2, sc._3)) &&
+          sc._4 == b._4 * factor &&
+          math.abs(sc._5 - b._5 * factor) <=
+            1e-9 * math.max(1.0, math.abs(b._5 * factor)) &&
+          b._6.isNaN == sc._6.isNaN && (b._6.isNaN || sc._6 == b._6) &&
+          sc._7 == b._7 && sc._8 == b._8 &&
+          sc._9 == (if (b._9 < 0) -1L else b._9 * factor) &&
+          sc._10 == (if (b._10 < 0) -1L else b._10 * factor)
+      },
+      "scale-up broke the q154 two-tag rollup invariant")
     // q149 invariant: counts/diffs scale ×factor, so the CMO quotient's
     // operands both scale by the same exact factor (bit-identical,
     // NULLs aligned); the EMA fold re-rounds per step (1e-9 relative)

@@ -1475,6 +1475,66 @@ object Relational {
       .orderBy($"event_type", $"dstart")
   }
 
+  // --------------------------------------------------------------- q154
+  /** User-bucket count for the two-tag rollup's second tag. */
+  val UserBuckets = 4L
+
+  /** q154: the TWO-TAG rollup — `GROUP BY time(1h), event_type,
+    * user_bucket` through gap-fill and the daily cascade (VERDICT r15
+    * #5: the grid family was single-tag; InfluxQL groups by arbitrary
+    * tag products). The mechanism IS InfluxDB's own data model: a
+    * series is the unique TAG SET, so an n-tag product reduces to a
+    * composite series key — here `event_type || "|u" || user_id %
+    * [[UserBuckets]]` — and the whole single-tag machinery
+    * ([[hourBuckets]], [[denseGrid]], the q148 cascade) runs verbatim
+    * on the product, its cardinality multiplied (#types × #buckets).
+    * Per (event_type, ubucket, day): the q148 daily columns PLUS
+    * `silent_hours` (grid hours with zero events — the dense grid's
+    * contribution; active + silent = the day's span coverage), burst
+    * envelope over ACTIVE hours (a fully silent day has NULL envelope
+    * and NULL per-event mean).
+    *
+    * Exactness: q148's verbatim — exact scaled longs summed in
+    * integers, ONE division per output double, the per-event mean
+    * guarded by n_day > 0 (the dense grid makes empty days real rows).
+    *
+    * Scale shape: the q148/q103 class with #series multiplied — the
+    * bucket collapse is still the only events scan; everything after
+    * is (time range × #types × #buckets)-sized, and the
+    * series-cardinality ScaleSmoke axis measures exactly this
+    * multiplication. */
+  def q154TwoTagRollup(s: SparkSession, dir: String): DataFrame =
+    twoTagRollupOf(t(s, dir, "events"))
+
+  private[graft] def twoTagRollupOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val comp = ev.withColumn("event_type",
+      concat($"event_type", lit("|u"),
+        ($"user_id" % UserBuckets).cast("string")))
+    val (j, _, _) = denseGrid(hourBuckets(comp))
+    j.withColumn("day", expr("h div 24"))
+      .withColumn("s", slong($"sum_value"))
+      .groupBy($"day", $"event_type")
+      .agg(sum($"n").as("n_day"), sum($"s").as("sd"),
+        count(when($"n" > 0L, 1)).as("active_hours"),
+        count(when($"n" === 0L, 1)).as("silent_hours"),
+        max(when($"n" > 0L, $"n")).as("max_hour_n"),
+        min(when($"n" > 0L, $"n")).as("min_hour_n"))
+      .select(
+        substring_index($"event_type", "|u", 1).as("event_type"),
+        substring_index($"event_type", "|u", -1).cast("long").as("ubucket"),
+        tsStr(timestamp_micros($"day" * lit(24L) * lit(GapfillHourUs)))
+          .as("dstart"),
+        $"n_day",
+        ($"sd".cast("double") / lit(10000.0)).as("sum_value_day"),
+        when($"n_day" > 0L,
+          $"sd".cast("double") / (lit(10000.0) * $"n_day".cast("double")))
+          .as("mean_value_day"),
+        $"active_hours", $"silent_hours", $"max_hour_n", $"min_hour_n")
+      .orderBy($"event_type", $"ubucket", $"dstart")
+  }
+
   // --------------------------------------------------------------- q149
   /** EMA period: 9 ⇒ the multiplier 2/(N+1) = 0.2 is an EXACT double,
     * so the recurrence's constants never carry representation error —
@@ -2376,6 +2436,7 @@ object Relational {
     "q151_hw_fitted" -> (q151HoltWintersFitted _),
     "q152_gapfill_linear" -> (q152GapfillLinear _),
     "q153_sample_series" -> (q153SampleSeries _),
+    "q154_two_tag_rollup" -> (q154TwoTagRollup _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -3245,6 +3306,45 @@ object Relational {
         |    AS mean_value_day,
         |  active_hours, max_hour_n, min_hour_n
         |FROM d ORDER BY event_type, dstart""".stripMargin,
+    // q154 twin: the same composite series key (the InfluxDB tag-set
+    // model), the same dense grid over the product, the same exact
+    // scaled-long daily sums with one division per output double and
+    // the n_day > 0 mean guard
+    "q154_two_tag_rollup" ->
+      s"""WITH b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h,
+        |    event_type || '|u' || CAST(user_id % $UserBuckets AS VARCHAR)
+        |      AS et,
+        |    COUNT(*) AS n, ${SqlDsum("value")} AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+        |grid AS (SELECT t.et, g.h
+        |  FROM (SELECT DISTINCT et FROM b) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h
+        |    FROM bounds) g),
+        |j AS (SELECT g.h, g.et, COALESCE(b.n, CAST(0 AS BIGINT)) AS n,
+        |    COALESCE(b.sum_value, 0.0) AS sum_value
+        |  FROM grid g LEFT JOIN b ON b.h = g.h AND b.et = g.et),
+        |f AS (SELECT et, h // 24 AS day, n,
+        |    CAST(floor(sum_value * 10000.0 + 0.5) AS BIGINT) AS s
+        |  FROM j),
+        |d AS (SELECT day, et, CAST(SUM(n) AS BIGINT) AS n_day,
+        |    CAST(SUM(s) AS BIGINT) AS sd,
+        |    CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS active_hours,
+        |    CAST(COUNT(*) FILTER (WHERE n = 0) AS BIGINT) AS silent_hours,
+        |    MAX(CASE WHEN n > 0 THEN n END) AS max_hour_n,
+        |    MIN(CASE WHEN n > 0 THEN n END) AS min_hour_n
+        |  FROM f GROUP BY day, et)
+        |SELECT split_part(et, '|u', 1) AS event_type,
+        |  CAST(split_part(et, '|u', 2) AS BIGINT) AS ubucket,
+        |  strftime(make_timestamp(day * 24 * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS dstart,
+        |  n_day,
+        |  CAST(sd AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_value_day,
+        |  CASE WHEN n_day > 0 THEN CAST(sd AS DOUBLE)
+        |    / (CAST(10000.0 AS DOUBLE) * CAST(n_day AS DOUBLE))
+        |  END AS mean_value_day,
+        |  active_hours, silent_hours, max_hour_n, min_hour_n
+        |FROM d ORDER BY event_type, ubucket, dstart""".stripMargin,
     // q149 twin: the EMA recursion's parse tree matches the fold
     // literally (x·0.2 + e·0.8, both constants exact doubles); the CMO
     // side is integer window sums with one division, identical ops

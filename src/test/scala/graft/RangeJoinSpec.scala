@@ -1772,6 +1772,51 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(run2 == run1, "the draw must be replayable")
   }
 
+  /** q154 planted: the two-tag product splits one event_type into
+    * per-user-bucket series, the dense grid makes EMPTY days real rows
+    * (n_day 0, NULL envelope, NULL per-event mean, silent_hours = the
+    * day's span coverage), and the daily sums/means are the exact
+    * scaled-long arithmetic — all hand-computed. */
+  test("q154 two-tag rollup: tag product, silent days, exact daily math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // base hour 600000 = 25000 days exactly (clean day boundary).
+    // user 1 (bucket 1): day 0 -> h0: 2 events @1.0, h1: 1 event @0.5
+    // user 2 (bucket 2): day 1 -> h25: 3 events @0.25
+    // span = hours 0..25 -> day 0 has 24 grid hours, day 1 has 2
+    val rows = Seq(
+      (1L, 0, 1L, 1.0), (2L, 0, 1L, 1.0), (3L, 1, 1L, 0.5),
+      (4L, 25, 2L, 0.25), (5L, 25, 2L, 0.25), (6L, 25, 2L, 0.25))
+    val ev = rows.map { case (id, h, u, v) =>
+        (id, (600000L + h) * 3600000000L, u, "a", v, "{}")
+      }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    def dstart(day: Long) = java.time.Instant
+      .ofEpochSecond((25000L + day) * 86400L).toString
+      .replace("T", " ").replace("Z", "")
+    val got = Relational.twoTagRollupOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)) ->
+        ((r.getLong(3),
+          r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          r.getLong(6), r.getLong(7),
+          if (r.isNullAt(8)) -1L else r.getLong(8),
+          if (r.isNullAt(9)) -1L else r.getLong(9)))).toMap
+    assert(got.size == 4, got.keys) // 2 buckets x 2 days
+    assert(got(("a", 1L, dstart(0))) ==
+      ((3L, 2.5, 25000.0 / (10000.0 * 3.0), 2L, 22L, 2L, 1L)))
+    val silent = got(("a", 1L, dstart(1)))
+    assert(silent._1 == 0L && silent._2 == 0.0 && silent._3.isNaN &&
+      silent._4 == 0L && silent._5 == 2L && silent._6 == -1L &&
+      silent._7 == -1L, silent)
+    assert(got(("a", 2L, dstart(0)))._4 == 0L &&
+      got(("a", 2L, dstart(0)))._5 == 24L &&
+      got(("a", 2L, dstart(0)))._3.isNaN)
+    assert(got(("a", 2L, dstart(1))) ==
+      ((3L, 0.75, 7500.0 / (10000.0 * 3.0), 1L, 1L, 3L, 3L)))
+  }
+
   /** q151 planted (VERDICT r15 #1, the measured contrast): a strong
     * daily cycle inflates q105's MAD so far that an off-cycle dip
     * INSIDE the historical range never breaches the median/3-MAD band —
