@@ -936,12 +936,16 @@ object Relational {
     * series (duals recorded in the smoke artifact), the heaviest axis
     * in the sweep. Honest sub-linear-in-work readings (work IS 10× by
     * construction; the per-(type, candidate) folds parallelize), and at
-    * real scale parallelism is #series × 27-bounded — ample — so the
-    * band is ACCEPTED rather than folded into a one-pass 27-struct
-    * state: a single-fold HOF would carry a 27-struct accumulator
-    * through an interpreted lambda per step, trading 27 independent
-    * cache-friendly folds for one 27-wide one with no shuffle saved
-    * (the explode is map-side; nothing is exchanged per candidate). */
+    * real scale parallelism is #series × 27-bounded — ample — and the
+    * one-pass alternative was MEASURED, not just argued (r16): a
+    * single fold per type carrying an array-of-27-candidate-states
+    * accumulator (transform over the 27 structs per step) produces
+    * bit-identical argmin rows and reads 7.7–9.1 s vs the explode's
+    * 8.5–8.9 s on the 10×-series corpus — inside run noise, because
+    * the explode is map-side (nothing shuffles per candidate) and the
+    * per-step work (27 struct allocations incl. the 24-double seas
+    * copies) is identical either way. Band ACCEPTED; the explode stays
+    * for its simpler plan and the literally-matching twin parse tree. */
   private[graft] def holtSeasonalFitFromGrid(j: DataFrame): DataFrame = {
     val s = j.sparkSession
     import s.implicits._
