@@ -333,23 +333,37 @@ object ScaleSmoke {
       "scale-up broke the q148 daily-cascade invariant")
   }
 
-  /** q36 on the DISJOINT-vocab corpus: each copy's df profile is the
-    * base's, cross-copy signatures never verify, so the pair set is
-    * exactly factor per-copy replicas — copy 0 bit-identical to base
-    * (the q89 invariant's shape, applied to the minhash road). */
+  /** q36 on the DISJOINT-vocab corpus — the two structural claims that
+    * are EXACT under suffixed replication, plus the honest band for the
+    * one that is not:
+    *  - NO cross-copy pair, ever (disjoint vocab ⇒ cross-copy Jaccard
+    *    is 0 ⇒ killed in verification) — the claim that makes the
+    *    corpus linear-output in the first place;
+    *  - total pair count within 5% of factor × base. NOT exactly on
+    *    it, and copy 0 is NOT bit-identical to base (unlike q89, whose
+    *    containment output is isomorphic under suffixing): q36's
+    *    BANDING reads the shingles' hash VALUES, so each copy's "_k"
+    *    suffix acts as a fresh LSH seed and the candidate RECALL
+    *    legitimately jitters per copy — a true near-dup pair that
+    *    base's bands missed can collide in copy k's bands and vice
+    *    versa (measured +49 pairs on 25,500 at factor 100, +0.2%).
+    *    Every emitted pair is Jaccard-VERIFIED either way; only the
+    *    approximate candidate recall moves. */
   private def checkQ36Disjoint(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, disjointDir: String, factor: Int): Unit = {
     def rows(dir: String) =
       SparkEntry.queries("q36_minhash_lsh")(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getDouble(5)))
-    val base = rows(sfDir).toSet
+    val base = rows(sfDir)
     val scaled = rows(disjointDir)
-    require(scaled.length == factor * base.size,
-      s"q36 disjoint scale-up did not replicate the pair set exactly " +
-        s"per copy (${scaled.length} vs ${factor} x ${base.size})")
-    require(scaled.filter(_._1 < 10000000L).toSet == base,
-      "q36 disjoint scale-up changed copy-0 pairs")
+    require(scaled.forall(p => p._1 / 10000000L == p._2 / 10000000L),
+      "q36 disjoint scale-up emitted a CROSS-COPY pair — verification " +
+        "let a zero-Jaccard candidate through")
+    val want = factor.toLong * base.length
+    require(math.abs(scaled.length - want) <= want / 20,
+      s"q36 disjoint scale-up pair count moved past the recall-jitter " +
+        s"band (${scaled.length} vs ${want} ± 5%)")
   }
 
   /** The factor-100 flagship arm (VERDICT r15 #3): the brief's question
