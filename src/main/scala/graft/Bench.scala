@@ -67,7 +67,8 @@ object Bench {
     "q144_forecast_model_select", "q145_series_stats",
     "q146_series_selectors", "q147_top_bottom", "q148_daily_rollup",
     "q149_tech_indicators", "q150_forecast_road", "q151_hw_fitted",
-    "q152_gapfill_linear", "q153_sample_series", "q154_two_tag_rollup")
+    "q152_gapfill_linear", "q153_sample_series", "q154_two_tag_rollup",
+    "q155_series_inventory")
 
   /** QUIET-BOX steady-state per-query seconds at sf0.1 / local[32]
     * (re-measured round 5). Round 2 showed min-of-two-forks cannot defend
@@ -365,6 +366,12 @@ object Bench {
     // alongside q148 at 0.77/0.80 (its steady ref 0.35) — same
     // relative-steady discipline, a notch over q148 for the grid
     "q154_two_tag_rollup" -> 0.4,
+    // q155 added r16: the series inventory — the hourBuckets collapse
+    // on the q154 composite key + a #series-row collapse. Warm probes
+    // 0.46/0.51 alongside q148 at 0.46/0.63 (its steady ref 0.35) —
+    // probe-relative at or under q148, so it takes q148's ref (same
+    // bucket-collapse class, one stage shorter)
+    "q155_series_inventory" -> 0.35,
     // q135 added r13: series correlation — the q103 grid + #types-row
     // moments + the hour-keyed pair join. Re-based r14 (VERDICT r13
     // #5): 1.0 was an isolated cold-probe read; full-suite discipline

@@ -181,7 +181,11 @@ object ScaleSmoke {
     // ×factor, the daily sum re-rounds (1e-9), the per-event mean is
     // bit-IDENTICAL (q148's both-operands-scale argument) — invariant
     // below; its tag-product axis rides the series-cardinality mode
-    "q154_two_tag_rollup")
+    "q154_two_tag_rollup",
+    // r16: the series inventory — bucket-preserving replication keeps
+    // every (series, hour) cell, so the census is FULLY exact: only
+    // n_points scales ×factor (invariant below)
+    "q155_series_inventory")
 
   // ------------------------------------------------------------------
   // replica writers, shared by the full sweep and the flagship arm
@@ -775,6 +779,21 @@ object ScaleSmoke {
           sc._10 == (if (b._10 < 0) -1L else b._10 * factor)
       },
       "scale-up broke the q154 two-tag rollup invariant")
+    // q155 invariant: FULLY exact — the bucket-preserving replication
+    // adds each copy's events at the SAME (series, hour) cells, so the
+    // inventory's hours/span/density/first/last are bit-identical and
+    // only n_points scales ×factor
+    def invRows(dir: String) = SparkEntry
+      .queries("q155_series_inventory")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getString(7)))
+    val q155base = invRows(sfDir)
+    val q155scaled = invRows(workDir)
+    require(q155base.length == q155scaled.length &&
+      q155base.zip(q155scaled).forall { case (b, sc) =>
+        sc == ((b._1, b._2, b._3 * factor, b._4, b._5, b._6, b._7, b._8))
+      },
+      "scale-up broke the q155 series-inventory invariant")
     // q149 invariant: counts/diffs scale ×factor, so the CMO quotient's
     // operands both scale by the same exact factor (bit-identical,
     // NULLs aligned); the EMA fold re-rounds per step (1e-9 relative)

@@ -34,6 +34,18 @@ import graft.operators.Relational
   *                                   3·rmse (the off-cycle in-band dip
   *                                   q105 can't see, at past hours
   *                                   `trend` never judges)
+  *   cardinality freeze <sfDir> <baselineDir>
+  *                                   freeze the q155 series inventory's
+  *                                   tag-set census as the baseline the
+  *                                   audit arm judges against
+  *   cardinality audit <sfDir> <baselineDir> [--margin-permille m]
+  *                                   the CARDINALITY-EXPLOSION cron —
+  *                                   the resource an InfluxDB instance
+  *                                   dies of: series in the candidate
+  *                                   corpus absent from the frozen
+  *                                   baseline page once their count
+  *                                   exceeds margin (default 100‰) of
+  *                                   the frozen cardinality
   *
   * Exit codes (the TextIndexCli/PqIndexCli convention): 0 = quiet,
   * 2 = usage error, 3 = alerts exist — a cron branches on the verdict.
@@ -139,6 +151,65 @@ object SeriesAuditCli {
           s"rmse=${r.getDouble(5)}"))
         println(s"fitted: ${rows.length} off-fit hours")
         if (rows.nonEmpty) 3 else 0
+      case Seq("cardinality", "freeze", sfDir, baselineDir) =>
+        // the q155 inventory IS the baseline definition (one
+        // definition with the query the oracle hash-checks); the
+        // frozen frame is #series-sized by construction
+        val inv = Relational.seriesInventoryOf(eventsOf(spark, sfDir))
+          .collect()
+        require(inv.nonEmpty,
+          "empty corpus: refusing to freeze a baseline with no series")
+        import spark.implicits._
+        inv.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("event_type", "ubucket", "n_points")
+          .coalesce(1).write.mode("overwrite").parquet(baselineDir)
+        inv.foreach(r => println(s"FROZE ${r.getString(0)}|u" +
+          s"${r.getLong(1)} n_points=${r.getLong(2)}"))
+        println(s"cardinality: froze ${inv.length} series")
+        0
+      case Seq("cardinality", "audit", sfDir, baselineDir, rest @ _*) =>
+        // flags validate BEFORE any corpus-sized work (the shared
+        // convention): a non-numeric margin is a usage error, never a
+        // refusal or a corpus scan
+        val margin = rest match {
+          case Seq() => Some(100L)
+          case Seq("--margin-permille", m) => m.toLongOption
+          case _ => None
+        }
+        if (margin.isEmpty) {
+          System.err.println("usage: cardinality audit <sfDir> " +
+            "<baselineDir> [--margin-permille <m>]")
+          return 2
+        }
+        val base = try {
+            spark.read.parquet(baselineDir).collect()
+              .map(r => (r.getString(0), r.getLong(1))).toSet
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"no frozen baseline at $baselineDir — run `cardinality " +
+                  s"freeze` over the reference corpus first " +
+                  s"(${e.getMessage})")
+          }
+        require(base.nonEmpty,
+          s"frozen baseline at $baselineDir is empty: no series to " +
+            "judge against — re-freeze over a non-empty corpus")
+        val inv = Relational.seriesInventoryOf(eventsOf(spark, sfDir))
+          .collect()
+        require(inv.nonEmpty, "empty corpus: no series to judge")
+        val fresh = inv.filter(r =>
+          !base.contains((r.getString(0), r.getLong(1))))
+        // growth in permille of the FROZEN cardinality — floor div, so
+        // a breach needs strictly more new series than margin allows
+        val growth = fresh.length.toLong * 1000L / base.size
+        fresh.foreach(r => println(s"NEW ${r.getString(0)}|u" +
+          s"${r.getLong(1)} n_points=${r.getLong(2)} " +
+          s"span_hours=${r.getLong(4)} " +
+          s"density_permille=${r.getLong(5)}"))
+        println(s"cardinality: ${inv.length} series, ${fresh.length} new " +
+          s"vs ${base.size} frozen (growth ${growth}‰, margin " +
+          s"${margin.get}‰)")
+        if (growth > margin.get) 3 else 0
       case Seq("forecast", sfDir, rest @ _*) =>
         // the forward road (q150): not a verdict — exit 0 after
         // printing the chosen model's next hours per series. Flags
@@ -171,7 +242,7 @@ object SeriesAuditCli {
       case _ =>
         System.err.println(
           "usage: graft.app.SeriesAuditCli " +
-            "anomaly|dropout|trend|forecast|fitted <sfDir> ...")
+            "anomaly|dropout|trend|forecast|fitted|cardinality <sfDir> ...")
         2
     }
 }

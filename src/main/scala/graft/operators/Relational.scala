@@ -1523,13 +1523,23 @@ object Relational {
   def q154TwoTagRollup(s: SparkSession, dir: String): DataFrame =
     twoTagRollupOf(t(s, dir, "events"))
 
+  /** The composite tag-set SERIES key (InfluxDB's own series = tag-set
+    * model): event_type × user bucket, folded into the event_type
+    * column so the whole single-tag machinery runs verbatim on the
+    * product. ONE definition shared by q154, q155 and
+    * [[graft.streaming.StreamingNewSeries]]. */
+  private[graft] def withSeriesKey(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.withColumn("event_type",
+      concat($"event_type", lit("|u"),
+        ($"user_id" % UserBuckets).cast("string")))
+  }
+
   private[graft] def twoTagRollupOf(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val comp = ev.withColumn("event_type",
-      concat($"event_type", lit("|u"),
-        ($"user_id" % UserBuckets).cast("string")))
-    val (j, _, _) = denseGrid(hourBuckets(comp))
+    val (j, _, _) = denseGrid(hourBuckets(withSeriesKey(ev)))
     j.withColumn("day", expr("h div 24"))
       .withColumn("s", slong($"sum_value"))
       .groupBy($"day", $"event_type")
@@ -1550,6 +1560,61 @@ object Relational {
           .as("mean_value_day"),
         $"active_hours", $"silent_hours", $"max_hour_n", $"min_hour_n")
       .orderBy($"event_type", $"ubucket", $"dstart")
+  }
+
+  // --------------------------------------------------------------- q155
+  /** q155: the series INVENTORY — InfluxDB's `SHOW SERIES` /
+    * `SHOW SERIES CARDINALITY` metadata surface made an audited query
+    * (the operational question every InfluxDB runbook starts with:
+    * series cardinality is the resource an instance dies of, and the
+    * reference's one-measurement schema (`__main__.py:233-260`, tags =
+    * the packet's identity fields) is exactly the shape where a runaway
+    * tag value explodes it). One row per series — the q154 composite
+    * tag-set key (event_type × user bucket), InfluxDB's own series
+    * definition — with the exact integer stats an ops dashboard reads:
+    * point count, active (distinct) hours, first/last observation hour,
+    * span, and occupancy `density_permille = active·1000 div span`
+    * (1000 = a gapless series; low density + wide span = the sparse
+    * stray tag that bloats the index). Series cardinality is the row
+    * count; the CLI arm ([[graft.app.SeriesAuditCli]] `cardinality
+    * freeze|audit`) freezes this frame and pages on NEW series growth —
+    * the cardinality-explosion cron.
+    *
+    * Scale shape: ONE events scan collapsing map-side into the shared
+    * (hour, series) [[hourBuckets]] partial agg, then a second
+    * series-keyed collapse — output is #series-sized, no window, no
+    * join, no driver read. [[seriesInventoryFromBuckets]] consumes any
+    * bucket frame, so the persisted CQ rollup (the q148 world) answers
+    * the inventory without touching raw history at all. */
+  def q155SeriesInventory(s: SparkSession, dir: String): DataFrame =
+    seriesInventoryOf(t(s, dir, "events"))
+
+  private[graft] def seriesInventoryOf(ev: DataFrame): DataFrame =
+    seriesInventoryFromBuckets(hourBuckets(withSeriesKey(ev)))
+
+  /** The inventory collapse over any (h, event_type, n) bucket frame —
+    * batch [[hourBuckets]] on the composite key above, or the live
+    * [[graft.streaming.StreamingDownsample]] sink. */
+  private[graft] def seriesInventoryFromBuckets(
+      buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    buckets
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_points"), count(lit(1)).as("active_hours"),
+        min($"h").as("h0"), max($"h").as("h1"))
+      .select(
+        substring_index($"event_type", "|u", 1).as("event_type"),
+        substring_index($"event_type", "|u", -1).cast("long").as("ubucket"),
+        $"n_points", $"active_hours",
+        ($"h1" - $"h0" + lit(1L)).as("span_hours"),
+        expr("(active_hours * 1000) div (h1 - h0 + 1)")
+          .as("density_permille"),
+        tsStr(timestamp_micros($"h0" * lit(GapfillHourUs)))
+          .as("first_seen"),
+        tsStr(timestamp_micros($"h1" * lit(GapfillHourUs)))
+          .as("last_seen"))
+      .orderBy($"event_type", $"ubucket")
   }
 
   // --------------------------------------------------------------- q149
@@ -2454,6 +2519,7 @@ object Relational {
     "q152_gapfill_linear" -> (q152GapfillLinear _),
     "q153_sample_series" -> (q153SampleSeries _),
     "q154_two_tag_rollup" -> (q154TwoTagRollup _),
+    "q155_series_inventory" -> (q155SeriesInventory _),
     "q108_rolling_users" -> (q108RollingUsers _),
     "q109_theil_sen" -> (q109TheilSen _),
     "q110_theil_sen_sampled" -> (q110TheilSenSampled _),
@@ -3362,6 +3428,29 @@ object Relational {
         |  END AS mean_value_day,
         |  active_hours, silent_hours, max_hour_n, min_hour_n
         |FROM d ORDER BY event_type, ubucket, dstart""".stripMargin,
+    // q155 twin: the same composite tag-set key, the same two-level
+    // collapse; density is positive-integer floor division (DuckDB //
+    // truncates toward zero ≡ Spark div on non-negatives)
+    "q155_series_inventory" ->
+      s"""WITH b AS (SELECT epoch_us(ts) // ${GapfillHourUs} AS h,
+        |    event_type || '|u' || CAST(user_id % $UserBuckets AS VARCHAR)
+        |      AS et,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |i AS (SELECT et, CAST(SUM(n) AS BIGINT) AS n_points,
+        |    CAST(COUNT(*) AS BIGINT) AS active_hours,
+        |    MIN(h) AS h0, MAX(h) AS h1
+        |  FROM b GROUP BY et)
+        |SELECT split_part(et, '|u', 1) AS event_type,
+        |  CAST(split_part(et, '|u', 2) AS BIGINT) AS ubucket,
+        |  n_points, active_hours,
+        |  h1 - h0 + 1 AS span_hours,
+        |  (active_hours * 1000) // (h1 - h0 + 1) AS density_permille,
+        |  strftime(make_timestamp(h0 * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS first_seen,
+        |  strftime(make_timestamp(h1 * ${GapfillHourUs}),
+        |    '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM i ORDER BY event_type, ubucket""".stripMargin,
     // q149 twin: the EMA recursion's parse tree matches the fold
     // literally (x·0.2 + e·0.8, both constants exact doubles); the CMO
     // side is integer window sums with one division, identical ops

@@ -1817,6 +1817,42 @@ class RangeJoinSpec extends AnyFunSuite {
       ((3L, 0.75, 7500.0 / (10000.0 * 3.0), 1L, 1L, 3L, 3L)))
   }
 
+  /** q155 planted: the inventory is the tag-set census — a gapless
+    * series reads density 1000, a singleton spans one hour, and the
+    * sparse stray tag (the cardinality-explosion shape: wide span, few
+    * points) reads the floor-division permille — all hand-computed,
+    * first/last hour strings included. */
+  test("q155 inventory: tag-set census, density permille, stray series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // a|u1: hours 0 (2 events) + 5 (1) -> n 3, active 2, span 6
+      (1L, 0, 1L, "a"), (2L, 0, 1L, "a"), (3L, 5, 1L, "a"),
+      // a|u2: singleton at hour 7 -> span 1, density 1000
+      (4L, 7, 2L, "a"),
+      // b|u3: the stray — hours 0 and 100 -> span 101, density 19
+      (5L, 0, 3L, "b"), (6L, 100, 3L, "b"))
+    val ev = rows.map { case (id, h, u, t) =>
+        (id, (600000L + h) * 3600000000L, u, t, 1.0, "{}")
+      }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    def wstart(h: Int) = java.time.Instant
+      .ofEpochSecond((600000L + h) * 3600L).toString
+      .replace("T", " ").replace("Z", "")
+    val got = Relational.seriesInventoryOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6), r.getString(7)))).toMap
+    assert(got.size == 3, got.keys) // series cardinality = the row count
+    assert(got(("a", 1L)) ==
+      ((3L, 2L, 6L, (2L * 1000) / 6, wstart(0), wstart(5))))
+    assert(got(("a", 1L))._4 == 333L)
+    assert(got(("a", 2L)) == ((1L, 1L, 1L, 1000L, wstart(7), wstart(7))))
+    assert(got(("b", 3L)) ==
+      ((2L, 2L, 101L, 19L, wstart(0), wstart(100))))
+  }
+
   /** q151 planted (VERDICT r15 #1, the measured contrast): a strong
     * daily cycle inflates q105's MAD so far that an off-cycle dip
     * INSIDE the historical range never breaches the median/3-MAD band —
@@ -2174,6 +2210,67 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       graft.app.SeriesAuditCli.run(spark, Seq("fitted", empty))
+    }
+  }
+
+  /** SeriesAuditCli cardinality (the q155 lifecycle): freeze the
+    * tag-set census, page when NEW series outgrow the margin — the
+    * cardinality-explosion cron. All four channels: 0 within margin,
+    * 3 breach, 2 usage (flag validates before any corpus work),
+    * refusals throw (missing/empty baseline, empty corpus). */
+  test("SeriesAuditCli cardinality: freeze/audit, growth margin, channels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def writeEvents(dir: String, rows: Seq[(Long, Int, Long, String)]): Unit =
+      rows.map { case (id, h, u, t) =>
+          (id, (600000L + h) * 3600000000L, u, t, 0.0, "{}")
+        }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val refDir = tmp("card_ref")
+    // the reference census: 4 series — a|u1, a|u2, b|u1, b|u3
+    val ref = Seq((1L, 0, 1L, "a"), (2L, 1, 2L, "a"), (3L, 0, 1L, "b"),
+      (4L, 2, 3L, "b"))
+    writeEvents(refDir, ref)
+    val baseDir = tmp("card_base") + "/baseline"
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("cardinality", "freeze", refDir, baseDir)) == 0)
+    // the same corpus audits quiet (zero new series)
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("cardinality", "audit", refDir, baseDir)) == 0)
+    // two new series (z|u1, a|u0) vs 4 frozen = 500‰ > default 100‰
+    val grown = tmp("card_grown")
+    writeEvents(grown, ref ++ Seq((5L, 3, 1L, "z"), (6L, 3, 4L, "a")))
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("cardinality", "audit", grown, baseDir)) == 3)
+    // a margin that absorbs the growth reads quiet; floor-division
+    // boundary: growth == margin does NOT breach
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("cardinality", "audit", grown, baseDir,
+        "--margin-permille", "500")) == 0)
+    // usage: malformed margin validates before any corpus work
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("cardinality", "audit", grown, baseDir,
+        "--margin-permille", "XYZ")) == 2)
+    assert(graft.app.SeriesAuditCli.run(spark,
+      Seq("cardinality", "freeze", refDir)) == 2)
+    // refusals: missing baseline, empty corpus (either arm)
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark,
+        Seq("cardinality", "audit", refDir, tmp("card_none") + "/nope"))
+    }
+    val empty = tmp("card_empty")
+    writeEvents(empty, Seq.empty)
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark,
+        Seq("cardinality", "freeze", empty, baseDir))
+    }
+    intercept[IllegalArgumentException] {
+      graft.app.SeriesAuditCli.run(spark,
+        Seq("cardinality", "audit", empty, baseDir))
     }
   }
 

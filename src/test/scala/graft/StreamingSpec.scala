@@ -2653,4 +2653,82 @@ class StreamingSpec extends AnyFunSuite {
       spark.catalog.dropTempView("daily_out")
     }
   }
+
+  /** StreamingNewSeries (the q155 cardinality lifecycle's door arm):
+    * each series is announced EXACTLY ONCE — by the first micro-batch
+    * that mentions it, with that batch's MIN event hour (deterministic
+    * under partitioning; on a chronological replay that IS the q155
+    * inventory's first_seen hour — asserted) — never re-announced for
+    * later events, not even after a checkpoint RESTART (the series
+    * index is state; a restart that re-announced would page ops with
+    * the whole existing keyspace). State runs on RocksDB. */
+  test("streaming new-series announces once, survives restart, matches q155") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("newseries")
+    val ckpt = Files.createTempDirectory("newseries_ckpt")
+    val hUs = graft.operators.Relational.GapfillHourUs
+    def ev(id: Long, h: Long, u: Long, t: String) =
+      s"""{"event_id":$id,"us":${(600000L + h) * hUs},"user_id":$u,""" +
+        s""""event_type":"$t"}"""
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("us", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+        .select(expr("timestamp_micros(us)").as("ts"), $"user_id",
+          $"event_type")
+      graft.streaming.StreamingNewSeries.firstSeen(stream)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r =>
+            seen.add((r.getString(0), r.getLong(1), r.getLong(2))))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    }
+    // b1, chronological: a|u1 at hours 3+5 (announce h=3), b|u2 at 4
+    Files.write(dir.resolve("b1.json"), Seq(
+      ev(1, 3, 1, "a"), ev(2, 5, 1, "a"), ev(3, 4, 2, "b"))
+      .mkString("\n").getBytes)
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assertRocksDbState(q1)
+    } finally q1.stop()
+    assert(seen.toArray.toSet == Set(("a", 1L, 600003L), ("b", 2L, 600004L)),
+      s"batch-1 announced: $seen")
+    // b2 AFTER a restart on the same checkpoint: a|u1 again (must stay
+    // silent — even though hour 1 is earlier, the announcement stands:
+    // first ARRIVAL, the documented semantics) + new series a|u0 at 6
+    Files.write(dir.resolve("b2.json"), Seq(
+      ev(4, 1, 1, "a"), ev(5, 6, 4, "a")).mkString("\n").getBytes)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = seen.toArray(Array.empty[(String, Long, Long)]).toSet
+    assert(got == Set(("a", 1L, 600003L), ("b", 2L, 600004L),
+      ("a", 0L, 600006L)), s"after restart: $got")
+    // live ≡ batch on the chronological keyspace: every announced key is
+    // a q155 inventory row, and for keys whose first arrival was
+    // chronological (all but a|u1's hour-1 latecomer) the announced hour
+    // IS the inventory's first_seen hour
+    import spark.implicits._
+    val batchEv = Seq((1L, 3L, 1L, "a"), (2L, 5L, 1L, "a"),
+      (3L, 4L, 2L, "b"), (4L, 1L, 1L, "a"), (5L, 6L, 4L, "a"))
+      .map { case (id, h, u, t) =>
+        (id, (600000L + h) * hUs, u, t, 0.0, "{}")
+      }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    val inv = graft.operators.Relational.seriesInventoryOf(batchEv)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(6)).toMap
+    assert(got.map(g => (g._1, g._2)) == inv.keySet,
+      s"announced keys != inventory keys: $got vs ${inv.keySet}")
+    def wstart(h: Long) = java.time.Instant.ofEpochSecond(h * 3600L)
+      .toString.replace("T", " ").replace("Z", "")
+    for ((t, u, h) <- got if (t, u) != (("a", 1L)))
+      assert(inv((t, u)) == wstart(h), s"$t|u$u first_seen")
+  }
 }
