@@ -479,15 +479,24 @@ object Dedup {
       detect: Boolean = false): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = d.sparkSession
     import s.implicits._
-    // detect=false (single-action consumers, q36): fully lazy — one job,
-    // exchange reuse dedupes the repeated subtrees, any materialization
-    // barrier only costs. detect=true (the multi-action component path):
-    // checkpoint the scan-bearing frames and the signature frame (reps ×
-    // 16 longs, small) so the cap detector plus every later action read
-    // materialized data instead of re-running the shingle pipeline.
-    val (members, repDocs) = collapseExact(d, materialize = detect)
-    val sig = if (detect) minhashSignatures(repDocs).localCheckpoint(true)
-      else minhashSignatures(repDocs)
+    // r16 (guide §2.4/§7.2): ALWAYS checkpoint the scan-bearing frames
+    // and the signature frame. The previous single-action shape
+    // (detect=false) stayed fully lazy on the claim that exchange reuse
+    // dedupes the repeated subtrees — measured against the POST-execution
+    // adaptive plan, it does not: q36's final plan carried 33 separate
+    // text-bearing parquet scans (only 9 ReusedExchange fired; the
+    // membership-expansion self-joins re-expand collapseExact per
+    // reference, and map-side subtrees below different exchange shapes
+    // never canonicalize equal). With the checkpoints the raw corpus is
+    // scanned twice (gid pass + repDocs join) and every later subtree
+    // reads materialized frames — measured at sf0.1: wall parity (2.1 →
+    // 2.1–2.3 s single-fork band; the barriers cost what the re-scans
+    // cost at this tiny SF) but the final-plan text-bearing scan count
+    // drops 33 → 2, which is the 100 TB number that matters.
+    // detect=true additionally runs the cap detector job (strict-mode
+    // abort semantics unchanged — q36/q37 keep warn-only caps).
+    val (members, repDocs) = collapseExact(d, materialize = true)
+    val sig = minhashSignatures(repDocs).localCheckpoint(true)
     if (detect) {
       // ADVICE r3: a cap-dropped bucket silently changes whole components
       // downstream (q62/q65), so count and report instead of staying
@@ -555,7 +564,10 @@ object Dedup {
   def simHashPairs(d: DataFrame, bucketCap: Long = MaxBandBucket): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val (members, repDocs) = collapseExact(d, materialize = false)
+    // r16: materialize + checkpoint (the q36 lshRepGraph finding — the
+    // lazy shape re-expanded collapseExact per membership-expansion
+    // reference: 18 text-bearing scans in the final adaptive plan)
+    val (members, repDocs) = collapseExact(d, materialize = true)
     // per-ROW 60-bit SimHash (r7): one doc's distinct shingle set and its
     // 60 majority votes are per-row data, so the signature is one codegen
     // expression — no shingle explode, no (doc, shingle) shuffle, no 60
@@ -565,6 +577,7 @@ object Dedup {
       .withColumn("simhash", graft.functions.SimHashSig($"text"))
       .filter($"simhash".isNotNull)
       .select($"doc_id", $"simhash")
+      .localCheckpoint(true)
     val bandStructs = (0 until 4).map(b =>
       s"struct($b as band, shiftright(simhash, ${b * 15}) & 32767 as bkey)")
       .mkString(", ")
@@ -610,8 +623,10 @@ object Dedup {
     * table recovers them). */
   def q49MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (_, repDocs) = collapseExact(docs(s, dir), materialize = false)
-    val sig = minhashSignatures(repDocs)
+    // r16: materialize + checkpoint (the q36 finding — sig feeds the
+    // banding, the cap census and both pair-join sides: 12 scans lazy)
+    val (_, repDocs) = collapseExact(docs(s, dir), materialize = true)
+    val sig = minhashSignatures(repDocs).localCheckpoint(true)
     val cand = lshCandidates(sig, MaxBandBucket)
     val a = sig.select($"doc_id".as("i") +:
       (0 until 16).map(k => col(s"s$k").as(s"a$k")): _*)

@@ -442,6 +442,31 @@ object Similarity {
     * side only — never the corpus. */
   private[graft] def explodeProbeCells(df: DataFrame,
       cents: Seq[(Seq[Long], Double)], p: Int): DataFrame = {
+    val (cur, pp) = withProbeCols(df, cents, p)
+    cur.withColumn("qcell",
+        explode(array((0 until pp).map(j => col(s"_p$j")): _*)))
+      .drop(cents.indices.map(c => s"_s$c") ++ (0 until pp).map(j => s"_p$j"): _*)
+  }
+
+  /** [[explodeProbeCells]] keeping the selection RANK: (…, j, qcell) —
+    * iterated-argmax selections are prefix-stable in p (selection j masks
+    * only the j already-chosen cells, never looks at p), so cell j of the
+    * p = max ranking IS cell j of every p > j ranking. The q115 curve
+    * probes once at max(nprobes) and derives every smaller-nprobe arm as
+    * the rank cut j < nprobe. */
+  private[graft] def explodeProbeCellsRanked(df: DataFrame,
+      cents: Seq[(Seq[Long], Double)], p: Int): DataFrame = {
+    val (cur, pp) = withProbeCols(df, cents, p)
+    cur.select(df.columns.map(col) :+
+        posexplode(array((0 until pp).map(j => col(s"_p$j")): _*))
+          .as(Seq("j", "qcell")): _*)
+  }
+
+  /** The shared iterated-argmax probe columns `_p0.._p(pp-1)` (plus the
+    * k cosine columns `_s*` they select from); see [[explodeProbeCells]]
+    * for why this is unrolled codegen rather than an array-HOF sort. */
+  private def withProbeCols(df: DataFrame,
+      cents: Seq[(Seq[Long], Double)], p: Int): (DataFrame, Int) = {
     val pp = math.min(p, cents.length)
     val simCols = cents.zipWithIndex.map { case ((ce, cn), c) =>
       safeCos(DotLongs(col("e"), typedLit(ce)), col("nrm") * cn).as(s"_s$c")
@@ -456,9 +481,7 @@ object Similarity {
       }
       cur = cur.withColumn(s"_p$j", -array_max(array(structs: _*)).getField("c"))
     }
-    cur.withColumn("qcell",
-        explode(array((0 until pp).map(j => col(s"_p$j")): _*)))
-      .drop(cents.indices.map(c => s"_s$c") ++ (0 until pp).map(j => s"_p$j"): _*)
+    (cur, pp)
   }
 
   /** IVF ANN: corpus assigned to its nearest of 16 k-means centroids
@@ -1089,20 +1112,52 @@ object Similarity {
       : Seq[(Long, Long, Long, Long, Long, Double)] = {
     val s = base.sparkSession
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val exact = exactTopK(base).select($"qid", $"nid").localCheckpoint(true)
     val qs = querySide(base)
     val nq = base.filter($"vec_id" < 10).count()
+    // r16 (guide §2.4/§2.6): ONE ADC scan + ONE window pass serves every
+    // (nprobe, shortlist) cell. The old shape ran pqAdcRanked per nprobe
+    // (3 scans of the encoded corpus, 3 checkpoints) and then 2 counts +
+    // 1 re-rank + 1 semi-count per cell — ~21 sequential driver-blocked
+    // jobs whose per-job latency dominated the query. Now: the probe side
+    // is exploded once at max(nprobe) keeping the selection rank
+    // (prefix-stable, see explodeProbeCellsRanked), the encoded corpus is
+    // joined ONCE, per-cell ranks ride one Window over (np, qid), and the
+    // cell statistics come back in two aggregate collects. Every number
+    // is bit-identical to the per-arm formulation: each np slice of the
+    // ranked frame has exactly the rows + ranks the per-np pipeline
+    // produced, the tagged re-rank partitions on (np, sl, qid) so each
+    // cell's top-5 is ranked within its own candidate set, and
+    // |ann ∩ exact| is symmetric in join direction (both sides unique).
+    val ranked = pqAdcRankedMulti(base, enc, cents, books, CurveNprobes)
+      .localCheckpoint(true)
+    val cntAggs = count(lit(1)).as("n_scanned") +:
+      CurveShortlists.map(sl =>
+        sum(when($"rk" <= sl, 1L).otherwise(0L)).as(s"rr_$sl"))
+    val cnts = ranked.groupBy($"np").agg(cntAggs.head, cntAggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val cand = ranked
+      .withColumn("sl", explode(typedLit(CurveShortlists)))
+      .filter($"rk" <= $"sl")
+      .select($"np", $"sl", $"qid", $"vec_id")
+    val w = Window.partitionBy($"np", $"sl", $"qid")
+      .orderBy($"sim".desc, $"vec_id".asc)
+    val ann = cand.join(base, "vec_id").join(broadcast(qs), "qid")
+      .withColumn("dot", DotLongs($"qe", $"e"))
+      .withColumn("sim", safeCos($"dot", $"qn" * $"nrm"))
+      .withColumn("rk2", row_number().over(w))
+      .filter($"rk2" <= 5)
+      .select($"np", $"sl", $"qid", $"vec_id".as("nid"))
+    val hits = ann.join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy($"np", $"sl").agg(count(lit(1)).as("n_hit"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     CurveNprobes.flatMap { np =>
-      val ranked = pqAdcRanked(base, enc, cents, books, np)
-        .localCheckpoint(true)
-      val nScanned = ranked.count()
       CurveShortlists.map { sl =>
-        val cand = ranked.filter($"rk" <= sl).select($"qid", $"vec_id")
-        val nReranked = cand.count()
-        val ann = cosineTopK(cand.join(base, "vec_id")
-          .join(broadcast(qs), "qid"), k = 5)
-          .select($"qid", $"nid")
-        val nHit = exact.join(ann, Seq("qid", "nid"), "left_semi").count()
+        val c = cnts.get(np)
+        val nScanned = c.fold(0L)(_.getAs[Long]("n_scanned"))
+        val nReranked = c.fold(0L)(_.getAs[Long](s"rr_$sl"))
+        val nHit = hits.getOrElse((np, sl), 0L)
         (np.toLong, sl.toLong, nScanned, nReranked, nHit,
           nHit.toDouble / (5.0 * nq))
       }
@@ -1217,6 +1272,57 @@ object Similarity {
       .withColumn("asim", safeCos(adot, $"qn" * $"rnrm"))
       .withColumn("rk", row_number().over(w))
       .select($"qid", $"vec_id", $"rk")
+  }
+
+  /** [[pqAdcRanked]] for SEVERAL nprobe knobs in one pass (the q115
+    * curve): (np, qid, vec_id, rk) where each np slice carries exactly
+    * the rows and ranks pqAdcRanked(…, np) produces. The probe side is
+    * exploded ONCE at max(nprobes) keeping the selection rank j
+    * ([[explodeProbeCellsRanked]] — prefix-stable), the encoded corpus is
+    * joined ONCE (≤ max(nprobes) probed cells per query instead of
+    * Σ nprobes), each joined row is replicated to the nps that probe at
+    * least j+1 cells via a literal j→{np > j} lookup (no array-HOF
+    * filter — the similarity-path codegen rule), asim is computed once
+    * per joined row BEFORE the replication, and one Window over
+    * (np, qid) ranks every arm. */
+  private[graft] def pqAdcRankedMulti(base: DataFrame, enc: DataFrame,
+      cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
+      nprobes: Seq[Int], qids: Option[Seq[Long]] = None): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val qside = qids.fold(base.filter($"vec_id" < 10))(ids =>
+      base.filter($"vec_id" < 10 && $"vec_id".isin(ids: _*)))
+    val pmax = nprobes.max
+    val qprobe = explodeProbeCellsRanked(qside, cents, pmax)
+      .select($"vec_id".as("qid"), $"j", $"qcell")
+    val qrows = qside.orderBy($"vec_id")
+      .select($"vec_id", $"e", $"nrm").collect()
+      .map { r =>
+        val qe = r.getSeq[Long](1).toSeq
+        (r.getLong(0),
+          (0 until PqSubspaces).map(u =>
+            books(u).map(b => dotL(subVec(qe, u), b))),
+          cents.map(c => dotL(qe, c._1)),
+          r.getDouble(2))
+      }.toSeq
+    val lut = qrows.toDF("qid", "lut", "qcent", "qn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"np", $"qid").orderBy($"asim".desc, $"vec_id".asc)
+    val adot = element_at($"qcent", ($"cell" + 1).cast("int")) +
+      (0 until PqSubspaces).map(u =>
+        element_at(element_at($"lut", u + 1),
+          element_at($"codes", u + 1) + 1)).reduce(_ + _)
+    // j → the nprobe knobs whose arm probes cell j (np > j), as a
+    // literal lookup table (pmax entries)
+    val jToNps: Seq[Seq[Int]] =
+      (0 until math.min(pmax, cents.length)).map(j => nprobes.filter(_ > j))
+    enc.join(broadcast(qprobe),
+        enc("cell") === qprobe("qcell") && enc("vec_id") =!= qprobe("qid"))
+      .join(broadcast(lut), "qid")
+      .withColumn("asim", safeCos(adot, $"qn" * $"rnrm"))
+      .withColumn("np", explode(element_at(typedLit(jToNps), $"j" + 1)))
+      .withColumn("rk", row_number().over(w))
+      .select($"np", $"qid", $"vec_id", $"rk")
   }
 
   /** The ADC shortlist: (qid, vec_id) of the top-`shortlist` encoded
