@@ -2127,8 +2127,15 @@ object Relational {
   private[graft] def funnelOf(ev0: DataFrame): DataFrame = {
     val s = ev0.sparkSession
     import s.implicits._
+    // r16: the three stage arms and the three count arms re-expanded
+    // this subtree 11x in the final adaptive plan (the q36 finding) —
+    // 11 full scans of the fact table at scale. One pushdown-filtered
+    // scan (funnel types only, three narrow columns) behind a checkpoint
+    // instead; every arm reads the materialized frame.
     val ev = ev0
+      .filter($"event_type".isin("signup", "click", "purchase"))
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .localCheckpoint(true)
     val su = ev.filter($"event_type" === "signup")
       .groupBy($"user_id").agg(min($"us").as("sus"))
     val cl = ev.filter($"event_type" === "click").join(su, "user_id")

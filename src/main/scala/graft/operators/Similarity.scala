@@ -206,7 +206,11 @@ object Similarity {
   def q39AnnLshRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = scaled(s, dir)
+    // r16: one quantize pass — base feeds the bucketing, both candidate
+    // sides, the exact arm and the re-rank join (4 full corpus scans in
+    // the lazy shape; the q36 finding — runtime exchange reuse does not
+    // dedupe map-side subtrees)
+    val base = scaled(s, dir).localCheckpoint(true)
     def bucket(lo: Int, hi: Int) =
       (lo to hi).map { p =>
         when(DotLongs($"e", typedLit(hyperplanes(p))) >= 0,
@@ -575,8 +579,10 @@ object Similarity {
     if (cents.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("qid", "n_candidates", "n_hit", "recall")
-    val base = scaled(s, dir)
-    val assigned = assignedCorpus(s, dir, cents)
+    // r16: one quantize pass (the q39 rule) — base feeds the assigned
+    // corpus, the probe side, the exact arm and the report spine
+    val base = scaled(s, dir).localCheckpoint(true)
+    val assigned = assignedOf(base, cents)
     val q = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"qcell")
     val exact = exactTopK(base).select($"qid", $"nid")
@@ -985,8 +991,11 @@ object Similarity {
     if (cents.isEmpty || books.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("qid", "n_candidates", "n_hit", "recall")
-    val base = scaled(s, dir)
-    val enc = pqEncode(assignedCorpus(s, dir, cents), cents, books)
+    // r16: one quantize pass (the q39 rule) — base feeds the encode, the
+    // shortlist fetch join, the exact arm and the report spine (3 full
+    // corpus scans in the lazy shape)
+    val base = scaled(s, dir).localCheckpoint(true)
+    val enc = pqEncode(assignedOf(base, cents), cents, books)
     // ONE shortlist materialization (10×shortlist rows) feeds both the
     // re-rank and the candidate count — the ADC scan must not run twice
     val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist)
@@ -1091,8 +1100,10 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Long, Long, Double, Boolean)]
         .toDF("nprobe", "shortlist", "n_scanned", "n_reranked", "n_hit",
           "recall", "mono_shortlist")
-    val base = scaled(s, dir)
-    val enc = pqEncode(assignedCorpus(s, dir, cents), cents, books)
+    // r16: one quantize pass (the q39 rule) — base feeds the encode,
+    // the exact arm, the query side and the re-rank fetch join
+    val base = scaled(s, dir).localCheckpoint(true)
+    val enc = pqEncode(assignedOf(base, cents), cents, books)
       .localCheckpoint(true)
     curveDf(s, curveCells(base, enc, cents, books))
   }
@@ -1188,7 +1199,7 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Long, Long, Double, Boolean)]
         .toDF("nprobe", "shortlist", "n_scanned", "n_reranked", "n_hit",
           "recall", "mono_shortlist")
-    val base = scaled(s, dir)
+    val base = scaled(s, dir).localCheckpoint(true) // the q39 rule
     val enc = s.read.parquet(s"$indexPath/enc")
     curveDf(s, curveCells(base, enc, cents, books))
   }

@@ -797,7 +797,11 @@ object TextOps {
   def q83ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // r16: base feeds the sketch, the ranked pass, the count join and
+    // the rank-of-answer pass — 9 scans in the lazy final plan (the q36
+    // finding). One text-free scan behind a checkpoint.
     val base = docs(s, dir).select($"lang", $"n_chars", $"doc_id")
+      .localCheckpoint(true)
     val approx = base.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         percentile_approx($"n_chars", lit(0.5), lit(GkAccuracy)).as("a50"),
@@ -836,8 +840,12 @@ object TextOps {
     * (metadata cardinality, broadcast, PlanSpec-allow-listed). */
   def q51Contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r16: d feeds perSource and both sides of the shared self-join —
+    // 4 text-bearing scans in the lazy plan (the q36 finding). One text
+    // decode into the checkpointed distinct-hash frame.
     val d = docs(s, dir)
       .select($"source", md5($"text".cast("binary")).as("h")).distinct()
+      .localCheckpoint(true)
     val perSource = d.groupBy($"source").agg(count(lit(1)).as("n"))
     val pairs = perSource.as("a").join(perSource.as("b"),
         $"a.source" < $"b.source")
