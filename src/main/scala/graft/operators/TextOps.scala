@@ -526,12 +526,27 @@ object TextOps {
 
   def q87Collocations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val uni = docs(s, dir)
+    // r16 (the q92 stack/melt idiom): unigram and bigram counts ride ONE
+    // text scan + ONE explode + ONE shuffle — unigrams as (t1, NULL)
+    // rows, bigrams as (t1, t2) rows, split back out of the checkpointed
+    // (t1, t2, c) frame (vocab+bigram-type-sized). The lazy shape
+    // re-expanded the unigram aggregate on both dictionary-join sides
+    // plus the scalar total and paid a separate bigram scan.
+    val counts = docs(s, dir)
       .withColumn("toks", split(lower($"text"), " "))
-      .select(explode($"toks").as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .select(explode(expr(
+        "concat(" +
+          "transform(toks, t -> struct(t AS t1, CAST(NULL AS STRING) AS t2)), " +
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(element_at(toks, i+1) AS t1, element_at(toks, i+2) AS t2)) " +
+          "ELSE array() END)")).as("p"))
+      .groupBy($"p.t1".as("t1"), $"p.t2".as("t2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uni = counts.filter($"t2".isNull).select($"t1".as("tok"), $"c")
     val nTotal = uni.agg(sum($"c").as("n_total"))
-    val bi = bigramCounts(s, dir)
+    val bi = counts.filter($"t2".isNotNull)
+      .select($"t1", $"t2", $"c".as("c_xy"))
       .filter($"c_xy" >= CollocMinSupport)
     bi
       .join(uni.select($"tok".as("t1"), $"c".as("c1")), "t1")
@@ -565,8 +580,12 @@ object TextOps {
     * dimension-cardinality frames (|sources| × |langs|), broadcast. */
   def q91BalanceChi2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r16: cells feeds both marginals, the scalar total and the grid
+    // join — checkpoint the dimension-sized frame so the corpus count
+    // aggregation runs once (the q36 lazy-re-expansion finding)
     val cells = docs(s, dir).groupBy($"source", $"lang")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val bySource = cells.groupBy($"source").agg(sum($"n").as("n_source"))
     val byLang = cells.groupBy($"lang").agg(sum($"n").as("n_lang"))
     val total = cells.agg(sum($"n").as("n_total"))
