@@ -1,4 +1,5 @@
 package graft.app
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -318,7 +319,7 @@ object CleanPipeline {
     val diff = TextOps.snapshotDiffRows(
         prevDocs.select(col("doc_id"), col("lang"), col("text")),
         newDocs.select(col("doc_id"), col("lang"), col("text")))
-      .localCheckpoint(true)
+      .materialize()
     val batch = newDocs.join(
         diff.filter(col("status") === "added").select(col("doc_id")),
         "doc_id")
@@ -361,7 +362,7 @@ object CleanPipeline {
       // mutates the very state tables this plan's joins read — a lazy
       // consumer evaluated after the append would reclassify every batch
       // doc as dup_existing (its own hash is in the state by then)
-      .localCheckpoint(true)
+      .materialize()
     try {
       val kept = staged.filter(col("stage") === "kept")
         .select("doc_id", "text", "source", "lang")
@@ -381,7 +382,7 @@ object CleanPipeline {
       // capture the per-lang totals (lang-sized) before that write
       val baseOffs = spark.table(table).groupBy(col("lang"))
         .agg(sum(col("n_kept")).as("base_off"))
-        .localCheckpoint(true)
+        .materialize()
       val packed = TextOps.packAssignments(
           fin.withColumn("tok", col("n_kept")))
         .join(broadcast(baseOffs), Seq("lang"), "left")

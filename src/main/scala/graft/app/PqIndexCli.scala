@@ -1,4 +1,5 @@
 package graft.app
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.SparkSession
 
@@ -87,7 +88,7 @@ object PqIndexCli {
         if (threshold.isEmpty) 2
         else {
           val now = Similarity.pqIndexDistortion(spark, sfDir, indexPath)
-            .localCheckpoint(true) // 8 rows — feeds show + the gate once
+            .materialize() // 8 rows — feeds show + the gate once
           now.show(numRows = 16, truncate = false)
           // the distortion gate passed (it throws on partial coverage) —
           // refresh the persisted curve so it prices the index INCLUDING

@@ -1,4 +1,5 @@
 package graft.app
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
@@ -107,7 +108,7 @@ object SeriesAuditCli {
           return 2
         }
         val ev = eventsOf(spark, sfDir)
-        val buckets = Relational.hourBuckets(ev).localCheckpoint(true)
+        val buckets = Relational.hourBuckets(ev).materialize()
         val b = buckets.agg(
           org.apache.spark.sql.functions.min(col("h")),
           org.apache.spark.sql.functions.max(col("h"))).collect()(0)
@@ -133,7 +134,7 @@ object SeriesAuditCli {
         // Refusal: a history shorter than one season + 1 hour has no
         // seasonal fit to judge against.
         val ev = eventsOf(spark, sfDir)
-        val buckets = Relational.hourBuckets(ev).localCheckpoint(true)
+        val buckets = Relational.hourBuckets(ev).materialize()
         val b = buckets.agg(
           org.apache.spark.sql.functions.min(col("h")),
           org.apache.spark.sql.functions.max(col("h"))).collect()(0)
@@ -225,7 +226,7 @@ object SeriesAuditCli {
           return 2
         }
         val ev = eventsOf(spark, sfDir)
-        val buckets = Relational.hourBuckets(ev).localCheckpoint(true)
+        val buckets = Relational.hourBuckets(ev).materialize()
         val b = buckets.agg(
           org.apache.spark.sql.functions.min(col("h")),
           org.apache.spark.sql.functions.max(col("h"))).collect()(0)

@@ -1,4 +1,5 @@
 package graft.app
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
@@ -186,7 +187,7 @@ object TextIndexCli {
         if (threshold.isEmpty) 2
         else {
           val bm = StreamingBm25.bm25IndexDrift(spark, s"${name}_bm25")
-            .localCheckpoint(true) // 1 row — feeds show + the gate once
+            .materialize() // 1 row — feeds show + the gate once
           bm.show(truncate = false)
           // the same refusal shape as the BM25 side: a model frozen before
           // the rates table existed has no admit-rate baseline — name the
@@ -200,7 +201,7 @@ object TextIndexCli {
           val lm = StreamingLmGate.lmGateDrift(
               spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
               cells, ctx, cuts, spark.table(s"${name}_lm_rates"))
-            .localCheckpoint(true) // #langs rows
+            .materialize() // #langs rows
           lm.show(numRows = 100, truncate = false)
           // the trained classifier's admit drift — same refusal shape
           require(spark.catalog.tableExists(s"${name}_q_rates"),
@@ -211,7 +212,7 @@ object TextIndexCli {
           val qd = StreamingQualityGate.qualityGateDrift(
               spark.read.parquet(docsParquet).select("doc_id", "lang", "text"),
               qw, qTheta, spark.table(s"${name}_q_rates"))
-            .localCheckpoint(true) // #langs rows
+            .materialize() // #langs rows
           qd.show(numRows = 100, truncate = false)
           def worst(df: org.apache.spark.sql.DataFrame): Long =
             df.agg(org.apache.spark.sql.functions.coalesce(

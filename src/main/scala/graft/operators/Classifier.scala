@@ -1,4 +1,5 @@
 package graft.operators
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -125,6 +126,12 @@ object Classifier {
           array(lit(null).cast("string")))).as("tok"))
       .withColumn("fb", coalesce(Buckets.modN("tok", PerceptronBuckets),
         lit(BiasBucket)))
+      // stop-word membership computed where the token string still
+      // exists (r17): [[perDocFromTokens]] aggregates the FLAG, so the
+      // q137 fold can feed it a token-free frame. null tok (the bias
+      // cell) → null st → skipped by the sum, exactly as the old
+      // tok-side isInCollection behaved.
+      .withColumn("st", $"tok".isInCollection(StopWords))
   }
 
   /** Labels are PLUGGABLE (VERDICT r13 #2): `labels = None` keeps the
@@ -143,7 +150,7 @@ object Classifier {
     val feats = tf
       .groupBy($"doc_id", $"lang", $"db", $"fb")
       .agg(count(lit(1)).as("c"),
-        sum($"tok".isInCollection(StopWords).cast("long")).as("cs"))
+        sum($"st".cast("long")).as("cs"))
       // n_tok/n_stop exclude the bias cell (it is not a token)
       .withColumn("n_tok",
         sum(when($"fb" === BiasBucket, 0L).otherwise($"c")).over(wDoc))
@@ -365,9 +372,9 @@ object Classifier {
   private[graft] def perLangThetaAuditOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val perDoc = perceptronPerDoc(d).localCheckpoint(true)
+    val perDoc = perceptronPerDoc(d).materialize()
     val w = trainPerceptron(perDoc)
-    perLangAuditFromScores(scoresOf(perDoc, w).localCheckpoint(true))
+    perLangAuditFromScores(scoresOf(perDoc, w).materialize())
   }
 
   /** The q136 rollup from an explicit scores frame (doc_id, lang, db, y,
@@ -449,16 +456,34 @@ object Classifier {
     val s = d.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // r17 (VERDICT r16 #4) — MEASURED AND REJECTED: folding the teacher
+    // and student text passes onto one scan behind a per-token barrier.
+    // Three variants were built and profiled at sf0.1 (all
+    // oracle-green): (a) array<struct<tok,h8>> — tok strings + md5
+    // prefix behind the barrier, one md5/token instead of two
+    // (taskSec 6.3 → 7.3); (b) array<struct<b,f,st>> — no strings, both
+    // moduli + the stop flag (taskSec 9.4); (c) a packed-int array,
+    // 4 bytes/token, b + f·64 + st·16384 (taskSec 10.3). Every variant
+    // LOST to the two-scan shape it replaced: the parquet text column is
+    // compressed + columnar and each pass's tokenize/md5 fuses into one
+    // whole-stage-codegen projection straight off the scan, while any
+    // per-token array barrier pays UnsafeArrayData construction + a
+    // row-format write + N cached reads that cost more than the second
+    // scan (the same economics that rejected the q92 dimension melt in
+    // r16). The r16 driver-thread overlap of the two passes was likewise
+    // measured erratic and reverted. The two scans stay — each is
+    // individually optimal; their sum is the honest price of two
+    // independent models over the same text.
     // teacher: bigram LM frozen on the train split, per-lang tail cut
     // from the train tercile, absolute labels for every doc
-    val lmPd = TextOps.lmPerDocOf(d).localCheckpoint(true)
+    val lmPd = TextOps.lmPerDocOf(d).materialize()
     val cells = lmPd.filter($"db" >= 100)
       .groupBy($"lang", $"b1", $"b2").agg(sum($"c").as("c12"))
     val ctx = cells.groupBy($"lang", $"b1").agg(sum($"c12").as("c1"))
     val scored = TextOps
       .lmScoreFromPerDoc(d.select($"doc_id", $"lang"), lmPd, cells, ctx)
       .withColumn("db", Buckets.mod1000("doc_id"))
-      .localCheckpoint(true) // feeds the cut AND the labels
+      .materialize() // feeds the cut AND the labels
     val wr = Window.partitionBy($"lang")
       .orderBy($"lm_score".desc, $"doc_id".asc)
     val cuts = scored.filter($"db" >= 100)
@@ -471,9 +496,9 @@ object Classifier {
         when($"cut".isNull || $"lm_score" >= $"cut", 1L).otherwise(-1L)
           .as("y"))
     val perDoc = perDocFromTokens(tokenFrame(d), Some(teacher))
-      .localCheckpoint(true)
+      .materialize()
     val w = trainPerceptron(perDoc)
-    val scores = scoresOf(perDoc, w).localCheckpoint(true)
+    val scores = scoresOf(perDoc, w).materialize()
     val theta = calibrateTheta(scores.filter($"db" >= 100))
     val aucL = aucByLang(scores.filter($"db" < 100))
     scores
@@ -521,9 +546,9 @@ object Classifier {
   private[graft] def classifierAuditOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val perDoc = perceptronPerDoc(d).localCheckpoint(true)
+    val perDoc = perceptronPerDoc(d).materialize()
     val w = trainPerceptron(perDoc)
-    val scores = scoresOf(perDoc, w).localCheckpoint(true)
+    val scores = scoresOf(perDoc, w).materialize()
     val theta = calibrateTheta(scores.filter($"db" >= 100))
     scores
       .withColumn("split", when($"db" < 100, "eval").otherwise("train"))
@@ -565,8 +590,8 @@ object Classifier {
     val s = d.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tf = tokenFrame(d).localCheckpoint(true)
-    val w = trainPerceptron(perDocFromTokens(tf).localCheckpoint(true))
+    val tf = tokenFrame(d).materialize()
+    val w = trainPerceptron(perDocFromTokens(tf).materialize())
     val census = tf.filter($"tok".isNotNull)
       .groupBy($"fb", $"tok").agg(count(lit(1)).as("occ"))
     val rn = row_number().over(
@@ -604,7 +629,7 @@ object Classifier {
   private[graft] def classifierAucOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
-    val perDoc = perceptronPerDoc(d).localCheckpoint(true)
+    val perDoc = perceptronPerDoc(d).materialize()
     val w = trainPerceptron(perDoc)
     val byScore = scoreGroups(scoresOf(perDoc, w).filter($"db" < 100), Nil)
     // negs STRICTLY below = inclusive cn − own ns, so the tie-corrected

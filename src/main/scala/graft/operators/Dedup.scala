@@ -1,4 +1,5 @@
 package graft.operators
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -176,7 +177,7 @@ object Dedup {
     // same scan barrier as q89: `e` feeds nDoc, the df cap and both join
     // sides — checkpointed once so the text decode + shingle explode +
     // distinct never re-plan per consumer
-    val e = shingleRows(s, dir, distinct = true).localCheckpoint(true)
+    val e = shingleRows(s, dir, distinct = true).materialize()
     val nDoc = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val rare = e.groupBy($"s")
       .agg(count(lit(1)).as("df"))
@@ -213,7 +214,7 @@ object Dedup {
     // re-plans the text decode + shingle explode + distinct, multiplying
     // the corpus scan. Checkpointed once, every consumer reads the
     // materialized shingle rows.
-    val e = shingleRows(s, dir, distinct = true).localCheckpoint(true)
+    val e = shingleRows(s, dir, distinct = true).materialize()
     val nDoc = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val rare = e.groupBy($"s")
       .agg(count(lit(1)).as("df"))
@@ -311,7 +312,7 @@ object Dedup {
     import s.implicits._
     // the q89 scan barrier: `f` feeds the per-doc counts, the df cap and
     // both pair-join sides — materialized once
-    val f = fingerprintRowsOf(d.select($"doc_id", $"text")).localCheckpoint(true)
+    val f = fingerprintRowsOf(d.select($"doc_id", $"text")).materialize()
     val nDoc = f.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val rare = f.groupBy($"fp")
       .agg(count(lit(1)).as("df"))
@@ -390,7 +391,7 @@ object Dedup {
     val s = d.sparkSession
     import s.implicits._
     def cp(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(true) else df
+      if (materialize) df.materialize() else df
     // materialize=true: 2 raw scans total, every later pass reads the
     // checkpoints (the multi-action component path). false: fully lazy —
     // a SINGLE-action consumer (q36/q37) plans one job and exchange
@@ -496,7 +497,7 @@ object Dedup {
     // detect=true additionally runs the cap detector job (strict-mode
     // abort semantics unchanged — q36/q37 keep warn-only caps).
     val (members, repDocs) = collapseExact(d, materialize = true)
-    val sig = minhashSignatures(repDocs).localCheckpoint(true)
+    val sig = minhashSignatures(repDocs).materialize()
     if (detect) {
       // ADVICE r3: a cap-dropped bucket silently changes whole components
       // downstream (q62/q65), so count and report instead of staying
@@ -577,7 +578,7 @@ object Dedup {
       .withColumn("simhash", graft.functions.SimHashSig($"text"))
       .filter($"simhash".isNotNull)
       .select($"doc_id", $"simhash")
-      .localCheckpoint(true)
+      .materialize()
     val bandStructs = (0 until 4).map(b =>
       s"struct($b as band, shiftright(simhash, ${b * 15}) & 32767 as bkey)")
       .mkString(", ")
@@ -626,7 +627,7 @@ object Dedup {
     // r16: materialize + checkpoint (the q36 finding — sig feeds the
     // banding, the cap census and both pair-join sides: 12 scans lazy)
     val (_, repDocs) = collapseExact(docs(s, dir), materialize = true)
-    val sig = minhashSignatures(repDocs).localCheckpoint(true)
+    val sig = minhashSignatures(repDocs).materialize()
     val cand = lshCandidates(sig, MaxBandBucket)
     val a = sig.select($"doc_id".as("i") +:
       (0 until 16).map(k => col(s"s$k").as(s"a$k")): _*)
@@ -732,7 +733,7 @@ object Dedup {
     val sh = shingleRowsOf(d.select($"doc_id", $"text"),
         distinct = true, width = DecontamWidth)
       .withColumn("ev", isEval)
-      .localCheckpoint(true)
+      .materialize()
     val evalSh = sh.filter($"ev").select($"s").distinct()
     val trainSh = sh.filter(!$"ev").select($"doc_id", $"s")
     trainSh.join(evalSh, "s")
@@ -786,7 +787,7 @@ object Dedup {
         distinct = true, width = DecontamWidth)
       .select($"doc_id", md5($"s".cast("binary")).as("h"),
         (graft.util.Buckets.mod1000("doc_id") < 100).as("ev"))
-      .localCheckpoint(true)
+      .materialize()
     val trainG = sh.filter(!$"ev").select($"h").distinct()
       .withColumn("hit", lit(1L))
     val perDoc = sh.filter($"ev").select($"doc_id", $"h")
@@ -864,12 +865,12 @@ object Dedup {
       .select($"doc_id", $"bucket", $"arm",
         md5(expr(s"concat_ws(' ', $parts)").cast("binary")).as("h"))
       .distinct()
-      .localCheckpoint(true) // the q60 scan barrier: both sides read it
+      .materialize() // the q60 scan barrier: both sides read it
     val evalG = sh.filter($"bucket" < 100).select($"arm", $"h").distinct()
     val hits = sh.filter($"bucket" >= 100)
       .join(evalG, Seq("arm", "h"), "left_semi")
       .select($"arm", $"doc_id").distinct()
-      .localCheckpoint(true) // two arm filters below — one computation
+      .materialize() // two arm filters below — one computation
     val raw = hits.filter($"arm" === 0L).select($"doc_id")
       .withColumn("craw", lit(1L))
     val nrm = hits.filter($"arm" === 1L).select($"doc_id")
@@ -1027,12 +1028,12 @@ object Dedup {
     val sh = shingleRowsOf(d.select($"doc_id", $"text"),
         distinct = true, width = DecontamWidth)
       .withColumn("bucket", graft.util.Buckets.mod1000("doc_id"))
-      .localCheckpoint(true)
+      .materialize()
     // the distinct eval set is materialized ONCE — the sketch build and
     // the exact join both consume it (benchmark-suite-sized by the
     // split's construction, so the barrier is cheap)
     val evalSh = sh.filter($"bucket" < 100).select($"s").distinct()
-      .localCheckpoint(true)
+      .materialize()
     val trainSh = sh.filter($"bucket" >= 100).select($"doc_id", $"s")
     // right-size the sketch from the HLL estimate (deterministic:
     // merged HLL registers are max-per-register, order-independent) —
@@ -1097,12 +1098,16 @@ object Dedup {
   /** Drop memoized frames (benchmark hygiene — a timed pass must pay the
     * full cost it claims to measure; verification hygiene — a rewritten
     * corpus dir must not serve stale labels). Unpersists the evicted
-    * checkpoints so their blocks free immediately instead of at GC. */
+    * checkpoints so their blocks free immediately instead of at GC.
+    * Also drains the [[graft.util.Mat]] registry (ADVICE r16): every
+    * ad-hoc materialized intermediate of the previous pass/query frees
+    * here instead of accumulating across a 148-query session. */
   def clearCaches(): Unit = {
     componentCache.values.forEach { df =>
       try df.unpersist(false) catch { case _: Exception => () }
     }
     componentCache.clear()
+    graft.util.Mat.clear()
   }
 
   /** Fail fast on a fired LSH bucket cap (vs warn-only): set by Verify
@@ -1113,7 +1118,7 @@ object Dedup {
 
   private def memberComponents(s: SparkSession, dir: String): DataFrame =
     componentCache.computeIfAbsent((s, dir),
-      _ => memberComponentsOf(docs(s, dir)).localCheckpoint(true))
+      _ => memberComponentsOf(docs(s, dir)).materialize())
 
   private[graft] def memberComponentsOf(d: DataFrame): DataFrame = {
     val (members, _, verified, sig) = lshRepGraph(d, detect = true)
@@ -1269,7 +1274,7 @@ object Dedup {
     val (members, _, verified, sig) = lshRepGraph(dt, detect = true)
     // door arm: first-wins bucket ownership over the exact survivors
     val banded = bandedOf(sig)
-      .localCheckpoint(true) // feeds owners + the collide join
+      .materialize() // feeds owners + the collide join
     val owners = banded.groupBy($"band", $"bkey")
       .agg(min($"doc_id").as("owner"))
     val doorCollide = banded.join(owners, Seq("band", "bkey"))
@@ -1376,9 +1381,9 @@ object Dedup {
   private[graft] def incBatchArtifacts(batchDocs: DataFrame): IncBatch = {
     val dt = batchDocs.select(col("doc_id"), col("text"))
     val (members, repDocs) = collapseExact(dt, materialize = true)
-    val sig = minhashSignatures(repDocs).localCheckpoint(true)
+    val sig = minhashSignatures(repDocs).materialize()
     val shingles = shingleRowsOf(repDocs, distinct = true)
-      .localCheckpoint(true)
+      .materialize()
     IncBatch(members, repDocs, sig, shingles)
   }
 
@@ -1460,14 +1465,14 @@ object Dedup {
       .join(capped(bandedOf(sigBase)).as("b"), Seq("band", "bkey"))
       .filter($"a.doc_id" =!= $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j")).distinct()
-      .localCheckpoint(true)
+      .materialize()
     val eBase = s.read.parquet(s"$statePath/shingles")
       .join(cand.select($"j".as("doc_id")).distinct(), Seq("doc_id"),
         "left_semi")
     val linkedReps = verifyJaccard(ib.shingles.union(eBase), cand)
       .select($"i".as("rep")).distinct()
     ib.members.join(linkedReps, "rep")
-      .select($"doc_id").localCheckpoint(true)
+      .select($"doc_id").materialize()
   }
 
   def incrementalNearDupDrops(batchDocs: DataFrame, ib: IncBatch,
@@ -1518,7 +1523,7 @@ object Dedup {
     val sh = shingleRowsOf(batchDocs.select($"doc_id", $"text"),
         distinct = true, width = DecontamWidth)
       .join(batchDocs.select($"doc_id", isEval.as("ev")), "doc_id")
-      .localCheckpoint(true)
+      .materialize()
     val evalS = sh.filter($"ev").select($"s")
       .union(s.read.parquet(s"$statePath/evalgrams")).distinct()
     sh.filter(!$"ev").select($"doc_id", $"s")
@@ -1539,7 +1544,7 @@ object Dedup {
     import s.implicits._
     val occ = gramOccurrences(base)
       .withColumn("k", $"doc_id" * lit(1000000000L) + $"pos")
-      .localCheckpoint(true)
+      .materialize()
     val firstKey = occ.groupBy($"h").agg(min($"k").as("fk"))
     val inBase = s.read.parquet(s"$statePath/stripgrams")
       .withColumn("in_base", lit(1))
@@ -1610,7 +1615,7 @@ object Dedup {
         width = DupSpanWidth)
       .select($"doc_id", md5($"s".cast("binary")).as("h"))
       .groupBy($"doc_id", $"h").agg(count(lit(1)).as("k"))
-      .localCheckpoint(true)
+      .materialize()
     val dupGrams = occ.groupBy($"h").agg(sum($"k").as("c"))
       .filter($"c" >= 2).select($"h")
     val dupPerDoc = occ.join(dupGrams, "h")
@@ -1711,7 +1716,7 @@ object Dedup {
     import s.implicits._
     val occ = gramOccurrences(base)
       .withColumn("k", $"doc_id" * lit(1000000000L) + $"pos")
-      .localCheckpoint(true)
+      .materialize()
     val firstKey = occ.groupBy($"h").agg(min($"k").as("fk"))
     occ.join(firstKey, "h")
       .filter($"k" =!= $"fk")

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
@@ -256,7 +257,7 @@ object Multimodal {
       indexPath: String): Unit = {
     import s.implicits._
     val qd = quantizedDescriptors(decodeFeatures(s, assetsDf))
-      .localCheckpoint(true)
+      .materialize()
     // variance fit per (decoder, dim) over the SCALED normalized
     // component ys = ⌊10⁴·z_d/‖z‖ + ½⌋: per-row IEEE on exact inputs,
     // then exact integer sums — deterministic under any partitioning.
@@ -373,10 +374,10 @@ object Multimodal {
     import s.implicits._
     val k = PerceptualGridDims
     val keyCols = Seq("decoder", "combo") ++ (0 until k).map(i => s"k$i")
-    val keyedCk = keyed.localCheckpoint(true) // feeds sizes + both joins
+    val keyedCk = keyed.materialize() // feeds sizes + both joins
     val sizes = keyedCk.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
-      .localCheckpoint(true)
+      .materialize()
     val fat = sizes.filter($"bsz" > PerceptualCellCap)
       .select(keyCols.map(col): _*)
     val Seq(total, fatMass) = {
@@ -484,7 +485,7 @@ object Multimodal {
       (0 until PerceptualGridDims).map(i => s"k$i")
     val batchDesc = quantizedDescriptors(decodeFeatures(s, batchAssets))
       .select($"doc_id", $"decoder", $"p", $"t", $"nrm")
-      .localCheckpoint(true) // decode once: keys AND verification read it
+      .materialize() // decode once: keys AND verification read it
     val desc = s.read.parquet(s"$indexPath/desc")
       .repartition(s.sparkContext.defaultParallelism) // see pairs path
     val batchKeys = blockKeys(batchDesc, meta)

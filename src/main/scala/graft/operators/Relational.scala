@@ -1,4 +1,5 @@
 package graft.operators
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -467,7 +468,7 @@ object Relational {
   private[graft] def denseGrid(buckets: DataFrame): (DataFrame, Long, Long) = {
     val s = buckets.sparkSession
     import s.implicits._
-    val base = buckets.localCheckpoint(true)
+    val base = buckets.materialize()
     // global hour bounds: a 2-long driver agg over the bucket frame
     val b = base.agg(min($"h"), max($"h")).collect()(0)
     val (lo, hi) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
@@ -509,7 +510,7 @@ object Relational {
     import s.implicits._
     val g = gapfillFromBuckets(hourBuckets(ev))
       .select($"wstart", $"event_type", $"n")
-      .localCheckpoint(true)
+      .materialize()
     val dev = g.join(broadcast(medianThresholds(g)), "event_type")
       .withColumn("dev", abs($"n" - $"med_n"))
     dev.filter($"dev" > lit(AnomalyK3) * $"mad_n")
@@ -540,7 +541,7 @@ object Relational {
       expectedTypes: DataFrame): DataFrame = {
     val s = buckets.sparkSession
     import s.implicits._
-    val base = buckets.select($"event_type", $"h", $"n").localCheckpoint(true)
+    val base = buckets.select($"event_type", $"h", $"n").materialize()
     val mx = base.agg(max($"h")).collect()(0) // 1-value driver read
     if (mx.isNullAt(0))
       expectedTypes
@@ -601,7 +602,7 @@ object Relational {
     val s = buckets.sparkSession
     import s.implicits._
     val (j, _, _) = denseGrid(buckets)
-    val g = j.select($"h", $"event_type", $"n").localCheckpoint(true)
+    val g = j.select($"h", $"event_type", $"n").materialize()
     val stats = g.groupBy($"event_type")
       .agg(count(lit(1)).as("nh"), sum($"n").as("sx"),
         sum($"n" * $"n").as("sxx"))
@@ -690,11 +691,11 @@ object Relational {
     val s = buckets.sparkSession
     import s.implicits._
     val (j, _, _) = denseGrid(buckets)
-    val g = j.select($"h", $"event_type", $"n").localCheckpoint(true)
+    val g = j.select($"h", $"event_type", $"n").materialize()
     val stats = g.groupBy($"event_type")
       .agg(count(lit(1)).as("nh"), sum($"n").as("sx"),
         sum($"n" * $"n").as("sxx"))
-      .localCheckpoint(true) // #types rows — feeds centering AND moments
+      .materialize() // #types rows — feeds centering AND moments
     val nBits = SeriesLshPlanes / SeriesLshBands
     val proj = g
       .join(broadcast(stats.select($"event_type", $"nh", $"sx")),
@@ -711,7 +712,7 @@ object Relational {
         ($"dot" >= 0L).cast("long").as("bit"))
       .groupBy($"event_type", $"band")
       .agg(sum(expr("bit * shiftleft(1, cast(pos as int))")).as("bk"))
-      .localCheckpoint(true) // #series × #bands — feeds both join sides
+      .materialize() // #series × #bands — feeds both join sides
     val mask = (1L << nBits) - 1L
     val probe = sigs.select($"event_type".as("type_b"), $"band",
       explode(array($"bk", lit(mask) - $"bk")).as("bk"))
@@ -1395,7 +1396,7 @@ object Relational {
     val s = ev.sparkSession
     import s.implicits._
     // one events scan feeds both window arms
-    val b = hourBuckets(ev).localCheckpoint(true)
+    val b = hourBuckets(ev).materialize()
     def arm(name: String, w: WindowSpec) = b
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= TopBottomK)
@@ -1750,7 +1751,7 @@ object Relational {
     val hu = ev.select(
         expr(s"unix_micros(ts) div ${GapfillHourUs}L").as("h"), $"user_id")
       .distinct()
-      .localCheckpoint(true)
+      .materialize()
     val b = hu.agg(min($"h"), max($"h")).collect()(0)
     if (b.isNullAt(0))
       return hu.sparkSession.emptyDataFrame
@@ -1866,7 +1867,7 @@ object Relational {
       .withColumn("slope",
         ($"nb" - $"na").cast("double") / ($"hb" - $"ha").cast("double"))
       .select($"event_type", $"ha", $"hb", $"slope")
-      .localCheckpoint(true)
+      .materialize()
   }
 
   def theilSenOf(ev: DataFrame): DataFrame = {
@@ -2135,7 +2136,7 @@ object Relational {
     val ev = ev0
       .filter($"event_type".isin("signup", "click", "purchase"))
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-      .localCheckpoint(true)
+      .materialize()
     val su = ev.filter($"event_type" === "signup")
       .groupBy($"user_id").agg(min($"us").as("sus"))
     val cl = ev.filter($"event_type" === "click").join(su, "user_id")
@@ -2203,7 +2204,7 @@ object Relational {
       .agg(max(unix_micros($"ts")).as("rec_us"),
         count(lit(1)).as("freq"),
         sum(slong($"value")).as("mon_s"))
-      .localCheckpoint(true) // feeds three ranked passes + the final agg
+      .materialize() // feeds three ranked passes + the final agg
     val nUsers = perUser.count()
     def quartOf(metric: String): DataFrame =
       withGlobalRank(
@@ -2384,10 +2385,9 @@ object Relational {
     // audits' stage overhead matched the entire fact arm's cost). The
     // FACT-side audit below is the one that pre-aggregates.
     def audit(name: String, child: DataFrame, fk: String,
-        parent: DataFrame, pk: String): DataFrame =
+        parentKeys: DataFrame): DataFrame =
       child.select(col(fk).as("k"))
-        .join(parent.select(col(pk).as("pk")).distinct(),
-          $"k" === $"pk", "left")
+        .join(parentKeys, $"k" === $"pk", "left")
         .agg(count(lit(1)).as("n_child"),
           countDistinct($"k").as("n_keys"),
           sum(when($"pk".isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
@@ -2434,16 +2434,30 @@ object Relational {
         coalesce($"n_keys", lit(0L)).as("n_keys"),
         coalesce($"n_orphan_rows", lit(0L)).as("n_orphan_rows"),
         coalesce($"n_orphan_keys", lit(0L)).as("n_orphan_keys"))
+    // r17 (VERDICT r16 #5): the two nation-parent audits consumed the
+    // SAME (distinct n_nationkey) frame via two separate scans+distincts
+    // in the final adaptive plan (the r16 exchange-reuse finding) — one
+    // #nations-row materialization serves both. The remaining
+    // per-constraint dimension scans stay separate on purpose: each is
+    // column-pruned to one key, and melting same-table child/parent
+    // audits (customer appears as c_nationkey child AND c_custkey
+    // parent) would trade two pruned 1-column scans for one 2-column
+    // barrier — measured at 10× fact volume the dimension audits are
+    // noise next to the melted fact arm (numbers in OPTIMIZATION_r17).
+    val nationKeys = t(s, dir, "nation")
+      .select($"n_nationkey".as("pk")).distinct().materialize()
+    def keysOf(tbl: String, pk: String): DataFrame =
+      t(s, dir, tbl).select(col(pk).as("pk")).distinct()
     Seq(
       audit("customer.c_nationkey->nation",
-        t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        t(s, dir, "customer"), "c_nationkey", nationKeys),
       audit("embeddings.vec_id->documents",
-        t(s, dir, "embeddings"), "vec_id", t(s, dir, "documents"), "doc_id"),
+        t(s, dir, "embeddings"), "vec_id", keysOf("documents", "doc_id")),
       liAudit,
       audit("orders.o_custkey->customer",
-        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        t(s, dir, "orders"), "o_custkey", keysOf("customer", "c_custkey")),
       audit("supplier.s_nationkey->nation",
-        t(s, dir, "supplier"), "s_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        t(s, dir, "supplier"), "s_nationkey", nationKeys))
       .reduce(_ unionByName _)
       .orderBy($"constraint_name")
   }

@@ -1,6 +1,7 @@
 package graft.operators
+import graft.util.Mat.Ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DotLongs, QuantizeVec, SubLongs}
@@ -139,12 +140,12 @@ object Similarity {
     // broadcast join — never a corpus shuffle
     val c = base.select($"vec_id".as("nid"), $"e", $"nrm")
       .join(broadcast(cand.select($"qid", $"nid", $"sim")), "nid")
-      .localCheckpoint(true) // pool-sized × #queries; feeds pairs + steps
+      .materialize() // pool-sized × #queries; feeds pairs + steps
     val pairs = c.as("a").join(c.as("b"),
         $"a.qid" === $"b.qid" && $"a.nid" =!= $"b.nid")
       .select($"a.qid".as("qid"), $"a.nid".as("i"), $"b.nid".as("j"),
         safeCos(DotLongs($"a.e", $"b.e"), $"a.nrm" * $"b.nrm").as("psim"))
-      .localCheckpoint(true) // pool² × #queries
+      .materialize() // pool² × #queries
     val slim = c.select($"qid", $"nid", $"sim")
     val w = Window.partitionBy($"qid").orderBy($"mmr".desc, $"nid".asc)
     var selected = slim
@@ -152,7 +153,7 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter($"_rn" === 1)
       .select($"qid", $"nid", lit(1L).as("rk"), $"mmr")
-      .localCheckpoint(true)
+      .materialize()
     for (step <- 2 to k) {
       val rem = slim.join(selected.select($"qid", $"nid"),
         Seq("qid", "nid"), "left_anti")
@@ -173,7 +174,7 @@ object Similarity {
       // the growing frame feeds the NEXT step twice (anti-join +
       // penalty join) — checkpoint keeps the plan flat; the final
       // union has no further consumer and skips the barrier
-      if (step < k) selected = selected.localCheckpoint(true)
+      if (step < k) selected = selected.materialize()
     }
     selected
   }
@@ -210,7 +211,7 @@ object Similarity {
     // sides, the exact arm and the re-rank join (4 full corpus scans in
     // the lazy shape; the q36 finding — runtime exchange reuse does not
     // dedupe map-side subtrees)
-    val base = scaled(s, dir).localCheckpoint(true)
+    val base = scaled(s, dir).materialize()
     def bucket(lo: Int, hi: Int) =
       (lo to hi).map { p =>
         when(DotLongs($"e", typedLit(hyperplanes(p))) >= 0,
@@ -361,7 +362,7 @@ object Similarity {
   def q107SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val asg = cellAssignments(s, dir).select($"cell", $"vec_id", $"e", $"nrm")
-      .localCheckpoint(true)
+      .materialize()
     val a = asg.select($"cell", $"vec_id".as("i"), $"e".as("ea"), $"nrm".as("na"))
     val b = asg.select($"cell", $"vec_id".as("j"), $"e".as("eb"), $"nrm".as("nb"))
     val dup = a.join(b, Seq("cell")).filter($"i" < $"j")
@@ -581,7 +582,7 @@ object Similarity {
         .toDF("qid", "n_candidates", "n_hit", "recall")
     // r16: one quantize pass (the q39 rule) — base feeds the assigned
     // corpus, the probe side, the exact arm and the report spine
-    val base = scaled(s, dir).localCheckpoint(true)
+    val base = scaled(s, dir).materialize()
     val assigned = assignedOf(base, cents)
     val q = explodeProbeCells(base.filter($"vec_id" < 10), cents, nprobe)
       .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"), $"qcell")
@@ -703,7 +704,7 @@ object Similarity {
     // once (the theilSen/q89 checkpoint discipline; sample-sized when
     // samplePermille is set)
     val resid = residualCols(fitSet, cents)
-      .localCheckpoint(true)
+      .materialize()
     // seeds: full fit takes vec_id < PqCodes — the PREDICATE form, the
     // same convention as fitCentroids and the oracle twin's pbook0, so a
     // non-dense or offset id space diverges identically on both sides
@@ -994,12 +995,12 @@ object Similarity {
     // r16: one quantize pass (the q39 rule) — base feeds the encode, the
     // shortlist fetch join, the exact arm and the report spine (3 full
     // corpus scans in the lazy shape)
-    val base = scaled(s, dir).localCheckpoint(true)
+    val base = scaled(s, dir).materialize()
     val enc = pqEncode(assignedOf(base, cents), cents, books)
     // ONE shortlist materialization (10×shortlist rows) feeds both the
     // re-rank and the candidate count — the ADC scan must not run twice
     val sl = pqShortlist(base, enc, cents, books, nprobe, shortlist)
-      .localCheckpoint(true)
+      .materialize()
     val qs = querySide(base)
     val ann = cosineTopK(sl.join(base, "vec_id").join(broadcast(qs), "qid"),
         k = 5).select($"qid", $"nid")
@@ -1102,9 +1103,9 @@ object Similarity {
           "recall", "mono_shortlist")
     // r16: one quantize pass (the q39 rule) — base feeds the encode,
     // the exact arm, the query side and the re-rank fetch join
-    val base = scaled(s, dir).localCheckpoint(true)
+    val base = scaled(s, dir).materialize()
     val enc = pqEncode(assignedOf(base, cents), cents, books)
-      .localCheckpoint(true)
+      .materialize()
     curveDf(s, curveCells(base, enc, cents, books))
   }
 
@@ -1124,7 +1125,7 @@ object Similarity {
     val s = base.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val exact = exactTopK(base).select($"qid", $"nid").localCheckpoint(true)
+    val exact = exactTopK(base).select($"qid", $"nid").materialize()
     val qs = querySide(base)
     val nq = base.filter($"vec_id" < 10).count()
     // r16 (guide §2.4/§2.6): ONE ADC scan + ONE window pass serves every
@@ -1142,7 +1143,7 @@ object Similarity {
     // cell's top-5 is ranked within its own candidate set, and
     // |ann ∩ exact| is symmetric in join direction (both sides unique).
     val ranked = pqAdcRankedMulti(base, enc, cents, books, CurveNprobes)
-      .localCheckpoint(true)
+      .materialize()
     val cntAggs = count(lit(1)).as("n_scanned") +:
       CurveShortlists.map(sl =>
         sum(when($"rk" <= sl, 1L).otherwise(0L)).as(s"rr_$sl"))
@@ -1199,7 +1200,7 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Long, Long, Double, Boolean)]
         .toDF("nprobe", "shortlist", "n_scanned", "n_reranked", "n_hit",
           "recall", "mono_shortlist")
-    val base = scaled(s, dir).localCheckpoint(true) // the q39 rule
+    val base = scaled(s, dir).materialize() // the q39 rule
     val enc = s.read.parquet(s"$indexPath/enc")
     curveDf(s, curveCells(base, enc, cents, books))
   }
@@ -1244,22 +1245,21 @@ object Similarity {
     * and the q115 curve audit reuses one ranked frame across every
     * shortlist knob (n_scanned = this frame's size). The corpus side
     * reads ONLY the encoded frame. */
-  private[graft] def pqAdcRanked(base: DataFrame, enc: DataFrame,
+  /** The query-side artifacts both ADC rankers share (ADVICE r16: the
+    * q115 rank-cut equivalence requires the two to stay bit-identical,
+    * so the shared pieces live ONCE): the restricted query frame and the
+    * per-query LUT table. Restricting BEFORE candidate generation is the
+    * VERDICT r12 #2 rule — a batch asking for a subset of the standing
+    * queries must not pay ADC + re-rank for the rest. LUTs: ≤10 query
+    * vectors → driver (query-side, model-sized), exact integer dots
+    * against every codebook vector and every coarse centroid. */
+  private def pqQueryArtifacts(base: DataFrame,
       cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
-      nprobe: Int, qids: Option[Seq[Long]] = None): DataFrame = {
+      qids: Option[Seq[Long]]): (DataFrame, DataFrame) = {
     val s = base.sparkSession
     import s.implicits._
-    // restrict the query side BEFORE candidate generation: a batch
-    // asking for a subset of the standing queries must not pay ADC +
-    // re-rank for the rest (VERDICT r12 #2) — fewer LUT rows, fewer
-    // probed (qid, cell) pairs, a strictly smaller candidate frame
     val qside = qids.fold(base.filter($"vec_id" < 10))(ids =>
       base.filter($"vec_id" < 10 && $"vec_id".isin(ids: _*)))
-    val qprobe = explodeProbeCells(qside, cents, nprobe)
-      .select($"vec_id".as("qid"), $"qcell")
-    // per-query LUTs: ≤10 query vectors → driver (query-side,
-    // model-sized), exact integer dots against every codebook vector
-    // and every coarse centroid
     val qrows = qside.orderBy($"vec_id")
       .select($"vec_id", $"e", $"nrm").collect()
       .map { r =>
@@ -1270,17 +1270,32 @@ object Similarity {
           cents.map(c => dotL(qe, c._1)),
           r.getDouble(2))
       }.toSeq
-    val lut = qrows.toDF("qid", "lut", "qcent", "qn")
+    (qside, qrows.toDF("qid", "lut", "qcent", "qn"))
+  }
+
+  /** The ADC approximate dot — LUT sum + coarse-centroid term — over the
+    * joined (codes, cell, lut, qcent) columns. One definition for both
+    * rankers (the other half of the ADVICE r16 item). */
+  private def pqAdcDot: Column =
+    element_at(col("qcent"), (col("cell") + 1).cast("int")) +
+      (0 until PqSubspaces).map(u =>
+        element_at(element_at(col("lut"), u + 1),
+          element_at(col("codes"), u + 1) + 1)).reduce(_ + _)
+
+  private[graft] def pqAdcRanked(base: DataFrame, enc: DataFrame,
+      cents: Seq[(Seq[Long], Double)], books: Seq[Seq[Seq[Long]]],
+      nprobe: Int, qids: Option[Seq[Long]] = None): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val (qside, lut) = pqQueryArtifacts(base, cents, books, qids)
+    val qprobe = explodeProbeCells(qside, cents, nprobe)
+      .select($"vec_id".as("qid"), $"qcell")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
       .orderBy($"asim".desc, $"vec_id".asc)
-    val adot = element_at($"qcent", ($"cell" + 1).cast("int")) +
-      (0 until PqSubspaces).map(u =>
-        element_at(element_at($"lut", u + 1),
-          element_at($"codes", u + 1) + 1)).reduce(_ + _)
     enc.join(broadcast(qprobe),
         enc("cell") === qprobe("qcell") && enc("vec_id") =!= qprobe("qid"))
       .join(broadcast(lut), "qid")
-      .withColumn("asim", safeCos(adot, $"qn" * $"rnrm"))
+      .withColumn("asim", safeCos(pqAdcDot, $"qn" * $"rnrm"))
       .withColumn("rk", row_number().over(w))
       .select($"qid", $"vec_id", $"rk")
   }
@@ -1301,28 +1316,12 @@ object Similarity {
       nprobes: Seq[Int], qids: Option[Seq[Long]] = None): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val qside = qids.fold(base.filter($"vec_id" < 10))(ids =>
-      base.filter($"vec_id" < 10 && $"vec_id".isin(ids: _*)))
+    val (qside, lut) = pqQueryArtifacts(base, cents, books, qids)
     val pmax = nprobes.max
     val qprobe = explodeProbeCellsRanked(qside, cents, pmax)
       .select($"vec_id".as("qid"), $"j", $"qcell")
-    val qrows = qside.orderBy($"vec_id")
-      .select($"vec_id", $"e", $"nrm").collect()
-      .map { r =>
-        val qe = r.getSeq[Long](1).toSeq
-        (r.getLong(0),
-          (0 until PqSubspaces).map(u =>
-            books(u).map(b => dotL(subVec(qe, u), b))),
-          cents.map(c => dotL(qe, c._1)),
-          r.getDouble(2))
-      }.toSeq
-    val lut = qrows.toDF("qid", "lut", "qcent", "qn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"np", $"qid").orderBy($"asim".desc, $"vec_id".asc)
-    val adot = element_at($"qcent", ($"cell" + 1).cast("int")) +
-      (0 until PqSubspaces).map(u =>
-        element_at(element_at($"lut", u + 1),
-          element_at($"codes", u + 1) + 1)).reduce(_ + _)
     // j → the nprobe knobs whose arm probes cell j (np > j), as a
     // literal lookup table (pmax entries)
     val jToNps: Seq[Seq[Int]] =
@@ -1330,7 +1329,7 @@ object Similarity {
     enc.join(broadcast(qprobe),
         enc("cell") === qprobe("qcell") && enc("vec_id") =!= qprobe("qid"))
       .join(broadcast(lut), "qid")
-      .withColumn("asim", safeCos(adot, $"qn" * $"rnrm"))
+      .withColumn("asim", safeCos(pqAdcDot, $"qn" * $"rnrm"))
       .withColumn("np", explode(element_at(typedLit(jToNps), $"j" + 1)))
       .withColumn("rk", row_number().over(w))
       .select($"np", $"qid", $"vec_id", $"rk")
@@ -1426,7 +1425,7 @@ object Similarity {
     import s.implicits._
     val edges = pairs
       .union(pairs.select($"j".as("i"), $"i".as("j")))
-      .localCheckpoint(true) // materialize once; reused every round
+      .materialize() // materialize once; reused every round
     val nEdges = edges.count() // over the checkpointed blocks — cheap
     if (nEdges <= driverMaxEdges * 2) { // doubled edge list
       log.info(s"labelPropagate: $nEdges directed edges <= threshold, " +
@@ -1435,7 +1434,7 @@ object Similarity {
     }
     var labels = edges.select($"i".as("id")).distinct()
       .withColumn("lbl", $"id")
-      .localCheckpoint(true)
+      .materialize()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -1445,13 +1444,13 @@ object Similarity {
       val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"),
           $"lbl".as("old"))
-        .localCheckpoint(true) // feeds both sides of the jump self-join
+        .materialize() // feeds both sides of the jump self-join
       val jump = prop.as("a").join(
           prop.select($"id".as("lid"), $"lbl".as("llbl")).as("b"),
           col("a.lbl") === col("lid"), "left")
         .select(col("a.id").as("id"),
           coalesce($"llbl", col("a.lbl")).as("lbl"), $"old")
-        .localCheckpoint(false) // lazy: the count below materializes it
+        .lazyMaterialize() // lazy: the count below materializes it
       changed = jump.filter($"lbl" =!= $"old").count()
       onRound(rounds, changed, nEdges)
       labels = jump.select($"id", $"lbl")

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -163,7 +164,7 @@ object CurateDoor {
         first(col("source"), ignoreNulls = true).as("source"))
     val arrived = docs.filter(col("collided") === 0)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .localCheckpoint(true)
+      .materialize()
     // dup-existing FIRST (the batch stage order): a re-send of content
     // the state already holds must not reach the near-dup machinery —
     // its id may exist on the state side too, and pairing a doc with
@@ -184,7 +185,7 @@ object CurateDoor {
         Seq("doc_id"), "left_anti")
     }
     val kept = gated.join(dropped, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .materialize()
     val admitted = Dedup.stripRedactAgainstState(
         kept.select(col("doc_id"), col("text")), statePath, minStripSpan)
       .join(kept.select(col("doc_id"), col("lang"), col("source")), "doc_id")

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -73,7 +74,7 @@ object StreamingBm25 {
     import s.implicits._
     d.select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .materialize()
   }
 
   /** Append `batchDocs` (doc_ids DISJOINT from the indexed corpus — the
@@ -105,7 +106,7 @@ object StreamingBm25 {
         Seq("term"), "full_outer")
       .select($"term",
         (coalesce($"df", lit(0L)) + coalesce($"df_add", lit(0L))).as("df"))
-      .localCheckpoint(true)
+      .materialize()
     val batchStats = dl
       .agg(count(lit(1)).as("b_docs"), sum($"dl").as("b_toks"))
     val statsNew = s.table(table + "_stats")
@@ -113,7 +114,7 @@ object StreamingBm25 {
       .select(($"n_docs" + $"b_docs").as("n_docs"),
         ($"n_toks" + $"b_toks").as("n_toks"))
       .withColumn("avgdl", expr("n_toks div n_docs"))
-      .localCheckpoint(true)
+      .materialize()
     // postings first (see the crash-ordering contract above): both
     // rewrites are checkpointed snapshots, so nothing here still reads
     // the tables being replaced
@@ -184,7 +185,7 @@ object StreamingBm25 {
         Seq("term"), "full_outer")
       .select(coalesce($"df_frozen", lit(0L)).as("df_frozen"),
         coalesce($"df_now", lit(0L)).as("df_now"))
-      .localCheckpoint(true)
+      .materialize()
     val masses = dfs.agg(
       greatest(sum($"df_frozen"), lit(1L)).as("m_frozen"),
       greatest(sum($"df_now"), lit(1L)).as("m_now"),

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,7 +44,7 @@ object StreamingLmGate {
     val s = d.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val perDoc = TextOps.lmPerDocOf(d).localCheckpoint(true)
+    val perDoc = TextOps.lmPerDocOf(d).materialize()
     val (cells, ctx) = TextOps.lmModelOf(perDoc)
     cells.write.mode("overwrite").format("parquet")
       .saveAsTable(table + "_cells")
@@ -55,7 +56,7 @@ object StreamingLmGate {
         perDoc, s.table(table + "_cells"), s.table(table + "_ctx"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(nW))
-      .localCheckpoint(true)
+      .materialize()
     ranked
       // the tail boundary: min score still inside head+middle (3rk ≤ 2n
       // is q118's non-tail condition verbatim)
@@ -135,7 +136,7 @@ object StreamingLmGate {
     * refused — re-freezing cannot produce a cut for them anyway. */
   def lmGateDrift(batch: DataFrame, cells: DataFrame, ctx: DataFrame,
       cuts: DataFrame, rates: DataFrame): DataFrame = {
-    val gated = gatedBatch(batch, cells, ctx, cuts).localCheckpoint(true)
+    val gated = gatedBatch(batch, cells, ctx, cuts).materialize()
     // language-cardinality-sized driver reads, the cuts/rates broadcast
     // scale class
     val frozen = rates.select(col("lang")).distinct()

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.util.Mat.Ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,9 +44,9 @@ object StreamingQualityGate {
   def saveQualityModel(d: DataFrame, table: String): Unit = {
     val s = d.sparkSession
     import s.implicits._
-    val perDoc = Classifier.perceptronPerDoc(d).localCheckpoint(true)
+    val perDoc = Classifier.perceptronPerDoc(d).materialize()
     val w = Classifier.trainPerceptron(perDoc)
-    val scores = Classifier.scoresOf(perDoc, w).localCheckpoint(true)
+    val scores = Classifier.scoresOf(perDoc, w).materialize()
     val theta = Classifier.calibrateTheta(scores.filter($"db" >= 100))
     s.createDataset(w.toIndexedSeq.zipWithIndex
         .map { case (v, i) => (i.toLong, v) })
@@ -146,7 +147,7 @@ object StreamingQualityGate {
     * re-freeze over a corpus covering the language. */
   def qualityGateDrift(batch: DataFrame, w: Array[Long], theta: Long,
       rates: DataFrame): DataFrame = {
-    val gated = gatedBatch(batch, w, theta).localCheckpoint(true)
+    val gated = gatedBatch(batch, w, theta).materialize()
     // language-cardinality-sized driver reads — the rates broadcast
     // scale class
     val frozen = rates.select(col("lang")).distinct()
