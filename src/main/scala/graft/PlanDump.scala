@@ -22,6 +22,9 @@ object PlanDump {
       .builder("graft-plandump", Some(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // ADVICE r16: a missing plan artifact (the round deliverable) must
+    // not go unnoticed — count failures and exit non-zero.
+    var failed = List.empty[String]
     names.foreach { name =>
       try {
         graft.operators.Dedup.clearCaches()
@@ -38,8 +41,14 @@ object PlanDump {
         println(s"[plandump] $name ok (${plan.length} chars)")
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+        failed ::= name
       }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[plandump] FAILED ${failed.size}: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

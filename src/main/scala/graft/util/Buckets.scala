@@ -24,6 +24,13 @@ object Buckets {
   /** The raw SQL form, for call sites that need the idiom INSIDE a SQL
     * lambda (StreamingSelect's per-row aggregate) where a Column can't
     * reach — same single-definition guarantee. */
-  def sqlModN(c: String, n: Int): String =
-    s"cast(conv(substring(md5(cast(cast($c as string) as binary)), 1, 8), 16, 10) as long) % $n"
+  def sqlModN(c: String, n: Int): String = s"${sqlH8(c)} % $n"
+
+  /** The shared first-8-hex-chars-of-md5 value BEFORE the modulus — for
+    * call sites that bucket the same key under two different moduli
+    * (q137's teacher mod-64 LM buckets and student mod-257 features):
+    * hash once, mod twice. `h8 % n` is bit-identical to [[sqlModN]] by
+    * construction (h8 ∈ [0, 2³²), non-negative, so % agrees). */
+  def sqlH8(c: String): String =
+    s"cast(conv(substring(md5(cast(cast($c as string) as binary)), 1, 8), 16, 10) as long)"
 }

@@ -727,6 +727,54 @@ class RangeJoinSpec extends AnyFunSuite {
       s"sampled-fit (500 permille) recall $sampledRecall < 0.9")
   }
 
+  /** ADVICE r16: the q115 equivalence claim — each np slice of
+    * [[Similarity.pqAdcRankedMulti]] reproduces pqAdcRanked(np)
+    * row-for-row — was only exercised end-to-end via the oracle at the
+    * curve knobs; pin it directly, INCLUDING an exact cosine tie: two
+    * clones of a query vector under fresh ids carry identical
+    * cell/codes → identical asim for that query's guaranteed-probed top
+    * cell, so both rankers must break the tie by vec_id asc
+    * identically. A regression in the iterated-argmax masking would
+    * surface here by name instead of as an opaque q115 hash mismatch. */
+  test("pqAdcRankedMulti per-np slices equal pqAdcRanked, ties included") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("pqmulti").toString
+    Similarity.savePqIndex(spark, dir, s"$tmp/pq")
+    val (cents, books) = Similarity.loadPqIndex(spark, s"$tmp/pq")
+    val base0 = Similarity.scaled(spark, dir)
+    // plant the tie: query vector 0 cloned twice as corpus rows — its
+    // own cell is the top probe of qid 0, so both clones are candidates
+    // at every np ≥ 1 and tie exactly on asim
+    val clones = base0.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", col("vec_id") + lit(990000L))
+      .unionByName(base0.filter(col("vec_id") === 0L)
+        .withColumn("vec_id", col("vec_id") + lit(990001L)))
+    val base = base0.unionByName(clones)
+    val enc = Similarity.pqEncode(
+      Similarity.assignedOf(base, cents), cents, books)
+    val multi = Similarity
+      .pqAdcRankedMulti(base, enc, cents, books, Similarity.CurveNprobes)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    Similarity.CurveNprobes.foreach { np =>
+      val single = Similarity.pqAdcRanked(base, enc, cents, books, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      assert(single.nonEmpty, s"np=$np produced no candidates")
+      assert(multi.getOrElse(np, Nil) == single,
+        s"np=$np slice of pqAdcRankedMulti diverges from pqAdcRanked")
+    }
+    // the planted tie is actually exercised: both clones rank for qid 0,
+    // adjacently (identical asim ⇒ consecutive ranks, lower id first)
+    val q0 = multi(Similarity.CurveNprobes.min)
+      .filter(t => t._1 == 0L && t._2 >= 990000L).sortBy(_._2)
+    assert(q0.map(_._2) == Seq(990000L, 990001L),
+      s"planted tie pair missing from qid 0 candidates: $q0")
+    assert(q0(1)._3 == q0(0)._3 + 1,
+      s"tie not broken adjacently by vec_id: $q0")
+  }
+
   /** Perceptual descriptor index (VERDICT r11 #5): the saved index's
     * near-dup sweep must return EXACTLY the inline q117 pairs — the
     * multiprobe value-grid guarantees every cos ≥ 0.999 pair a shared
